@@ -1,0 +1,64 @@
+"""SparkSession construction and per-session tuning.
+
+The driver owns the SparkSession in production runs; ``tune()`` applies
+the runtime-settable confs we rely on (UTC session timezone so date
+extraction matches the UTC-naive DuckDB oracle; AQE on). ``get_session``
+builds a local session for tests/bench.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Confs that are safe to set at runtime on an existing session.
+RUNTIME_CONF = {
+    # DuckDB timestamps are UTC-naive; pin Spark to UTC so date_format /
+    # hour() / date_trunc agree with the oracle byte-for-byte.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE: runtime shuffle-partition coalescing, skew-join splitting,
+    # broadcast conversion — the main lever for 100 TB robustness.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # events.parquet stores ts as TIMESTAMP(NANOS, isAdjustedToUTC=false),
+    # which Spark's parquet reader rejects; read as long and convert in
+    # catalog.table (SPARK-40819 escape hatch).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def tune(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to a session we did not build (driver-owned)."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf locked by the host — proceed with its value
+    return spark
+
+
+def get_session(app_name: str = "project2_bigdata_spark",
+                cores: int | None = None,
+                shuffle_partitions: int | None = None) -> SparkSession:
+    """Local session for tests and bench.
+
+    Shuffle partitions default to ~cores: correct for local mode; on a
+    real cluster AQE coalescing makes the initial number less critical.
+    """
+    if cores is None:
+        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 4)
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, cores)
+    b = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in RUNTIME_CONF.items():
+        b = b.config(k, v)
+    return b.getOrCreate()

@@ -1,0 +1,30 @@
+"""Driver-style DuckDB-oracle parity for every registered query.
+
+This mirrors exactly what the driver's CORRECTNESS gate does (but with an
+exact value compare instead of a hash, so failures are debuggable). Any
+query registered with an oracle gets checked here automatically.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project2_bigdata_spark.plans import REGISTRY
+
+WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle)
+NO_ORACLE = sorted(name for name, q in REGISTRY.items() if not q.oracle)
+
+
+@pytest.mark.parametrize("name", WITH_ORACLE)
+def test_query_matches_oracle(spark, sf_dir, name):
+    from .oracle_harness import compare
+
+    compare(spark, REGISTRY[name], sf_dir)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE)
+def test_query_runs(spark, sf_dir, name):
+    """Rows-only smoke for non-SQL-expressible queries (driver's weak check)."""
+    df = REGISTRY[name].fn(spark, sf_dir)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,77 @@
+"""Benchmark harness: run headline queries and print ONE JSON line.
+
+Usage: python bench.py
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default all cores).
+
+Each query is executed fully (noop sink — JVM-side, no driver collect)
+and timed; output: {"metric": "headline_total", "value": <sec>,
+"unit": "sec", "queries": {name: sec}, "sf": <sf>}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from project2_bigdata_spark.plans import REGISTRY  # noqa: E402
+from project2_bigdata_spark.session import get_session  # noqa: E402
+
+# Stable headline set (only names present in REGISTRY are run, so this
+# list can reference queries from any phase).
+HEADLINE = [
+    "sales_daily",            # G1 core: join + group + exact sums
+    "kpi_global",             # global scalar KPIs (multi-distinct)
+    "customer_rollup",        # G6 per-customer join + agg
+    "ticket_totals",          # G4 orderkey rollup
+    "volatility_cv",          # two-level agg + moments
+    "monthly_rollup",         # time-bucket reagg
+    "events_hourly",          # hourly grain
+    "pair_counts",            # A8 pair mining (self-join)
+    "top_pairs_per_product",  # A9 window top-k
+    "lag_features",           # W1 lag stack
+    "dedup_exact",            # exact dedup on documents
+    "minhash_near_dup",       # MinHash near-dup candidates
+    "similarity_topk",        # brute-force cosine top-k
+    "text_quality",           # doc quality scoring
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_session("p2bd-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # One trivial action to absorb JVM/codegen warm-up so per-query
+    # timings are steady-state and comparable round-over-round.
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    timings: dict[str, float] = {}
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.perf_counter()
+        df = q.fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,232 @@
+"""Deduplication operators for the documents table.
+
+Four strategies with different scale/recall trade-offs:
+
+- exact:  hash-groupBy on a fingerprint — one shuffle, linear.
+- blocked Jaccard: candidate pairs restricted to a blocking key
+  (lang, n_words), verified with exact word-set Jaccard — SQL-expressible,
+  so oracle-CONFIRMED.
+- MinHash + LSH banding: 16 minhashes (xxhash64-seeded), 4 bands × 4 rows;
+  docs sharing any band bucket become candidates, then exact-Jaccard
+  verified. Scales to 100 TB: candidate generation is an equi-join on
+  (band_idx, band_hash), never an all-pairs product.
+- SimHash: 64-bit signature via a vectorized (Arrow) pandas UDF; ham-
+  ming buckets via the top bits. Demonstrates the vectorized-UDF path.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from ..catalog import table
+from .textstats import fingerprint
+
+N_MINHASH = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_MINHASH // N_BANDS
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fingerprint → canonical (min doc_id) + copy count. Groups with
+    n_copies > 1 are exact duplicates; output keeps all groups so the
+    relation doubles as a canonical-id mapping."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id"), fingerprint(F.col("text")).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _with_word_sets(df: DataFrame) -> DataFrame:
+    return (
+        df.withColumn("words", F.split("text", " "))
+        .withColumn("word_set", F.array_distinct("words"))
+        .withColumn("n_words", F.size("words").cast("bigint"))
+        .withColumn("set_size", F.size("word_set").cast("bigint"))
+    )
+
+
+#: distinct word-3-gram shingles; guarded so short docs yield [] (Spark's
+#: sequence(1, n) with n<1 would generate a DESCENDING sequence).
+_SHINGLES = """
+CASE WHEN size(words) >= 3 THEN
+  array_distinct(transform(sequence(1, size(words) - 2),
+                           i -> concat_ws(' ', slice(words, i, 3))))
+ELSE array() END
+"""
+
+
+def _with_shingles(df: DataFrame) -> DataFrame:
+    """3-gram shingle sets — the standard near-dup feature (richer than
+    word sets, so unrelated docs don't collide even with a tiny vocab)."""
+    return (
+        df.withColumn("words", F.split("text", " "))
+        .withColumn("shingles", F.expr(_SHINGLES))
+        .withColumn("n_shingles", F.size("shingles").cast("bigint"))
+        .filter(F.col("n_shingles") > 0)
+    )
+
+
+def blocked_jaccard_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs via blocking on (lang, n_words) + exact word-set
+    Jaccard. The self-join shuffles on the blocking key only; block sizes
+    stay small, so pair count grows linearly with corpus size."""
+    d = _with_word_sets(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_words", "word_set", "set_size"
+    )
+    a, b = d.alias("a"), d.alias("b")
+    common = F.size(F.array_intersect(F.col("a.word_set"), F.col("b.word_set"))).cast("bigint")
+    union = F.col("a.set_size") + F.col("b.set_size") - common
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_words") == F.col("b.n_words"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            (common / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_signature(df: DataFrame) -> DataFrame:
+    """16 minhashes of the shingle set via seeded xxhash64 (seed folded
+    into the hashed string — deterministic, partition-independent)."""
+    mh = F.array(*[
+        F.array_min(F.expr(f"transform(shingles, s -> xxhash64(concat('{i}|', s)))"))
+        for i in range(N_MINHASH)
+    ])
+    return df.withColumn("minhashes", mh)
+
+
+#: LSH buckets larger than this are skipped: a band value shared by this
+#: many docs carries no dedup signal (stopword-like shingles) and is what
+#: turns LSH quadratic under skew. The cap bounds per-bucket pair count.
+MAX_BUCKET = 100
+
+
+def minhash_band_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash-LSH candidate pairs over 3-gram shingles, verified by
+    exact Jaccard.
+
+    Plan shape (scale-critical): signature build is row-local; candidates
+    come from an equi-join on (band_idx, band_hash) with a bucket-size
+    cap; the verify join fetches shingle sets by doc_id. No stage is
+    quadratic in corpus size.
+    """
+    docs = _with_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.col("shingles").alias("word_set"),
+        F.col("n_shingles").alias("set_size"),
+        "shingles",
+    )
+    sig = _minhash_signature(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_idx"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("minhashes", b * ROWS_PER_BAND + j + 1)
+                                for j in range(ROWS_PER_BAND)
+                            ],
+                        )
+                    ).alias("band_hash"),
+                )
+                for b in range(N_BANDS)
+            ])
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+
+    from pyspark.sql.window import Window
+
+    bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
+    bands = bands.withColumn("_bn", bucket_n).filter(F.col("_bn") <= MAX_BUCKET).drop("_bn")
+
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("word_set").alias("set_a"),
+        F.col("set_size").alias("size_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("word_set").alias("set_b"),
+        F.col("set_size").alias("size_b"),
+    )
+    common = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+    union = F.col("size_a") + F.col("size_b") - common
+    return (
+        cand.join(a, "doc_a").join(b, "doc_b")
+        .select("doc_a", "doc_b", (common / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-vectorized batch UDF).
+
+    Python is acceptable here: SimHash needs per-feature bit spreading
+    that Spark lacks natively; the UDF is batch-vectorized and the rest
+    of the pipeline (bucketing, joins) stays JVM-side.
+    """
+    import hashlib
+
+    import numpy as np
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        acc = np.zeros(64, dtype=np.int64)
+        for w in set((t or "").split(" ")):
+            h = int.from_bytes(
+                hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
+            )
+            for bit in range(64):
+                acc[bit] += 1 if (h >> bit) & 1 else -1
+        v = 0
+        for bit in range(64):
+            if acc[bit] > 0:
+                v |= 1 << bit
+        # wrap to signed 64-bit
+        out[i] = v - (1 << 64) if v >= (1 << 63) else v
+    return pd.Series(out)
+
+
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → simhash + 16-bit prefix bucket (candidate blocking key)."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
+        .withColumn("bucket", F.shiftrightunsigned("simhash", 48).cast("int"))
+    )

@@ -1,0 +1,101 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video decode libraries are not in this container, so the
+decode step is STUBBED (clearly marked below) with a deterministic fake;
+everything Spark-side is real and tested: binary column handling, the
+metadata struct schema, Arrow batch shape through mapInPandas, and
+partition-preserving execution. Swapping `_fake_decode` for a real
+PIL/ffmpeg call changes no plan shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType, LongType, StringType, StructField, StructType,
+)
+
+from ..catalog import table
+
+DECODE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("byte_checksum", LongType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("mime", StringType()),
+])
+
+HAVE_PIL = False
+try:  # decode libs absent in this container — plumbing stays real
+    import PIL.Image  # noqa: F401
+
+    HAVE_PIL = True
+except ImportError:
+    pass
+
+
+def attach_payload(df: DataFrame) -> DataFrame:
+    """Attach an opaque binary payload + typed metadata struct.
+
+    Uses the document text bytes as the stand-in payload; a real
+    pipeline would read image/audio bytes from object storage with
+    `spark.read.format("binaryFile")` into exactly this shape.
+    """
+    return df.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("text/plain").alias("mime"),
+            F.length(F.encode("text", "utf-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """STUB — deterministic fake for the absent image decoder.
+
+    Real implementation would be e.g. PIL.Image.open(BytesIO(payload))
+    → (checksum, width, height). The fake derives pseudo-dimensions from
+    the byte length so downstream schema/tests are meaningful.
+    """
+    if HAVE_PIL:
+        raise NotImplementedError(
+            "real decode path intentionally not wired in this container"
+        )
+    n = len(payload)
+    checksum = sum(payload) % (1 << 31)
+    return checksum, (n % 640) + 1, (n % 480) + 1
+
+
+def decode_features(df_with_payload: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow batches in, typed feature rows out.
+
+    Partition-preserving (no shuffle); batch size is governed by
+    spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory is
+    bounded regardless of corpus size.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            rows = [_fake_decode(bytes(p)) for p in payloads]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "n_bytes": payloads.map(len).astype("int64"),
+                "byte_checksum": pd.Series([r[0] for r in rows], dtype="int64"),
+                "width": pd.Series([r[1] for r in rows], dtype="int32"),
+                "height": pd.Series([r[2] for r in rows], dtype="int32"),
+                "mime": pdf["meta"].map(lambda m: m["mime"]),
+            })
+
+    return df_with_payload.mapInPandas(decode_batches, DECODE_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return decode_features(attach_payload(table(spark, sf_dir, "documents")))

@@ -1,0 +1,165 @@
+"""Similarity search over the embeddings table (array<float>, 64-dim).
+
+Two paths:
+- brute-force cosine top-k: exact baseline. The dot product is a
+  row-local sequential fold (zip_with + aggregate) in doubles — fully
+  deterministic, and with broadcast queries the scan is one pass, no
+  shuffle. Cost O(N_queries × N) — the correct baseline at any scale
+  where N_queries is small.
+- hyperplane-LSH ANN: 8 seeded random hyperplanes → 8-bit bucket;
+  candidates share the query's bucket, top-k within. Sub-linear
+  candidate sets; the bucket join is an equi-join, so it scales as a
+  hash join at 100 TB. (An IVF variant would k-means the corpus; LSH
+  avoids the training pass.)
+
+Similarities are rounded to 6 dp *before* ranking on both engines so the
+row_number tie-break (rounded_sim desc, vec_id) is engine-independent.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+
+N_PLANES = 8
+_RNG = np.random.RandomState(42)
+#: Deterministic hyperplanes, shared verbatim with the DuckDB oracle.
+PLANES: list[list[float]] = [
+    [round(float(v), 6) for v in _RNG.uniform(-1.0, 1.0, 64)]
+    for _ in range(N_PLANES)
+]
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)"
+)
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    dot = F.expr(_DOT.format(a=a, b=b))
+    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
+    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector for the first n_queries
+    vec_ids. Queries are broadcast; corpus is scanned once."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    cand = e.select("vec_id", "label", F.col("embedding").alias("ce"))
+    sim = F.round(_cosine("qe", "ce"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cand.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def _plane_array_sql(plane: list[float]) -> str:
+    return "array(" + ", ".join(f"cast({v}d as double)" for v in plane) + ")"
+
+
+def _bucket_expr() -> F.Column:
+    """8-bit sign bucket of the embedding against the fixed planes."""
+    bits = []
+    for p, plane in enumerate(PLANES):
+        dot = F.expr(_DOT.format(a="embedding", b=_plane_array_sql(plane)))
+        bits.append(F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def lsh_ann_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane bucket."""
+    e = table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    queries = e.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cand = e.select("vec_id", "label", F.col("embedding").alias("ce"), "bucket")
+    sim = F.round(_cosine("qe", "ce"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cand.join(F.broadcast(queries), cand.bucket == queries.qbucket)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+# ---- DuckDB oracle builders (same constants, same rounding) -----------
+
+def oracle_brute_force_topk(n_queries: int = 5, k: int = 10) -> str:
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+      FROM embeddings WHERE vec_id < {n_queries}
+    ), c AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ce FROM embeddings
+    ), sims AS (
+      SELECT query_id, vec_id, label,
+             round(list_dot_product(qe, ce) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce))),
+                   6) AS cos_sim
+      FROM c, q WHERE vec_id <> query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, label, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+      FROM sims
+    ) WHERE rnk <= {k}
+    """
+
+
+def _duck_plane(plane: list[float]) -> str:
+    return "[" + ", ".join(str(v) for v in plane) + "]::DOUBLE[]"
+
+
+def oracle_lsh_ann_topk(n_queries: int = 5, k: int = 10) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_duck_plane(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             CAST({bucket} AS INT) AS bucket
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, emb AS qe, bucket AS qbucket
+      FROM e WHERE vec_id < {n_queries}
+    ), sims AS (
+      SELECT query_id, vec_id, label,
+             round(list_dot_product(qe, emb) /
+                   (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))),
+                   6) AS cos_sim
+      FROM e JOIN q ON e.bucket = q.qbucket AND e.vec_id <> q.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, label, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+      FROM sims
+    ) WHERE rnk <= {k}
+    """

@@ -1,1 +1,249 @@
-"""Placeholder — filled in a later phase."""
+"""Phase 6 — large-scale training-data pipeline operators
+(dedup / similarity search / text analysis / multimodal plumbing).
+
+These go beyond the reference's own surface (BASELINE.json north star).
+Everything SQL-expressible carries a DuckDB oracle; MinHash/SimHash/
+multimodal use engine-specific hashing or Arrow UDFs and get the
+driver's rows-only check (plus local unit tests in tests/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    blocked_jaccard_pairs, exact_dedup, minhash_band_pairs, simhash_buckets,
+)
+from ..operators.multimodal import multimodal_features
+from ..operators.similarity import (
+    brute_force_topk, lsh_ann_topk,
+    oracle_brute_force_topk, oracle_lsh_ann_topk,
+)
+from ..operators.textstats import (
+    STOPWORDS, documents_with_stats, fingerprint, token_count_bpeish,
+)
+from ..catalog import table
+from .registry import register
+
+_SW = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_quality",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           (length(text) - (len(string_split(text, ' ')) - 1))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+           len(list_filter(string_split(text, ' '), w -> w IN ({_SW})))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+           least(len(string_split(text, ' ')) / 100.0, 1.0) *
+             (1.0 - len(list_filter(string_split(text, ' '), w -> w IN ({_SW})))
+                  / CAST(len(string_split(text, ' ')) AS DOUBLE)) AS quality_score
+    FROM documents
+    """,
+    doc="Text quality scoring: word count, avg word length, stopword "
+        "ratio, composite score — all JVM-side expressions, one scan",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return documents_with_stats(spark, sf_dir).select(
+        "doc_id", "lang", "n_words", "avg_word_len",
+        "stopword_ratio", "quality_score",
+    )
+
+
+@register(
+    "token_counts",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT)
+             AS bpeish_tokens
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex tokens "
+        "(alpha runs / digit runs / punctuation) — regex shared with oracle",
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("ws_tokens"),
+        token_count_bpeish(F.col("text")).cast("bigint").alias("bpeish_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprints",
+    oracle="""
+    SELECT doc_id, md5(lower(text)) AS text_hash,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Document fingerprinting via md5 (identical across engines) — the "
+        "primitive under exact dedup",
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("text_hash"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+
+
+@register(
+    "lang_stats",
+    oracle="""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT) AS total_words,
+           SUM(CAST(len(string_split(text,' ')) AS BIGINT))
+             / CAST(COUNT(*) AS DOUBLE) AS avg_words
+    FROM documents GROUP BY 1
+    """,
+    doc="Language-ID aggregate view (lang is the labeled ground truth in "
+        "the corpus; a content-based n-gram classifier is in "
+        "operators.textstats for corpora where text actually varies)",
+)
+def q_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    nw = F.size(F.split("text", " ")).cast("bigint")
+    return (
+        d.select("lang", nw.alias("nw"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nw").alias("total_words"),
+            (F.sum("nw") / F.count("*")).alias("avg_words"),
+        )
+    )
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(lower(text)) AS text_hash,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: fingerprint groupBy → canonical id + copy count. "
+        "One linear shuffle; at 100 TB this is the cheap first pass before "
+        "any fuzzy method",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(spark, sf_dir)
+
+
+@register(
+    "dedup_blocked_jaccard",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
+    ), s AS (
+      SELECT doc_id, lang,
+             CAST(len(words) AS BIGINT) AS n_words,
+             list_distinct(words) AS word_set,
+             CAST(len(list_distinct(words)) AS BIGINT) AS set_size
+      FROM d
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             len(list_filter(a.word_set, x -> list_contains(b.word_set, x)))
+               / CAST(a.set_size + b.set_size
+                      - len(list_filter(a.word_set, x -> list_contains(b.word_set, x)))
+                      AS DOUBLE) AS jaccard
+      FROM s a JOIN s b
+        ON a.lang = b.lang AND a.n_words = b.n_words AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.8
+    """,
+    doc="Near-dup detection: blocking on (lang, n_words) + exact word-set "
+        "Jaccard ≥ 0.8. Join shuffles on the blocking key only — pair count "
+        "stays linear in corpus size for bounded block sizes",
+)
+def q_dedup_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return blocked_jaccard_pairs(spark, sf_dir, threshold=0.8)
+
+
+@register(
+    "minhash_near_dup",
+    oracle=None,  # xxhash64 seeds are Spark-specific → driver rows-only
+    doc="MinHash(16) + LSH banding (4×4) near-dup candidates, verified "
+        "with exact Jaccard ≥ 0.8. Candidate generation is an equi-join "
+        "on (band_idx, band_hash) — never all-pairs. Verified against "
+        "dedup_blocked_jaccard in tests/test_datapipe.py (recall check).",
+)
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_band_pairs(spark, sf_dir, threshold=0.8)
+
+
+@register(
+    "simhash_buckets",
+    oracle=None,  # Arrow pandas-UDF signature → driver rows-only
+    doc="SimHash-64 signatures via vectorized pandas UDF + 16-bit prefix "
+        "buckets; unit-tested for determinism and bit-flip locality",
+)
+def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_buckets(spark, sf_dir)
+
+
+@register(
+    "similarity_topk",
+    oracle=oracle_brute_force_topk(n_queries=5, k=10),
+    doc="Brute-force cosine top-10 for 5 query vectors: broadcast queries, "
+        "one corpus scan, row-local sequential-fold dot products (no UDF). "
+        "Similarity rounded to 6dp before ranking so ordering is engine-"
+        "independent",
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return brute_force_topk(spark, sf_dir, n_queries=5, k=10)
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=oracle_lsh_ann_topk(n_queries=5, k=10),
+    doc="ANN top-10 via 8 seeded random hyperplanes → sign buckets; "
+        "candidates share the query bucket (equi-join). Same plane "
+        "constants embedded in the DuckDB oracle → CONFIRMED check",
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_ann_topk(spark, sf_dir, n_queries=5, k=10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           CAST(len(embedding) AS INT) AS dim,
+           round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+             AS l2_norm
+    FROM embeddings
+    """,
+    doc="Embedding hygiene scan: dimensionality + L2 norm (rounded 6dp) — "
+        "the cheap validation pass before any ANN build",
+)
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    dot = (
+        "aggregate(zip_with(embedding, embedding, (x, y) -> "
+        "cast(x as double) * cast(y as double)), cast(0.0 as double), "
+        "(acc, v) -> acc + v)"
+    )
+    return e.select(
+        "vec_id", "label",
+        F.size("embedding").cast("int").alias("dim"),
+        F.round(F.sqrt(F.expr(dot)), 6).alias("l2_norm"),
+    )
+
+
+@register(
+    "multimodal_decode",
+    oracle=None,  # mapInPandas decode plumbing → driver rows-only
+    doc="Multimodal plumbing: binary payload + metadata struct through an "
+        "Arrow mapInPandas decode (deterministic fake decoder — see "
+        "operators.multimodal; real decoder swaps in without plan changes). "
+        "Byte checksums unit-tested against pure-Python in tests/",
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return multimodal_features(spark, sf_dir)

@@ -417,7 +417,7 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "weekly_rollup",
     oracle=SALE_LINES_SQL + f"""
-    SELECT CAST(date_trunc('week', sale_ts) AS DATE) AS week, product,
+    SELECT strftime(CAST(date_trunc('week', sale_ts) AS DATE), '%Y-%m-%d') AS week, product,
            {oracle_dsum('quantity', 'total_quantity')}
     FROM sale_lines GROUP BY 1, 2
     """,
@@ -427,7 +427,7 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = sale_lines(spark, sf_dir)
     return (
-        sl.groupBy(week_start("sale_ts").alias("week"), "product")
+        sl.groupBy(F.date_format(week_start("sale_ts"), "yyyy-MM-dd").alias("week"), "product")
         .agg(dsum("quantity", "total_quantity"))
     )
 

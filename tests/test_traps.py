@@ -1,0 +1,80 @@
+"""Semantic-trap micro-fixtures (FIXTURES.md §D, SURVEY.md §5.2(3)).
+
+Tiny hand-written inputs for the places where Spark's defaults silently
+diverge from the reference's (pandas/Mongo) semantics.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import Row, functions as F
+
+from project2_bigdata_spark.functions.datetime_utils import (
+    is_weekend, pandas_weekday, week_start,
+)
+from project2_bigdata_spark.operators.pairs import _PAIRS_EXPR
+
+
+def test_weekday_pandas_parity(spark):
+    # 2013-01-01 is a Tuesday → pandas dayofweek 1, weekend 0;
+    # 2013-01-05 is a Saturday → 5, weekend 1; Sunday → 6, weekend 1.
+    df = spark.createDataFrame(
+        [(datetime.date(2013, 1, 1),), (datetime.date(2013, 1, 5),),
+         (datetime.date(2013, 1, 6),), (datetime.date(2013, 1, 7),)],
+        "d date",
+    ).select(
+        pandas_weekday("d").alias("dow"), is_weekend("d").alias("we")
+    )
+    assert [tuple(r) for r in df.collect()] == [(1, 0), (5, 1), (6, 1), (0, 0)]
+
+
+def test_inner_explode_drops_empty_arrays(spark):
+    df = spark.createDataFrame(
+        [Row(sale_id=1, items=["a", "b"]), Row(sale_id=2, items=[])],
+    )
+    out = df.select("sale_id", F.explode("items").alias("x"))
+    assert [r.sale_id for r in out.collect()] == [1, 1]
+
+
+def test_pair_multiplicity_and_self_pairs(spark):
+    # [notepad, notepad, pens] → (notepad,notepad)×1, (notepad,pens)×2
+    df = spark.createDataFrame([Row(item_names=["notepad", "notepad", "pens"])])
+    pairs = (
+        df.select(F.explode(F.expr(_PAIRS_EXPR)).alias("p"))
+        .groupBy("p.product_1", "p.product_2").count()
+    )
+    got = {(r.product_1, r.product_2): r["count"] for r in pairs.collect()}
+    assert got == {("notepad", "notepad"): 1, ("notepad", "pens"): 2}
+
+
+def test_argmax_tiebreak_first_by_name(spark):
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [("d1", "zeta", 10.0), ("d1", "alpha", 10.0), ("d1", "mid", 5.0)],
+        "date string, product string, rev double",
+    )
+    w = Window.partitionBy("date").orderBy(F.desc("rev"), "product")
+    top = df.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    assert top.collect()[0].product == "alpha"
+
+
+def test_week_start_monday_boundary(spark):
+    # Sunday 2013-01-06 and Monday 2013-01-07 → different Monday-start weeks
+    df = spark.createDataFrame(
+        [(datetime.date(2013, 1, 6),), (datetime.date(2013, 1, 7),)], "d date"
+    ).select(week_start("d").alias("w"))
+    w1, w2 = [r.w for r in df.collect()]
+    assert w1 == datetime.date(2012, 12, 31)
+    assert w2 == datetime.date(2013, 1, 7)
+
+
+def test_dsum_partition_order_invariance(spark):
+    from project2_bigdata_spark.functions.money import dsum
+
+    vals = [(float(f"{i}.{i % 100:02d}"),) for i in range(1, 2001)]
+    df = spark.createDataFrame(vals, "x double")
+    a = df.repartition(1).agg(dsum("x", "s")).collect()[0].s
+    b = df.repartition(16).agg(dsum("x", "s")).collect()[0].s
+    assert a == b  # bit-identical, not approximately equal

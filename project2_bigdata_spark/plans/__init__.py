@@ -11,4 +11,5 @@ from . import relational    # noqa: E402,F401  Phase 0/1: scans, filters, aggs, 
 from . import nested        # noqa: E402,F401  Phase 2: array ops, pair mining
 from . import windowed      # noqa: E402,F401  Phase 2: lag stack, top-k, argmax
 from . import pipelines     # noqa: E402,F401  Phase 3: EP1/EP2/EP3 dashboard composites
+from . import temporal      # noqa: E402,F401  Phase 3½: as-of / range join, sessionization
 from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / text analysis

@@ -13,3 +13,4 @@ from . import windowed      # noqa: E402,F401  Phase 2: lag stack, top-k, argmax
 from . import pipelines     # noqa: E402,F401  Phase 3: EP1/EP2/EP3 dashboard composites
 from . import temporal      # noqa: E402,F401  Phase 3½: as-of / range join, sessionization
 from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / text analysis
+from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5

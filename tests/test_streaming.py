@@ -1,0 +1,52 @@
+"""Streaming-specific tests beyond the registry's oracle parity:
+the production-shaped watermarked append query and the foreachBatch
+incremental-ingest path (SURVEY.md S1 → §2.9)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from project2_bigdata_spark.streaming import events_stream
+from project2_bigdata_spark.streaming.windows import run_to_batch, watermarked_hourly
+
+
+def test_watermarked_append_subset_of_complete(spark, sf_dir):
+    """Append mode emits only watermark-finalized windows: a subset of the
+    batch answer, never rows the batch answer lacks."""
+    emitted = run_to_batch(watermarked_hourly(spark, sf_dir), mode="append")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    extra = emitted.exceptAll(batch)
+    assert extra.count() == 0
+    assert emitted.count() <= batch.count()
+
+
+def test_foreachbatch_ingest_roundtrip(spark, sf_dir):
+    """S1's insert-batches-of-50-with-retry loop collapses into
+    foreachBatch: each micro-batch lands transactionally in the sink;
+    checkpointing (not hand-rolled retry) provides exactly-once."""
+    out = tempfile.mkdtemp(prefix="stream_ingest_", dir="/root/repo")
+    try:
+        q = (
+            events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(
+                lambda batch_df, epoch_id: batch_df.write.mode("append")
+                .parquet(f"{out}/events")
+            )
+            .option("checkpointLocation", f"{out}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        n_sunk = spark.read.parquet(f"{out}/events").count()
+        assert n_sunk == n_src
+    finally:
+        shutil.rmtree(out, ignore_errors=True)

@@ -1,0 +1,65 @@
+"""ML smoke tests (SURVEY.md §5.2 item 5): training runs, metrics are
+finite, model count ≤ distinct products; model persistence round-trips
+(S5). No accuracy assertions — the survey's RNG caveat applies in
+spirit even to the deterministic solver (different feature scaling ⇒
+different numbers than sklearn)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from project2_bigdata_spark.ml.forecast import feature_frame
+from project2_bigdata_spark.plans import REGISTRY
+
+
+def test_per_product_training(spark, sf_dir):
+    out = REGISTRY["ml_train_per_product"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    n_products = feature_frame(spark, sf_dir).select("product").distinct().count()
+    assert len(out) <= n_products
+    assert out["product"].is_unique
+    for c in ["train_wape", "test_wape", "test_mape"]:
+        assert out[c].notna().all() and (out[c] >= 0).all()
+    assert (out["n_test"] > 0).all()
+
+
+def test_per_product_training_deterministic(spark, sf_dir):
+    fn = REGISTRY["ml_train_per_product"].fn
+    a = fn(spark, sf_dir).toPandas().sort_values("product").reset_index(drop=True)
+    b = fn(spark, sf_dir).toPandas().sort_values("product").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_sparkml_global(spark, sf_dir):
+    out = REGISTRY["ml_sparkml_global"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert out["test_wape"].notna().all()
+
+
+def test_sparkml_persistence_roundtrip(spark, sf_dir):
+    """S5 model sink/source: Pipeline.save/load preserves predictions."""
+    from pyspark.ml import Pipeline, PipelineModel
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import LinearRegression
+
+    df = feature_frame(spark, sf_dir)
+    train = df.filter(F.col("is_test") == 0)
+    pipe = Pipeline(stages=[
+        VectorAssembler(inputCols=["lag_1", "lag_2", "month"], outputCol="features"),
+        LinearRegression(featuresCol="features", labelCol="total_quantity",
+                         solver="normal", regParam=1e-3),
+    ])
+    model = pipe.fit(train)
+    path = tempfile.mkdtemp(prefix="mlmodel_", dir="/root/repo")
+    try:
+        model.write().overwrite().save(path)
+        reloaded = PipelineModel.load(path)
+        a = model.transform(df).agg(F.sum("prediction")).first()[0]
+        b = reloaded.transform(df).agg(F.sum("prediction")).first()[0]
+        assert a == pytest.approx(b, rel=0, abs=0)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

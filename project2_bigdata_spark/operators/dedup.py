@@ -100,12 +100,31 @@ def blocked_jaccard_pairs(
     )
 
 
+#: Universal-hash parameters (a_i, b_i) for the 16 minhash functions —
+#: odd multipliers, fixed (deterministic across runs/partitions).
+_MH_PARAMS = [(2 * i * i + 3 * i + 101, 7919 * (i + 1)) for i in range(N_MINHASH)]
+_MH_PRIME = 4294967311  # first prime > 2^32
+
+
+def _with_hashed_shingles(df: DataFrame) -> DataFrame:
+    """Shingles hashed ONCE to int64 (``hs``). All downstream minhash and
+    Jaccard math runs on integers: one xxhash64 per shingle total,
+    instead of one per (shingle × hash function)."""
+    return _with_shingles(df).withColumn(
+        "hs", F.expr("transform(shingles, s -> xxhash64(s))")
+    )
+
+
 def _minhash_signature(df: DataFrame) -> DataFrame:
-    """16 minhashes of the shingle set via seeded xxhash64 (seed folded
-    into the hashed string — deterministic, partition-independent)."""
+    """16 minhashes via universal hashing over the pre-hashed shingles:
+    min_i((a_i * (h & 0xffffffff) + b_i) mod p). Pure integer ops, no
+    overflow under ANSI mode (a_i < 2^20, masked h < 2^32 → product
+    < 2^52), deterministic and partition-independent."""
     mh = F.array(*[
-        F.array_min(F.expr(f"transform(shingles, s -> xxhash64(concat('{i}|', s)))"))
-        for i in range(N_MINHASH)
+        F.array_min(
+            F.expr(f"transform(hs, h -> ({a}L * (h & 4294967295L) + {b}L) % {_MH_PRIME}L)")
+        )
+        for a, b in _MH_PARAMS
     ])
     return df.withColumn("minhashes", mh)
 
@@ -120,18 +139,16 @@ def minhash_band_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
     """MinHash-LSH candidate pairs over 3-gram shingles, verified by
-    exact Jaccard.
+    exact Jaccard on the hashed shingle sets (64-bit collisions are
+    negligible, and integer array_intersect beats string compare).
 
     Plan shape (scale-critical): signature build is row-local; candidates
     come from an equi-join on (band_idx, band_hash) with a bucket-size
-    cap; the verify join fetches shingle sets by doc_id. No stage is
-    quadratic in corpus size.
+    cap; the verify join fetches hashed shingle sets by doc_id. No stage
+    is quadratic in corpus size.
     """
-    docs = _with_shingles(table(spark, sf_dir, "documents")).select(
-        "doc_id",
-        F.col("shingles").alias("word_set"),
-        F.col("n_shingles").alias("set_size"),
-        "shingles",
+    docs = _with_hashed_shingles(table(spark, sf_dir, "documents")).select(
+        "doc_id", "hs", F.col("n_shingles").alias("set_size"),
     )
     sig = _minhash_signature(docs)
     bands = sig.select(
@@ -140,15 +157,12 @@ def minhash_band_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at("minhashes", b * ROWS_PER_BAND + j + 1)
-                                for j in range(ROWS_PER_BAND)
-                            ],
-                        )
-                    ).alias("band_hash"),
+                    # xxhash64 over the band's minhash values directly —
+                    # typed multi-arg hash, no string concat
+                    F.xxhash64(*[
+                        F.element_at("minhashes", b * ROWS_PER_BAND + j + 1)
+                        for j in range(ROWS_PER_BAND)
+                    ]).alias("band_hash"),
                 )
                 for b in range(N_BANDS)
             ])
@@ -176,12 +190,12 @@ def minhash_band_pairs(
     )
     a = docs.select(
         F.col("doc_id").alias("doc_a"),
-        F.col("word_set").alias("set_a"),
+        F.col("hs").alias("set_a"),
         F.col("set_size").alias("size_a"),
     )
     b = docs.select(
         F.col("doc_id").alias("doc_b"),
-        F.col("word_set").alias("set_b"),
+        F.col("hs").alias("set_b"),
         F.col("set_size").alias("size_b"),
     )
     common = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")

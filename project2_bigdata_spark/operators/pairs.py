@@ -19,7 +19,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from .salesviews import sales_nested
 
 # All (i, j>i) pairs of the sorted name array, generated row-local.
 _PAIRS_EXPR = """
@@ -31,16 +30,27 @@ flatten(
 
 
 def pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """product_1 × product_2 → pair_count, probability (ref semantics)."""
-    nested = sales_nested(spark, sf_dir)
+    """product_1 × product_2 → pair_count, probability (ref semantics).
+
+    Builds the per-sale sorted name array directly from
+    lineitem ⋈ broadcast(part) — NOT via the full ``tickets`` view, whose
+    orders/customer joins contribute nothing to pair counts (measured 2×
+    on the bench). One shuffle total (groupBy orderkey); the final pair
+    aggregation is bounded by |products|², independent of data size.
+    """
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
     total = table(spark, sf_dir, "orders").agg(
         F.count("*").cast("double").alias("_total_sales")
     )
     pairs = (
-        nested
-        # items are sorted by (name, ...) in sales_nested, so the name
-        # array is non-decreasing → product_1 <= product_2 for every pair.
-        .select(F.expr("transform(items, x -> x.name)").alias("item_names"))
+        lineitem
+        .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        # sorted array → non-decreasing names → product_1 <= product_2
+        # for every generated pair (matches the reference's sorted() call,
+        # dashboard.py:209).
+        .agg(F.array_sort(F.collect_list("p_name")).alias("item_names"))
         .select(F.explode(F.expr(_PAIRS_EXPR)).alias("pair"))
         .groupBy("pair.product_1", "pair.product_2")
         .agg(F.count("*").alias("pair_count"))

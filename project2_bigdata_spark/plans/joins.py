@@ -1,0 +1,242 @@
+"""Join-family and set-operator completeness (SURVEY.md §2.5/§2.6 notes).
+
+The reference needs only a broadcast left equi-join and one self-join;
+Spark gives the rest free — this module claims that surface explicitly
+with oracle-checked queries: semi/anti joins, full outer join,
+INTERSECT/EXCEPT, CUBE grouping sets, pivot, and distinct aggregates.
+
+Scale notes are per-query; the common theme: dimension sides broadcast,
+fact-fact joins shuffle on their equi-keys and AQE handles skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.datetime_utils import sale_date
+from ..functions.money import dsum, oracle_dsum
+from .registry import register
+
+
+@register(
+    "semi_join_active_customers",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT SEMI join: customers with at least one order. Semi join "
+        "never duplicates the left side — no post-join distinct needed; "
+        "the orders side is reduced to its join key before the shuffle",
+)
+def q_semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register(
+    "anti_join_inactive_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="LEFT ANTI join: customers with no orders (the classic "
+        "quality-check shape: orphaned dimension rows)",
+)
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+@register(
+    "full_outer_daily_activity",
+    oracle=f"""
+    WITH od AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS date,
+             {oracle_dsum('o_totalprice', 'order_revenue')}
+      FROM orders GROUP BY 1
+    ), ev AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS date,
+             {oracle_dsum('value', 'event_value')}
+      FROM events GROUP BY 1
+    )
+    SELECT COALESCE(od.date, ev.date) AS date, order_revenue, event_value
+    FROM od FULL OUTER JOIN ev ON od.date = ev.date
+    """,
+    doc="FULL OUTER join of two pre-aggregated daily series (orders "
+        "revenue vs events value) — aggregate-then-join keeps both "
+        "shuffle inputs at day-grain cardinality, not fact size",
+)
+def q_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = (
+        table(spark, sf_dir, "orders")
+        .groupBy(sale_date("o_orderdate").alias("date"))
+        .agg(dsum("o_totalprice", "order_revenue"))
+    )
+    ev = (
+        table(spark, sf_dir, "events")
+        .groupBy(sale_date("ts").alias("date"))
+        .agg(dsum("value", "event_value"))
+    )
+    return (
+        od.alias("od").join(ev.alias("ev"), "date", "full_outer")
+        .select(F.col("date"), "order_revenue", "event_value")
+    )
+
+
+def _year_products(spark: SparkSession, sf_dir: str, year: int) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.year("o_orderdate") == year)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("p_name").alias("product"))
+        .distinct()
+    )
+
+
+_YEAR_PRODUCTS_SQL = """
+  SELECT DISTINCT p_name AS product
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                JOIN part   ON l_partkey = p_partkey
+  WHERE year(o_orderdate) = {y}
+"""
+
+
+@register(
+    "products_intersect_years",
+    oracle=(_YEAR_PRODUCTS_SQL.format(y=1995)
+            + " INTERSECT " + _YEAR_PRODUCTS_SQL.format(y=1996)),
+    doc="INTERSECT: products sold in both 1995 and 1996. Year filters "
+        "prune at the orders scan; distinct before the set op keeps the "
+        "intersect inputs product-sized",
+)
+def q_products_intersect_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _year_products(spark, sf_dir, 1995).intersect(
+        _year_products(spark, sf_dir, 1996)
+    )
+
+
+@register(
+    "products_except_years",
+    oracle=(_YEAR_PRODUCTS_SQL.format(y=1995)
+            + " EXCEPT " + _YEAR_PRODUCTS_SQL.format(y=1996)),
+    doc="EXCEPT: products sold in 1995 but not 1996",
+)
+def q_products_except_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _year_products(spark, sf_dir, 1995).exceptAll(
+        _year_products(spark, sf_dir, 1996)
+    ).distinct()
+
+
+@register(
+    "cube_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n, {oracle_dsum('o_totalprice', 'total_revenue')}
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE grouping sets over (status, priority) with grouping_id — "
+        "all four grouping combinations in ONE pass (partial aggregation "
+        "expands grouping sets map-side; same single shuffle as a plain "
+        "groupBy)",
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n"),
+            dsum("o_totalprice", "total_revenue"),
+        )
+        .select("status", "priority", "gid", "n", "total_revenue")
+    )
+
+
+_STATUSES = ["F", "O", "P"]
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle=f"""
+    SELECT o_orderpriority AS priority,
+           {', '.join(
+               "CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = '" + s
+               + "' THEN o_totalprice END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+               + f" AS revenue_{s}" for s in _STATUSES)}
+    FROM orders GROUP BY 1
+    """,
+    doc="Pivot (long→wide): revenue by priority × status with an explicit "
+        "value list — explicit values keep the plan one-pass (no extra "
+        "distinct-values job) and make the output schema static",
+)
+def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", _STATUSES)
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+             .cast("string").cast("double"))
+    )
+    return piv.select(
+        "priority", *[F.col(s).alias(f"revenue_{s}") for s in _STATUSES]
+    )
+
+
+@register(
+    "distinct_aggregates",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           CAST(CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS sum_distinct_price,
+           COUNT(*) AS n
+    FROM orders GROUP BY 1
+    """,
+    doc="Distinct aggregates (SURVEY.md §2.4 'missing from reference' "
+        "list): COUNT(DISTINCT) + SUM(DISTINCT) per group — Spark "
+        "rewrites into expand + two-phase agg automatically",
+)
+def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.sum_distinct(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("string").cast("double").alias("sum_distinct_price"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "approx_distinct_customers",
+    oracle=None,  # approximate by design — driver rows-only; bounds unit-tested
+    doc="approx_count_distinct (HLL++, rsd=0.02) per priority — the "
+        "constant-memory distinct-count for 100 TB cardinality profiling; "
+        "tests assert ±5%% of exact",
+)
+def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+    )

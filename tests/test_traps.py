@@ -78,3 +78,27 @@ def test_dsum_partition_order_invariance(spark):
     a = df.repartition(1).agg(dsum("x", "s")).collect()[0].s
     b = df.repartition(16).agg(dsum("x", "s")).collect()[0].s
     assert a == b  # bit-identical, not approximately equal
+
+
+def test_approx_count_distinct_within_bounds(spark, sf_dir):
+    """approx_distinct_customers has no oracle (approximate by design);
+    assert the HLL++ estimate lands within ±5% of the exact count."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.plans import REGISTRY
+
+    approx = {
+        r.priority: r.approx_customers
+        for r in REGISTRY["approx_distinct_customers"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.priority: r.n
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, est in approx.items():
+        assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])

@@ -16,3 +16,4 @@ from . import joins         # noqa: E402,F401  join/set-op/grouping-set complete
 from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / text analysis
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4
+from ..sources import ingest as _sources_ingest  # noqa: E402,F401  S1/S4 sources & sinks

@@ -1,0 +1,138 @@
+"""S1 — extended-JSON ingest + type repair, Spark-first.
+
+The reference ingests MongoDB extended JSON by looping over documents in
+Python, unwrapping ``{"$oid": …}`` / ``{"$date": …}`` /
+``{"$numberDecimal": …}`` wrappers row by row (df.ipynb:91-196, cells
+5-7), then inserting in batches of 50 with a per-document retry
+fallback. Here the whole repair is declarative: an explicit read schema
+types the wrappers as nested structs, and select-time casts unwrap them
+— JVM-side, columnar, zero Python in the row path; batching/retry/spill
+are Spark's job.
+
+The dirty-saleDate rule (dashboard.py:57-67: ``$cond`` on ``$type`` →
+``$toDate``) becomes one ``coalesce``: take the ``$date`` struct field
+if present, else parse the bare string (``to_timestamp`` returns null on
+failure, matching the reference's ``onError: None``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import table
+from ..plans.registry import register
+
+#: Read schema for the reference's sale documents in extended JSON.
+#: saleDate is StringType on purpose: it is DIRTY (sometimes a bare ISO
+#: string, sometimes an extended-JSON object); we re-parse both shapes.
+SALE_JSON_SCHEMA = T.StructType([
+    T.StructField("_id", T.StructType([T.StructField("$oid", T.StringType())])),
+    T.StructField("saleDate", T.StringType()),
+    T.StructField("items", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType()),
+        T.StructField("price", T.StructType([
+            T.StructField("$numberDecimal", T.StringType()),
+        ])),
+        T.StructField("quantity", T.IntegerType()),
+    ]))),
+    T.StructField("storeLocation", T.StringType()),
+    T.StructField("purchaseMethod", T.StringType()),
+    T.StructField("couponUsed", T.BooleanType()),
+])
+
+
+def repair_sale_date(raw: Column) -> Column:
+    """Dirty string-or-$date repair (P4). Input is the raw saleDate JSON
+    text: either ``{"$date": "…"}`` or a bare ISO string. Both parse
+    attempts use try_to_timestamp — null on mismatch (the reference's
+    ``onError: None``; plain to_timestamp would THROW under ANSI mode) —
+    and coalesce picks the survivor."""
+    from_wrapper = F.try_to_timestamp(
+        F.get_json_object(raw, "$['$date']"),
+        F.lit("yyyy-MM-dd'T'HH:mm:ss[.SSS]'Z'"),
+    )
+    return F.coalesce(from_wrapper, F.try_to_timestamp(raw))
+
+
+def clean_sales(raw: DataFrame) -> DataFrame:
+    """Unwrap extended JSON into typed columns (S1's repair, declarative)."""
+    return raw.select(
+        F.col("_id.`$oid`").alias("sale_id"),
+        repair_sale_date(F.col("saleDate")).alias("saleDate"),
+        F.expr("""
+            transform(items, x -> struct(
+                x.name AS name,
+                CAST(x.price.`$numberDecimal` AS DECIMAL(18,2)) AS price,
+                x.quantity AS quantity))
+        """).alias("items"),
+        "storeLocation", "purchaseMethod", "couponUsed",
+    )
+
+
+def read_extended_json(spark: SparkSession, path: str) -> DataFrame:
+    """S1: schema-first JSON-lines read + repair (no inference pass —
+    one scan, stable types even on dirty input)."""
+    return clean_sales(spark.read.schema(SALE_JSON_SCHEMA).json(path))
+
+
+def write_report_csv(df: DataFrame, path: str) -> None:
+    """S4 + S6: the sales_report.csv sink (df.ipynb:444 cell 12) —
+    header CSV, overwrite ≡ the reference's collection.drop().
+    coalesce(1) mirrors the reference's single-file report; drop it for
+    a sharded write at scale."""
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+
+
+@register(
+    "ingest_extended_json_repair",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    """,
+    doc="S1 round-trip proof: orders rows serialized INTO Mongo extended "
+        "JSON (odd keys get a dirty bare-ISO saleDate, even keys the "
+        "$date wrapper), then parsed back through the declarative repair "
+        "— the oracle reads the plain table, so parity proves the "
+        "serialize→repair loop is lossless on both clean and dirty rows",
+)
+def q_ingest_extended_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    iso = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    doc = F.to_json(F.struct(
+        F.struct(F.col("o_orderkey").cast("string").alias("$oid")).alias("_id"),
+        # dirty on odd keys: bare JSON string; clean on even: {"$date": iso}
+        # (ISO text needs no JSON escaping, so quote it directly —
+        # to_json only accepts struct/array/map inputs)
+        F.when(F.col("o_orderkey") % 2 == 1, F.concat(F.lit('"'), iso, F.lit('"')))
+         .otherwise(F.to_json(F.struct(iso.alias("$date"))))
+         .alias("saleDateRaw"),
+        F.struct(F.col("o_totalprice").cast("string").alias("$numberDecimal"))
+         .alias("price"),
+        F.col("o_orderpriority").alias("purchaseMethod"),
+    ))
+    parse_schema = T.StructType([
+        T.StructField("_id", T.StructType([T.StructField("$oid", T.StringType())])),
+        T.StructField("saleDateRaw", T.StringType()),
+        T.StructField("price", T.StructType([
+            T.StructField("$numberDecimal", T.StringType()),
+        ])),
+        T.StructField("purchaseMethod", T.StringType()),
+    ])
+    parsed = o.select(F.from_json(doc, parse_schema).alias("d"))
+    # saleDateRaw held nested JSON text (string or object) — unquote the
+    # bare-string case before the repair rule sees it.
+    raw_date = F.regexp_replace(F.col("d.saleDateRaw"), '^"|"$', "")
+    return parsed.select(
+        F.col("d._id.`$oid`").alias("sale_id"),
+        F.date_format(repair_sale_date(raw_date), "yyyy-MM-dd HH:mm:ss")
+         .alias("sale_ts"),
+        F.col("d.price.`$numberDecimal`").cast("decimal(18,2)")
+         .cast("string").cast("double").alias("total_price"),
+        F.col("d.purchaseMethod").alias("purchase_method"),
+    )

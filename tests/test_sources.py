@@ -1,0 +1,74 @@
+"""S1/S4/S6 source-sink tests: extended-JSON file ingest with repair,
+CSV report sink round-trip, overwrite semantics."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from project2_bigdata_spark.sources.ingest import (
+    read_extended_json, write_report_csv,
+)
+
+DOCS = [
+    # clean: $date wrapper, decimal prices
+    '{"_id": {"$oid": "a1"}, "saleDate": {"$date": "2015-03-02T10:30:00Z"},'
+    ' "items": [{"name": "pens", "price": {"$numberDecimal": "2.50"}, "quantity": 4},'
+    '           {"name": "binder", "price": {"$numberDecimal": "13.40"}, "quantity": 1}],'
+    ' "storeLocation": "Denver", "purchaseMethod": "Online", "couponUsed": true}',
+    # dirty: bare ISO-string saleDate (the dashboard.py:57-67 case)
+    '{"_id": {"$oid": "a2"}, "saleDate": "2015-03-03 08:00:00",'
+    ' "items": [{"name": "laptop", "price": {"$numberDecimal": "600.00"}, "quantity": 2}],'
+    ' "storeLocation": "Seattle", "purchaseMethod": "In store", "couponUsed": false}',
+    # broken date → repair yields null (onError: None)
+    '{"_id": {"$oid": "a3"}, "saleDate": "not-a-date", "items": [],'
+    ' "storeLocation": "Austin", "purchaseMethod": "Phone", "couponUsed": false}',
+]
+
+
+def test_extended_json_ingest_repair(spark):
+    d = tempfile.mkdtemp(prefix="ingest_", dir="/root/repo")
+    try:
+        with open(f"{d}/sales.json", "w") as f:
+            f.write("\n".join(DOCS))
+        df = read_extended_json(spark, f"{d}/sales.json")
+        rows = {r.sale_id: r for r in df.collect()}
+        assert set(rows) == {"a1", "a2", "a3"}
+        assert str(rows["a1"].saleDate) == "2015-03-02 10:30:00"
+        assert str(rows["a2"].saleDate) == "2015-03-03 08:00:00"
+        assert rows["a3"].saleDate is None  # onError → None parity
+        assert [i.name for i in rows["a1"].items] == ["pens", "binder"]
+        # Decimal128 → DecimalType(18,2), not float (quirk-5 fix)
+        assert str(rows["a1"].items[0].price) == "2.50"
+        # ticket revenue via array fold, decimal-exact: 4*2.50 + 1*13.40
+        rev = (
+            df.filter(F.col("sale_id") == "a1")
+            .select(F.expr(
+                "aggregate(items, CAST(0 AS DECIMAL(28,2)),"
+                " (a, x) -> CAST(a + x.price * x.quantity AS DECIMAL(28,2)))"
+            ).alias("r"))
+            .first().r
+        )
+        assert str(rev) == "23.40"
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_csv_report_sink_roundtrip(spark, sf_dir):
+    from project2_bigdata_spark.operators.salesviews import sales_daily
+
+    d = tempfile.mkdtemp(prefix="report_", dir="/root/repo")
+    try:
+        src = sales_daily(spark, sf_dir)
+        write_report_csv(src, f"{d}/report")
+        write_report_csv(src, f"{d}/report")  # S6: overwrite, not append
+        back = spark.read.option("header", True).csv(f"{d}/report")
+        assert back.count() == src.count()
+        assert set(back.columns) == set(src.columns)
+        a = src.agg(F.sum(F.col("total_revenue").cast("decimal(18,2)"))).first()[0]
+        b = back.agg(F.sum(F.col("total_revenue").cast("decimal(18,2)"))).first()[0]
+        assert a == b  # revenue checksum survives the sink round-trip
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -102,3 +102,22 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
     assert set(approx) == set(exact)
     for k, est in approx.items():
         assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])
+
+
+def test_random_split_w5(spark, sf_dir):
+    """W5: randomSplit([0.7,0.2,0.1], seed=42) — reference uses sklearn
+    train_test_split(seed 42); RNGs differ, so assert structure not rows
+    (SURVEY.md §2.8): partition sizes near the ratios, no loss, no
+    overlap, and determinism under the same seed."""
+    from project2_bigdata_spark.catalog import table
+
+    d = table(spark, sf_dir, "orders").select("o_orderkey")
+    a, b, c = d.randomSplit([0.7, 0.2, 0.1], seed=42)
+    n, na, nb, nc = d.count(), a.count(), b.count(), c.count()
+    assert na + nb + nc == n          # no loss, no duplication
+    assert abs(na / n - 0.7) < 0.05
+    assert abs(nb / n - 0.2) < 0.05
+    assert abs(nc / n - 0.1) < 0.05
+    assert a.intersect(b).count() == 0
+    a2, _, _ = d.randomSplit([0.7, 0.2, 0.1], seed=42)
+    assert a.exceptAll(a2).count() == 0  # same seed → same split

@@ -49,8 +49,24 @@ def main() -> None:
     spark = get_session("p2bd-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # One trivial action to absorb JVM/codegen warm-up so per-query
-    # timings are steady-state and comparable round-over-round.
+    # Warm-up: absorb one-time JVM/codegen/broadcast machinery costs so
+    # per-query timings are steady-state and comparable round-over-round.
+    # Deliberately NOT a headline query — a tiny synthetic plan that
+    # touches the same executor paths (scan, broadcast join, hash agg,
+    # window, noop write) on the smallest tables.
+    from pyspark.sql import functions as _F
+    from pyspark.sql.window import Window as _W
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    warm = (
+        nation.join(_F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(_F.count("*").alias("n"),
+             _F.sum(_F.col("n_nationkey").cast("decimal(18,2)")).alias("s"))
+        .withColumn("rn", _F.row_number().over(_W.orderBy("r_name")))
+    )
+    warm.write.mode("overwrite").format("noop").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     names = [n for n in HEADLINE if n in REGISTRY]

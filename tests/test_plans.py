@@ -1,0 +1,92 @@
+"""Physical-plan quality gates (the 100 TB story, asserted).
+
+These tests pin the *plan shape*, not timings: filters reach the parquet
+scan, column pruning holds, small dims broadcast, nothing falls back to
+cartesian products or row-at-a-time Python in core paths. A regression
+here is a scale bug even when sf0.01 results stay correct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from project2_bigdata_spark.plans import REGISTRY
+
+
+def _plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df: DataFrame) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    """sales_daily_filtered's date-range predicate must land in
+    PushedFilters on the orders scan, not a post-scan Filter only."""
+    plan = _formatted(REGISTRY["sales_daily_filtered"].fn(spark, sf_dir))
+    assert "PushedFilters" in plan
+    pushed = [ln for ln in plan.splitlines()
+              if "PushedFilters" in ln and "o_orderdate" in ln]
+    assert pushed, "date predicate not pushed to the orders parquet scan"
+
+
+def test_column_pruning_on_core_query(spark, sf_dir):
+    """sales_daily reads 4 lineitem columns, not all 7+ — ReadSchema is
+    the I/O contract at 100 TB."""
+    plan = _formatted(REGISTRY["sales_daily"].fn(spark, sf_dir))
+    li_schemas = [ln for ln in plan.splitlines()
+                  if "ReadSchema" in ln and "l_orderkey" in ln]
+    assert li_schemas
+    assert "l_comment" not in li_schemas[0]
+    assert "l_shipdate" not in li_schemas[0]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """part (dimension) must broadcast in the core query — a shuffled
+    fact⇄dim join would repartition lineitem by partkey for nothing."""
+    plan = _plan(REGISTRY["sales_daily"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_no_cartesian_products(spark, sf_dir):
+    """No registered query may plan a cartesian product. (Broadcast
+    nested-loop is fine — that's the deliberate range-join strategy.)"""
+    offenders = []
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith("stream_") or name.startswith("ml_"):
+            continue  # streaming queries materialize eagerly; ml trains
+        plan = _plan(q.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_no_python_row_udfs_in_core_paths(spark, sf_dir):
+    """Relational/nested/window queries must stay JVM-side: no
+    BatchEvalPython (row-at-a-time UDF) anywhere; ArrowEvalPython is
+    allowed only in the explicitly-Python operators (simhash,
+    multimodal, ml)."""
+    allowed_arrow = {"simhash_buckets", "multimodal_decode",
+                     "ml_train_per_product", "ml_sparkml_global"}
+    for name, q in sorted(REGISTRY.items()):
+        if name.startswith("stream_") or name in allowed_arrow or name.startswith("ml_"):
+            continue
+        plan = _plan(q.fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"row-wise Python UDF in {name}"
+        assert "ArrowEvalPython" not in plan, f"unexpected pandas UDF in {name}"
+
+
+def test_single_shuffle_for_core_aggregate(spark, sf_dir):
+    """sales_daily = scan → broadcast joins → partial agg → ONE exchange
+    → final agg. More exchanges means a lost partial-aggregation or a
+    misplaced repartition."""
+    plan = _plan(REGISTRY["sales_daily"].fn(spark, sf_dir))
+    shuffles = plan.count("Exchange hashpartitioning")
+    assert shuffles == 1, f"expected 1 shuffle, found {shuffles}"

@@ -13,6 +13,7 @@ from . import windowed      # noqa: E402,F401  Phase 2: lag stack, top-k, argmax
 from . import pipelines     # noqa: E402,F401  Phase 3: EP1/EP2/EP3 dashboard composites
 from . import temporal      # noqa: E402,F401  Phase 3½: as-of / range join, sessionization
 from . import joins         # noqa: E402,F401  join/set-op/grouping-set completeness
+from . import functions_surface  # noqa: E402,F401  string/percentile/math scalar surface
 from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / text analysis
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4

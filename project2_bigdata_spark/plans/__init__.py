@@ -16,5 +16,6 @@ from . import joins         # noqa: E402,F401  join/set-op/grouping-set complete
 from . import functions_surface  # noqa: E402,F401  string/percentile/math scalar surface
 from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / text analysis
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
+from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4
 from ..sources import ingest as _sources_ingest  # noqa: E402,F401  S1/S4 sources & sinks

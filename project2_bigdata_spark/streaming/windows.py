@@ -18,31 +18,13 @@ kafka/parquet + checkpoint.
 
 from __future__ import annotations
 
-import itertools
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.money import dsum, oracle_dsum
 from ..plans.registry import register
+from .runner import run_to_batch  # noqa: F401  (re-exported for tests)
 from .source import events_stream
-
-_SINK_IDS = itertools.count()
-
-
-def run_to_batch(sdf: DataFrame, mode: str = "complete") -> DataFrame:
-    """Replay a bounded stream to completion; return the sink as a batch DF."""
-    spark = sdf.sparkSession
-    name = f"stream_sink_{next(_SINK_IDS)}"
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
 
 
 @register(

@@ -163,3 +163,65 @@ def oracle_lsh_ann_topk(n_queries: int = 5, k: int = 10) -> str:
       FROM sims
     ) WHERE rnk <= {k}
     """
+
+
+def embedding_near_dup(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
+    strategy): candidates = vectors sharing an LSH bucket, verified by
+    rounded cosine ≥ threshold.
+
+    Same scale shape as MinHash dedup: the bucket equi-join replaces the
+    all-pairs product, so work grows with Σ bucket² (bounded by the
+    8-bit signature), not corpus². Recall is the standard LSH trade-off
+    — tighten with more bands of planes.
+
+    Default threshold is 0.4 because the synthetic embeddings contain no
+    true near-duplicates (max pairwise cosine ≈ 0.51): the default
+    exercises the full candidate→verify path on this data; production
+    near-dup dedup uses 0.9+.
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", _bucket_expr())
+        .select("vec_id", "label", F.col("embedding").alias("emb"), "bucket")
+    )
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
+        F.col("emb").alias("ea"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
+        F.col("emb").alias("eb"), F.col("bucket").alias("bucket_b"),
+    )
+    sim = F.round(_cosine("ea", "eb"), 6)
+    return (
+        a.join(b, (a.bucket == b.bucket_b) & (F.col("id_a") < F.col("id_b")))
+        .select("id_a", "id_b", "label_a", "label_b", sim.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def oracle_embedding_near_dup(threshold: float = 0.4) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_duck_plane(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             CAST({bucket} AS INT) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           a.label AS label_a, b.label AS label_b,
+           round(list_dot_product(a.emb, b.emb) /
+                 (sqrt(list_dot_product(a.emb, a.emb)) *
+                  sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+    FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.emb, b.emb) /
+                (sqrt(list_dot_product(a.emb, a.emb)) *
+                 sqrt(list_dot_product(b.emb, b.emb))), 6) >= {threshold}
+    """

@@ -247,3 +247,16 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_features(spark, sf_dir)
+
+
+from ..operators.similarity import (  # noqa: E402
+    embedding_near_dup, oracle_embedding_near_dup,
+)
+
+register(
+    "dedup_embedding_cosine",
+    oracle=oracle_embedding_near_dup(),
+    doc="Embedding-cosine near-dup pairs: hyperplane-LSH bucket join + "
+        "rounded-cosine verify ≥ 0.95 — completes the dedup family "
+        "(exact / blocked-Jaccard / MinHash / SimHash / embedding)",
+)(embedding_near_dup)

@@ -90,7 +90,12 @@ def q_count_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "kpi_global",
-    oracle=SALE_LINES_SQL + f"""
+    oracle=f"""
+    WITH sale_lines AS (
+      SELECT o_orderkey AS sale_id, o_orderdate AS sale_ts,
+             l_quantity AS quantity, l_extendedprice AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
     SELECT {oracle_dsum('quantity', 'total_units')},
            {oracle_dsum('revenue', 'total_revenue')},
            COUNT(DISTINCT strftime(sale_ts, '%Y-%m-%d')) AS num_days,
@@ -101,18 +106,34 @@ def q_count_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
              / COUNT(DISTINCT sale_id) AS avg_ticket_revenue
     FROM sale_lines
     """,
-    doc="G13: global scalar KPIs (ref dashboard.py:287-296,530-539) — one agg row; "
-        "sum/countDistinct composed exactly (decimal sums, double division)",
+    doc="G13: global scalar KPIs (ref dashboard.py:287-296,530-539) — one agg "
+        "row, computed two-level: ticket rollup first, then global. The "
+        "naive single agg needs a ×3 expand (three COUNT(DISTINCT)s) over "
+        "the full fact; rolling up to ticket grain first shuffles |orders| "
+        "rows once and every distinct count becomes a plain count/"
+        "countDistinct over ticket rows. Skips the part join entirely — "
+        "no product column is consumed. Decimal sums re-sum exactly.",
 )
 def q_kpi_global(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sl = sale_lines(spark, sf_dir)
-    return sl.agg(
-        dsum("quantity", "total_units"),
-        dsum("revenue", "total_revenue"),
-        F.countDistinct(sale_date("sale_ts")).alias("num_days"),
-        (dsum("revenue") / F.countDistinct(sale_date("sale_ts"))).alias("revenue_per_day"),
-        F.countDistinct("sale_id").alias("num_tickets"),
-        (dsum("revenue") / F.countDistinct("sale_id")).alias("avg_ticket_revenue"),
+    lineitem = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    per_ticket = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("t_units"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("t_rev"),
+            F.first(sale_date("o_orderdate")).alias("date"),
+        )
+    )
+    dec2dbl = lambda c: F.sum(c).cast("string").cast("double")  # noqa: E731
+    return per_ticket.agg(
+        dec2dbl(F.col("t_units")).alias("total_units"),
+        dec2dbl(F.col("t_rev")).alias("total_revenue"),
+        F.countDistinct("date").alias("num_days"),
+        (dec2dbl(F.col("t_rev")) / F.countDistinct("date")).alias("revenue_per_day"),
+        F.count("*").alias("num_tickets"),
+        (dec2dbl(F.col("t_rev")) / F.count("*")).alias("avg_ticket_revenue"),
     )
 
 
@@ -587,19 +608,27 @@ def q_ticket_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY 1
     """,
     doc="G6/P10: per-customer purchases + revenue (ref df.ipynb:839 cell 17; "
-        "nested array-fold becomes a plain join+agg on the flat model)",
+        "nested array-fold becomes a plain join+agg on the flat model). "
+        "Two-level: lineitem rolls up to ticket grain first, so the "
+        "per-customer COUNT(DISTINCT order) becomes a plain count over "
+        "ticket rows — no ×2 expand of the joined fact through the "
+        "customer shuffle.",
 )
 def q_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     lineitem = table(spark, sf_dir, "lineitem")
+    per_ticket = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("t_rev"))
+    )
     return (
-        orders
+        per_ticket
+        .join(orders, per_ticket.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
-        .join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
         .groupBy(F.col("c_name").alias("customer_email"))
         .agg(
-            F.countDistinct("o_orderkey").alias("num_purchases"),
-            dsum("l_extendedprice", "total_spent"),
+            F.count("*").alias("num_purchases"),
+            F.sum("t_rev").cast("string").cast("double").alias("total_spent"),
         )
     )

@@ -260,3 +260,82 @@ register(
         "rounded-cosine verify ≥ 0.95 — completes the dedup family "
         "(exact / blocked-Jaccard / MinHash / SimHash / embedding)",
 )(embedding_near_dup)
+
+
+@register(
+    "vocab_stats",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    )
+    SELECT term,
+           COUNT(*) AS total_tf,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM terms GROUP BY 1
+    """,
+    doc="Corpus vocabulary: term → total frequency + document frequency "
+        "(the tokenizer + document-frequency half of TF-IDF). One explode "
+        "+ one agg; at 100 TB the (term) shuffle is vocabulary-sized",
+)
+def q_vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(
+            F.count("*").alias("total_tf"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM terms GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.doc_freq), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, rnk FROM (
+      SELECT doc_id, term, tfidf,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                  ORDER BY tfidf DESC, term) AS INT) AS rnk
+      FROM scored
+    ) WHERE rnk <= 5
+    """,
+    doc="TF-IDF top-5 terms per document (SURVEY.md §7 Phase 6 text "
+        "analysis): explode → tf agg → broadcast df/idf join → ranking "
+        "window. tfidf rounded to 6 dp BEFORE ranking so the tie-break "
+        "is engine-independent (ln differs by ≤1 ULP across libms)",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = table(spark, sf_dir, "documents")
+    terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n = d.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("doc_freq")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+    )

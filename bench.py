@@ -39,6 +39,13 @@ HEADLINE = [
     "minhash_near_dup",       # MinHash near-dup candidates
     "similarity_topk",        # brute-force cosine top-k
     "text_quality",           # doc quality scoring
+    # round-1 additions: temporal, streaming, ingest, text/ANN surface
+    "asof_join",              # as-of join via union + last-value window
+    "sessionize",             # gap sessionization (batch)
+    "stream_tumbling_hourly", # streaming tumbling window (bounded replay)
+    "ingest_extended_json_repair",  # extended-JSON serialize→repair round trip
+    "tfidf_top_terms",        # TF-IDF ranking
+    "ann_lsh_topk",           # LSH-bucketed ANN
 ]
 
 

@@ -50,3 +50,19 @@ class Catalog:
         if name in TABLES:
             return table(self.spark, self.sf_dir, name)
         raise AttributeError(name)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """SQL view layer (SURVEY.md §4.2): temp views for every base table
+    plus the derived sales relations, so the engine's whole surface is
+    reachable from ``spark.sql``. Views are lazy plans — registering
+    them costs nothing until queried, and Catalyst optimizes straight
+    through them (a filter on ``v_sales_daily`` prunes the underlying
+    lineitem scan exactly as the DataFrame form does)."""
+    from .operators.salesviews import sale_lines, sales_daily, tickets
+
+    for name in TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+    sale_lines(spark, sf_dir).createOrReplaceTempView("v_sale_lines")
+    sales_daily(spark, sf_dir).createOrReplaceTempView("v_sales_daily")
+    tickets(spark, sf_dir).createOrReplaceTempView("v_tickets")

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import table
 from ..functions.datetime_utils import sale_date
 from ..functions.money import dsum, oracle_dsum
 from ..operators.salesviews import sale_lines, tickets
@@ -190,4 +191,93 @@ def q_revenue_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         total(daily, "daily_total")
         .crossJoin(total(ticket, "ticket_total"))
         .crossJoin(total(cust, "customer_total"))
+    )
+
+
+@register(
+    "ep2_customer_drill",
+    oracle="""
+    WITH lines AS (
+      SELECT o_custkey AS custkey, o_orderkey, o_orderdate, p_name AS product,
+             l_extendedprice AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN part   ON l_partkey  = p_partkey
+    ), fav_product AS (
+      SELECT custkey, product AS fav_product, n AS fav_product_lines FROM (
+        SELECT custkey, product, COUNT(*) AS n,
+               row_number() OVER (PARTITION BY custkey
+                                  ORDER BY COUNT(*) DESC, product) AS rn
+        FROM lines GROUP BY 1, 2
+      ) WHERE rn = 1
+    ), per_ticket AS (
+      SELECT custkey, o_orderkey, min(o_orderdate) AS d,
+             SUM(CAST(revenue AS DECIMAL(18,2))) AS t_rev
+      FROM lines GROUP BY 1, 2
+    ), kpis AS (
+      SELECT custkey, COUNT(*) AS n_tickets,
+             CAST(CAST(SUM(t_rev) AS VARCHAR) AS DOUBLE) AS total_spent
+      FROM per_ticket GROUP BY 1
+    ), fav_day AS (
+      SELECT custkey, day_name AS fav_weekday FROM (
+        SELECT custkey, strftime(d, '%A') AS day_name, COUNT(*) AS n,
+               row_number() OVER (PARTITION BY custkey
+                                  ORDER BY COUNT(*) DESC, strftime(d, '%A')) AS rn
+        FROM per_ticket GROUP BY 1, 2
+      ) WHERE rn = 1
+    )
+    SELECT k.custkey, k.n_tickets, k.total_spent,
+           f.fav_product, f.fav_product_lines, d.fav_weekday
+    FROM kpis k JOIN fav_product f USING (custkey) JOIN fav_day d USING (custkey)
+    """,
+    doc="EP2 per-customer drilldown (ref dashboard.py:584-625), "
+        "generalized from one selected email to ALL customers in one "
+        "distributed pass: favorite product (Counter→argmax window), "
+        "ticket count + exact total spend, favorite weekday (mode via "
+        "argmax). The reference's per-customer Python loop becomes three "
+        "branches over one shuffle key (custkey) joined at the end.",
+)
+def q_ep2_customer_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    p = table(spark, sf_dir, "part")
+    lines = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("custkey"), "o_orderkey", "o_orderdate",
+            F.col("p_name").alias("product"),
+            F.col("l_extendedprice").alias("revenue"),
+        )
+    )
+    wprod = Window.partitionBy("custkey").orderBy(F.desc("n"), "product")
+    fav_product = (
+        lines.groupBy("custkey", "product").agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(wprod))
+        .filter(F.col("rn") == 1)
+        .select("custkey", F.col("product").alias("fav_product"),
+                F.col("n").alias("fav_product_lines"))
+    )
+    per_ticket = (
+        lines.groupBy("custkey", "o_orderkey")
+        .agg(F.min("o_orderdate").alias("d"),
+             F.sum(F.col("revenue").cast("decimal(18,2)")).alias("t_rev"))
+    )
+    kpis = per_ticket.groupBy("custkey").agg(
+        F.count("*").alias("n_tickets"),
+        F.sum("t_rev").cast("string").cast("double").alias("total_spent"),
+    )
+    wday = Window.partitionBy("custkey").orderBy(F.desc("n"), "day_name")
+    fav_day = (
+        per_ticket.select("custkey", F.date_format("d", "EEEE").alias("day_name"))
+        .groupBy("custkey", "day_name").agg(F.count("*").alias("n"))
+        .withColumn("rn", F.row_number().over(wday))
+        .filter(F.col("rn") == 1)
+        .select("custkey", F.col("day_name").alias("fav_weekday"))
+    )
+    return (
+        kpis.join(fav_product, "custkey").join(fav_day, "custkey")
+        .select("custkey", "n_tickets", "total_spent",
+                "fav_product", "fav_product_lines", "fav_weekday")
     )

@@ -632,3 +632,40 @@ def q_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("t_rev").cast("string").cast("double").alias("total_spent"),
         )
     )
+
+
+@register(
+    "sql_view_layer",
+    oracle="""
+    WITH sale_lines AS (
+      SELECT o_orderkey AS sale_id, o_orderdate AS sale_ts, p_name AS product,
+             l_quantity AS quantity, l_extendedprice AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+                    JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT product,
+           CAST(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+             AS total_revenue,
+           COUNT(DISTINCT sale_id) AS n_sales
+    FROM sale_lines
+    WHERE year(sale_ts) = 1996
+    GROUP BY 1
+    """,
+    doc="SQL view layer (SURVEY §4.2): the same engine surface via "
+        "spark.sql over registered views — the year filter on the view "
+        "pushes down to the parquet scans exactly like the DataFrame "
+        "form (Catalyst sees through temp views)",
+)
+def q_sql_view_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT product,
+               CAST(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+                 AS total_revenue,
+               COUNT(DISTINCT sale_id) AS n_sales
+        FROM v_sale_lines
+        WHERE year(sale_ts) = 1996
+        GROUP BY product
+    """)

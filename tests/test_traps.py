@@ -121,3 +121,27 @@ def test_random_split_w5(spark, sf_dir):
     assert a.intersect(b).count() == 0
     a2, _, _ = d.randomSplit([0.7, 0.2, 0.1], seed=42)
     assert a.exceptAll(a2).count() == 0  # same seed → same split
+
+
+def test_salted_join_equivalence(spark, sf_dir):
+    """salted_join must produce exactly the plain join's rows — salting
+    changes the shuffle distribution, never the relation."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.operators.skew import salted_join
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    plain = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_linenumber", "o_orderpriority"
+    )
+    salted = salted_join(
+        li, o, "l_orderkey", "o_orderkey",
+        salt_cols=["l_orderkey", "l_linenumber"], n_salts=8,
+    ).select("l_orderkey", "l_linenumber", "o_orderpriority")
+    assert salted.count() == plain.count()
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

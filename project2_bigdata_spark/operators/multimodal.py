@@ -17,7 +17,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    BinaryType, IntegerType, LongType, StringType, StructField, StructType,
 )
 
 from ..catalog import table
@@ -99,3 +99,72 @@ def decode_features(df_with_payload: DataFrame) -> DataFrame:
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(attach_payload(table(spark, sf_dir, "documents")))
+
+
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+])
+
+
+def resize_images(df_with_payload: DataFrame, width: int = 64, height: int = 48) -> DataFrame:
+    """mapInPandas resize STUB: real impl = PIL `.resize((w, h))` per
+    payload; the fake deterministically truncates/pads the byte payload
+    to w*h bytes so output size is schema-governed. Plan shape (Arrow
+    batches, no shuffle, binary in → binary out) is the real contract.
+    """
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        target = width * height
+        for pdf in batches:
+            out = [
+                (bytes(p) + b"\x00" * target)[:target] for p in pdf["payload"]
+            ]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "payload": out,
+                "width": pd.Series([width] * len(pdf), dtype="int32"),
+                "height": pd.Series([height] * len(pdf), dtype="int32"),
+            })
+
+    return df_with_payload.mapInPandas(resize_batches, RESIZE_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_checksum", LongType()),
+])
+
+
+def sample_frames(df_with_payload: DataFrame, every_n: int = 10) -> DataFrame:
+    """mapInPandas frame-sampling STUB — the flat-map shape (one video
+    row → many frame rows), which neither a UDF nor applyInPandas
+    expresses as naturally. Real impl = ffmpeg/pyav keyframe iteration;
+    the fake treats every 100 bytes as a 'frame' and samples every
+    ``every_n``-th with a deterministic checksum."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                n_frames = max(len(b) // 100, 1)
+                for i in range(0, n_frames, every_n):
+                    chunk = b[i * 100:(i + 1) * 100]
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sums.append(sum(chunk) % (1 << 31))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_checksum": pd.Series(sums, dtype="int64"),
+            })
+
+    return df_with_payload.mapInPandas(frame_batches, FRAMES_SCHEMA)
+
+
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(attach_payload(table(spark, sf_dir, "documents")))

@@ -339,3 +339,15 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= 5)
     )
+
+
+from ..operators.multimodal import multimodal_frames  # noqa: E402
+
+register(
+    "multimodal_frames",
+    oracle=None,  # binary flat-map stub — rows-only + unit tests
+    doc="Multimodal frame sampling: mapInPandas flat-map (one payload → "
+        "many frame rows), decode stubbed deterministically; the Arrow "
+        "batch shape, schema, and row multiplication are the real, "
+        "tested plumbing",
+)(multimodal_frames)

@@ -114,3 +114,28 @@ def test_similarity_top1_matches_numpy(spark, sf_dir):
             if s > best_s or (s == best_s and vid < best):
                 best, best_s = vid, s
         assert got[qid] == best, (qid, got[qid], best)
+
+
+def test_multimodal_resize_shapes(spark, sf_dir):
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.operators.multimodal import (
+        attach_payload, resize_images,
+    )
+
+    out = resize_images(
+        attach_payload(table(spark, sf_dir, "documents")), width=8, height=4
+    ).collect()
+    assert len(out) > 0
+    assert all(len(r.payload) == 32 for r in out)
+    assert all(r.width == 8 and r.height == 4 for r in out)
+
+
+def test_multimodal_frames_flatmap_and_determinism(spark, sf_dir):
+    from project2_bigdata_spark.plans import REGISTRY
+
+    fn = REGISTRY["multimodal_frames"].fn
+    a = fn(spark, sf_dir).toPandas().sort_values(["doc_id", "frame_idx"])
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(a) >= n_docs            # ≥1 frame per doc (flat-map expands)
+    b = fn(spark, sf_dir).toPandas().sort_values(["doc_id", "frame_idx"])
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

@@ -185,3 +185,57 @@ def q_ml_sparkml_global(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.abs(F.col("total_quantity") - F.col("prediction")))
          / F.sum(F.abs("total_quantity"))).alias("test_wape"),
     )
+
+
+_FORECAST_SCHEMA = "product string, step int, date date, predicted_quantity double"
+
+
+HORIZON = 14
+
+
+def _forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Recursive multi-step forecast for one product (ref EP3 forecast
+    table, dashboard.py:769-784): fit the ridge AR on ALL rows, then
+    roll forward ``HORIZON`` days feeding each prediction back into the
+    lag vector. Deterministic closed form, one group per product.
+    (Single-argument on purpose: applyInPandas passes (key, pdf) to
+    two-parameter functions.)"""
+    horizon = HORIZON
+    pdf = pdf.sort_values("date")
+    if len(pdf) < len(FEATURES) + 2:
+        return pd.DataFrame(columns=["product", "step", "date", "predicted_quantity"])
+
+    x = np.hstack([
+        np.ones((len(pdf), 1)), pdf[FEATURES].to_numpy(np.float64)
+    ])
+    y = pdf.total_quantity.to_numpy(np.float64)
+    beta = np.linalg.solve(x.T @ x + RIDGE * np.eye(x.shape[1]), x.T @ y)
+
+    lags = list(pdf.total_quantity.iloc[-ML_LAGS:])[::-1]  # lag_1 first
+    last_date = pd.Timestamp(pdf.date.iloc[-1])
+    rows = []
+    for step in range(1, horizon + 1):
+        d = last_date + pd.Timedelta(days=step)
+        dow = (d.dayofweek) % 7
+        feat = np.array([1.0, *lags, float(d.month), float(dow),
+                         1.0 if dow >= 5 else 0.0])
+        pred = float(feat @ beta)
+        rows.append((pdf["product"].iloc[0], step, d.date(), pred))
+        lags = [pred] + lags[:-1]
+    return pd.DataFrame(rows, columns=["product", "step", "date", "predicted_quantity"])
+
+
+@register(
+    "ml_forecast_14d",
+    oracle=None,  # recursive linear solve — rows-only + determinism test
+    doc="EP3's forecast table: 14-day recursive forecast per product "
+        "(applyInPandas; each step feeds its prediction back into the "
+        "lag vector — the reference's predict-on-last-14-features loop, "
+        "distributed across products)",
+)
+def q_ml_forecast_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        feature_frame(spark, sf_dir)
+        .groupBy("product")
+        .applyInPandas(_forecast_group, schema=_FORECAST_SCHEMA)
+    )

@@ -63,3 +63,17 @@ def test_sparkml_persistence_roundtrip(spark, sf_dir):
         assert a == pytest.approx(b, rel=0, abs=0)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_forecast_14d_shape_and_determinism(spark, sf_dir):
+    fn = REGISTRY["ml_forecast_14d"].fn
+    a = fn(spark, sf_dir).toPandas()
+    assert len(a) > 0
+    per_product = a.groupby("product")["step"].agg(["count", "min", "max"])
+    assert (per_product["count"] == 14).all()
+    assert (per_product["min"] == 1).all() and (per_product["max"] == 14).all()
+    assert a["predicted_quantity"].notna().all()
+    b = fn(spark, sf_dir).toPandas()
+    key = ["product", "step"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))

@@ -265,3 +265,47 @@ def q_product_revenue_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("int").alias("drnk"),
         F.ntile(4).over(w).cast("int").alias("quartile"),
     )
+
+
+@register(
+    "window_navigation",
+    oracle="""
+    SELECT o_custkey AS custkey, o_orderkey AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+           CAST(lead(o_orderdate) OVER w IS NULL AS BOOLEAN) AS is_current,
+           strftime(first_value(o_orderdate) OVER w, '%Y-%m-%d') AS first_order,
+           strftime(last_value(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             '%Y-%m-%d') AS latest_order,
+           strftime(nth_value(o_orderdate, 2) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+             '%Y-%m-%d') AS second_order
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    doc="Window navigation family (lead / first_value / last_value / "
+        "nth_value) as an SCD2-style period builder: each order becomes "
+        "a [valid_from, valid_to) version row per customer, open-ended "
+        "for the current one — the warehouse change-tracking shape, one "
+        "shuffle on custkey",
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table
+
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    d = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("sale_id"),
+        d("o_orderdate").alias("valid_from"),
+        d(F.lead("o_orderdate").over(w)).alias("valid_to"),
+        F.lead("o_orderdate").over(w).isNull().alias("is_current"),
+        d(F.first_value(F.col("o_orderdate")).over(w)).alias("first_order"),
+        d(F.last_value(F.col("o_orderdate")).over(wfull)).alias("latest_order"),
+        d(F.nth_value(F.col("o_orderdate"), 2).over(wfull)).alias("second_order"),
+    )

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
+from ..functions.money import oracle_dsum
 from .registry import register
 
 
@@ -127,3 +128,62 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("l_quantity", F.lit(10.0)).alias("qty_floor10"),
         F.least("l_quantity", F.lit(40.0)).alias("qty_cap40"),
     )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k,
+           CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+    FROM events GROUP BY 1
+    """,
+    doc="Query-time JSON extraction (engine surface; the reference's "
+        "extended-JSON handling is ingest-only): get_json_object over the "
+        "events.props payload + integer aggregation — JSON path "
+        "evaluation stays JVM-side in codegen. For hot paths, from_json "
+        "with an explicit schema (see sources/ingest.py) beats repeated "
+        "path extraction",
+)
+def q_json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+@register(
+    "grouping_sets_explicit",
+    oracle=f"""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid,
+           COUNT(*) AS n, {oracle_dsum('o_totalprice', 'total_revenue')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    doc="Explicit GROUPING SETS ((status), (priority)) — the irregular "
+        "case cube/rollup can't express: two independent one-column "
+        "grains in a single pass (completes the grouping-set family "
+        "with cube_status_priority and status_priority_rollup)",
+)
+def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_ = spark
+    from ..catalog import table as _t
+
+    _t(spark_, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    return spark_.sql("""
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
+               COUNT(*) AS n,
+               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+                 AS total_revenue
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """)

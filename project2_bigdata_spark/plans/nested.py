@@ -200,3 +200,33 @@ def q_ticket_revenue_arrayfold(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as string) as double)"
         ).alias("ticket_revenue"),
     )
+
+
+@register(
+    "posexplode_items",
+    oracle="""
+    WITH nested AS (
+      SELECT l_orderkey AS sale_id,
+             list_sort(list(p_name ORDER BY p_name, l_linenumber)) AS names
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    )
+    SELECT sale_id, CAST(u AS INT) AS pos, names[u + 1] AS name
+    FROM (SELECT sale_id, names, unnest(range(len(names))) AS u FROM nested)
+    """,
+    doc="A1 variant — posexplode: unwind WITH the element's array "
+        "position (0-based), over the deterministically-sorted items "
+        "array. Position is what pair mining and windowed array ops key "
+        "on; same inner-explode null/empty semantics as explode",
+)
+def q_posexplode_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    nested = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("l_orderkey").alias("sale_id"))
+        .agg(F.array_sort(F.collect_list("p_name")).alias("names"))
+    )
+    return nested.select(
+        "sale_id", F.posexplode("names").alias("pos", "name")
+    ).select("sale_id", F.col("pos").cast("int"), "name")

@@ -669,3 +669,40 @@ def q_sql_view_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE year(sale_ts) = 1996
         GROUP BY product
     """)
+
+
+@register(
+    "revenue_share",
+    oracle=SALE_LINES_SQL + """
+    , totals AS (
+      SELECT product,
+             SUM(CAST(revenue AS DECIMAL(18,2))) AS product_revenue_dec
+      FROM sale_lines GROUP BY 1
+    )
+    SELECT product,
+           CAST(CAST(product_revenue_dec AS VARCHAR) AS DOUBLE) AS product_revenue,
+           CAST(CAST(product_revenue_dec AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(product_revenue_dec) OVER () AS VARCHAR) AS DOUBLE)
+             * 100 AS revenue_share_pct
+    FROM totals
+    """,
+    doc="EP1's revenue-share pie (dashboard.py:320) + D13 percent "
+        "scaling: per-product revenue as % of total via an "
+        "unpartitioned window over the already-aggregated product "
+        "relation (|products| rows — the window is cheap because it "
+        "runs post-aggregation, never on the fact)",
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    totals = (
+        sale_lines(spark, sf_dir)
+        .groupBy("product")
+        .agg(F.sum(F.col("revenue").cast("decimal(18,2)")).alias("rev_dec"))
+    )
+    w = Window.partitionBy()
+    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return totals.select(
+        "product",
+        dbl(F.col("rev_dec")).alias("product_revenue"),
+        (dbl(F.col("rev_dec")) / dbl(F.sum("rev_dec").over(w)) * 100)
+        .alias("revenue_share_pct"),
+    )

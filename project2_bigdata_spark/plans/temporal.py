@@ -38,3 +38,51 @@ register(
     doc="Gap-based sessionization (30 min): lag + cumulative-sum window, "
         "single shuffle on user_id",
 )(sessionize_events)
+
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from ..catalog import table  # noqa: E402
+
+
+@register(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY 1
+    )
+    SELECT
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS n_view,
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS n_view_click,
+      COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view
+                         AND t_purchase > t_click) AS n_view_click_purchase
+    FROM firsts
+    """,
+    doc="Ordered funnel view→click→purchase: one agg computes each "
+        "user's first event-time per stage (conditional min — no "
+        "per-user sort or array build), then stage counts require "
+        "strictly increasing times. Two shuffles total (user_id, then "
+        "global), state O(stages) per user — the shape that survives "
+        "billions of events",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return firsts.agg(
+        F.count(F.when(stage1, 1)).alias("n_view"),
+        F.count(F.when(stage2, 1)).alias("n_view_click"),
+        F.count(F.when(stage3, 1)).alias("n_view_click_purchase"),
+    )

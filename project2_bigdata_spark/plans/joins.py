@@ -240,3 +240,35 @@ def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
     )
+
+
+@register(
+    "unpivot_status_revenue",
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderpriority AS priority,
+             {', '.join(
+                 "CAST(CAST(SUM(CAST(CASE WHEN o_orderstatus = '" + s
+                 + "' THEN o_totalprice END AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)"
+                 + f" AS revenue_{s}" for s in _STATUSES)}
+      FROM orders GROUP BY 1
+    )
+    SELECT priority, status, revenue
+    FROM wide UNPIVOT (revenue FOR status IN (revenue_F AS 'F',
+                                              revenue_O AS 'O',
+                                              revenue_P AS 'P'))
+    """,
+    doc="Unpivot (wide→long), the inverse of pivot_priority_by_status: "
+        "melt the per-status revenue columns back to rows via stack() — "
+        "row-local expression, no shuffle beyond the source aggregate. "
+        "Nulls drop on both engines (UNPIVOT default ≡ stack + filter)",
+)
+def q_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = q_pivot_priority_by_status(spark, sf_dir)
+    stack_expr = "stack(3, " + ", ".join(
+        f"'{s}', revenue_{s}" for s in _STATUSES
+    ) + ") AS (status, revenue)"
+    return (
+        wide.select("priority", F.expr(stack_expr))
+        .filter(F.col("revenue").isNotNull())
+    )

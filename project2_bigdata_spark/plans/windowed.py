@@ -309,3 +309,37 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         d(F.last_value(F.col("o_orderdate")).over(wfull)).alias("latest_order"),
         d(F.nth_value(F.col("o_orderdate"), 2).over(wfull)).alias("second_order"),
     )
+
+
+@register(
+    "product_rank_distributions",
+    oracle=_DAILY_SQL + """
+    , totals AS (
+      SELECT product,
+             CAST(CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE)
+               AS product_revenue
+      FROM daily GROUP BY 1
+    )
+    SELECT product, product_revenue,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist()    OVER w AS cum_dist
+    FROM totals
+    WINDOW w AS (ORDER BY product_revenue DESC, product)
+    """,
+    doc="Distribution window functions percent_rank / cume_dist over the "
+        "per-product revenue ranking — both are exact rational values "
+        "((rank-1)/(n-1), rank/n) so cross-engine doubles agree bit-wise; "
+        "completes the ranking family with product_revenue_ranks",
+)
+def q_product_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    totals = (
+        _daily(spark, sf_dir)
+        .groupBy("product")
+        .agg(dsum("total_revenue", "product_revenue"))
+    )
+    w = Window.orderBy(F.desc("product_revenue"), "product")
+    return totals.select(
+        "product", "product_revenue",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cum_dist"),
+    )

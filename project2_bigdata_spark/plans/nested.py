@@ -230,3 +230,56 @@ def q_posexplode_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nested.select(
         "sale_id", F.posexplode("names").alias("pos", "name")
     ).select("sale_id", F.col("pos").cast("int"), "name")
+
+
+@register(
+    "association_rules",
+    oracle="""
+    WITH nested AS (
+      SELECT l_orderkey, list_sort(list(p_name)) AS names
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ), pairs AS (
+      SELECT names[i] AS product_1, names[j] AS product_2, COUNT(*) AS pair_count
+      FROM (SELECT names, unnest(range(1, len(names) + 1)) AS i FROM nested),
+           LATERAL (SELECT unnest(range(i + 1, len(names) + 1)) AS j)
+      GROUP BY 1, 2
+    ), tot AS (SELECT SUM(pair_count) AS total_pairs FROM pairs),
+    p1 AS (SELECT product_1, SUM(pair_count) AS p1_pairs FROM pairs GROUP BY 1),
+    p2 AS (SELECT product_2, SUM(pair_count) AS p2_pairs FROM pairs GROUP BY 1)
+    SELECT pr.product_1, pr.product_2, pr.pair_count,
+           pr.pair_count / CAST(total_pairs AS DOUBLE) AS support,
+           pr.pair_count / CAST(p1_pairs AS DOUBLE) AS confidence,
+           (pr.pair_count * CAST(total_pairs AS DOUBLE)) / (p1_pairs * CAST(p2_pairs AS DOUBLE))
+             AS lift
+    FROM pairs pr JOIN p1 USING (product_1) JOIN p2 USING (product_2)
+    CROSS JOIN tot
+    WHERE pr.pair_count >= 5
+    """,
+    doc="Association rules over the A8 pair relation: support, "
+        "confidence, lift per ordered pair (min pair_count 5). All "
+        "three metrics are single divisions of exact integer counts — "
+        "bit-deterministic. Marginals and the grand total are "
+        "broadcast-sized (|products| and 1 row), so the extension costs "
+        "two broadcast joins over pair_counts' existing plan",
+)
+def q_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.pairs import pair_counts
+
+    pairs = pair_counts(spark, sf_dir).select("product_1", "product_2", "pair_count")
+    tot = pairs.agg(F.sum("pair_count").cast("double").alias("total_pairs"))
+    p1 = pairs.groupBy("product_1").agg(F.sum("pair_count").alias("p1_pairs"))
+    p2 = pairs.groupBy("product_2").agg(F.sum("pair_count").alias("p2_pairs"))
+    return (
+        pairs.join(F.broadcast(p1), "product_1")
+        .join(F.broadcast(p2), "product_2")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("pair_count") >= 5)
+        .select(
+            "product_1", "product_2", "pair_count",
+            (F.col("pair_count") / F.col("total_pairs")).alias("support"),
+            (F.col("pair_count") / F.col("p1_pairs").cast("double")).alias("confidence"),
+            (F.col("pair_count") * F.col("total_pairs")
+             / (F.col("p1_pairs") * F.col("p2_pairs").cast("double"))).alias("lift"),
+        )
+    )

@@ -86,3 +86,43 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(stage2, 1)).alias("n_view_click"),
         F.count(F.when(stage3, 1)).alias("n_view_click_purchase"),
     )
+
+
+@register(
+    "weekly_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+    )
+    SELECT strftime(a.week, '%Y-%m-%d') AS week,
+           COUNT(*) AS n_active,
+           COUNT(*) FILTER (WHERE b.user_id IS NOT NULL) AS n_retained
+    FROM active a
+    LEFT JOIN active b
+      ON a.user_id = b.user_id AND b.week = a.week - INTERVAL 7 DAY
+    GROUP BY 1
+    """,
+    doc="Weekly retention cohort: per week, active users and how many "
+        "were also active the prior week. Implemented as lag over each "
+        "user's distinct-week sequence — ONE shuffle on user_id (the "
+        "oracle's self-join form shuffles twice; the window form is the "
+        "plan that scales)",
+)
+def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = table(spark, sf_dir, "events")
+    active = e.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("week")
+    flagged = active.withColumn(
+        "retained",
+        (F.datediff(F.col("week"), F.lag("week").over(w)) == 7).cast("int"),
+    )
+    return flagged.groupBy(
+        F.date_format("week", "yyyy-MM-dd").alias("week")
+    ).agg(
+        F.count("*").alias("n_active"),
+        F.coalesce(F.sum("retained"), F.lit(0)).alias("n_retained"),
+    )

@@ -154,3 +154,49 @@ def watermarked_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey AS user_id,
+             CASE WHEN SUM(o_totalprice) >= 500000 THEN 'big'
+                  WHEN SUM(o_totalprice) >= 100000 THEN 'mid'
+                  ELSE 'small' END AS spend_tier
+      FROM orders GROUP BY 1
+    )
+    SELECT COALESCE(spend_tier, 'unknown') AS spend_tier,
+           COUNT(*) AS n_events
+    FROM events LEFT JOIN spend USING (user_id)
+    GROUP BY 1
+    """,
+    doc="Stream-static join: the unbounded events stream left-joins a "
+        "static customer spend-tier dimension (computed batch-side from "
+        "orders), then aggregates per tier. Stream-static joins are "
+        "STATELESS — the static side is re-planned per micro-batch, no "
+        "state store — which is why dimension enrichment is the "
+        "recommended first join shape in streaming pipelines",
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table as _table
+
+    spend = (
+        _table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.sum("o_totalprice").alias("spent"))
+        .select(
+            "user_id",
+            F.when(F.col("spent") >= 500000, "big")
+            .when(F.col("spent") >= 100000, "mid")
+            .otherwise("small").alias("spend_tier"),
+        )
+    )
+    joined = (
+        events_stream(spark, sf_dir)
+        .join(spend, "user_id", "left")
+        .select(F.coalesce("spend_tier", F.lit("unknown")).alias("spend_tier"))
+        .groupBy("spend_tier")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_batch(joined)

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from project2_bigdata_spark.plans import REGISTRY  # noqa: E402
+from project2_bigdata_spark.plans import REGISTRY, driver_order  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,10 +28,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without a prior driver CORRECTNESS row come first
+    (the round-1 driver verified exactly the first 50 entries).
+    """
+    return {name: REGISTRY[name].fn for name in driver_order()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB oracle SQL for every SQL-expressible query."""
-    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+    return {
+        name: REGISTRY[name].oracle
+        for name in driver_order()
+        if REGISTRY[name].oracle is not None
+    }

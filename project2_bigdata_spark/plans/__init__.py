@@ -19,3 +19,44 @@ from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 
 from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4
 from ..sources import ingest as _sources_ingest  # noqa: E402,F401  S1/S4 sources & sinks
+
+
+# Driver-facing iteration order. The round-1 driver verified exactly the
+# first 50 entries of queries(); everything registered after plans.pipelines
+# got no CORRECTNESS row. Round 2 front-loads those 47 queries (oracle-bearing
+# first, then rows-only) so they earn driver verdicts; the 50 already-green
+# queries follow and remain covered by the local oracle-parity suite
+# (tests/test_oracle_parity.py) either way.
+_ROUND1_VERIFIED = [
+    "sales_daily", "sales_daily_filtered", "count_sales", "kpi_global",
+    "value_counts_priority", "value_counts_segment", "distinct_counts",
+    "product_price_stats", "volatility_cv", "corr_revenue_quantity",
+    "mode_store", "acctbal_histogram", "product_probability_join",
+    "daily_avg_price_guarded", "top20_orders", "monthly_rollup",
+    "weekly_rollup", "weekday_features", "union_mixed_aggregates",
+    "distinct_products", "status_priority_rollup", "events_hourly",
+    "events_time_avg", "ticket_totals", "customer_rollup", "sql_view_layer",
+    "revenue_share", "explode_items", "items_array_stats", "hours_per_day",
+    "pair_counts", "top_pairs_per_product", "ticket_reassembly",
+    "ticket_revenue_arrayfold", "posexplode_items", "association_rules",
+    "lag_features", "argmax_daily_product", "best_month_per_product",
+    "moving_avg_7d", "cumulative_revenue", "train_test_time_split",
+    "product_revenue_ranks", "window_navigation", "product_rank_distributions",
+    "ep1_sales_overview", "ep2_clients_by_store", "ep3_forecast_series",
+    "revenue_checksum", "ep2_customer_drill",
+]
+
+
+def driver_order() -> list[str]:
+    """Registry names in the order the driver should check them.
+
+    Unverified-in-round-1 queries first (oracle-bearing before rows-only),
+    then the round-1-green queries in their original order. Every registered
+    name appears exactly once; new queries registered later default to the
+    front (they are by definition driver-unverified).
+    """
+    verified = [n for n in _ROUND1_VERIFIED if n in REGISTRY]
+    rest = [n for n in REGISTRY if n not in set(verified)]
+    with_oracle = [n for n in rest if REGISTRY[n].oracle is not None]
+    rows_only = [n for n in rest if REGISTRY[n].oracle is None]
+    return with_oracle + rows_only + verified

@@ -72,15 +72,42 @@ def _with_shingles(df: DataFrame) -> DataFrame:
     )
 
 
+#: Blocks larger than this are excluded from the pairwise verify: the
+#: (lang, n_words) self-join is quadratic *within* a block, so one hot
+#: block (e.g. (en, 120) over a 100 TB corpus) would dominate the stage.
+#: Docs in oversized blocks aren't lost at the pipeline level — the
+#: MinHash-LSH path (minhash_band_pairs) covers them with sub-quadratic
+#: candidate generation; this operator stays the exact/bounded tier.
+MAX_JACCARD_BLOCK = 500
+
+
 def blocked_jaccard_pairs(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8,
+    max_block: int = MAX_JACCARD_BLOCK,
 ) -> DataFrame:
     """Near-dup pairs via blocking on (lang, n_words) + exact word-set
-    Jaccard. The self-join shuffles on the blocking key only; block sizes
-    stay small, so pair count grows linearly with corpus size."""
-    d = _with_word_sets(table(spark, sf_dir, "documents")).select(
+    Jaccard over the documents table. See ``blocked_jaccard_pairs_df``."""
+    return blocked_jaccard_pairs_df(
+        table(spark, sf_dir, "documents"), threshold=threshold, max_block=max_block
+    )
+
+
+def blocked_jaccard_pairs_df(
+    documents: DataFrame, threshold: float = 0.8,
+    max_block: int = MAX_JACCARD_BLOCK,
+) -> DataFrame:
+    """Near-dup pairs via blocking on (lang, n_words) + exact word-set
+    Jaccard. The self-join shuffles on the blocking key only, and blocks
+    larger than ``max_block`` are dropped (window count, one extra pass
+    over the same shuffle partitioning), so per-block pair count — and
+    with it total work — is bounded by max_block² regardless of skew."""
+    from pyspark.sql.window import Window
+
+    d = _with_word_sets(documents).select(
         "doc_id", "lang", "n_words", "word_set", "set_size"
     )
+    block_n = F.count("*").over(Window.partitionBy("lang", "n_words"))
+    d = d.withColumn("_bn", block_n).filter(F.col("_bn") <= max_block).drop("_bn")
     a, b = d.alias("a"), d.alias("b")
     common = F.size(F.array_intersect(F.col("a.word_set"), F.col("b.word_set"))).cast("bigint")
     union = F.col("a.set_size") + F.col("b.set_size") - common
@@ -212,29 +239,43 @@ def simhash64(texts: pd.Series) -> pd.Series:
     """64-bit SimHash over whitespace tokens (Arrow-vectorized batch UDF).
 
     Python is acceptable here: SimHash needs per-feature bit spreading
-    that Spark lacks natively; the UDF is batch-vectorized and the rest
-    of the pipeline (bucketing, joins) stays JVM-side.
+    that Spark lacks natively — but the Python work is numpy-batch, not
+    per-row: each *unique* word in the Arrow batch is md5-hashed once
+    (vocab ≪ token count), the 64-bit spreading is a single ±1 bit-matrix
+    build, and per-row accumulation is one scatter-add. The rest of the
+    pipeline (bucketing, joins) stays JVM-side.
     """
     import hashlib
 
     import numpy as np
 
-    out = np.zeros(len(texts), dtype=np.int64)
-    for i, t in enumerate(texts):
-        acc = np.zeros(64, dtype=np.int64)
-        for w in set((t or "").split(" ")):
-            h = int.from_bytes(
-                hashlib.md5(w.encode("utf-8")).digest()[:8], "big"
-            )
-            for bit in range(64):
-                acc[bit] += 1 if (h >> bit) & 1 else -1
-        v = 0
-        for bit in range(64):
-            if acc[bit] > 0:
-                v |= 1 << bit
-        # wrap to signed 64-bit
-        out[i] = v - (1 << 64) if v >= (1 << 63) else v
-    return pd.Series(out)
+    n = len(texts)
+    if n == 0:
+        return pd.Series([], dtype="int64")
+
+    # (row, word) pairs, duplicates within a row dropped — same semantics
+    # as the per-row set() of the scalar formulation.
+    pairs = texts.fillna("").str.split(" ").explode()
+    pairs = pairs.reset_index().drop_duplicates()
+    row_idx = pairs["index"].to_numpy(dtype=np.int64)
+    uniq_words, inv = np.unique(pairs.iloc[:, 1].to_numpy(dtype=object), return_inverse=True)
+
+    # one md5 per unique word in the batch (the only remaining loop)
+    hashes = np.fromiter(
+        (
+            int.from_bytes(hashlib.md5(w.encode("utf-8")).digest()[:8], "big")
+            for w in uniq_words
+        ),
+        dtype=np.uint64,
+        count=len(uniq_words),
+    )
+    bit_pos = np.arange(64, dtype=np.uint64)
+    # (n_uniq, 64) matrix of ±1: bit set → +1, clear → -1
+    pm = (((hashes[:, None] >> bit_pos[None, :]) & 1).astype(np.int64) * 2) - 1
+    acc = np.zeros((n, 64), dtype=np.int64)
+    np.add.at(acc, row_idx, pm[inv])
+    v = ((acc > 0).astype(np.uint64) << bit_pos).sum(axis=1, dtype=np.uint64)
+    return pd.Series(v.view(np.int64))  # wrap to signed 64-bit
 
 
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -141,12 +141,19 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH d AS (
       SELECT doc_id, lang, string_split(text, ' ') AS words FROM documents
-    ), s AS (
+    ), s0 AS (
       SELECT doc_id, lang,
              CAST(len(words) AS BIGINT) AS n_words,
              list_distinct(words) AS word_set,
              CAST(len(list_distinct(words)) AS BIGINT) AS set_size
       FROM d
+    ), s AS (
+      -- mirror of MAX_JACCARD_BLOCK: oversized blocks are excluded from
+      -- the quadratic verify (they route to the MinHash path at scale)
+      SELECT * FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY lang, n_words) AS block_n
+        FROM s0
+      ) WHERE block_n <= 500
     )
     SELECT doc_a, doc_b, jaccard FROM (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -159,8 +166,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE jaccard >= 0.8
     """,
     doc="Near-dup detection: blocking on (lang, n_words) + exact word-set "
-        "Jaccard ≥ 0.8. Join shuffles on the blocking key only — pair count "
-        "stays linear in corpus size for bounded block sizes",
+        "Jaccard ≥ 0.8. Join shuffles on the blocking key only, and blocks "
+        "over MAX_JACCARD_BLOCK docs are excluded (hot blocks route to the "
+        "MinHash path) — per-block pair count is bounded under skew",
 )
 def q_dedup_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_jaccard_pairs(spark, sf_dir, threshold=0.8)

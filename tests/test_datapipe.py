@@ -9,7 +9,8 @@ import hashlib
 from pyspark.sql import functions as F
 
 from project2_bigdata_spark.operators.dedup import (
-    blocked_jaccard_pairs, minhash_band_pairs, simhash_buckets,
+    blocked_jaccard_pairs, blocked_jaccard_pairs_df, minhash_band_pairs,
+    simhash_buckets,
 )
 from project2_bigdata_spark.operators.multimodal import multimodal_features
 from project2_bigdata_spark.operators.similarity import brute_force_topk
@@ -46,6 +47,26 @@ def test_minhash_precision_and_recall(spark, sf_dir):
     assert recall >= 0.8, f"minhash recall on j>=0.9 pairs too low: {recall}"
     for r in rows:  # precision: every reported pair verified ≥ threshold
         assert r.jaccard >= 0.8
+
+
+def test_blocked_jaccard_block_cap_bounds_skew(spark):
+    """A hot (lang, n_words) block larger than max_block contributes zero
+    pairs (it routes to the MinHash path at scale); small blocks still
+    produce their near-dup pairs. Bounds the quadratic verify under skew."""
+    hot = [(i, "en", f"common words shared doc {i}") for i in range(20)]
+    cold = [
+        (100, "fr", "petit document presque identique ici"),
+        (101, "fr", "petit document presque identique ici"),
+    ]
+    df = spark.createDataFrame(hot + cold, "doc_id long, lang string, text string")
+
+    capped = blocked_jaccard_pairs_df(df, threshold=0.1, max_block=10).collect()
+    # hot block (20 docs, all n_words=5, lang=en) is excluded entirely
+    assert all(r.doc_a >= 100 for r in capped), capped
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+
+    uncapped = blocked_jaccard_pairs_df(df, threshold=0.1, max_block=1000).collect()
+    assert len(uncapped) > len(capped)  # cap was the only difference
 
 
 def test_simhash_determinism_and_locality(spark):

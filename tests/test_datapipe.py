@@ -151,6 +151,58 @@ def test_multimodal_resize_shapes(spark, sf_dir):
     assert all(r.width == 8 and r.height == 4 for r in out)
 
 
+def test_multimodal_binaryfile_source(spark, tmp_path):
+    from project2_bigdata_spark.operators.multimodal import (
+        attach_payload_binary, decode_features,
+    )
+
+    (tmp_path / "a.png").write_bytes(b"\x89PNG-not-really" * 10)
+    (tmp_path / "b.txt").write_bytes(b"hello multimodal world")
+    df = attach_payload_binary(spark, str(tmp_path), glob="*")
+    rows = {r.meta.mime: r for r in df.collect()}
+    assert set(rows) == {"image/png", "text/plain"}
+    assert rows["text/plain"].payload == b"hello multimodal world"
+    assert rows["text/plain"].meta.n_bytes == 22
+    assert all(isinstance(r.doc_id, int) for r in rows.values())
+    # same downstream decode contract as the faked attach_payload
+    feats = decode_features(df).collect()
+    assert {f.n_bytes for f in feats} == {150, 22}
+
+
+def test_decode_uses_pil_when_present(monkeypatch):
+    """With PIL importable, decodable payloads use it; garbage falls back
+    to the deterministic fake (operator upgrades, never breaks)."""
+    import types
+
+    from project2_bigdata_spark.operators import multimodal as mm
+
+    class _FakeImg:
+        size = (320, 200)
+
+        def tobytes(self):
+            return b"\x01\x02\x03"
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    def _open(buf):
+        if buf.read(4) == b"IMG!":
+            return _FakeImg()
+        raise ValueError("not an image")
+
+    fake_pil = types.SimpleNamespace(Image=types.SimpleNamespace(open=_open))
+    monkeypatch.setattr(mm, "PIL", fake_pil, raising=False)
+    monkeypatch.setattr(mm, "HAVE_PIL", True)
+    assert mm._decode(b"IMG!whatever") == (6, 320, 200)   # PIL path
+    assert mm._decode(b"plain text") == mm._fake_decode(b"plain text")
+    # and with PIL absent the fake path is used directly
+    monkeypatch.setattr(mm, "HAVE_PIL", False)
+    assert mm._decode(b"IMG!whatever") == mm._fake_decode(b"IMG!whatever")
+
+
 def test_multimodal_frames_flatmap_and_determinism(spark, sf_dir):
     from project2_bigdata_spark.plans import REGISTRY
 

@@ -35,7 +35,17 @@ def salted_join(
     monotonically_increasing_id, which changes with partitioning) so the
     salt — and therefore the result — is deterministic across re-runs
     and AQE re-plans.
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated once per salt value, so a right/full outer join would emit
+    every unmatched right row ``n_salts`` times instead of once.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer"):
+        raise ValueError(
+            f"salted_join supports how='inner'/'left' only, got {how!r}: "
+            "the salted right side is replicated n_salts times, which would "
+            "duplicate unmatched right rows under right/full outer semantics"
+        )
     salt: Column = F.pmod(F.xxhash64(*salt_cols), F.lit(n_salts)).cast("int")
     lsalted = left.withColumn("_salt", salt)
     rsalted = right.withColumn(

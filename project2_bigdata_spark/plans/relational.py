@@ -368,12 +368,18 @@ def q_acctbal_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_product_probability_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = sale_lines(spark, sf_dir)
-    total = table(spark, sf_dir, "orders").count()  # scalar dim, driver-side OK
+    # scalar total as a broadcast 1-row aggregate (not an eager .count()):
+    # query construction stays lazy and the whole relation is one plan.
+    total = table(spark, sf_dir, "orders").agg(
+        F.count("*").cast("double").alias("_total_sales")
+    )
     agg = sl.groupBy("product").agg(dsum("revenue", "total_revenue"))
     prob = (
         sl.groupBy("product")
         .agg(F.countDistinct("sale_id").alias("num_transactions"))
-        .withColumn("probability", F.col("num_transactions") / F.lit(float(total)))
+        .crossJoin(F.broadcast(total))
+        .withColumn("probability", F.col("num_transactions") / F.col("_total_sales"))
+        .drop("_total_sales")
     )
     return agg.join(F.broadcast(prob), "product", "left")
 

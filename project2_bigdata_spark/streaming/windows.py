@@ -127,13 +127,15 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
     FROM events GROUP BY 1
     """,
-    doc="Streaming dedup: dropDuplicates on event_id across micro-batches "
-        "(state-store backed), then per-type distinct counts. Production "
-        "variant bounds state with withWatermark + "
-        "dropDuplicatesWithinWatermark",
+    doc="Streaming dedup: dropDuplicates on (event_type, event_id) across "
+        "micro-batches (state-store backed), then per-type counts — the "
+        "composite key makes the Spark side and the per-type "
+        "COUNT(DISTINCT event_id) oracle agree even if an event_id ever "
+        "repeated under two types. Production variant bounds state with "
+        "withWatermark + dropDuplicatesWithinWatermark",
 )
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    deduped = events_stream(spark, sf_dir).dropDuplicates(["event_id"])
+    deduped = events_stream(spark, sf_dir).dropDuplicates(["event_type", "event_id"])
     sink = run_to_batch(deduped, mode="append")
     return sink.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
@@ -161,8 +163,8 @@ def watermarked_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH spend AS (
       SELECT o_custkey AS user_id,
-             CASE WHEN SUM(o_totalprice) >= 500000 THEN 'big'
-                  WHEN SUM(o_totalprice) >= 100000 THEN 'mid'
+             CASE WHEN SUM(CAST(o_totalprice AS DECIMAL(18,2))) >= 500000 THEN 'big'
+                  WHEN SUM(CAST(o_totalprice AS DECIMAL(18,2))) >= 100000 THEN 'mid'
                   ELSE 'small' END AS spend_tier
       FROM orders GROUP BY 1
     )
@@ -181,10 +183,15 @@ def watermarked_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _table
 
+    from ..functions.money import DEC
+
+    # spend summed in decimal: a float sum is order-dependent, and a
+    # customer within a few ULPs of a tier boundary could flip tiers
+    # between engines or across AQE re-plans (project exactness rule).
     spend = (
         _table(spark, sf_dir, "orders")
         .groupBy(F.col("o_custkey").alias("user_id"))
-        .agg(F.sum("o_totalprice").alias("spent"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("spent"))
         .select(
             "user_id",
             F.when(F.col("spent") >= 500000, "big")

@@ -145,3 +145,9 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert salted.count() == plain.count()
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+    import pytest
+
+    with pytest.raises(ValueError, match="inner.*left"):
+        salted_join(li, o, "l_orderkey", "o_orderkey",
+                    salt_cols=["l_orderkey"], how="full_outer")

@@ -29,6 +29,12 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: event_id, user_id, ts (string), last_order_key,
     last_order_date (string); events with no prior order keep nulls
     (left-asof semantics).
+
+    Skew bound: the window partitions by key, so one key's ENTIRE
+    history must fit a single task (no AQE skew split for windows).
+    Fine for per-customer volumes; for a pathological hot key use
+    :func:`asof_join_events_orders_bucketed`, which bounds every window
+    partition by traffic-per-time-bucket instead.
     """
     events = table(spark, sf_dir, "events").select(
         F.col("user_id").alias("key"),
@@ -63,6 +69,89 @@ def asof_join_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("key").alias("user_id"),
             F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("ts"),
             "last_order_key", "last_order_date",
+        )
+    )
+
+
+def asof_join_events_orders_bucketed(
+    spark: SparkSession, sf_dir: str, bucket_hours: int = 24 * 7
+) -> DataFrame:
+    """Skew-hardened as-of join — same relation as
+    :func:`asof_join_events_orders`, bounded window partitions.
+
+    The plain variant windows over ``partitionBy(key)``: one hot key with
+    massive history lands in a single window partition (windows get no
+    AQE skew split). Here the union is windowed over
+    ``partitionBy(key, time_bucket)`` — partition size is bounded by the
+    key's traffic per bucket — and right-side state is carried across
+    bucket boundaries with a second window over the per-(key, bucket)
+    summaries, whose partition size is #buckets per key (time-range /
+    bucket, independent of row count). Three shuffles, all on
+    (key[, bucket]); no stage's partition grows with a key's total
+    history.
+    """
+    events = table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("key"),
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(1).alias("is_left"),
+        F.lit(None).cast("bigint").alias("o_key"),
+        F.lit(None).cast("string").alias("o_date"),
+    )
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.lit(0).alias("is_left"),
+        F.col("o_orderkey").alias("o_key"),
+        sale_date("o_orderdate").alias("o_date"),
+    )
+    u = orders.unionByName(events).withColumn(
+        "bucket", F.floor(F.col("t").cast("long") / F.lit(bucket_hours * 3600))
+    )
+    # (1) running last-right within each (key, bucket) — bounded partition
+    wb = (
+        Window.partitionBy("key", "bucket")
+        .orderBy("t", "is_left", "o_key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u2 = (
+        u.withColumn("in_key", F.last("o_key", ignorenulls=True).over(wb))
+        .withColumn("in_date", F.last("o_date", ignorenulls=True).over(wb))
+    )
+    # (2) per-(key, bucket) final right state; struct max orders by
+    # (t, o_key) so ties resolve exactly like the within-bucket window
+    rsum = (
+        u.filter(F.col("is_left") == 0)
+        .groupBy("key", "bucket")
+        .agg(F.max(F.struct("t", "o_key", "o_date")).alias("s"))
+    )
+    # (3) carry = latest right state from any STRICTLY earlier bucket;
+    # window partition = #buckets per key, not row count
+    wc = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = (
+        u.select("key", "bucket").distinct()
+        .join(rsum, ["key", "bucket"], "left")
+        .withColumn("carry", F.max("s").over(wc))
+        .select(
+            "key", "bucket",
+            F.col("carry.o_key").alias("c_key"),
+            F.col("carry.o_date").alias("c_date"),
+        )
+    )
+    return (
+        u2.join(carry, ["key", "bucket"], "left")
+        .filter(F.col("is_left") == 1)
+        .select(
+            "event_id",
+            F.col("key").alias("user_id"),
+            F.date_format("t", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            F.coalesce("in_key", "c_key").alias("last_order_key"),
+            F.coalesce("in_date", "c_date").alias("last_order_date"),
         )
     )
 

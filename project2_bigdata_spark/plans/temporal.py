@@ -12,6 +12,7 @@ from ..operators.asof import (
     ORACLE_ASOF,
     ORACLE_RANGE_TIERS,
     asof_join_events_orders,
+    asof_join_events_orders_bucketed,
     oracle_sessionize,
     range_join_event_tiers,
     sessionize_events,
@@ -24,6 +25,14 @@ register(
     doc="As-of join: each event ↔ latest prior order of the same "
         "customer; union + last(ignorenulls) window, one shuffle",
 )(asof_join_events_orders)
+
+register(
+    "asof_join_bucketed",
+    oracle=ORACLE_ASOF,
+    doc="Skew-hardened as-of join: same relation, windowed per "
+        "(key, time-bucket) with cross-bucket carry — every window "
+        "partition bounded by per-bucket traffic, hot keys included",
+)(asof_join_events_orders_bucketed)
 
 register(
     "range_join_tiers",

@@ -151,3 +151,18 @@ def test_salted_join_equivalence(spark, sf_dir):
     with pytest.raises(ValueError, match="inner.*left"):
         salted_join(li, o, "l_orderkey", "o_orderkey",
                     salt_cols=["l_orderkey"], how="full_outer")
+
+
+def test_bucketed_asof_equals_plain(spark, sf_dir):
+    """The bucketed (skew-hardened) as-of join is the same relation as
+    the single-window form — tiny 6h buckets force heavy use of the
+    cross-bucket carry path."""
+    from project2_bigdata_spark.operators.asof import (
+        asof_join_events_orders, asof_join_events_orders_bucketed,
+    )
+
+    plain = asof_join_events_orders(spark, sf_dir)
+    bucketed = asof_join_events_orders_bucketed(spark, sf_dir, bucket_hours=6)
+    assert bucketed.count() == plain.count()
+    assert bucketed.exceptAll(plain).count() == 0
+    assert plain.exceptAll(bucketed).count() == 0

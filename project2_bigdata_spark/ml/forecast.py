@@ -30,7 +30,6 @@ from ..plans.windowed import _DAILY_SQL, _daily
 #: itself is the oracle-checked `lag_features` query).
 ML_LAGS = 7
 TEST_ROWS = 3
-RIDGE = 1e-3
 
 FEATURES = [f"lag_{i}" for i in range(1, ML_LAGS + 1)] + [
     "month", "day_of_week", "is_weekend",
@@ -98,59 +97,114 @@ def q_wape_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Hyperparameter grid — the deterministic counterpart of the
+#: reference's RF/SVR/MLP grid search with per-product best-model
+#: selection by validation MAPE (EDA.ipynb cells 58-69; winners
+#: persisted as best_model_*.pkl, dashboard.py:753-757). Here the model
+#: family is closed-form ridge AR, so the searched axes are
+#: regularization strength × AR order.
+GRID_LAMBDAS = (1e-3, 1e-1, 1.0, 10.0)
+GRID_LAGS = (3, 7)
+
 _TRAIN_SCHEMA = (
-    "product string, n_train int, n_test int, "
-    "train_wape double, test_wape double, test_mape double"
+    "product string, best_lambda double, best_n_lags int, "
+    "n_train int, n_test int, "
+    "train_wape double, test_wape double, test_mape double, "
+    "coef array<double>"
 )
+_TRAIN_COLS = [f.strip().split(" ")[0] for f in _TRAIN_SCHEMA.split(",")]
+
+
+def _design(d: pd.DataFrame, n_lags: int) -> np.ndarray:
+    cols = [f"lag_{i}" for i in range(1, n_lags + 1)] + [
+        "month", "day_of_week", "is_weekend",
+    ]
+    x = d[cols].to_numpy(dtype=np.float64)
+    return np.hstack([np.ones((len(d), 1)), x])
+
+
+def _ridge(x: np.ndarray, y: np.ndarray, lam: float) -> np.ndarray:
+    return np.linalg.solve(x.T @ x + lam * np.eye(x.shape[1]), x.T @ y)
 
 
 def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Ridge AR fit for one product — deterministic closed form."""
+    """Grid search + best-model selection for ONE product.
+
+    Every (λ, n_lags) config is fit on the train split and scored on the
+    held-out rows; the winner is the lowest validation MAPE with a
+    deterministic (mape, λ, n_lags) tie-break. The winner's config is
+    then refit on the full history — those coefficients are what gets
+    persisted and used for forecasting (select-on-validation,
+    refit-on-all, the standard deployment protocol).
+    """
     pdf = pdf.sort_values("date")
     train = pdf[pdf.is_test == 0]
-    test = pdf[pdf.is_test == 1]
-    if len(train) < len(FEATURES) + 2 or len(test) == 0:
-        return pd.DataFrame(columns=[
-            "product", "n_train", "n_test",
-            "train_wape", "test_wape", "test_mape",
-        ]).astype({"product": str})
+    val = pdf[pdf.is_test == 1]
+    if len(train) < len(FEATURES) + 2 or len(val) == 0:
+        return pd.DataFrame(columns=_TRAIN_COLS).astype({"product": str})
 
-    def design(d: pd.DataFrame) -> np.ndarray:
-        x = d[FEATURES].to_numpy(dtype=np.float64)
-        return np.hstack([np.ones((len(d), 1)), x])
-
-    xtr, ytr = design(train), train.total_quantity.to_numpy(np.float64)
-    beta = np.linalg.solve(
-        xtr.T @ xtr + RIDGE * np.eye(xtr.shape[1]), xtr.T @ ytr
-    )
-    yhat_tr = xtr @ beta
-    yhat_te = design(test) @ beta
-    yte = test.total_quantity.to_numpy(np.float64)
+    ytr = train.total_quantity.to_numpy(np.float64)
+    yv = val.total_quantity.to_numpy(np.float64)
     wape = lambda y, yh: float(np.abs(y - yh).sum() / np.abs(y).sum())  # noqa: E731
+    best = None
+    for lam in GRID_LAMBDAS:
+        for nl in GRID_LAGS:
+            xtr = _design(train, nl)
+            beta = _ridge(xtr, ytr, lam)
+            yhat_v = _design(val, nl) @ beta
+            mape = float(np.mean(np.abs((yv - yhat_v) / yv)))
+            key = (mape, lam, nl)
+            if best is None or key < best[0]:
+                best = (key, lam, nl, wape(ytr, xtr @ beta), wape(yv, yhat_v))
+    _, lam, nl, train_wape, val_wape = best
+    coef = _ridge(_design(pdf, nl), pdf.total_quantity.to_numpy(np.float64), lam)
     return pd.DataFrame({
         "product": [pdf["product"].iloc[0]],
-        "n_train": [len(train)], "n_test": [len(test)],
-        "train_wape": [wape(ytr, yhat_tr)],
-        "test_wape": [wape(yte, yhat_te)],
-        "test_mape": [float(np.mean(np.abs((yte - yhat_te) / yte)))],
+        "best_lambda": [lam], "best_n_lags": [nl],
+        "n_train": [len(train)], "n_test": [len(val)],
+        "train_wape": [train_wape],
+        "test_wape": [val_wape],
+        "test_mape": [best[0][0]],
+        "coef": [list(map(float, coef))],
     })
 
 
-@register(
-    "ml_train_per_product",
-    oracle=None,  # linear solve isn't SQL-expressible; rows-only + unit tests
-    doc="U3 faithful shape: per-product model training as "
-        "groupBy(product).applyInPandas — numpy ridge AR(7)+calendar in "
-        "closed form (deterministic; drop-in point for sklearn SVR/RF "
-        "grids where the library exists). One shuffle on product; each "
-        "pandas group is a single product's daily history.",
-)
-def q_ml_train_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+def train_best_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product grid search → one best-config row (with refit
+    coefficients) per product. One shuffle on product; the 8-config grid
+    runs inside each pandas group, so grid size multiplies CPU per
+    group, not shuffle volume."""
     return (
         feature_frame(spark, sf_dir)
         .groupBy("product")
         .applyInPandas(_fit_group, schema=_TRAIN_SCHEMA)
     )
+
+
+register(
+    "ml_train_per_product",
+    oracle=None,  # linear solve isn't SQL-expressible; rows-only + unit tests
+    doc="U3 faithful: per-product hyperparameter grid (4 λ × 2 AR "
+        "orders, ridge closed form) in groupBy(product).applyInPandas, "
+        "winner selected by validation MAPE with a deterministic "
+        "tie-break, then refit on the full history — the reference's "
+        "RF/SVR/MLP grid + best-model-per-product protocol "
+        "(EDA.ipynb cells 58-69) with a deterministic model family. "
+        "Winners persist via save_models/load_models (parquet model "
+        "sink, S5) and drive ml_forecast_14d.",
+)(train_best_models)
+
+
+def save_models(models: DataFrame, path: str) -> None:
+    """Model sink (S5): the per-product winners ARE a relation —
+    persist as parquet (schema'd, splittable, readable by any engine),
+    the distributed analog of the reference's per-product .pkl files."""
+    models.write.mode("overwrite").parquet(path)
+
+
+def load_models(spark: SparkSession, path: str) -> DataFrame:
+    """Model source (S5): reload persisted per-product models."""
+    return spark.read.parquet(path)
 
 
 @register(
@@ -195,26 +249,18 @@ HORIZON = 14
 
 def _forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Recursive multi-step forecast for one product (ref EP3 forecast
-    table, dashboard.py:769-784): fit the ridge AR on ALL rows, then
-    roll forward ``HORIZON`` days feeding each prediction back into the
-    lag vector. Deterministic closed form, one group per product.
-    (Single-argument on purpose: applyInPandas passes (key, pdf) to
-    two-parameter functions.)"""
-    horizon = HORIZON
+    table, dashboard.py:769-784) using that product's PERSISTED best
+    model: roll forward ``HORIZON`` days feeding each prediction back
+    into the lag vector. (Single-argument on purpose: applyInPandas
+    passes (key, pdf) to two-parameter functions.)"""
     pdf = pdf.sort_values("date")
-    if len(pdf) < len(FEATURES) + 2:
-        return pd.DataFrame(columns=["product", "step", "date", "predicted_quantity"])
+    nl = int(pdf["best_n_lags"].iloc[0])
+    beta = np.asarray(pdf["coef"].iloc[0], dtype=np.float64)
 
-    x = np.hstack([
-        np.ones((len(pdf), 1)), pdf[FEATURES].to_numpy(np.float64)
-    ])
-    y = pdf.total_quantity.to_numpy(np.float64)
-    beta = np.linalg.solve(x.T @ x + RIDGE * np.eye(x.shape[1]), x.T @ y)
-
-    lags = list(pdf.total_quantity.iloc[-ML_LAGS:])[::-1]  # lag_1 first
+    lags = list(pdf.total_quantity.iloc[-nl:])[::-1]  # lag_1 first
     last_date = pd.Timestamp(pdf.date.iloc[-1])
     rows = []
-    for step in range(1, horizon + 1):
+    for step in range(1, HORIZON + 1):
         d = last_date + pd.Timedelta(days=step)
         dow = (d.dayofweek) % 7
         feat = np.array([1.0, *lags, float(d.month), float(dow),
@@ -225,17 +271,34 @@ def _forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["product", "step", "date", "predicted_quantity"])
 
 
+def forecast_from_models(features: DataFrame, models: DataFrame) -> DataFrame:
+    """14-day recursive forecast driven by a models relation (either
+    fresh from :func:`train_best_models` or reloaded via
+    :func:`load_models` — the round-trip is tested bit-identical).
+
+    The models side is tiny (one row per product) → broadcast join onto
+    the feature history; the applyInPandas group then carries its own
+    (n_lags, coef) so no driver-side state exists at all.
+    """
+    return (
+        features.join(
+            F.broadcast(models.select("product", "best_n_lags", "coef")),
+            "product",
+        )
+        .groupBy("product")
+        .applyInPandas(_forecast_group, schema=_FORECAST_SCHEMA)
+    )
+
+
 @register(
     "ml_forecast_14d",
     oracle=None,  # recursive linear solve — rows-only + determinism test
     doc="EP3's forecast table: 14-day recursive forecast per product "
-        "(applyInPandas; each step feeds its prediction back into the "
-        "lag vector — the reference's predict-on-last-14-features loop, "
+        "using each product's grid-selected best model (broadcast model "
+        "join + applyInPandas; each step feeds its prediction back into "
+        "the lag vector — the reference's predict-with-best_model loop, "
         "distributed across products)",
 )
 def q_ml_forecast_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        feature_frame(spark, sf_dir)
-        .groupBy("product")
-        .applyInPandas(_forecast_group, schema=_FORECAST_SCHEMA)
-    )
+    models = train_best_models(spark, sf_dir)
+    return forecast_from_models(feature_frame(spark, sf_dir), models)

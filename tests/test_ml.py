@@ -17,6 +17,8 @@ from project2_bigdata_spark.plans import REGISTRY
 
 
 def test_per_product_training(spark, sf_dir):
+    from project2_bigdata_spark.ml.forecast import GRID_LAGS, GRID_LAMBDAS
+
     out = REGISTRY["ml_train_per_product"].fn(spark, sf_dir).toPandas()
     assert len(out) > 0
     n_products = feature_frame(spark, sf_dir).select("product").distinct().count()
@@ -25,6 +27,13 @@ def test_per_product_training(spark, sf_dir):
     for c in ["train_wape", "test_wape", "test_mape"]:
         assert out[c].notna().all() and (out[c] >= 0).all()
     assert (out["n_test"] > 0).all()
+    # grid selection: every winner is an actual grid point, and the
+    # persisted coefficient vector matches its config's design width
+    assert out["best_lambda"].isin(GRID_LAMBDAS).all()
+    assert out["best_n_lags"].isin(GRID_LAGS).all()
+    assert (out["coef"].map(len) == out["best_n_lags"] + 4).all()
+    # at least two different configs win somewhere (the grid is live)
+    assert len(set(zip(out["best_lambda"], out["best_n_lags"]))) >= 2
 
 
 def test_per_product_training_deterministic(spark, sf_dir):
@@ -61,6 +70,33 @@ def test_sparkml_persistence_roundtrip(spark, sf_dir):
         a = model.transform(df).agg(F.sum("prediction")).first()[0]
         b = reloaded.transform(df).agg(F.sum("prediction")).first()[0]
         assert a == pytest.approx(b, rel=0, abs=0)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def test_best_model_persistence_roundtrip(spark, sf_dir):
+    """S5/U3: per-product winners persist to parquet and reload; the
+    forecast from reloaded models is bit-identical to the in-memory one
+    (the reference's save-best_model_*.pkl → dashboard-load protocol)."""
+    from project2_bigdata_spark.ml.forecast import (
+        forecast_from_models, load_models, save_models, train_best_models,
+    )
+
+    models = train_best_models(spark, sf_dir)
+    path = tempfile.mkdtemp(prefix="bestmodels_", dir="/root/repo")
+    try:
+        save_models(models, path)
+        reloaded = load_models(spark, path)
+        feats = feature_frame(spark, sf_dir)
+        key = ["product", "step"]
+        a = forecast_from_models(feats, models).toPandas().sort_values(key)
+        b = forecast_from_models(feats, reloaded).toPandas().sort_values(key)
+        assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+        # reload preserves the winning configs exactly
+        m0 = models.toPandas().sort_values("product").reset_index(drop=True)
+        m1 = reloaded.toPandas().sort_values("product").reset_index(drop=True)
+        assert m0[["product", "best_lambda", "best_n_lags"]].equals(
+            m1[["product", "best_lambda", "best_n_lags"]])
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

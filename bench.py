@@ -48,6 +48,21 @@ HEADLINE = [
     "ann_lsh_topk",           # LSH-bucketed ANN
 ]
 
+# Secondary set: families not in the headline metric (kept separate so
+# "value" stays comparable round-over-round) but timed every run so
+# regressions there are visible too.
+SECONDARY = [
+    "cube_status_priority",    # CUBE grouping sets
+    "pivot_priority_by_status",  # pivot
+    "funnel_view_click_purchase",  # ordered funnel
+    "weekly_retention",        # cohort retention
+    "dedup_embedding_cosine",  # hyperplane-LSH embedding dedup
+    "dedup_blocked_jaccard",   # capped blocked Jaccard
+    "simhash_buckets",         # vectorized simhash (watch the UDF cost)
+    "asof_join_bucketed",      # skew-hardened as-of
+    "ml_train_per_product",    # per-product grid search
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -76,24 +91,49 @@ def main() -> None:
     warm.write.mode("overwrite").format("noop").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    names = [n for n in HEADLINE if n in REGISTRY]
-    timings: dict[str, float] = {}
-    for name in names:
-        q = REGISTRY[name]
-        t0 = time.perf_counter()
-        df = q.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    def run_set(names: list[str]) -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in names:
+            if name not in REGISTRY:
+                continue
+            q = REGISTRY[name]
+            t0 = time.perf_counter()
+            df = q.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            out[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    timings = run_set(HEADLINE)
+    secondary = run_set(SECONDARY)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    result = {
         "metric": "headline_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "secondary": secondary,
+        "secondary_total": round(sum(secondary.values()), 3),
         "sf": sf,
-    }))
+    }
+    print(json.dumps(result))
+    _append_history(result)
     spark.stop()
+
+
+def _append_history(result: dict) -> None:
+    """Keep a round-keyed timing history (BENCH_HISTORY.jsonl) so later
+    rounds can diff per-query regressions directly. Round = 1 + highest
+    driver-recorded BENCH_r{N}.json (this run precedes that record)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.match(r"BENCH_r(\d+)\.json$", f))
+    ]
+    entry = {"round": max(rounds, default=0) + 1, "ts": int(time.time()), **result}
+    with open(os.path.join(here, "BENCH_HISTORY.jsonl"), "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
 
 
 if __name__ == "__main__":

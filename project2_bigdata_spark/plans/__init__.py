@@ -47,16 +47,43 @@ _ROUND1_VERIFIED = [
 ]
 
 
+# The 48 round-1-unverified queries, frozen in priority order (oracle-
+# bearing first, rows-only last) so they are guaranteed inside the
+# driver's check window this round. Queries added later in round 2 slot
+# AFTER this list: they carry local verification already and can rotate
+# into the window next round.
+_ROUND2_FRONT = [
+    "asof_join", "asof_join_bucketed", "range_join_tiers", "sessionize",
+    "funnel_view_click_purchase", "weekly_retention",
+    "semi_join_active_customers", "anti_join_inactive_customers",
+    "full_outer_daily_activity", "products_intersect_years",
+    "products_except_years", "cube_status_priority",
+    "pivot_priority_by_status", "distinct_aggregates",
+    "unpivot_status_revenue", "string_functions", "quantity_percentiles",
+    "math_functions", "json_props_extract", "grouping_sets_explicit",
+    "text_quality", "token_counts", "doc_fingerprints", "lang_stats",
+    "dedup_exact", "dedup_blocked_jaccard", "similarity_topk",
+    "ann_lsh_topk", "embedding_norms", "dedup_embedding_cosine",
+    "vocab_stats", "tfidf_top_terms", "stream_tumbling_hourly",
+    "stream_sliding_6h", "stream_session_window", "stream_dedup",
+    "stream_static_join", "stream_stateful_counters",
+    "wape_seasonal_naive", "ingest_extended_json_repair",
+    "approx_distinct_customers", "minhash_near_dup", "simhash_buckets",
+    "multimodal_decode", "multimodal_frames", "ml_train_per_product",
+    "ml_sparkml_global", "ml_forecast_14d",
+]
+
+
 def driver_order() -> list[str]:
     """Registry names in the order the driver should check them.
 
-    Unverified-in-round-1 queries first (oracle-bearing before rows-only),
-    then the round-1-green queries in their original order. Every registered
-    name appears exactly once; new queries registered later default to the
-    front (they are by definition driver-unverified).
+    Round-1-unverified queries first (_ROUND2_FRONT, frozen), then any
+    newly added queries (driver-unverified but locally oracle-checked),
+    then the round-1-green queries. Every registered name appears
+    exactly once.
     """
+    front = [n for n in _ROUND2_FRONT if n in REGISTRY]
+    placed = set(front) | set(_ROUND1_VERIFIED)
+    new = [n for n in REGISTRY if n not in placed]
     verified = [n for n in _ROUND1_VERIFIED if n in REGISTRY]
-    rest = [n for n in REGISTRY if n not in set(verified)]
-    with_oracle = [n for n in rest if REGISTRY[n].oracle is not None]
-    rows_only = [n for n in rest if REGISTRY[n].oracle is None]
-    return with_oracle + rows_only + verified
+    return front + new + verified

@@ -1,0 +1,236 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+deterministic stratified sampling, document chunking, sequence packing,
+and winnowing fingerprints. All are pure JVM expressions (no Python in
+the row path) and every one is DuckDB-oracle-expressible — the md5 hex
+string is the only hash primitive both engines share bit-for-bit, so it
+drives sampling keys and winnowing hashes.
+
+Reference scope note: the reference app (dashboard.py) has no corpus
+operators at all; these extend the engine for the 100 TB training-data
+north star (task brief) alongside operators/dedup.py and similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+
+# ---------------------------------------------------------------- sampling
+
+#: Per-language keep rates for the corpus mixture (weighted interleave of
+#: sources — the rebalancing step before training). Unlisted langs use
+#: DEFAULT_RATE. Rates are exact multiples of 1/16^8 via the hex
+#: threshold, so both engines agree exactly.
+MIXTURE_RATES = {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.25}
+DEFAULT_RATE = 0.125
+
+
+def _hex_threshold(rate: float) -> str:
+    """rate ∈ [0,1] → 8-hex-digit threshold; md5-prefix < threshold keeps
+    ~rate of keys (md5 prefixes are uniform; compare is lexicographic on
+    lowercase hex = numeric)."""
+    return format(min(int(rate * 16 ** 8), 16 ** 8 - 1), "08x")
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language sampling: keep doc iff
+    md5(lang || ':' || doc_id)[:8] < per-lang hex threshold.
+
+    Row-local predicate — no shuffle, no RNG state, stable under
+    re-partitioning and retries (the property `sample()` lacks: Spark's
+    sample is seed+partition dependent, so a lost executor re-draws).
+    The same key scheme scales to weighted multi-source interleaving by
+    keying on (source, doc_id).
+    """
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string")))
+    thr = F.lit(_hex_threshold(DEFAULT_RATE))
+    for lang, rate in MIXTURE_RATES.items():
+        thr = F.when(F.col("lang") == lang, F.lit(_hex_threshold(rate))).otherwise(thr)
+    return (
+        d.select("doc_id", "lang", F.substring(key, 1, 8).alias("sample_key"))
+        .filter(F.col("sample_key") < thr)
+    )
+
+
+def oracle_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN lang = '{lang}' THEN '{_hex_threshold(rate)}'"
+        for lang, rate in MIXTURE_RATES.items()
+    )
+    return f"""
+    SELECT doc_id, lang, sample_key FROM (
+      SELECT doc_id, lang,
+             substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS sample_key,
+             CASE {cases} ELSE '{_hex_threshold(DEFAULT_RATE)}' END AS thr
+      FROM documents
+    ) WHERE sample_key < thr
+    """
+
+
+# ---------------------------------------------------------------- chunking
+
+CHUNK_SIZE = 50   # words per chunk
+CHUNK_STEP = 40   # stride (overlap = CHUNK_SIZE - CHUNK_STEP = 10)
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping sliding-window chunking: each document → chunks of
+    CHUNK_SIZE words with CHUNK_STEP stride (trailing chunk may be
+    short). Row-local generate (sequence → slice → posexplode): chunking
+    never shuffles, output size ≈ input × (1 + overlap/step).
+    """
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(size(w), 1), {CHUNK_STEP}), "
+        f"i -> concat_ws(' ', slice(w, i, {CHUNK_SIZE})))"
+    )
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.size(F.split("chunk_text", " ")).cast("bigint").alias("n_tokens"),
+            "chunk_text",
+        )
+    )
+
+
+ORACLE_CHUNKS = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(1, greatest(len(w), 1) + 1, {CHUNK_STEP}),
+           i -> {{'idx': CAST((i - 1) // {CHUNK_STEP} AS INT),
+                  'chunk': w[i : i + {CHUNK_SIZE} - 1]}})) AS ch
+  FROM d
+)
+SELECT doc_id, ch.idx AS chunk_idx,
+       CAST(len(ch.chunk) AS BIGINT) AS n_tokens,
+       array_to_string(ch.chunk, ' ') AS chunk_text
+FROM c
+"""
+
+
+# ---------------------------------------------------------------- packing
+
+PACK_BUDGET = 512  # token budget per packed sequence
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-quantized sequence packing: documents are laid out in
+    deterministic doc_id order within each language shard and assigned
+    to bins by exclusive running token count div PACK_BUDGET.
+
+    Semantics note (documented, not hidden): a document whose tokens
+    straddle a boundary overflows its bin by < its own length — the
+    streaming-friendly quantization. Exact first-fit packing is
+    inherently sequential; this form is one window pass, shuffles once
+    on the shard key (lang), and each partition is a language's docs —
+    at 100 TB the shard key becomes (lang, date) or a hash to keep
+    partitions bounded.
+    """
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = d.withColumn(
+        "bin_id",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / F.lit(PACK_BUDGET))
+        .cast("bigint"),
+    )
+    return binned.groupBy("lang", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+ORACLE_PACKING = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+), b AS (
+  SELECT doc_id, lang, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {PACK_BUDGET} AS BIGINT) AS bin_id
+  FROM d
+)
+SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM b GROUP BY 1, 2
+"""
+
+
+# ------------------------------------------------------------- winnowing
+
+WINNOW_K = 3  # words per gram
+WINNOW_W = 4  # grams per winnowing window
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003):
+    hash every word-{k}-gram, then keep the minimum hash of each sliding
+    window of {w} grams — guarantees any shared run of ≥ w+k-1 words
+    between two documents shares a fingerprint, with ~2/(w+1) density.
+
+    Hashes are md5-prefix strings (the one hash both engines share
+    exactly); selection is array_min per window — all row-local, one
+    scan, no shuffle until the final distinct explode.
+    """
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    grams = F.expr(
+        f"CASE WHEN size(w) >= {WINNOW_K} THEN "
+        f"transform(sequence(1, size(w) - {WINNOW_K - 1}), "
+        f"i -> concat_ws(' ', slice(w, i, {WINNOW_K}))) "
+        f"ELSE array() END"
+    )
+    d = d.withColumn("grams", grams).withColumn(
+        "hs", F.expr("transform(grams, g -> substring(md5(g), 1, 16))")
+    )
+    mins = F.expr(
+        f"CASE WHEN size(hs) >= {WINNOW_W} THEN "
+        f"array_distinct(transform(sequence(1, size(hs) - {WINNOW_W - 1}), "
+        f"i -> array_min(slice(hs, i, {WINNOW_W})))) "
+        f"WHEN size(hs) > 0 THEN array(array_min(hs)) "
+        f"ELSE array() END"
+    )
+    return (
+        d.withColumn("fps", mins)
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
+    )
+
+
+ORACLE_WINNOWING = f"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= {WINNOW_K} THEN
+           list_transform(range(1, len(w) - {WINNOW_K - 1} + 1),
+                          i -> substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 16))
+         ELSE [] END AS hs
+  FROM d
+), f AS (
+  SELECT doc_id,
+         CASE WHEN len(hs) >= {WINNOW_W} THEN
+           list_distinct(list_transform(range(1, len(hs) - {WINNOW_W - 1} + 1),
+                         i -> list_min(hs[i : i + {WINNOW_W} - 1])))
+         WHEN len(hs) > 0 THEN [list_min(hs)]
+         ELSE [] END AS fps
+  FROM g
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM f
+"""

@@ -359,3 +359,48 @@ register(
         "batch shape, schema, and row multiplication are the real, "
         "tested plumbing",
 )(multimodal_frames)
+
+
+# ---- round 2: corpus-preparation surface (operators/corpus.py) --------
+
+from ..operators.corpus import (  # noqa: E402
+    ORACLE_CHUNKS, ORACLE_PACKING, ORACLE_WINNOWING,
+    chunk_documents, oracle_stratified_sample, sequence_packing,
+    stratified_sample, winnowing_fingerprints,
+)
+
+register(
+    "stratified_sample",
+    oracle=oracle_stratified_sample(),
+    doc="Deterministic per-language mixture sampling: keep doc iff "
+        "md5(lang:doc_id) prefix < per-lang hex threshold. Row-local "
+        "predicate — reproducible under retries/re-partitioning, unlike "
+        "sample(); the corpus-rebalancing step of a training pipeline",
+)(stratified_sample)
+
+register(
+    "chunk_documents",
+    oracle=ORACLE_CHUNKS,
+    doc="Sliding-window document chunking (50-word chunks, stride 40): "
+        "row-local sequence→slice→posexplode, no shuffle — the "
+        "context-window prep step before tokenization",
+)(chunk_documents)
+
+register(
+    "sequence_packing",
+    oracle=ORACLE_PACKING,
+    doc="Budget-quantized sequence packing (512-token bins) per language "
+        "shard: one window pass over exclusive running token counts; "
+        "boundary docs overflow their bin by < own length (documented "
+        "streaming-friendly semantics vs sequential first-fit)",
+)(sequence_packing)
+
+register(
+    "winnowing_fingerprints",
+    oracle=ORACLE_WINNOWING,
+    doc="Winnowing fingerprints (Schleimer et al. 2003): md5-hashed "
+        "word-3-grams, min-hash per sliding window of 4 — any shared "
+        "run of >= 6 words between docs shares a fingerprint; the "
+        "rolling-hash document fingerprinting of the task brief, fully "
+        "engine-portable (md5 prefixes, string min)",
+)(winnowing_fingerprints)

@@ -165,6 +165,125 @@ def oracle_lsh_ann_topk(n_queries: int = 5, k: int = 10) -> str:
     """
 
 
+N_CENTROIDS = 8
+N_PROBE = 2
+
+#: rounded cosine between the row's embedding and a centroid struct `c`
+#: (all-double math, 6dp rounding shared with the oracle)
+_CENT_SIM = (
+    "round("
+    "aggregate(zip_with(embedding, c.cemb, (x, y) -> cast(x as double) * y), "
+    "cast(0.0 as double), (acc, v) -> acc + v) / ("
+    "sqrt(aggregate(zip_with(embedding, embedding, "
+    "(x, y) -> cast(x as double) * cast(y as double)), "
+    "cast(0.0 as double), (acc, v) -> acc + v)) * "
+    "sqrt(aggregate(zip_with(c.cemb, c.cemb, (x, y) -> x * y), "
+    "cast(0.0 as double), (acc, v) -> acc + v))), 6)"
+)
+
+#: per-row array of (sim, cid) vs every centroid, best-first (sim desc,
+#: cid asc tie-break via explicit comparator — no negation tricks, so
+#: -0.0/0.0 can't diverge between engines)
+_CENT_RANKING = (
+    f"array_sort(transform(cents, c -> struct({_CENT_SIM} as s, c.cid as cid)), "
+    "(l, r) -> CASE WHEN l.s > r.s THEN -1 WHEN l.s < r.s THEN 1 "
+    "WHEN l.cid < r.cid THEN -1 WHEN l.cid > r.cid THEN 1 ELSE 0 END)"
+)
+
+
+def ivf_ann_topk(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse quantize the corpus into N_CENTROIDS
+    cells (nearest centroid by rounded cosine), probe the query's
+    N_PROBE nearest cells, exact-rerank within.
+
+    Centroids are the deterministic seed set (vec_id < N_CENTROIDS) so
+    the DuckDB oracle reproduces them exactly — a k-means refinement
+    would slot in here as an iterative pre-pass without changing any
+    downstream plan. Scale shape: centroid assignment is ROW-LOCAL (the
+    centroid list rides in via a broadcast single-row cross join — no
+    collect, no shuffle); candidates come from an equi-join on cell id,
+    reading ~N_PROBE/N_CENTROIDS of the corpus per query. Real
+    deployments raise N_CENTROIDS to ~sqrt(N) and keep nprobe small.
+    """
+    e = table(spark, sf_dir, "embeddings")
+    cents_row = (
+        e.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.struct(
+                F.col("vec_id").cast("int").alias("cid"),
+                F.expr("transform(embedding, x -> cast(x as double))").alias("cemb"),
+            ).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    ranked = (
+        e.crossJoin(F.broadcast(cents_row))
+        .withColumn("cent_rank", F.expr(_CENT_RANKING))
+        .drop("cents")
+    )
+    cand = ranked.select(
+        "vec_id", "label", F.col("embedding").alias("ce"),
+        F.expr("element_at(cent_rank, 1).cid").alias("cell"),
+    )
+    probes = (
+        ranked.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.explode(
+                F.expr(f"transform(slice(cent_rank, 1, {N_PROBE}), p -> p.cid)")
+            ).alias("probe_cell"),
+        )
+    )
+    sim = F.round(_cosine("qe", "ce"), 6)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        cand.join(F.broadcast(probes), cand.cell == probes.probe_cell)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "label", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def oracle_ivf_ann_topk(n_queries: int = 5, k: int = 10) -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings
+    ), cents AS (
+      SELECT CAST(vec_id AS INT) AS cid, emb AS cemb
+      FROM e WHERE vec_id < {N_CENTROIDS}
+    ), assign AS (
+      SELECT e.vec_id, e.label, e.emb, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               {cos.format(a='e.emb', b='c.cemb')} DESC, c.cid) AS rn
+      FROM e CROSS JOIN cents c
+    ), cells AS (
+      SELECT vec_id, label, emb, cid AS cell FROM assign WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, emb AS qe, cid AS probe_cell
+      FROM assign WHERE vec_id < {n_queries} AND rn <= {N_PROBE}
+    ), sims AS (
+      SELECT p.query_id, c.vec_id, c.label,
+             {cos.format(a='p.qe', b='c.emb')} AS cos_sim
+      FROM cells c JOIN probes p
+        ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, label, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+      FROM sims
+    ) WHERE rnk <= {k}
+    """
+
+
 def embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:

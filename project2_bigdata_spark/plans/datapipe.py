@@ -404,3 +404,16 @@ register(
         "rolling-hash document fingerprinting of the task brief, fully "
         "engine-portable (md5 prefixes, string min)",
 )(winnowing_fingerprints)
+
+
+from ..operators.similarity import ivf_ann_topk, oracle_ivf_ann_topk  # noqa: E402
+
+register(
+    "ivf_ann_topk",
+    oracle=oracle_ivf_ann_topk(n_queries=5, k=10),
+    doc="IVF-style ANN top-10: corpus coarse-quantized to 8 deterministic "
+        "centroid cells (row-local assignment via broadcast centroid "
+        "array — no collect, no shuffle), queries probe their 2 nearest "
+        "cells, exact cosine rerank within. Same centroids in the DuckDB "
+        "oracle → CONFIRMED; k-means refinement is a drop-in pre-pass",
+)(ivf_ann_topk)

@@ -137,6 +137,29 @@ def test_similarity_top1_matches_numpy(spark, sf_dir):
         assert got[qid] == best, (qid, got[qid], best)
 
 
+def test_ivf_ann_recall_vs_brute_force(spark, sf_dir):
+    """IVF probes 2/8 cells, so it returns a subset of the exact ranking:
+    every reported similarity must equal the brute-force value for that
+    pair, and the probed neighborhood should recover a reasonable share
+    of the true top-10 (soft bound — random synthetic embeddings)."""
+    from project2_bigdata_spark.operators.similarity import ivf_ann_topk
+
+    exact = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in brute_force_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    }
+    got = ivf_ann_topk(spark, sf_dir, n_queries=5, k=10).collect()
+    assert got
+    full = {
+        (r.query_id, r.vec_id): r.cos_sim
+        for r in brute_force_topk(spark, sf_dir, n_queries=5, k=10_000).collect()
+    }
+    for r in got:
+        assert full[(r.query_id, r.vec_id)] == r.cos_sim
+    overlap = len(set(exact) & {(r.query_id, r.vec_id) for r in got})
+    assert overlap / len(exact) >= 0.2, overlap
+
+
 def test_multimodal_resize_shapes(spark, sf_dir):
     from project2_bigdata_spark.catalog import table
     from project2_bigdata_spark.operators.multimodal import (

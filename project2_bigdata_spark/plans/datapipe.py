@@ -417,3 +417,22 @@ register(
         "cells, exact cosine rerank within. Same centroids in the DuckDB "
         "oracle → CONFIRMED; k-means refinement is a drop-in pre-pass",
 )(ivf_ann_topk)
+
+
+from ..operators.textstats import lang_id_scores, oracle_lang_id  # noqa: E402
+
+@register(
+    "lang_id_ngram",
+    oracle=oracle_lang_id(),
+    doc="Language-ID n-gram heuristic: exact char-bigram profile counts "
+        "per language + deterministic argmax (struct-sort tie-break) — "
+        "pure replace/length JVM expressions, one bandwidth-bound scan",
+)
+def q_lang_id_ngram(spark, sf_dir):
+    from ..operators.textstats import LANG_PROFILES
+
+    return lang_id_scores(table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang",
+        *[f"score_{lang}" for lang in LANG_PROFILES],
+        "predicted_lang",
+    )

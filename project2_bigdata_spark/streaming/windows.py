@@ -140,6 +140,59 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.groupBy("event_type").agg(F.count("*").alias("n_unique"))
 
 
+@register(
+    "stream_interval_join",
+    oracle="""
+    SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+           v.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS micros_to_purchase
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    doc="Stream-stream interval join: the view stream joins the purchase "
+        "stream on user within [view_ts, view_ts + 1h]. Both sides carry "
+        "watermarks and the join has a time-range bound, so state is "
+        "EVICTABLE — each side buffers only rows younger than watermark + "
+        "interval, the requirement for an unbounded stream-stream join "
+        "to run forever. Inner join in append mode emits matches as they "
+        "arrive, so the bounded replay equals the batch self-join oracle",
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "2 hours")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return run_to_batch(joined, mode="append").select(
+        "view_event_id", "purchase_event_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("micros_to_purchase"),
+    )
+
+
 def watermarked_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-shaped variant: watermark + append mode.
 

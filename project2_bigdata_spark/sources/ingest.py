@@ -85,6 +85,29 @@ def write_report_csv(df: DataFrame, path: str) -> None:
     df.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
 
 
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Hive-partitioned parquet sink — THE 100 TB table layout: one
+    directory per partition value, so any filter on the partition
+    column prunes whole directories at planning time (zero I/O for
+    skipped partitions, visible as PartitionFilters in the scan node).
+    Overwrite ≡ S6's drop/recreate at the table level; production
+    pipelines overwrite single partitions (partitionOverwriteMode=
+    dynamic) for idempotent daily re-runs."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame:
+    """Read back a partitioned dataset keeping only the given partition
+    values — the filter lands in the scan's PartitionFilters, never
+    touching other partitions' files."""
+    df = spark.read.parquet(path)
+    for col, val in partition_values.items():
+        df = df.filter(F.col(col) == val)
+    return df
+
+
 @register(
     "ingest_extended_json_repair",
     oracle="""

@@ -72,3 +72,32 @@ def test_csv_report_sink_roundtrip(spark, sf_dir):
         assert a == b  # revenue checksum survives the sink round-trip
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_partitioned_sink_prunes(spark, sf_dir):
+    """Partitioned layout: lang=*/ directories on disk; a partition
+    filter reads ONLY its directory's files (planning-time pruning —
+    the property that makes the layout work at 100 TB)."""
+    import os
+
+    from project2_bigdata_spark.sources.ingest import (
+        read_pruned, write_partitioned_parquet,
+    )
+
+    d = tempfile.mkdtemp(prefix="part_", dir="/root/repo")
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        write_partitioned_parquet(docs, f"{d}/docs", ["lang"])
+        dirs = {e for e in os.listdir(f"{d}/docs") if e.startswith("lang=")}
+        assert "lang=en" in dirs and len(dirs) >= 2
+
+        pruned = read_pruned(spark, f"{d}/docs", lang="en")
+        plan = pruned._jdf.queryExecution().executedPlan().toString()
+        # the lang predicate must land in PartitionFilters (planning-time
+        # directory pruning), not in the data-filter clause
+        assert "PartitionFilters: [" in plan
+        assert "lang" in plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        want = docs.filter(F.col("lang") == "en").count()
+        assert pruned.count() == want
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -436,3 +436,18 @@ def q_lang_id_ngram(spark, sf_dir):
         *[f"score_{lang}" for lang in LANG_PROFILES],
         "predicted_lang",
     )
+
+
+from ..operators.graph import ORACLE_DEDUP_CLUSTERS, dedup_clusters  # noqa: E402
+
+register(
+    "dedup_clusters",
+    oracle=ORACLE_DEDUP_CLUSTERS,
+    doc="Connected-components dedup clustering: exact-dup star edges + "
+        "capped blocked-Jaccard pairs -> transitive clusters with the "
+        "min doc_id canonical. Driver-controlled min-label propagation "
+        "(the GraphX pattern without the library): per round one "
+        "key-partitioned join + min-agg, lineage truncated via "
+        "localCheckpoint; converges in O(diameter) rounds. Oracle: "
+        "DuckDB recursive-CTE transitive closure",
+)(dedup_clusters)

@@ -174,6 +174,20 @@ def test_multimodal_resize_shapes(spark, sf_dir):
     assert all(r.width == 8 and r.height == 4 for r in out)
 
 
+def test_connected_components_fixpoint(spark):
+    """Chains force multi-round propagation (diameter > 1); singletons
+    keep themselves; min id wins as the canonical label."""
+    from project2_bigdata_spark.operators.graph import connected_components
+
+    vertices = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 12, 13, 14]],
+                                     "doc_id long")
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (11, 10), (11, 12), (12, 13), (13, 14)], "src long, dst long"
+    )
+    got = {r.doc_id: r.cluster_id for r in connected_components(vertices, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10}
+
+
 def test_multimodal_binaryfile_source(spark, tmp_path):
     from project2_bigdata_spark.operators.multimodal import (
         attach_payload_binary, decode_features,

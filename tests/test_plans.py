@@ -90,3 +90,16 @@ def test_single_shuffle_for_core_aggregate(spark, sf_dir):
     plan = _plan(REGISTRY["sales_daily"].fn(spark, sf_dir))
     shuffles = plan.count("Exchange hashpartitioning")
     assert shuffles == 1, f"expected 1 shuffle, found {shuffles}"
+
+
+def test_corpus_operators_shuffle_free(spark, sf_dir):
+    """The corpus-prep scans (sampling, chunking, winnowing, lang-ID)
+    must stay single-pass with ZERO exchanges — at 100 TB these run at
+    scan bandwidth or not at all. Packing gets exactly its one shard
+    window shuffle."""
+    for name in ["stratified_sample", "chunk_documents",
+                 "winnowing_fingerprints", "lang_id_ngram"]:
+        plan = _plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"unexpected shuffle in {name}"
+    pack = _plan(REGISTRY["sequence_packing"].fn(spark, sf_dir))
+    assert pack.count("Exchange hashpartitioning") == 1

@@ -451,3 +451,108 @@ register(
         "localCheckpoint; converges in O(diameter) rounds. Oracle: "
         "DuckDB recursive-CTE transitive closure",
 )(dedup_clusters)
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w, length(text) AS n_chars
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             (n_chars - (len(w) - 1)) / CAST(len(w) AS DOUBLE) AS mean_word_len,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS grams,
+             len(list_filter(w, x -> x IN ({_SW}))) AS n_stop
+      FROM d
+    )
+    SELECT doc_id, n_words, mean_word_len,
+           CASE WHEN len(grams) > 0 THEN
+             1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+           ELSE 0.0 END AS dup_3gram_ratio,
+           (n_words BETWEEN 10 AND 100000) AS ok_length,
+           (mean_word_len BETWEEN 2.0 AND 12.0) AS ok_word_len,
+           (CASE WHEN len(grams) > 0 THEN
+              1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+            ELSE 0.0 END) <= 0.6 AS ok_repetition,
+           n_stop >= 1 AS ok_stopwords,
+           ((n_words BETWEEN 10 AND 100000)
+            AND (mean_word_len BETWEEN 2.0 AND 12.0)
+            AND (CASE WHEN len(grams) > 0 THEN
+                   1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                 ELSE 0.0 END) <= 0.6
+            AND n_stop >= 1) AS keep
+    FROM s
+    """,
+    doc="Gopher-style quality filter flags: word-count bounds, mean word "
+        "length bounds, duplicate-3-gram repetition ratio, stopword "
+        "presence, and the conjunctive keep decision — one shuffle-free "
+        "scan of pure JVM expressions (the published rule family from "
+        "Rae et al. 2021, thresholds tuned to this corpus)",
+)
+def q_gopher_quality_flags(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    n_words = F.size("w").cast("bigint")
+    mean_wl = (F.length("text") - (F.size("w") - 1)) / F.size("w").cast("double")
+    grams = F.expr(
+        "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "
+        "i -> concat_ws(' ', slice(w, i, 3))) ELSE array() END"
+    )
+    d = d.withColumn("grams", grams)
+    dup_ratio = F.when(
+        F.size("grams") > 0,
+        F.lit(1.0) - F.size(F.array_distinct("grams")) / F.size("grams").cast("double"),
+    ).otherwise(F.lit(0.0))
+    n_stop = F.size(F.expr(f"filter(w, x -> x IN ({_SW}))"))
+    ok_length = n_words.between(10, 100000)
+    ok_word_len = mean_wl.between(2.0, 12.0)
+    ok_repetition = dup_ratio <= 0.6
+    ok_stopwords = n_stop >= 1
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        dup_ratio.alias("dup_3gram_ratio"),
+        ok_length.alias("ok_length"),
+        ok_word_len.alias("ok_word_len"),
+        ok_repetition.alias("ok_repetition"),
+        ok_stopwords.alias("ok_stopwords"),
+        (ok_length & ok_word_len & ok_repetition & ok_stopwords).alias("keep"),
+    )
+
+
+@register(
+    "decontaminate",
+    oracle="""
+    WITH probes AS (
+      SELECT doc_id AS probe_id,
+             array_to_string(string_split(text, ' ')[1:5], ' ') AS probe
+      FROM documents WHERE doc_id < 3
+    )
+    SELECT d.doc_id, p.probe_id
+    FROM documents d JOIN probes p ON contains(d.text, p.probe)
+    """,
+    doc="Benchmark decontamination: flag corpus docs containing any "
+        "probe n-gram from the benchmark set (here: the 5-word prefixes "
+        "of docs 0-2 as a deterministic stand-in benchmark). Broadcast "
+        "probes x one substring scan — the shape of real decontamination "
+        "at 100 TB; swap the probe relation for the actual benchmark "
+        "n-grams",
+)
+def q_decontaminate(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    probes = (
+        d.filter(F.col("doc_id") < 3)
+        .select(
+            F.col("doc_id").alias("probe_id"),
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("probe"),
+        )
+    )
+    return (
+        d.join(F.broadcast(probes), F.contains(F.col("text"), F.col("probe")))
+        .select("doc_id", "probe_id")
+    )

@@ -302,3 +302,61 @@ def forecast_from_models(features: DataFrame, models: DataFrame) -> DataFrame:
 def q_ml_forecast_14d(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = train_best_models(spark, sf_dir)
     return forecast_from_models(feature_frame(spark, sf_dir), models)
+
+
+@register(
+    "ml_rf_grid",
+    oracle=None,  # iterative JVM training — rows-only + unit test
+    doc="U3's RF grid, JVM-native: RandomForestRegressor under "
+        "TrainValidationSplit over a numTrees x maxDepth grid (the "
+        "reference's 3x3 RF search, EDA.ipynb cell 58, sized 2x2 here), "
+        "seeded throughout for determinism; winner scored per product "
+        "with expression-level WAPE on the held-out rows. Training is "
+        "JVM-distributed — each grid candidate fits on the cluster, no "
+        "Python in the loop.",
+)
+def q_ml_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import StringIndexer, VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+    from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
+
+    df = feature_frame(spark, sf_dir).cache()
+    train = df.filter(F.col("is_test") == 0)
+    rf = RandomForestRegressor(
+        featuresCol="features", labelCol="total_quantity", seed=42,
+        maxBins=128,  # >= |products|: the indexed product col is categorical
+    )
+    pipe = Pipeline(stages=[
+        StringIndexer(inputCol="product", outputCol="product_ix",
+                      handleInvalid="keep", stringOrderType="alphabetAsc"),
+        VectorAssembler(inputCols=FEATURES + ["product_ix"], outputCol="features"),
+        rf,
+    ])
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, [10, 30])
+        .addGrid(rf.maxDepth, [3, 6])
+        .build()
+    )
+    tvs = TrainValidationSplit(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(
+            metricName="mae", labelCol="total_quantity", predictionCol="prediction"
+        ),
+        trainRatio=0.8,
+        seed=42,
+        parallelism=2,
+    )
+    model = tvs.fit(train)
+    best_rf = model.bestModel.stages[-1]
+    scored = model.transform(df.filter(F.col("is_test") == 1))
+    return scored.groupBy("product").agg(
+        F.count("*").alias("n_test"),
+        (F.sum(F.abs(F.col("total_quantity") - F.col("prediction")))
+         / F.sum(F.abs("total_quantity"))).alias("test_wape"),
+        F.lit(best_rf.getNumTrees).alias("best_num_trees"),
+        F.lit(best_rf.getMaxDepth()).alias("best_max_depth"),
+    )

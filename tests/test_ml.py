@@ -113,3 +113,17 @@ def test_forecast_14d_shape_and_determinism(spark, sf_dir):
     key = ["product", "step"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_rf_grid_runs_and_is_deterministic(spark, sf_dir):
+    """Seeded RF + seeded TrainValidationSplit: same winner, same scores
+    across runs; winning params are actual grid points."""
+    fn = REGISTRY["ml_rf_grid"].fn
+    a = fn(spark, sf_dir).toPandas().sort_values("product").reset_index(drop=True)
+    assert len(a) > 0
+    assert a["test_wape"].notna().all()
+    assert a["best_num_trees"].isin([10, 30]).all()
+    assert a["best_max_depth"].isin([3, 6]).all()
+    assert a["best_num_trees"].nunique() == 1  # one global winner
+    b = fn(spark, sf_dir).toPandas().sort_values("product").reset_index(drop=True)
+    assert a.equals(b)

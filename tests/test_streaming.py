@@ -50,3 +50,29 @@ def test_foreachbatch_ingest_roundtrip(spark, sf_dir):
         assert n_sunk == n_src
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_foreach_batch_ingest_no_reprocess(spark, sf_dir):
+    """S1's ingest loop as foreachBatch: one replay lands every event in
+    the parquet sink; re-running with the same checkpoint reprocesses
+    NOTHING (the cross-run guarantee the reference's hand-rolled retry
+    loop never had)."""
+    import shutil
+    import tempfile
+
+    from project2_bigdata_spark.streaming.ingest import foreach_batch_ingest
+
+    d = tempfile.mkdtemp(prefix="fbi_", dir="/root/repo")
+    try:
+        out, ckpt = f"{d}/out", f"{d}/ckpt"
+        foreach_batch_ingest(spark, sf_dir, out, ckpt)
+        n_src = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        first = spark.read.parquet(out)
+        assert first.count() == n_src
+        mtimes1 = sorted(p.stat().st_mtime_ns for p in __import__("pathlib").Path(out).rglob("*.parquet"))
+        foreach_batch_ingest(spark, sf_dir, out, ckpt)  # same checkpoint
+        assert spark.read.parquet(out).count() == n_src  # nothing re-ingested
+        mtimes2 = sorted(p.stat().st_mtime_ns for p in __import__("pathlib").Path(out).rglob("*.parquet"))
+        assert mtimes1 == mtimes2  # files untouched: batches not re-run
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -344,3 +344,58 @@ def oracle_embedding_near_dup(threshold: float = 0.4) -> str:
                 (sqrt(list_dot_product(a.emb, a.emb)) *
                  sqrt(list_dot_product(b.emb, b.emb))), 6) >= {threshold}
     """
+
+
+def knn_join_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """KNN self-join: every vector's top-k neighbors among its LSH-bucket
+    candidates (both directions of each candidate pair, ranked by rounded
+    cosine with vec_id tie-break).
+
+    The all-pairs product never materializes: candidates share an 8-bit
+    bucket (equi-join, Σ bucket² work), and the per-vector top-k is one
+    window over the candidate set. At higher recall targets, union
+    multiple plane banks (multi-probe) before the window — same shape.
+    """
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .withColumn("bucket", _bucket_expr())
+        .select("vec_id", F.col("embedding").alias("emb"), "bucket")
+    )
+    a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"), "bucket")
+    b = e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("eb"),
+                 F.col("bucket").alias("bucket_b"))
+    sim = F.round(_cosine("ea", "eb"), 6)
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
+    return (
+        a.join(b, (a.bucket == b.bucket_b) & (F.col("src") != F.col("dst")))
+        .select("src", "dst", sim.alias("cos_sim"))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def oracle_knn_join_topk(k: int = 3) -> str:
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_duck_plane(p)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(PLANES)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+             CAST({bucket} AS INT) AS bucket
+      FROM embeddings
+    ), sims AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_dot_product(a.emb, b.emb) /
+                   (sqrt(list_dot_product(a.emb, a.emb)) *
+                    sqrt(list_dot_product(b.emb, b.emb))), 6) AS cos_sim
+      FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    )
+    SELECT * FROM (
+      SELECT src, dst, cos_sim,
+             CAST(row_number() OVER (PARTITION BY src
+                  ORDER BY cos_sim DESC, dst) AS INT) AS rnk
+      FROM sims
+    ) WHERE rnk <= {k}
+    """

@@ -556,3 +556,94 @@ def q_decontaminate(spark, sf_dir):
         d.join(F.broadcast(probes), F.contains(F.col("text"), F.col("probe")))
         .select("doc_id", "probe_id")
     )
+
+
+from ..operators.similarity import knn_join_topk, oracle_knn_join_topk  # noqa: E402
+
+register(
+    "knn_join_topk",
+    oracle=oracle_knn_join_topk(k=3),
+    doc="KNN self-join: every vector's top-3 neighbors among its LSH "
+        "bucket candidates — bucket equi-join (never the N^2 product) + "
+        "one per-vector ranking window; the semantic-neighborhood "
+        "relation that feeds embedding dedup and clustering",
+)(knn_join_topk)
+
+
+@register(
+    "corpus_pipeline_e2e",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, text, string_split(text, ' ') AS w,
+             length(text) AS n_chars
+      FROM documents
+    ), q AS (
+      SELECT * FROM d
+      WHERE CAST(len(w) AS BIGINT) BETWEEN 10 AND 100000
+        AND (n_chars - (len(w) - 1)) / CAST(len(w) AS DOUBLE) BETWEEN 2.0 AND 12.0
+        AND len(list_filter(w, x -> x IN ({_SW}))) >= 1
+    ), c AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY md5(lower(text))) AS canon
+        FROM q
+      ) WHERE doc_id = canon
+    ), s AS (
+      SELECT * FROM c
+      WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) <
+            CASE WHEN lang = 'en' THEN '80000000'
+                 WHEN lang IN ('fr', 'de', 'es') THEN '40000000'
+                 ELSE '20000000' END
+    ), ch AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(
+               range(1, greatest(len(w), 1) + 1, 40),
+               i -> {{'idx': CAST((i - 1) // 40 AS INT),
+                      'chunk': w[i : i + 50 - 1]}})) AS x
+      FROM s
+    )
+    SELECT doc_id, lang, x.idx AS chunk_idx,
+           CAST(len(x.chunk) AS BIGINT) AS n_tokens
+    FROM ch
+    """,
+    doc="End-to-end corpus prep in ONE relation: Gopher quality filter "
+        "-> exact-dedup canonical survivor -> deterministic per-lang "
+        "sample -> sliding-window chunks. One scan, row-local filters, "
+        "a single fingerprint-window shuffle, row-local chunk explode — "
+        "the composed plan a 100 TB pipeline actually runs, and Catalyst "
+        "fuses all four stages into two codegen spans",
+)
+def q_corpus_pipeline_e2e(spark, sf_dir):
+    from pyspark.sql.window import Window as _W
+
+    from ..operators.textstats import fingerprint
+
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    n_words = F.size("w").cast("bigint")
+    mean_wl = (F.length("text") - (F.size("w") - 1)) / F.size("w").cast("double")
+    n_stop = F.size(F.expr(f"filter(w, x -> x IN ({_SW}))"))
+    q = d.filter(
+        n_words.between(10, 100000) & mean_wl.between(2.0, 12.0) & (n_stop >= 1)
+    )
+    canon = F.min("doc_id").over(_W.partitionBy(fingerprint(F.col("text"))))
+    c = q.withColumn("canon", canon).filter(F.col("doc_id") == F.col("canon"))
+    key = F.substring(
+        F.md5(F.concat(F.col("lang"), F.lit(":"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    thr = (
+        F.when(F.col("lang") == "en", "80000000")
+        .when(F.col("lang").isin("fr", "de", "es"), "40000000")
+        .otherwise("20000000")
+    )
+    s = c.filter(key < thr)
+    chunks = F.expr(
+        "transform(sequence(1, greatest(size(w), 1), 40), "
+        "i -> size(slice(w, i, 50)))"
+    )
+    return (
+        s.select("doc_id", "lang", F.posexplode(chunks).alias("chunk_idx", "n_tokens"))
+        .select(
+            "doc_id", "lang",
+            F.col("chunk_idx").cast("int").alias("chunk_idx"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+    )

@@ -102,3 +102,61 @@ def test_pair_mining_matches_itertools(spark, sales):
         pair for _, names in rows for pair in itertools.combinations(names, 2)
     )
     assert got == want
+
+
+_words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=1, max_size=120,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_words, min_size=1, max_size=4))
+def test_chunking_covers_exactly(spark, docs):
+    """Chunking invariant: stride-40 windows of size 50 — every word
+    position is covered, consecutive chunks overlap by exactly 10 (when
+    long enough), and re-assembling the non-overlapping prefixes
+    reproduces the document."""
+    from project2_bigdata_spark.operators.corpus import CHUNK_SIZE, CHUNK_STEP
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = F.expr(
+        f"transform(sequence(1, greatest(size(split(text, ' ')), 1), {CHUNK_STEP}), "
+        f"i -> slice(split(text, ' '), i, {CHUNK_SIZE}))"
+    )
+    out = df.select("doc_id", F.posexplode(chunks).alias("idx", "chunk")).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append((r.idx, r.chunk))
+    for doc_id, ws in enumerate(docs):
+        got = [c for _, c in sorted(by_doc[doc_id])]
+        rebuilt = []
+        for j, c in enumerate(got):
+            rebuilt.extend(c if j == len(got) - 1 else c[:CHUNK_STEP])
+        # trailing chunks may re-cover already-seen words; coverage of the
+        # full word list is the invariant
+        assert rebuilt[: len(ws)] == ws
+        for j in range(len(got) - 1):
+            assert got[j][CHUNK_STEP:] == got[j + 1][: CHUNK_SIZE - CHUNK_STEP][: len(got[j][CHUNK_STEP:])]
+
+
+@settings(**_SETTINGS)
+@given(_words, _words)
+def test_winnowing_shared_run_guarantee(spark, a_words, b_words):
+    """Winnowing guarantee (k=3, w=4): any two docs sharing a run of
+    >= w+k-1 = 6 words share at least one fingerprint."""
+    from project2_bigdata_spark.operators.corpus import winnowing_fingerprints
+
+    shared = ["shared1", "shared2", "shared3", "shared4", "shared5", "shared6"]
+    rows = [(0, " ".join(a_words + shared)), (1, " ".join(shared + b_words))]
+    import project2_bigdata_spark.operators.corpus as corpus_mod
+    from unittest import mock
+
+    rows_df = spark.createDataFrame(rows, "doc_id long, text string")
+    with mock.patch.object(corpus_mod, "table", lambda s, sf, t: rows_df):
+        out = winnowing_fingerprints(spark, "unused").collect()
+    fps = {}
+    for r in out:
+        fps.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert fps[0] & fps[1], "docs sharing a 6-word run must share a fingerprint"

@@ -1,0 +1,480 @@
+"""Round-2 curation & ops surface: PII redaction, cross-doc span dedup,
+temperature-mixture sampling, deterministic splits, embedding
+quantization, n-gram stats, CDC snapshot diff, and key-skew profiling.
+
+Every query here is a pure JVM-expression plan (no Python UDFs) with a
+DuckDB oracle. Engine-portability rules followed throughout:
+ - randomness is md5-hash-derived (reproducible under retries/AQE);
+ - hex-string comparisons instead of hex→int conversion;
+ - money summed as decimal (order-insensitive) per functions/money.py;
+ - doubles only combined in identical expression trees on both engines,
+   rounded before any ranking or comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.money import dsum_expr, oracle_dsum
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data scrubbing; C4/CCNet-style pre-tokenization)
+# ---------------------------------------------------------------------------
+
+# Shared regexes — identical semantics under Java regex (Spark) and RE2
+# (DuckDB): ASCII classes, \b word boundaries, bounded repetition.
+PAT_EMAIL = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PAT_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PAT_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+
+
+@register(
+    "pii_redact",
+    oracle=(
+        """
+    WITH aug AS (
+      SELECT doc_id,
+             text
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                  ELSE '' END
+             || CASE WHEN doc_id % 11 = 0
+                  THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 up'
+                  ELSE '' END
+             || CASE WHEN doc_id % 13 = 0
+                  THEN ' call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ok'
+                  ELSE '' END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '"""
+        + PAT_EMAIL
+        + """')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '"""
+        + PAT_IPV4
+        + """')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(t, '"""
+        + PAT_PHONE
+        + """')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(regexp_replace(t,
+               '"""
+        + PAT_EMAIL
+        + """', '<EMAIL>', 'g'),
+               '"""
+        + PAT_IPV4
+        + """', '<IP>', 'g'),
+               '"""
+        + PAT_PHONE
+        + """', '<PHONE>', 'g')) AS redacted_hash
+    FROM aug
+    """
+    ),
+    doc="PII redaction scan: email/IPv4/phone regex counts + md5 of the "
+        "redacted text. PII is synthesized deterministically from doc_id "
+        "(the corpus itself is clean) so the regex path is actually "
+        "exercised; one shuffle-free scan of JVM regexp expressions — "
+        "the pre-tokenization scrub step of a training pipeline",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" contact user"), did.cast("string"), F.lit("@example.com now")),
+        ).otherwise(""),
+        F.when(
+            did % 11 == 0,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"), F.lit(".1 up")),
+        ).otherwise(""),
+        F.when(
+            did % 13 == 0,
+            F.concat(
+                F.lit(" call 555-123-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+                F.lit(" ok"),
+            ),
+        ).otherwise(""),
+    )
+    d = d.withColumn("t", aug)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PAT_EMAIL, "<EMAIL>"),
+            PAT_IPV4, "<IP>",
+        ),
+        PAT_PHONE, "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PAT_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(F.col("t"), F.lit(PAT_IPV4)).cast("bigint").alias("n_ipv4"),
+        F.regexp_count(F.col("t"), F.lit(PAT_PHONE)).cast("bigint").alias("n_phones"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document span dedup (C4-style repeated-span removal)
+# ---------------------------------------------------------------------------
+
+@register(
+    "span_dedup_crossdoc",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), spans AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(w) >= 10 THEN
+               list_transform(range(1, len(w) - 9 + 1, 10),
+                              i -> md5(array_to_string(w[i : i + 9], ' ')))
+             ELSE [] END) AS span_hash
+      FROM d
+    )
+    SELECT span_hash,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS canonical_doc_id
+    FROM spans GROUP BY 1
+    HAVING COUNT(DISTINCT doc_id) > 1
+    """,
+    doc="Cross-document span dedup: disjoint 10-word spans hashed per doc "
+        "(row-local explode), grouped corpus-wide; spans appearing in >1 "
+        "document are the C4-style repeated boilerplate to strip. One "
+        "span-hash shuffle — at 100 TB the shuffled payload is 16-byte "
+        "hashes, never the text",
+)
+def q_span_dedup_crossdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    spans = F.expr(
+        "CASE WHEN size(w) >= 10 THEN transform(sequence(1, size(w) - 9, 10), "
+        "i -> md5(concat_ws(' ', slice(w, i, 10)))) ELSE array() END"
+    )
+    return (
+        d.select("doc_id", F.explode(spans).alias("span_hash"))
+        .groupBy("span_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-based mixture sampling (multilingual corpus rebalancing)
+# ---------------------------------------------------------------------------
+
+@register(
+    "temperature_sample",
+    oracle="""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS n_in FROM documents GROUP BY 1
+    ), m AS (SELECT MAX(n_in) AS n_max FROM c),
+    r AS (
+      SELECT lang, n_in,
+             round(least(CAST(1.0 AS DOUBLE),
+                         0.5 * sqrt(CAST(n_max AS DOUBLE) / CAST(n_in AS DOUBLE))),
+                   6) AS rate
+      FROM c CROSS JOIN m
+    ), kept AS (
+      SELECT d.lang
+      FROM documents d JOIN r USING (lang)
+      WHERE r.rate >= 1.0
+         OR substr(md5('ts:' || CAST(d.doc_id AS VARCHAR)), 1, 8)
+            < lpad(lower(to_hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+    )
+    SELECT r.lang, r.n_in, r.rate, k.n_kept
+    FROM r JOIN (SELECT lang, COUNT(*) AS n_kept FROM kept GROUP BY 1) k USING (lang)
+    """,
+    doc="Temperature sampling (alpha=0.5): per-language keep rate "
+        "proportional to sqrt(n_max/n_lang), capped at 1 — upsamples the "
+        "tail languages relative to the head, the standard multilingual "
+        "rebalancing step. Keep decision is a row-local md5-hex-threshold "
+        "compare (reproducible under retries; no RNG state), rates come "
+        "from a broadcast 5-row aggregate — zero extra shuffles over the "
+        "corpus scan",
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_in"))
+    n_max = counts.agg(F.max("n_in").alias("n_max"))
+    rate = F.round(
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5) * F.sqrt(F.col("n_max").cast("double") / F.col("n_in").cast("double")),
+        ),
+        6,
+    )
+    rates = counts.crossJoin(F.broadcast(n_max)).select("lang", "n_in", rate.alias("rate"))
+    thr = F.lpad(
+        F.lower(F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)))), 8, "0"
+    )
+    key = F.substring(F.md5(F.concat(F.lit("ts:"), F.col("doc_id").cast("string"))), 1, 8)
+    kept = (
+        d.join(F.broadcast(rates), "lang")
+        .filter((F.col("rate") >= 1.0) | (key < thr))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"))
+    )
+    return rates.join(kept, "lang").select("lang", "n_in", "rate", "n_kept")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test hash split
+# ---------------------------------------------------------------------------
+
+@register(
+    "hash_split_assign",
+    oracle="""
+    WITH s AS (
+      SELECT lang,
+             CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+                    THEN 'train'
+                  WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f8'
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ), t AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT split, lang, COUNT(*) AS n_docs,
+           round(COUNT(*) / CAST(total AS DOUBLE), 6) AS share
+    FROM s CROSS JOIN t
+    GROUP BY split, lang, total
+    """,
+    doc="Deterministic train/val/test assignment: first md5 byte of "
+        "'split:doc_id' buckets 240/8/8 of 256 (~93.75/3.1/3.1%). "
+        "Hex-string compare only (no hex->int), row-local, stable under "
+        "re-partitioning and across engines — the split never moves when "
+        "the corpus is re-sharded",
+)
+def q_hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+    split = (
+        F.when(b < "f0", "train").when(b < "f8", "val").otherwise("test")
+    )
+    total = d.agg(F.count("*").alias("total"))
+    return (
+        d.select(split.alias("split"), "lang")
+        .crossJoin(F.broadcast(total))
+        .groupBy("split", "lang", "total")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            "split", "lang", "n_docs",
+            F.round(F.col("n_docs") / F.col("total").cast("double"), 6).alias("share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization (vector-store compression pass)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ed FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, ed,
+             list_max(list_transform(ed, v -> abs(v))) AS amax
+      FROM e
+    ), t AS (
+      SELECT vec_id, label, ed, amax, amax / 127.0 AS scale FROM s
+    ), q AS (
+      SELECT vec_id, label, ed, amax, scale,
+             CASE WHEN amax > 0
+               THEN list_transform(ed, v -> CAST(floor(v / scale + 0.5) AS INT))
+               ELSE list_transform(ed, v -> 0) END AS qv
+      FROM t
+    )
+    SELECT vec_id, label,
+           CAST(len(ed) AS INT) AS dim,
+           round(scale, 6) AS scale_r,
+           CAST(list_sum(qv) AS BIGINT) AS q_checksum,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           round(CASE WHEN amax > 0 THEN
+             list_sum(list_transform(range(1, len(ed) + 1),
+                      i -> (ed[i] - qv[i] * scale) * (ed[i] - qv[i] * scale)))
+             / CAST(len(ed) AS DOUBLE)
+           ELSE CAST(0.0 AS DOUBLE) END, 6) AS mse
+    FROM q
+    """,
+    doc="Symmetric int8 quantization per vector: scale = max|v|/127, "
+        "q = floor(v/scale + 0.5) (round-half-up — identical in both "
+        "engines, unlike banker's rint). Emits integer checksum/min/max "
+        "(exact parity) + rounded scale and reconstruction MSE. Row-local "
+        "array expressions, no shuffle — the compression pass before "
+        "shipping a vector store",
+)
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    e = e.withColumn("ed", F.expr("transform(embedding, v -> cast(v as double))"))
+    e = e.withColumn("amax", F.expr("array_max(transform(ed, v -> abs(v)))"))
+    e = e.withColumn("scale", F.col("amax") / F.lit(127.0))
+    e = e.withColumn(
+        "qv",
+        F.expr(
+            "CASE WHEN amax > 0 THEN transform(ed, v -> cast(floor(v / scale + 0.5) as int)) "
+            "ELSE transform(ed, v -> 0) END"
+        ),
+    )
+    mse = F.expr(
+        "CASE WHEN amax > 0 THEN "
+        "aggregate(zip_with(ed, qv, (v, q) -> (v - q * scale) * (v - q * scale)), "
+        "cast(0.0 as double), (a, x) -> a + x) / cast(size(ed) as double) "
+        "ELSE cast(0.0 as double) END"
+    )
+    return e.select(
+        "vec_id", "label",
+        F.size("ed").cast("int").alias("dim"),
+        F.round("scale", 6).alias("scale_r"),
+        F.expr("aggregate(qv, cast(0 as bigint), (a, x) -> a + x)").alias("q_checksum"),
+        F.array_min("qv").cast("int").alias("q_min"),
+        F.array_max("qv").cast("int").alias("q_max"),
+        F.round(mse, 6).alias("mse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-language top bigrams (n-gram LM / tokenizer prep statistics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_bigrams",
+    oracle="""
+    WITH d AS (
+      SELECT lang, string_split(text, ' ') AS w FROM documents
+    ), b AS (
+      SELECT lang,
+             unnest(CASE WHEN len(w) >= 2 THEN
+               list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1])
+             ELSE [] END) AS bigram
+      FROM d
+    ), c AS (
+      SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2
+    )
+    SELECT lang, bigram, n, rnk FROM (
+      SELECT lang, bigram, n,
+             CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS INT)
+               AS rnk
+      FROM c
+    ) WHERE rnk <= 5
+    """,
+    doc="Top-5 word bigrams per language: row-local bigram generation "
+        "(no self-join), one (lang, bigram) shuffle, ranking window with "
+        "deterministic (count desc, bigram) tie-break — the n-gram "
+        "statistics pass behind tokenizer training / LM sanity checks",
+)
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    bigrams = F.expr(
+        "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', slice(w, i, 2))) ELSE array() END"
+    )
+    c = (
+        d.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), "bigram")
+    return (
+        c.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC-style snapshot diff (incremental-pipeline primitive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "snapshot_diff",
+    oracle=f"""
+    SELECT o_custkey,
+           {oracle_dsum("CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' "
+                        "THEN o_totalprice END", "old_spend")},
+           {oracle_dsum("o_totalprice", "new_spend")},
+           CASE WHEN SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END) IS NULL
+                  THEN 'inserted'
+                WHEN SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                         THEN CAST(o_totalprice AS DECIMAL(18,2)) END)
+                     <> SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                  THEN 'updated'
+                ELSE 'unchanged' END AS change_type
+    FROM orders
+    WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_custkey
+    """,
+    doc="CDC snapshot diff: per-customer spend at snapshot T1 (<1997) vs "
+        "T2 (<1998) classified inserted/updated/unchanged. Single-pass "
+        "conditional aggregation — one shuffle, no self-join of the two "
+        "snapshots (the naive CDC plan scans twice and full-outer-joins; "
+        "this is the fold a 100 TB incremental pipeline wants). Decimal "
+        "sums make the changed/unchanged comparison exact",
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
+    old_dec = F.sum(
+        F.expr(
+            "CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_totalprice END"
+        ).cast("decimal(18,2)")
+    )
+    new_dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    return o.groupBy("o_custkey").agg(
+        dsum_expr(
+            "CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_totalprice END",
+            "old_spend",
+        ),
+        dsum_expr("o_totalprice", "new_spend"),
+        F.when(old_dec.isNull(), "inserted")
+        .when(old_dec != new_dec, "updated")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiling (the diagnosis pass behind salting / AQE tuning)
+# ---------------------------------------------------------------------------
+
+@register(
+    "key_skew_profile",
+    oracle="""
+    WITH c AS (
+      SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1
+    ), t AS (SELECT COUNT(*) AS total FROM orders)
+    SELECT rnk, o_custkey, n_orders, share FROM (
+      SELECT CAST(row_number() OVER (ORDER BY n_orders DESC, o_custkey) AS INT) AS rnk,
+             o_custkey, n_orders,
+             round(n_orders / CAST(total AS DOUBLE), 6) AS share
+      FROM c CROSS JOIN t
+    ) WHERE rnk <= 10
+    """,
+    doc="Key-skew profile: top-10 heaviest join keys with row share — the "
+        "diagnostic relation that decides broadcast vs salt vs AQE skew "
+        "split before a big join. Two-level: per-key counts (map-side "
+        "combined), then a 10-row global rank; the global window only "
+        "ever sees the aggregated key list, never fact rows",
+)
+def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = o.groupBy("o_custkey").agg(F.count("*").alias("n_orders"))
+    total = o.agg(F.count("*").alias("total"))
+    w = Window.orderBy(F.desc("n_orders"), "o_custkey")
+    return (
+        c.crossJoin(F.broadcast(total))
+        .withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 10)
+        .select(
+            "rnk", "o_custkey", "n_orders",
+            F.round(F.col("n_orders") / F.col("total").cast("double"), 6).alias("share"),
+        )
+    )

@@ -8,6 +8,8 @@ struct ≈ ``customer`` via o_custkey; storeLocation ≈ ``nation.n_name``.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 from .session import tune
@@ -16,6 +18,11 @@ TABLES = (
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
 )
+
+#: Size guard for :func:`table_parallel` — below this, repartitioning a
+#: scan costs a trivial shuffle; above it (or with many files) the scan
+#: parallelizes on its own and the helper is a no-op.
+_SMALL_INPUT_BYTES = 64 << 20
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,6 +42,30 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(df.schema["ts"].dataType, T.LongType):
             # integer div: epoch-nanos > 2^53 would lose precision in double
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Like :func:`table`, but spreads a SMALL single-file scan across
+    cluster parallelism before heavy row-local compute (shingling,
+    per-row hashing, JSON serialize/parse).
+
+    A small single-row-group parquet file is one scan task; any compute
+    pipelined into that stage serializes on one core. Repartitioning
+    moves < ``_SMALL_INPUT_BYTES`` of raw rows — trivial — and unlocks
+    N-way compute. At real scale the guard never fires: a 100 TB input
+    has thousands of splits, and adding a repartition there would
+    shuffle the whole corpus for nothing. Only use this for operators
+    whose scan-stage compute dominates; queries that aggregate or join
+    immediately should use :func:`table` (they shuffle anyway, and the
+    extra exchange is pure cost)."""
+    df = table(spark, sf_dir, name)
+    try:
+        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
+    except OSError:
+        return df
+    if size < _SMALL_INPUT_BYTES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 

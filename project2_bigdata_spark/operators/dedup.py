@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-from ..catalog import table
+from ..catalog import table, table_parallel
 from .textstats import fingerprint
 
 N_MINHASH = 16
@@ -174,7 +174,7 @@ def minhash_band_pairs(
     cap; the verify join fetches hashed shingle sets by doc_id. No stage
     is quadratic in corpus size.
     """
-    docs = _with_hashed_shingles(table(spark, sf_dir, "documents")).select(
+    docs = _with_hashed_shingles(table_parallel(spark, sf_dir, "documents")).select(
         "doc_id", "hs", F.col("n_shingles").alias("set_size"),
     )
     sig = _minhash_signature(docs)
@@ -280,7 +280,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
 
 def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → simhash + 16-bit prefix bucket (candidate blocking key)."""
-    d = table(spark, sf_dir, "documents")
+    d = table_parallel(spark, sf_dir, "documents")
     return (
         d.select("doc_id", simhash64(F.col("text")).alias("simhash"))
         .withColumn("bucket", F.shiftrightunsigned("simhash", 48).cast("int"))

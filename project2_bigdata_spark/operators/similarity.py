@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import table, table_parallel
 
 N_PLANES = 8
 _RNG = np.random.RandomState(42)
@@ -52,7 +52,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector for the first n_queries
     vec_ids. Queries are broadcast; corpus is scanned once."""
-    e = table(spark, sf_dir, "embeddings")
+    e = table_parallel(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
@@ -88,7 +88,7 @@ def lsh_ann_topk(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's hyperplane bucket."""
-    e = table(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    e = table_parallel(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -207,7 +207,7 @@ def ivf_ann_topk(
     reading ~N_PROBE/N_CENTROIDS of the corpus per query. Real
     deployments raise N_CENTROIDS to ~sqrt(N) and keep nprobe small.
     """
-    e = table(spark, sf_dir, "embeddings")
+    e = table_parallel(spark, sf_dir, "embeddings")
     cents_row = (
         e.filter(F.col("vec_id") < N_CENTROIDS)
         .select(
@@ -302,7 +302,7 @@ def embedding_near_dup(
     near-dup dedup uses 0.9+.
     """
     e = (
-        table(spark, sf_dir, "embeddings")
+        table_parallel(spark, sf_dir, "embeddings")
         .withColumn("bucket", _bucket_expr())
         .select("vec_id", "label", F.col("embedding").alias("emb"), "bucket")
     )
@@ -357,7 +357,7 @@ def knn_join_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     multiple plane banks (multi-probe) before the window — same shape.
     """
     e = (
-        table(spark, sf_dir, "embeddings")
+        table_parallel(spark, sf_dir, "embeddings")
         .withColumn("bucket", _bucket_expr())
         .select("vec_id", F.col("embedding").alias("emb"), "bucket")
     )

@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import table
+from ..catalog import table, table_parallel
 from ..functions.money import dsum_expr, oracle_dsum
 from .registry import register
 
@@ -80,7 +80,8 @@ PAT_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
         "the pre-tokenization scrub step of a training pipeline",
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    # three regex passes per row dominate — spread a small scan
+    d = table_parallel(spark, sf_dir, "documents")
     did = F.col("doc_id")
     aug = F.concat(
         F.col("text"),
@@ -314,7 +315,8 @@ def q_hash_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shipping a vector store",
 )
 def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = table(spark, sf_dir, "embeddings")
+    # row-local 64-dim array math dominates — spread a small scan
+    e = table_parallel(spark, sf_dir, "embeddings")
     e = e.withColumn("ed", F.expr("transform(embedding, v -> cast(v as double))"))
     e = e.withColumn("amax", F.expr("array_max(transform(ed, v -> abs(v)))"))
     e = e.withColumn("scale", F.col("amax") / F.lit(127.0))

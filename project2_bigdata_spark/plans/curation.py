@@ -393,6 +393,40 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-group deterministic sample (balanced per-class subset for training)
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_sample_topk",
+    oracle="""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('gs:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+    doc="Balanced per-group sample: exactly 20 docs per language, chosen "
+        "by md5 order — a deterministic uniform draw that never moves "
+        "under re-partitioning/retries (unlike sample()). One shuffle on "
+        "the group key; the per-class balancing step before fine-tuning. "
+        "At scale, skewed groups bound the window partition at group "
+        "size — for billion-doc groups switch to the threshold form "
+        "(md5 < k/n_group) used by stratified_sample",
+)
+def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.concat(F.lit("gs:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(key, "doc_id")
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # CDC-style snapshot diff (incremental-pipeline primitive)
 # ---------------------------------------------------------------------------
 

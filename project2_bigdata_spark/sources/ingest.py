@@ -98,6 +98,23 @@ def write_partitioned_parquet(
     df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
 
 
+def write_orc(df: DataFrame, path: str, partition_cols: list[str] | None = None) -> None:
+    """Columnar ORC sink (Spark-native, zlib by default) — the exchange
+    format when the downstream stack is Hive/Trino-flavored rather than
+    parquet-native. Same overwrite and hive-partition semantics as the
+    parquet sink."""
+    w = df.write.mode("overwrite")
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — predicate pushdown and column pruning work exactly
+    as with parquet (the scan node shows PushedFilters)."""
+    return spark.read.orc(path)
+
+
 def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame:
     """Read back a partitioned dataset keeping only the given partition
     values — the filter lands in the scan's PartitionFilters, never

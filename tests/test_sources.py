@@ -133,3 +133,50 @@ def test_orc_sink_source_roundtrip(spark, sf_dir):
         assert read_orc(spark, f"{d}/docs").count() == 10
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_compaction_merges_small_files(spark, sf_dir):
+    """Many tiny files → one near-target-size file; values unchanged."""
+    import shutil
+    import tempfile
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import compact_small_files
+
+    d = tempfile.mkdtemp(prefix="compact_", dir="/root/repo")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        docs.repartition(16).write.mode("overwrite").parquet(f"{d}/t")
+        import glob
+        before = len(glob.glob(f"{d}/t/*.parquet"))
+        assert before >= 16
+        checksum = docs.agg(F.sum("doc_id"), F.sum("n_chars")).first()
+        n_after = compact_small_files(spark, f"{d}/t")
+        assert n_after == 1  # tiny table → single 128MB-target file
+        back = spark.read.parquet(f"{d}/t")
+        assert tuple(back.agg(F.sum("doc_id"), F.sum("n_chars")).first()) == tuple(checksum)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_schema_evolution_merged_read(spark, sf_dir):
+    """Two batches with different columns read as one relation."""
+    import shutil
+    import tempfile
+
+    from project2_bigdata_spark.sources.ingest import read_merged_schema
+
+    d = tempfile.mkdtemp(prefix="evolve_", dir="/root/repo")
+    try:
+        spark.range(5).select(F.col("id"), F.lit("a").alias("old_col")) \
+            .write.parquet(f"{d}/t/batch=1")
+        spark.range(5, 10).select(F.col("id"), F.lit(2.5).alias("new_col")) \
+            .write.parquet(f"{d}/t/batch=2")
+        df = read_merged_schema(spark, f"{d}/t")
+        assert {"id", "old_col", "new_col", "batch"} <= set(df.columns)
+        assert df.count() == 10
+        # absent columns are null, not errors
+        assert df.filter(F.col("new_col").isNull()).count() == 5
+        assert df.filter(F.col("old_col").isNull()).count() == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

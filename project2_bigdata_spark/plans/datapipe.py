@@ -188,12 +188,53 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "simhash_buckets",
-    oracle=None,  # Arrow pandas-UDF signature → driver rows-only
-    doc="SimHash-64 signatures via vectorized pandas UDF + 16-bit prefix "
-        "buckets; unit-tested for determinism and bit-flip locality",
+    oracle="""
+    WITH dw AS (
+      SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+      FROM documents
+    ), hx AS (
+      SELECT doc_id, substr(md5(w), 1, 16) AS h FROM dw
+    ), bits AS (
+      -- bit b of the big-endian 64-bit md5 prefix: nibble = hex char at
+      -- position 16 - b/4, bit within nibble = b%4
+      SELECT doc_id, gs.b AS b,
+             CASE WHEN ((strpos('0123456789abcdef',
+                                substr(h, 16 - gs.b // 4, 1)) - 1)
+                        >> (gs.b % 4)) & 1 = 1
+                  THEN 1 ELSE -1 END AS pm
+      FROM hx CROSS JOIN (SELECT unnest(range(0, 64)) AS b) gs
+    ), acc AS (
+      SELECT doc_id, b, SUM(pm) AS s FROM bits GROUP BY 1, 2
+    ), nibs AS (
+      SELECT doc_id, CAST(b // 4 AS INT) AS ni,
+             SUM(CASE WHEN s > 0 THEN (1 << (b % 4)) ELSE 0 END) AS nv
+      FROM acc GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                      '' ORDER BY ni DESC) AS simhash_hex,
+           string_agg(substr('0123456789abcdef', CAST(nv AS INT) + 1, 1),
+                      '' ORDER BY ni DESC) FILTER (ni >= 12) AS bucket_hex
+    FROM nibs GROUP BY doc_id
+    """,
+    doc="SimHash-64 signatures via vectorized pandas UDF (one md5 per "
+        "unique word per Arrow batch, ±1 bit-matrix scatter-add) + "
+        "16-bit prefix buckets. The signature is engine-portable "
+        "(md5-derived, set semantics, strict-majority bits), so the "
+        "DuckDB oracle rebuilds every bit from SQL and the driver "
+        "value-hash CONFIRMS the UDF — signatures compare as hex "
+        "strings to sidestep int64 sign conventions",
 )
 def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_buckets(spark, sf_dir)
+    sh = simhash_buckets(spark, sf_dir)
+    # conv(hex...) keeps the two's-complement 64-bit pattern: hex() of a
+    # negative bigint is already the 16-char unsigned form in Spark
+    hexsig = F.lpad(F.lower(F.hex("simhash")), 16, "0")
+    return sh.select(
+        "doc_id",
+        hexsig.alias("simhash_hex"),
+        F.substring(hexsig, 1, 4).alias("bucket_hex"),
+    )
 
 
 @register(

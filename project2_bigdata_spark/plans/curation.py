@@ -393,6 +393,61 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unigram LM quality score (CCNet-style perplexity filter stand-in)
+# ---------------------------------------------------------------------------
+
+@register(
+    "unigram_logprob_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS tf FROM toks GROUP BY 1
+    ), tot AS (SELECT SUM(tf) AS n_tokens FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             round(ln(CAST(v.tf AS DOUBLE) / n_tokens), 6) AS lp
+      FROM toks t JOIN vocab v USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_logprob,
+           round(CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    doc="Unigram-LM quality score: corpus unigram probabilities, then "
+        "mean token log-prob per document — the cheap stand-in for the "
+        "CCNet/KenLM perplexity filter (outlier docs score far from the "
+        "corpus mode). Two-level plan: vocabulary-sized agg, broadcast "
+        "token-probability join, one re-agg by doc. Per-token logprob is "
+        "rounded to 6dp then summed as DECIMAL(18,6) (exact and order-"
+        "insensitive, per the functions/money.py convention) so the "
+        "document score is bit-identical under any partitioning",
+)
+def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("tf"))
+    tot = vocab.agg(F.sum("tf").alias("n_tokens"))
+    scored = (
+        toks.join(F.broadcast(vocab), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(F.log(F.col("tf").cast("double") / F.col("n_tokens")), 6).alias("lp"),
+        )
+    )
+    dec_sum = F.sum(F.col("lp").cast("decimal(18,6)")).cast("string").cast("double")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        dec_sum.alias("sum_logprob"),
+        F.round(dec_sum / F.count("*"), 6).alias("avg_logprob"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-group deterministic sample (balanced per-class subset for training)
 # ---------------------------------------------------------------------------
 

@@ -79,6 +79,33 @@ def read_extended_json(spark: SparkSession, path: str) -> DataFrame:
     return clean_sales(spark.read.schema(SALE_JSON_SCHEMA).json(path))
 
 
+def read_extended_json_permissive(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, DataFrame]:
+    """S1 with corrupt-line quarantine: PERMISSIVE parse routes rows that
+    don't parse as JSON into ``_corrupt_record`` instead of failing the
+    job (one malformed line must not kill a 100 TB ingest). Returns
+    (clean_rows, quarantined_raw_lines) — the quarantine relation is
+    what a production pipeline writes to a dead-letter sink for replay."""
+    # copy — StructType.add would mutate the shared module-level schema
+    schema = T.StructType(
+        SALE_JSON_SCHEMA.fields + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+        .cache()  # split consumers; Spark requires caching to read
+        #           _corrupt_record alongside parsed columns
+    )
+    clean = clean_sales(raw.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record"))
+    quarantine = raw.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return clean, quarantine
+
+
 def write_report_csv(df: DataFrame, path: str) -> None:
     """S4 + S6: the sales_report.csv sink (df.ipynb:444 cell 12) —
     header CSV, overwrite ≡ the reference's collection.drop().

@@ -180,3 +180,23 @@ def test_schema_evolution_merged_read(spark, sf_dir):
         assert df.filter(F.col("old_col").isNull()).count() == 5
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_permissive_ingest_quarantines_corrupt_lines(spark):
+    """One malformed line must not kill the ingest: it lands in the
+    quarantine relation verbatim; clean rows parse normally."""
+    import shutil
+    import tempfile
+
+    from project2_bigdata_spark.sources.ingest import read_extended_json_permissive
+
+    d = tempfile.mkdtemp(prefix="quarantine_", dir="/root/repo")
+    try:
+        with open(f"{d}/sales.json", "w") as f:
+            f.write("\n".join(DOCS + ['{"_id": {"$oid": "bad"', "not json at all"]))
+        clean, quarantine = read_extended_json_permissive(spark, f"{d}/sales.json")
+        assert {r.sale_id for r in clean.collect()} == {"a1", "a2", "a3"}
+        bad = [r.raw_line for r in quarantine.collect()]
+        assert len(bad) == 2 and "not json at all" in bad
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

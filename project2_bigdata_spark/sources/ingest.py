@@ -189,6 +189,17 @@ def read_merged_schema(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.option("mergeSchema", True).parquet(path)
 
 
+def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str]) -> None:
+    """Data-clustering sink: sortWithinPartitions before write so each
+    parquet row group covers a narrow [min, max] range of the sort key.
+    Readers filtering on that key then skip whole row groups from footer
+    statistics alone — the poor man's z-order, and at 100 TB the
+    difference between scanning a day and scanning the table. No global
+    sort (that would shuffle everything): clustering quality within a
+    partition is what row-group skipping needs."""
+    df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
 def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame:
     """Read back a partitioned dataset keeping only the given partition
     values — the filter lands in the scan's PartitionFilters, never

@@ -200,3 +200,57 @@ def test_permissive_ingest_quarantines_corrupt_lines(spark):
         assert len(bad) == 2 and "not json at all" in bad
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sorted_write_tightens_rowgroup_stats(spark):
+    """Sort-on-write clustering: the sorted layout's per-row-group
+    [min,max] key ranges are disjoint (skippable from footer stats);
+    a shuffled layout of the same data overlaps almost everywhere."""
+    import glob
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import write_sorted_parquet
+
+    d = tempfile.mkdtemp(prefix="sorted_", dir="/root/repo")
+    try:
+        df = spark.range(300_000).select(
+            F.col("id").alias("k"), (F.col("id") * 7 % 1000).alias("v")
+        )
+        # shuffled baseline: ordering by hash interleaves the key range
+        shuffled = df.orderBy(F.expr("pmod(hash(k), 97)")).coalesce(1)
+
+        def rg_ranges(path):
+            f = glob.glob(f"{path}/*.parquet")[0]
+            md = pq.ParquetFile(f).metadata
+            return [
+                (md.row_group(i).column(0).statistics.min,
+                 md.row_group(i).column(0).statistics.max)
+                for i in range(md.num_row_groups)
+            ]
+
+        opt = {"parquet.block.size": str(256 * 1024)}
+        shuffled.write.mode("overwrite").options(**opt).parquet(f"{d}/messy")
+        df.coalesce(1).sortWithinPartitions("k").write.mode("overwrite") \
+            .options(**opt).parquet(f"{d}/sorted")
+        # write_sorted_parquet is the same layout path
+        write_sorted_parquet(df.coalesce(1), f"{d}/sorted2", ["k"])
+
+        sorted_r = sorted(rg_ranges(f"{d}/sorted"))
+        messy_r = sorted(rg_ranges(f"{d}/messy"))
+        assert len(sorted_r) >= 2, "need multiple row groups to prove skipping"
+        for (lo1, hi1), (lo2, hi2) in zip(sorted_r, sorted_r[1:]):
+            assert hi1 <= lo2, f"overlapping sorted ranges {sorted_r}"
+        # the messy layout overlaps: every row group spans ~the full key range
+        overlaps = sum(
+            1 for (lo1, hi1), (lo2, hi2) in zip(messy_r, messy_r[1:]) if hi1 > lo2
+        )
+        assert overlaps > 0, "hash layout unexpectedly clustered"
+        back = spark.read.parquet(f"{d}/sorted2")
+        assert back.count() == 300_000
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -16,6 +16,7 @@ from . import joins         # noqa: E402,F401  join/set-op/grouping-set complete
 from . import functions_surface  # noqa: E402,F401  string/percentile/math scalar surface
 from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / text analysis
 from . import curation      # noqa: E402,F401  round 2: PII / span dedup / sampling / quantize / CDC
+from . import ops           # noqa: E402,F401  round 2: dq gates / anomalies / incremental rollups
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4

@@ -1,0 +1,170 @@
+"""Engine-ops relations: data-quality gates, anomaly detection, and
+incremental-aggregation maintenance.
+
+These are the operational queries a production 100 TB deployment runs
+around the analytical ones: validate before ingest, monitor after
+aggregation, and maintain rollups incrementally instead of recomputing.
+All pure JVM expressions with DuckDB oracles; exactness conventions per
+functions/money.py (decimal sums, moment-sum stddev).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import table
+from ..functions.money import dsum, dsum10, oracle_dsum
+from ..operators.salesviews import sales_daily
+from .registry import register
+from .relational import SALES_DAILY_SQL
+
+
+@register(
+    "dq_checks",
+    oracle="""
+    SELECT 'orders_nonpositive_price' AS rule,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS n_violations
+    UNION ALL
+    SELECT 'orders_null_custkey',
+           (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey',
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_quantity_out_of_range',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'events_ts_out_of_range',
+           (SELECT COUNT(*) FROM events
+            WHERE ts < TIMESTAMP '1992-01-01' OR ts >= TIMESTAMP '2000-01-01')
+    """,
+    doc="Data-quality gate: rule → violation count over the raw tables "
+        "(non-positive money, null keys, referential orphans via "
+        "anti-join, domain ranges). Each rule is one aggregate over one "
+        "scan — the orphan check is a broadcast-able anti join, never a "
+        "distinct-collect. The relation a pipeline asserts == 0 on "
+        "before promoting a batch",
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    events = table(spark, sf_dir, "events")
+
+    def one(rule: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").cast("bigint").alias("n_violations")).select(
+            F.lit(rule).alias("rule"), "n_violations"
+        )
+
+    orphans = lineitem.join(
+        orders.select("o_orderkey"),
+        lineitem.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    checks = [
+        one("orders_nonpositive_price", orders.filter(F.col("o_totalprice") <= 0)),
+        one("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
+        one("lineitem_orphan_orderkey", orphans),
+        one(
+            "lineitem_quantity_out_of_range",
+            lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        ),
+        one(
+            "events_ts_out_of_range",
+            events.filter(
+                (F.col("ts") < "1992-01-01") | (F.col("ts") >= "2000-01-01")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@register(
+    "revenue_anomalies",
+    oracle=SALES_DAILY_SQL + """
+    , stats AS (
+      SELECT product,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(total_revenue * total_revenue AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM sales_daily GROUP BY 1
+    )
+    SELECT d.date, d.product, d.total_revenue,
+           round((d.total_revenue - sx / n)
+                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z_score
+    FROM sales_daily d JOIN stats USING (product)
+    WHERE n > 1
+      AND abs((d.total_revenue - sx / n)
+              / sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0
+    """,
+    doc="Revenue anomaly monitor: daily revenue more than 3 sample-"
+        "stddevs from the product mean. Two-level plan: per-product "
+        "moment sums (exact decimal — stddev is bit-identical across "
+        "engines), broadcast back onto the daily grain, row-local "
+        "z-score filter. The alerting relation behind a pipeline "
+        "health dashboard",
+)
+def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = sales_daily(spark, sf_dir)
+    stats = daily.groupBy("product").agg(
+        F.count("*").alias("n"),
+        dsum("total_revenue").alias("sx"),
+        dsum10("total_revenue * total_revenue").alias("sxx"),
+    )
+    z = (F.col("total_revenue") - F.col("sx") / F.col("n")) / F.sqrt(
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    )
+    return (
+        daily.join(F.broadcast(stats), "product")
+        .filter((F.col("n") > 1) & (F.abs(z) > 3.0))
+        .select("date", "product", "total_revenue", F.round(z, 6).alias("z_score"))
+    )
+
+
+@register(
+    "incremental_rollup_merge",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS year,
+           CAST(month(o_orderdate) AS INT) AS month,
+           COUNT(*) AS n_orders,
+           """ + oracle_dsum("o_totalprice", "total_revenue") + """
+    FROM orders GROUP BY 1, 2
+    """,
+    doc="Incremental rollup maintenance: the monthly aggregate is "
+        "computed as base-partition partials (orders < cutoff) MERGED "
+        "with delta partials (>= cutoff) — counts add, decimal sums add "
+        "exactly — instead of rescanning history. The oracle is the "
+        "full recompute, so the driver check IS the proof that "
+        "merge(partials) == recompute: the property that lets a 100 TB "
+        "pipeline process only the new partition each day. (Mergeable "
+        "aggs only — distincts need sketches)",
+)
+def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cutoff = "1997-01-01"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.year("o_orderdate").alias("year"),
+            F.month("o_orderdate").alias("month"),
+        ).agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev_dec"),
+        )
+
+    base = partial(orders.filter(F.col("o_orderdate") < cutoff))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cutoff))
+    return (
+        base.unionByName(delta)
+        .groupBy("year", "month")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("_rev_dec").cast("string").cast("double").alias("total_revenue"),
+        )
+    )

@@ -160,3 +160,122 @@ def test_winnowing_shared_run_guarantee(spark, a_words, b_words):
     for r in out:
         fps.setdefault(r.doc_id, set()).add(r.fingerprint)
     assert fps[0] & fps[1], "docs sharing a 6-word run must share a fingerprint"
+
+
+_vectors = st.lists(
+    st.lists(
+        st.floats(-100.0, 100.0, allow_nan=False, allow_infinity=False, width=32),
+        min_size=1, max_size=8,
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(**_SETTINGS)
+@given(_vectors)
+def test_int8_quantization_invariants(spark, vecs):
+    """embedding_quantize invariants on adversarial vectors (zeros,
+    near-zero scales, negatives): q within [-127, 127], per-element
+    reconstruction error <= scale/2 (+ float slack), zero vectors map
+    to zero checksum and zero error."""
+    import pandas as pd
+
+    pdf = pd.DataFrame({
+        "vec_id": range(len(vecs)),
+        "label": [0] * len(vecs),
+        "embedding": vecs,
+    })
+    df = spark.createDataFrame(pdf)
+    df.createOrReplaceTempView("tmp_embeddings")
+    out = spark.sql("""
+        WITH e AS (
+          SELECT vec_id, transform(embedding, v -> cast(v as double)) AS ed
+          FROM tmp_embeddings
+        ), s AS (
+          SELECT vec_id, ed,
+                 array_max(transform(ed, v -> abs(v))) AS amax
+          FROM e
+        ), t AS (SELECT *, amax / 127.0 AS scale FROM s)
+        SELECT vec_id, amax, scale,
+               CASE WHEN amax > 0
+                 THEN transform(ed, v -> cast(floor(v / scale + 0.5) as int))
+                 ELSE transform(ed, v -> 0) END AS qv,
+               ed
+        FROM t
+    """).collect()
+    for r in out:
+        assert all(-127 <= q <= 127 for q in r.qv), (r.qv, r.amax)
+        if r.amax == 0:
+            assert all(q == 0 for q in r.qv)
+            continue
+        for v, q in zip(r.ed, r.qv):
+            assert abs(v - q * r.scale) <= r.scale / 2 + 1e-9
+
+
+_pii_lines = st.lists(
+    st.sampled_from([
+        "plain words only here",
+        "reach me at first.last+tag@sub.example.co or not",
+        "two mails a@b.io c.d@e-f.org in one line",
+        "server 192.168.0.1 and 10.0.255.254 up",
+        "call 555-123-4567 now",
+        "ip-like 999.999.999.999 still matches shape",
+        "not-an-ip 1.2.3 and half-phone 555-123",
+        "email@edge.comcall 555-000-1111",
+    ]),
+    min_size=1, max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(_pii_lines)
+def test_pii_regex_model_parity(spark, lines):
+    """The PII counting regexes agree with an independent Python re
+    model on adversarial lines (multiple hits, boundary abutting,
+    shape-only lookalikes)."""
+    import re
+
+    import pandas as pd
+
+    from project2_bigdata_spark.plans.curation import PAT_EMAIL, PAT_IPV4, PAT_PHONE
+
+    pdf = pd.DataFrame({"doc_id": range(len(lines)), "t": lines})
+    df = spark.createDataFrame(pdf)
+    got = {
+        r.doc_id: (r.e, r.i, r.p)
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("t", F.lit(PAT_EMAIL)).alias("e"),
+            F.regexp_count("t", F.lit(PAT_IPV4)).alias("i"),
+            F.regexp_count("t", F.lit(PAT_PHONE)).alias("p"),
+        ).collect()
+    }
+    for i, line in enumerate(lines):
+        expect = (
+            len(re.findall(PAT_EMAIL, line)),
+            len(re.findall(PAT_IPV4, line)),
+            len(re.findall(PAT_PHONE, line)),
+        )
+        assert got[i] == expect, (line, got[i], expect)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(0, 10**9), min_size=1, max_size=30, unique=True))
+def test_hash_split_is_stable_and_total(spark, ids):
+    """hash_split semantics: every id gets exactly one split, assignment
+    is a pure function of the id (stable under re-partitioning), and
+    matches the md5-byte model."""
+    import hashlib
+
+    import pandas as pd
+
+    pdf = pd.DataFrame({"doc_id": ids})
+    for parts in (1, 4):
+        df = spark.createDataFrame(pdf).repartition(parts)
+        b = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2)
+        split = F.when(b < "f0", "train").when(b < "f8", "val").otherwise("test")
+        got = {r.doc_id: r.s for r in df.select("doc_id", split.alias("s")).collect()}
+        for i in ids:
+            h = hashlib.md5(f"split:{i}".encode()).hexdigest()[:2]
+            expect = "train" if h < "f0" else ("val" if h < "f8" else "test")
+            assert got[i] == expect

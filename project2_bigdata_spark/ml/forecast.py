@@ -106,8 +106,15 @@ def q_wape_seasonal_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
 GRID_LAMBDAS = (1e-3, 1e-1, 1.0, 10.0)
 GRID_LAGS = (3, 7)
 
+#: Competing model families, mirroring the reference's RF-vs-SVR-vs-MLP
+#: selection: the ridge-AR grid vs two fit-free baselines. The winner
+#: per product is whichever family+config has the lowest validation
+#: MAPE — baselines win exactly where a fitted model can't beat them,
+#: which is the point of family selection.
+FAMILIES = ("ridge", "seasonal_naive", "moving_avg7")
+
 _TRAIN_SCHEMA = (
-    "product string, best_lambda double, best_n_lags int, "
+    "product string, best_family string, best_lambda double, best_n_lags int, "
     "n_train int, n_test int, "
     "train_wape double, test_wape double, test_mape double, "
     "coef array<double>"
@@ -146,6 +153,10 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
     ytr = train.total_quantity.to_numpy(np.float64)
     yv = val.total_quantity.to_numpy(np.float64)
     wape = lambda y, yh: float(np.abs(y - yh).sum() / np.abs(y).sum())  # noqa: E731
+
+    # candidates: (sort_key, family, lam, nl, train_wape, val_wape)
+    # sort_key leads with val MAPE; family index + (lam, nl) break ties
+    # deterministically.
     best = None
     for lam in GRID_LAMBDAS:
         for nl in GRID_LAGS:
@@ -153,19 +164,36 @@ def _fit_group(pdf: pd.DataFrame) -> pd.DataFrame:
             beta = _ridge(xtr, ytr, lam)
             yhat_v = _design(val, nl) @ beta
             mape = float(np.mean(np.abs((yv - yhat_v) / yv)))
-            key = (mape, lam, nl)
+            key = (mape, 0, lam, nl)
             if best is None or key < best[0]:
-                best = (key, lam, nl, wape(ytr, xtr @ beta), wape(yv, yhat_v))
-    _, lam, nl, train_wape, val_wape = best
-    coef = _ridge(_design(pdf, nl), pdf.total_quantity.to_numpy(np.float64), lam)
+                best = (key, "ridge", lam, nl, wape(ytr, xtr @ beta), wape(yv, yhat_v))
+    for fam_ix, fam in ((1, "seasonal_naive"), (2, "moving_avg7")):
+        if fam == "seasonal_naive":
+            yhat_tr = train["lag_7"].to_numpy(np.float64)
+            yhat_v = val["lag_7"].to_numpy(np.float64)
+        else:
+            lag7 = [f"lag_{i}" for i in range(1, 8)]
+            yhat_tr = train[lag7].to_numpy(np.float64).mean(axis=1)
+            yhat_v = val[lag7].to_numpy(np.float64).mean(axis=1)
+        mape = float(np.mean(np.abs((yv - yhat_v) / yv)))
+        key = (mape, fam_ix, 0.0, 7)
+        if key < best[0]:
+            best = (key, fam, 0.0, 7, wape(ytr, yhat_tr), wape(yv, yhat_v))
+    _, fam, lam, nl, train_wape, val_wape = best
+    if fam == "ridge":
+        coef = list(map(float, _ridge(
+            _design(pdf, nl), pdf.total_quantity.to_numpy(np.float64), lam)))
+    else:
+        coef = []  # fit-free family: the "model" is its name
     return pd.DataFrame({
         "product": [pdf["product"].iloc[0]],
+        "best_family": [fam],
         "best_lambda": [lam], "best_n_lags": [nl],
         "n_train": [len(train)], "n_test": [len(val)],
         "train_wape": [train_wape],
         "test_wape": [val_wape],
         "test_mape": [best[0][0]],
-        "coef": [list(map(float, coef))],
+        "coef": [coef],
     })
 
 
@@ -184,14 +212,14 @@ def train_best_models(spark: SparkSession, sf_dir: str) -> DataFrame:
 register(
     "ml_train_per_product",
     oracle=None,  # linear solve isn't SQL-expressible; rows-only + unit tests
-    doc="U3 faithful: per-product hyperparameter grid (4 λ × 2 AR "
-        "orders, ridge closed form) in groupBy(product).applyInPandas, "
-        "winner selected by validation MAPE with a deterministic "
-        "tie-break, then refit on the full history — the reference's "
-        "RF/SVR/MLP grid + best-model-per-product protocol "
-        "(EDA.ipynb cells 58-69) with a deterministic model family. "
-        "Winners persist via save_models/load_models (parquet model "
-        "sink, S5) and drive ml_forecast_14d.",
+    doc="U3 faithful: per-product search over MODEL FAMILIES (ridge-AR "
+        "grid of 4 λ × 2 orders vs seasonal-naive vs 7-day moving "
+        "average) in groupBy(product).applyInPandas, winner selected by "
+        "validation MAPE with a deterministic tie-break, ridge winners "
+        "refit on full history — the reference's RF/SVR/MLP grid + "
+        "best-model-per-product protocol (EDA.ipynb cells 58-69) with "
+        "deterministic families. Winners persist via save_models/"
+        "load_models (parquet model sink, S5) and drive ml_forecast_14d.",
 )(train_best_models)
 
 
@@ -254,6 +282,7 @@ def _forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
     into the lag vector. (Single-argument on purpose: applyInPandas
     passes (key, pdf) to two-parameter functions.)"""
     pdf = pdf.sort_values("date")
+    fam = str(pdf["best_family"].iloc[0]) if "best_family" in pdf else "ridge"
     nl = int(pdf["best_n_lags"].iloc[0])
     beta = np.asarray(pdf["coef"].iloc[0], dtype=np.float64)
 
@@ -263,9 +292,14 @@ def _forecast_group(pdf: pd.DataFrame) -> pd.DataFrame:
     for step in range(1, HORIZON + 1):
         d = last_date + pd.Timedelta(days=step)
         dow = (d.dayofweek) % 7
-        feat = np.array([1.0, *lags, float(d.month), float(dow),
-                         1.0 if dow >= 5 else 0.0])
-        pred = float(feat @ beta)
+        if fam == "seasonal_naive":
+            pred = float(lags[6])
+        elif fam == "moving_avg7":
+            pred = float(np.mean(lags[:7]))
+        else:
+            feat = np.array([1.0, *lags, float(d.month), float(dow),
+                             1.0 if dow >= 5 else 0.0])
+            pred = float(feat @ beta)
         rows.append((pdf["product"].iloc[0], step, d.date(), pred))
         lags = [pred] + lags[:-1]
     return pd.DataFrame(rows, columns=["product", "step", "date", "predicted_quantity"])
@@ -282,7 +316,7 @@ def forecast_from_models(features: DataFrame, models: DataFrame) -> DataFrame:
     """
     return (
         features.join(
-            F.broadcast(models.select("product", "best_n_lags", "coef")),
+            F.broadcast(models.select("product", "best_family", "best_n_lags", "coef")),
             "product",
         )
         .groupBy("product")

@@ -27,13 +27,20 @@ def test_per_product_training(spark, sf_dir):
     for c in ["train_wape", "test_wape", "test_mape"]:
         assert out[c].notna().all() and (out[c] >= 0).all()
     assert (out["n_test"] > 0).all()
-    # grid selection: every winner is an actual grid point, and the
-    # persisted coefficient vector matches its config's design width
-    assert out["best_lambda"].isin(GRID_LAMBDAS).all()
-    assert out["best_n_lags"].isin(GRID_LAGS).all()
-    assert (out["coef"].map(len) == out["best_n_lags"] + 4).all()
-    # at least two different configs win somewhere (the grid is live)
-    assert len(set(zip(out["best_lambda"], out["best_n_lags"]))) >= 2
+    # family selection: every winner is a known family; ridge winners
+    # carry a grid-point config + coefficient vector of the design
+    # width, fit-free families carry an empty coef by contract
+    from project2_bigdata_spark.ml.forecast import FAMILIES
+
+    assert out["best_family"].isin(FAMILIES).all()
+    ridge = out[out["best_family"] == "ridge"]
+    other = out[out["best_family"] != "ridge"]
+    assert ridge["best_lambda"].isin(GRID_LAMBDAS).all()
+    assert ridge["best_n_lags"].isin(GRID_LAGS).all()
+    assert (ridge["coef"].map(len) == ridge["best_n_lags"] + 4).all()
+    assert (other["coef"].map(len) == 0).all()
+    # the search is live: at least two distinct winning (family, config)s
+    assert len(set(zip(out["best_family"], out["best_lambda"], out["best_n_lags"]))) >= 2
 
 
 def test_per_product_training_deterministic(spark, sf_dir):

@@ -393,6 +393,68 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE merge-pair statistics (tokenizer-training primitive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY 1
+    ), chars AS (
+      SELECT w, tf, regexp_extract_all(w, '.') AS cs FROM vocab
+    ), pairs AS (
+      SELECT unnest(CASE WHEN len(cs) >= 2 THEN
+               list_transform(range(1, len(cs)), i -> cs[i] || ' ' || cs[i+1])
+             ELSE [] END) AS pair,
+             tf
+      FROM chars
+    ), counts AS (
+      SELECT pair, SUM(tf) AS n FROM pairs GROUP BY 1
+    )
+    SELECT pair, n, rnk FROM (
+      SELECT pair, CAST(n AS BIGINT) AS n,
+             CAST(row_number() OVER (ORDER BY n DESC, pair) AS INT) AS rnk
+      FROM counts
+    ) WHERE rnk <= 20
+    """,
+    doc="BPE training, first merge iteration: adjacent-character pair "
+        "frequencies weighted by word frequency, top-20 merge "
+        "candidates with deterministic tie-break. Two-level plan — the "
+        "corpus-sized explode collapses to a VOCABULARY-sized relation "
+        "first, then the char-pair explode runs over unique words only "
+        "(at 100 TB the token stream is billions of rows, the vocab is "
+        "millions — doing pair counting after the vocab rollup is the "
+        "difference between shuffling TBs and MBs)",
+)
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("tf"))
+    )
+    chars = vocab.withColumn("cs", F.expr("regexp_extract_all(w, '.', 0)"))
+    pairs = chars.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(cs) >= 2 THEN transform(sequence(1, size(cs) - 1), "
+                "i -> concat(cs[i-1], ' ', cs[i])) ELSE array() END"
+            )
+        ).alias("pair"),
+        "tf",
+    )
+    counts = pairs.groupBy("pair").agg(F.sum("tf").cast("bigint").alias("n"))
+    w = Window.orderBy(F.desc("n"), "pair")
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Unigram LM quality score (CCNet-style perplexity filter stand-in)
 # ---------------------------------------------------------------------------
 

@@ -106,3 +106,26 @@ def test_two_level_agg_for_global_kpis(spark, sf_dir):
     assert plan.count("Expand") <= 1, (
         f"kpi_global: multi-distinct expand over the fact table\n{plan}"
     )
+
+
+def test_results_invariant_under_aqe_toggle(spark, sf_dir):
+    """Correctness must not depend on AQE's runtime re-planning: the
+    exactness conventions (decimal sums, deterministic tie-breaks) make
+    results bit-identical with AQE on and off."""
+    names = ["sales_daily", "kpi_global", "top_pairs_per_product",
+             "tfidf_top_terms", "snapshot_diff"]
+    orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        results = {}
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            for n in names:
+                df = REGISTRY[n].fn(spark, sf_dir)
+                pdf = df.toPandas()
+                pdf = pdf[sorted(pdf.columns)].sort_values(
+                    by=sorted(pdf.columns)).reset_index(drop=True)
+                results.setdefault(n, []).append(pdf)
+        for n, (a, b) in results.items():
+            assert a.equals(b), f"{n}: AQE toggle changed the result"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig)

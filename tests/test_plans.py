@@ -103,3 +103,19 @@ def test_corpus_operators_shuffle_free(spark, sf_dir):
         assert "Exchange" not in plan, f"unexpected shuffle in {name}"
     pack = _plan(REGISTRY["sequence_packing"].fn(spark, sf_dir))
     assert pack.count("Exchange hashpartitioning") == 1
+
+
+def test_driver_order_invariants():
+    """driver_order() must enumerate every registered query exactly once,
+    with the round-2 front-loaded (previously driver-unverified) block
+    first — the mechanism that banks driver CORRECTNESS rows per round."""
+    from project2_bigdata_spark.plans import REGISTRY, driver_order
+    from project2_bigdata_spark.plans import __init__ as _  # noqa: F401
+
+    order = driver_order()
+    assert len(order) == len(set(order)), "duplicate names in driver order"
+    assert set(order) == set(REGISTRY), "driver order must cover the registry"
+    from project2_bigdata_spark.plans import _ROUND2_FRONT
+
+    front_present = [n for n in _ROUND2_FRONT if n in REGISTRY]
+    assert order[: len(front_present)] == front_present

@@ -27,12 +27,21 @@ PYTHON_OK = {
     "ml_rf_grid",
 }
 
-#: Queries that intentionally use a broadcast nested-loop join (tiny
-#: probe/range relation against the fact side — the correct plan for a
-#: non-equi predicate with a small side).
-BNLJ_OK = {"range_join_tiers", "decontaminate", "similarity_topk",
-           "temperature_sample", "hash_split_assign", "key_skew_profile",
-           "product_probability_join", "ivf_ann_topk"}
+#: Queries that intentionally use a broadcast nested-loop join. Two
+#: legitimate shapes only: (a) a tiny probe/range relation joined on a
+#: non-equi predicate; (b) the scalar-aggregate pattern
+#: crossJoin(broadcast(<1-row total>)) used for ratios/shares. Any
+#: other BNLJ means an equi-join condition was lost.
+BNLJ_OK = {
+    # (a) non-equi probe/range relations
+    "range_join_tiers", "decontaminate", "similarity_topk",
+    "temperature_sample", "hash_split_assign", "key_skew_profile",
+    "product_probability_join", "ivf_ann_topk",
+    # (b) 1-row scalar-aggregate cross joins
+    "pair_counts", "top_pairs_per_product", "association_rules",
+    "train_test_time_split", "ep3_forecast_series", "revenue_checksum",
+    "tfidf_top_terms", "unigram_logprob_score",
+}
 
 
 @pytest.mark.parametrize("name", [
@@ -58,6 +67,21 @@ def test_no_cartesian_product(spark, sf_dir, name):
     """No query may degrade to an unbounded cartesian product."""
     plan = plan_of(spark, sf_dir, name)
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
+
+
+def test_no_nested_loop_join_outside_allowlist(spark, sf_dir):
+    """A BroadcastNestedLoopJoin is only acceptable where the broadcast
+    side is a tiny probe/range relation by construction; anywhere else
+    it means an equi-join condition was lost (the classic silent
+    O(n*m) scale killer)."""
+    offenders = []
+    for name in REGISTRY:
+        if name in BNLJ_OK or name.startswith(("stream_", "ml_", "multimodal_")):
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        if "BroadcastNestedLoopJoin" in plan:
+            offenders.append(name)
+    assert not offenders, f"nested-loop joins leaked into: {offenders}"
 
 
 def test_no_python_udf_outside_allowlist(spark, sf_dir):

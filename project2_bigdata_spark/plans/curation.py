@@ -345,6 +345,97 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-label embedding centroid stats (classification-dataset hygiene)
+# ---------------------------------------------------------------------------
+
+@register(
+    "label_centroid_stats",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS ed FROM embeddings
+    ), ex AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(ed) + 1),
+                    i -> {'pos': CAST(i AS INT), 'val': round(ed[i], 6)})) AS x
+      FROM e
+    ), per_dim AS (
+      SELECT label, x.pos AS pos,
+             CAST(CAST(SUM(CAST(x.val AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS cmean
+      FROM ex GROUP BY 1, 2
+    ), cent AS (
+      SELECT label, list(cmean ORDER BY pos) AS c FROM per_dim GROUP BY 1
+    ), scored AS (
+      SELECT e.label, e.vec_id,
+             round(list_dot_product(e.ed, c.c)
+                   / (sqrt(list_dot_product(e.ed, e.ed))
+                      * sqrt(list_dot_product(c.c, c.c))), 6) AS cos
+      FROM e JOIN cent c USING (label)
+    )
+    SELECT s.label,
+           COUNT(*) AS n_vecs,
+           round(sqrt(list_dot_product(any_value(c.c), any_value(c.c))), 6)
+             AS centroid_norm,
+           round(CAST(CAST(SUM(CAST(s.cos AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cos,
+           MIN(s.cos) AS min_cos,
+           MAX(s.cos) AS max_cos
+    FROM scored s JOIN cent c USING (label)
+    GROUP BY 1
+    """,
+    doc="Per-label centroid hygiene for a labeled embedding set: class "
+        "centroid (per-dimension mean via exact 6dp-decimal sums — "
+        "order-insensitive), centroid norm, and each vector's cosine to "
+        "its own class centroid (avg/min/max). Low min_cos flags likely "
+        "mislabels; low avg_cos flags incoherent classes. Plan: one "
+        "posexplode + (label, dim) agg — a 64×-labels-sized shuffle, "
+        "never vectors×vectors — then a broadcast centroid join back",
+)
+def q_label_centroid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table_parallel(spark, sf_dir, "embeddings").withColumn(
+        "ed", F.expr("transform(embedding, v -> cast(v as double))")
+    )
+    ex = e.select(
+        "label", F.posexplode(F.expr("transform(ed, v -> round(v, 6))")).alias("pos", "val")
+    )
+    per_dim = ex.groupBy("label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("string").cast("double")
+            / F.count("*")
+        ).alias("cmean")
+    )
+    cent = per_dim.groupBy("label").agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, cmean))), s -> s.cmean)")
+        .alias("c")
+    )
+    dot = lambda a, b: F.expr(  # noqa: E731  sequential fold — engine-stable
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0.0 as double), "
+        "(acc, v) -> acc + v)"
+    )
+    scored = (
+        e.join(F.broadcast(cent), "label")
+        .select(
+            "label",
+            F.round(
+                dot("ed", "c") / (F.sqrt(dot("ed", "ed")) * F.sqrt(dot("c", "c"))), 6
+            ).alias("cos"),
+            F.round(F.sqrt(dot("c", "c")), 6).alias("cnorm"),
+        )
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.first("cnorm").alias("centroid_norm"),
+        F.round(
+            F.sum(F.col("cos").cast("decimal(18,6)")).cast("string").cast("double")
+            / F.count("*"),
+            6,
+        ).alias("avg_cos"),
+        F.min("cos").alias("min_cos"),
+        F.max("cos").alias("max_cos"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-language top bigrams (n-gram LM / tokenizer prep statistics)
 # ---------------------------------------------------------------------------
 

@@ -200,6 +200,41 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str]) -> None
     df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Versioned snapshot sink — time travel on plain object storage:
+    each write lands in ``path/v=N`` (N = 1 + highest existing), never
+    touching prior versions. Readers pin a version for reproducibility
+    (training-data lineage: 'the corpus as of v3') and writers never
+    corrupt a concurrent reader — the immutability contract Delta/
+    Iceberg formalize, here as pure directory layout. Returns N."""
+    import re as _re
+
+    existing = [
+        int(m.group(1))
+        for name in (os.listdir(path) if os.path.isdir(path) else [])
+        if (m := _re.fullmatch(r"v=(\d+)", name))
+    ]
+    version = max(existing, default=0) + 1
+    df.write.mode("errorifexists").parquet(f"{path}/v={version}")
+    return version
+
+
+def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
+    """Versioned snapshot source: pin ``version``, or None for latest."""
+    import re as _re
+
+    if version is None:
+        versions = [
+            int(m.group(1))
+            for name in os.listdir(path)
+            if (m := _re.fullmatch(r"v=(\d+)", name))
+        ]
+        if not versions:
+            raise FileNotFoundError(f"no versions under {path}")
+        version = max(versions)
+    return spark.read.parquet(f"{path}/v={version}")
+
+
 def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame:
     """Read back a partitioned dataset keeping only the given partition
     values — the filter lands in the scan's PartitionFilters, never

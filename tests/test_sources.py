@@ -254,3 +254,28 @@ def test_sorted_write_tightens_rowgroup_stats(spark):
         assert back.count() == 300_000
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_versioned_snapshots_time_travel(spark, sf_dir):
+    """Each write creates v=N; old versions stay readable and bit-
+    identical after later writes (reproducible training-data lineage)."""
+    import shutil
+    import tempfile
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import read_version, write_versioned
+
+    d = tempfile.mkdtemp(prefix="versions_", dir="/root/repo")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+        v1 = write_versioned(docs.filter(F.col("doc_id") < 100), f"{d}/t")
+        v2 = write_versioned(docs, f"{d}/t")
+        assert (v1, v2) == (1, 2)
+        n1 = read_version(spark, f"{d}/t", 1).count()
+        assert n1 == docs.filter(F.col("doc_id") < 100).count()
+        assert read_version(spark, f"{d}/t").count() == docs.count()  # latest
+        v3 = write_versioned(docs.limit(5), f"{d}/t")
+        assert v3 == 3
+        assert read_version(spark, f"{d}/t", 1).count() == n1  # unchanged
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

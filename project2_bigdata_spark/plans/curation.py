@@ -545,6 +545,105 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle(iterations: int = 3) -> str:
+    """Unrolled DuckDB twin of q_bpe_train_merges: each iteration picks
+    the (count desc, pair asc) top adjacent-symbol pair and merges it
+    via non-overlapping left-to-right string replace — byte-identical
+    greedy semantics to the Spark side."""
+    sql = """
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY 1
+    ), v0 AS (
+      SELECT array_to_string(regexp_extract_all(w, '.'), '~') AS sym, tf
+      FROM vocab
+    )"""
+    selects = []
+    for i in range(1, iterations + 1):
+        prev = f"v{i - 1}"
+        sql += f""",
+    p{i} AS (
+      SELECT pair, CAST(SUM(tf) AS BIGINT) AS n FROM (
+        SELECT tf, unnest(CASE WHEN len(parts) >= 2 THEN
+                 list_transform(range(1, len(parts)),
+                                j -> parts[j] || ' ' || parts[j+1])
+               ELSE [] END) AS pair
+        FROM (SELECT string_split(sym, '~') AS parts, tf FROM {prev})
+      ) GROUP BY 1
+    ), b{i} AS (
+      SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1
+    ), v{i} AS (
+      SELECT replace(sym,
+                     replace((SELECT pair FROM b{i}), ' ', '~'),
+                     replace((SELECT pair FROM b{i}), ' ', '')) AS sym, tf
+      FROM {prev}
+    )"""
+        selects.append(
+            f"SELECT {i} AS iteration, pair AS merged_pair, n FROM b{i}"
+        )
+    return sql + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@register(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(3),
+    doc="BPE tokenizer training, first 3 merge iterations: per round, "
+        "count adjacent symbol pairs over the vocabulary (weighted by "
+        "word tf), pick the (count desc, pair asc) winner, and merge it "
+        "greedily left-to-right (non-overlapping string replace — "
+        "identical semantics in both engines). Iterative driver loop "
+        "like dedup_clusters: each round is one vocabulary-sized agg + "
+        "a 1-row action; the corpus-sized token stream is touched ONCE "
+        "(vocab rollup). The oracle unrolls all 3 rounds in SQL, so "
+        "the driver hash-checks the whole iterative computation",
+)
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("tf"))
+    )
+    syms = vocab.select(
+        F.concat_ws("~", F.expr("regexp_extract_all(w, '.', 0)")).alias("sym"), "tf"
+    ).cache()
+
+    merges = []
+    cur = syms
+    for it in range(1, 4):
+        pairs = cur.select(
+            "tf",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(sym, '~')) >= 2 THEN "
+                    "transform(sequence(1, size(split(sym, '~')) - 1), "
+                    "j -> concat(split(sym, '~')[j-1], ' ', split(sym, '~')[j])) "
+                    "ELSE array() END"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("tf").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .first()
+        )
+        merges.append((it, top["pair"], top["n"]))
+        cur = cur.select(
+            F.replace(
+                F.col("sym"),
+                F.lit(top["pair"].replace(" ", "~")),
+                F.lit(top["pair"].replace(" ", "")),
+            ).alias("sym"),
+            "tf",
+        )
+    syms.unpersist()
+    return spark.createDataFrame(
+        merges, "iteration int, merged_pair string, n bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM quality score (CCNet-style perplexity filter stand-in)
 # ---------------------------------------------------------------------------

@@ -17,6 +17,7 @@ from . import functions_surface  # noqa: E402,F401  string/percentile/math scala
 from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / text analysis
 from . import curation      # noqa: E402,F401  round 2: PII / span dedup / sampling / quantize / CDC
 from . import ops           # noqa: E402,F401  round 2: dq gates / anomalies / incremental rollups
+from . import analytics     # noqa: E402,F401  round 2: gap-fill / rolling median / pareto / RFM / fuzzy / BM25
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4

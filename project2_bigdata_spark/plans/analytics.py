@@ -1,0 +1,627 @@
+"""Round-2 time-series & customer-analytics surface: calendar gap-fill
+with forward-fill, exact rolling medians, Pareto (80/20) concentration,
+exact-arithmetic EWMA smoothing, RFM scoring, order-status Markov
+transitions, scale-correct equi-depth bucketing, blocked fuzzy matching
+(edit distance), and BM25 ranking.
+
+These extend the reference's pandas time-series toolkit (SURVEY.md §2.8
+— shift loops, resample, idxmax) with the standard analytics operators a
+warehouse user expects, each expressed as one declarative Spark plan
+with a DuckDB oracle. Engine-portability rules as in plans/curation.py:
+decimal-exact money, identical float expression trees on both sides,
+rounding before any rank on transcendental outputs, deterministic
+ORDER BY everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import table
+from ..functions.money import dsum, oracle_dsum
+from ..operators.salesviews import sale_lines
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# Shared DATE-typed daily grain (product × date → exact totals)
+# ---------------------------------------------------------------------------
+
+
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        sale_lines(spark, sf_dir)
+        .groupBy(F.col("sale_ts").cast("date").alias("date"), "product")
+        .agg(
+            dsum("quantity", "total_quantity"),
+            dsum("revenue", "total_revenue"),
+        )
+    )
+
+
+_DAILY_SQL = f"""
+WITH sale_lines AS (
+  SELECT o_orderdate AS sale_ts, p_name AS product,
+         l_quantity AS quantity, l_extendedprice AS revenue
+  FROM lineitem
+  JOIN part   ON l_partkey  = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+), daily AS (
+  SELECT CAST(sale_ts AS DATE) AS date, product,
+         {oracle_dsum('quantity', 'total_quantity')},
+         {oracle_dsum('revenue', 'total_revenue')}
+  FROM sale_lines GROUP BY 1, 2
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Calendar gap-fill + forward-fill (time-series interpolation)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gap_fill_forward",
+    oracle=_DAILY_SQL + """
+    , bounds AS (
+      SELECT product, min(date) AS mn, max(date) AS mx FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT product,
+             CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    )
+    SELECT s.product,
+           strftime(s.d, '%Y-%m-%d') AS date,
+           last_value(daily.total_revenue IGNORE NULLS) OVER (
+             PARTITION BY s.product ORDER BY s.d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS revenue_ffill,
+           CAST(daily.total_revenue IS NULL AS INT) AS is_filled
+    FROM spine s
+    LEFT JOIN daily ON daily.product = s.product AND daily.date = s.d
+    """,
+    doc="Dense per-product calendar spine (sequence+explode between each "
+        "product's first and last sale) with gap days forward-filled from "
+        "the last observed revenue (last(ignorenulls) window). The "
+        "time-series regularization step every forecasting pipeline needs "
+        "before lag features; the reference gets it implicitly from "
+        "pandas resample. Scale: the spine is dimension-sized (products × "
+        "days), the ffill window partitions per product — no global sort.",
+)
+def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).alias("daily")
+    spine = (
+        _daily(spark, sf_dir)
+        .groupBy("product")
+        .agg(F.min("date").alias("mn"), F.max("date").alias("mx"))
+        .select(
+            F.col("product").alias("sp_product"),
+            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("d"),
+        )
+        .alias("spine")
+    )
+    joined = spine.join(
+        daily,
+        (F.col("daily.product") == F.col("spine.sp_product"))
+        & (F.col("daily.date") == F.col("spine.d")),
+        "left",
+    ).select(
+        F.col("spine.sp_product").alias("product"),
+        F.col("spine.d").alias("d"),
+        F.col("daily.total_revenue").alias("total_revenue"),
+    )
+    w = (
+        Window.partitionBy("product")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "product",
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.last("total_revenue", ignorenulls=True).over(w).alias("revenue_ffill"),
+        F.col("total_revenue").isNull().cast("int").alias("is_filled"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact rolling median (7-row frame)
+# ---------------------------------------------------------------------------
+
+# Daily quantity totals are integer-valued doubles, so the even-count
+# midpoint (a+b)/2 is exact binary arithmetic on BOTH engines regardless
+# of each engine's interpolation formula — no float-parity risk.
+
+
+@register(
+    "rolling_median_7d",
+    oracle=_DAILY_SQL + """
+    SELECT product, strftime(date, '%Y-%m-%d') AS date,
+           CAST(count(*) OVER w AS INT) AS n_obs,
+           median(total_quantity) OVER w AS med_qty
+    FROM daily
+    WINDOW w AS (PARTITION BY product ORDER BY date
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Exact rolling median of daily quantity over the trailing 7 "
+        "observed days per product (ROWS frame). Spark has no exact "
+        "median window over sliding frames, so the operator materializes "
+        "the ≤7-element frame with collect_list + sort_array and indexes "
+        "the midpoints — O(frame log frame) per row, frame bounded by "
+        "construction. The robust-smoothing twin of moving_avg_7d.",
+)
+def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("product").orderBy("date").rowsBetween(-6, 0)
+    arr = F.sort_array(F.collect_list("total_quantity").over(w))
+    n = F.size(arr)
+    med = (
+        F.element_at(arr, ((n + 1) / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2
+    return _daily(spark, sf_dir).select(
+        "product",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        n.cast("int").alias("n_obs"),
+        med.alias("med_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pareto 80/20 revenue concentration
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pareto_revenue_80",
+    oracle=_DAILY_SQL + """
+    , totals AS (
+      SELECT product, SUM(CAST(total_revenue AS DECIMAL(18,2))) AS rev
+      FROM daily GROUP BY 1
+    )
+    SELECT product,
+           CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS total_revenue,
+           CAST(row_number() OVER ord AS INT) AS rnk,
+           CAST(CAST(SUM(rev) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+             / CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE) AS cum_share,
+           CAST(CAST(CAST(SUM(rev) OVER (ord ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - rev AS VARCHAR) AS DOUBLE)
+                < 0.8 * CAST(CAST(SUM(rev) OVER () AS VARCHAR) AS DOUBLE)
+                AS INT) AS in_top80
+    FROM totals
+    WINDOW ord AS (ORDER BY rev DESC, product)
+    """,
+    doc="Pareto concentration: products ranked by exact decimal revenue, "
+        "cumulative share of total, and the 80%%-coverage flag (a product "
+        "is in the head while the revenue BEFORE it covers <80%% of "
+        "total). Cumulative sums stay decimal until the final cast so "
+        "cum_share is bit-identical across engines/partitionings. Scale: "
+        "the window runs over the product dimension (already aggregated), "
+        "not the fact table.",
+)
+def q_pareto_revenue_80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    totals = (
+        _daily(spark, sf_dir)
+        .groupBy("product")
+        .agg(F.sum(F.col("total_revenue").cast("decimal(18,2)")).alias("rev"))
+    )
+    ord_w = Window.orderBy(F.desc("rev"), F.asc("product"))
+    cum = F.sum("rev").over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("rev").over(Window.partitionBy())
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    return totals.select(
+        "product",
+        as_d(F.col("rev")).alias("total_revenue"),
+        F.row_number().over(ord_w).cast("int").alias("rnk"),
+        (as_d(cum) / as_d(tot)).alias("cum_share"),
+        (as_d(cum - F.col("rev")) < 0.8 * as_d(tot)).cast("int").alias("in_top80"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# EWMA smoothing with exact binary arithmetic (alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+_EWMA_SPAN = 30
+
+
+@register(
+    "ewma_halving",
+    oracle=_DAILY_SQL + f"""
+    , framed AS (
+      SELECT product, date,
+             list(total_quantity) OVER (
+               PARTITION BY product ORDER BY date
+               ROWS BETWEEN {_EWMA_SPAN - 1} PRECEDING AND CURRENT ROW
+             ) AS arr
+      FROM daily
+    )
+    SELECT product, strftime(date, '%Y-%m-%d') AS date,
+           CAST(len(arr) AS INT) AS n_obs,
+           list_sum(list_transform(list_reverse(arr),
+                    (x, i) -> x * (1.0 / CAST(1::BIGINT << (i - 1) AS DOUBLE))))
+             / (2.0 - 1.0 / CAST(1::BIGINT << (len(arr) - 1) AS DOUBLE))
+             AS ewma_qty
+    FROM framed
+    """,
+    doc="Exponentially-weighted moving average of daily quantity, "
+        "alpha=1/2 over a 30-observation horizon (pandas ewm adjust=True "
+        "semantics: sum(w_i*x_i)/sum(w_i), w_i=(1-alpha)^i). alpha=1/2 "
+        "makes every weight an exact power of two, so weights, products, "
+        "and the normalizer are EXACT doubles — the result is bit-"
+        "identical across engines and summation orders with zero "
+        "rounding tolerance. One window pass per product; frame bounded "
+        "at 30 rows.",
+)
+def q_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("product")
+        .orderBy("date")
+        .rowsBetween(-(_EWMA_SPAN - 1), 0)
+    )
+    daily = _daily(spark, sf_dir).withColumn(
+        "arr", F.collect_list("total_quantity").over(w)
+    )
+    # Fold newest→oldest carrying (weighted sum, next weight); weights
+    # halve each step so everything stays exactly representable.
+    num = F.expr(
+        "aggregate(reverse(arr), struct(cast(0 as double) as s, cast(1 as double) as w), "
+        "(acc, x) -> struct(acc.s + x * acc.w, acc.w * cast(0.5 as double)), "
+        "acc -> acc.s)"
+    )
+    den = F.expr(
+        "cast(2.0 as double) - cast(1.0 as double) / cast(shiftleft(1L, size(arr) - 1) as double)"
+    )
+    return daily.select(
+        "product",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.size("arr").cast("int").alias("n_obs"),
+        (num / den).alias("ewma_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFM customer scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rfm_scores",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey AS custkey,
+             date_diff('day', CAST(max(o_orderdate) AS DATE),
+                       (SELECT CAST(max(o_orderdate) AS DATE) FROM orders)) AS rec_days,
+             COUNT(*) AS freq,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) AS monetary
+      FROM orders GROUP BY 1
+    )
+    SELECT custkey, CAST(rec_days AS INT) AS rec_days, freq, monetary,
+           CAST(ntile(4) OVER (ORDER BY rec_days ASC,  custkey) AS INT) AS r_score,
+           CAST(ntile(4) OVER (ORDER BY freq  DESC,    custkey) AS INT) AS f_score,
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS INT) AS m_score,
+           CAST(ntile(4) OVER (ORDER BY rec_days ASC,  custkey) AS VARCHAR) ||
+           CAST(ntile(4) OVER (ORDER BY freq  DESC,    custkey) AS VARCHAR) ||
+           CAST(ntile(4) OVER (ORDER BY monetary DESC, custkey) AS VARCHAR) AS rfm
+    FROM per_cust
+    """,
+    doc="RFM (recency/frequency/monetary) quartile scoring per customer: "
+        "days since last order vs the global max date (broadcast scalar), "
+        "order count, exact decimal spend; ntile(4) with a unique "
+        "tie-break (custkey) so quartile assignment is deterministic on "
+        "both engines. Scale: the ntile windows run over the customer "
+        "dimension; for fact-scale equi-depth bucketing see "
+        "length_quantile_buckets (threshold broadcast, no global sort).",
+)
+def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    maxd = orders.agg(F.max(F.col("o_orderdate").cast("date")).alias("gmax"))
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max(F.col("o_orderdate").cast("date")).alias("last_d"),
+            F.count("*").alias("freq"),
+            dsum("o_totalprice", "monetary"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            "custkey",
+            F.datediff("gmax", "last_d").cast("int").alias("rec_days"),
+            "freq",
+            "monetary",
+        )
+    )
+    r = F.ntile(4).over(Window.orderBy(F.asc("rec_days"), F.asc("custkey")))
+    fq = F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
+    return per_cust.select(
+        "custkey", "rec_days", "freq", "monetary",
+        r.cast("int").alias("r_score"),
+        fq.cast("int").alias("f_score"),
+        m.cast("int").alias("m_score"),
+        F.concat(r.cast("string"), fq.cast("string"), m.cast("string")).alias("rfm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Order-status Markov transition matrix
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "markov_status_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT o_custkey,
+             o_orderstatus AS status,
+             lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate, o_orderkey) AS prev_status
+      FROM orders
+    )
+    SELECT prev_status, status, COUNT(*) AS n,
+           COUNT(*) / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_status)
+                           AS DOUBLE) AS p
+    FROM seq WHERE prev_status IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="First-order Markov transition matrix over each customer's "
+        "order-status sequence (lag window ordered by date+key, then "
+        "count per (prev,curr) with row-conditional probability). The "
+        "sequence window shuffles once on custkey; the transition matrix "
+        "is |states|^2 rows. Integer/integer division → identical "
+        "doubles on both engines.",
+)
+def q_markov_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_orderstatus").alias("status"),
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .where(F.col("prev_status").isNotNull())
+    )
+    counts = seq.groupBy("prev_status", "status").agg(F.count("*").alias("n"))
+    tot = F.sum("n").over(Window.partitionBy("prev_status"))
+    return counts.select(
+        "prev_status", "status", "n", (F.col("n") / tot.cast("double")).alias("p")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth bucketing at fact scale (histogram + threshold broadcast)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_quantile_buckets",
+    oracle="""
+    WITH hist AS (
+      SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1
+    ), cum AS (
+      SELECT n_chars,
+             SUM(c) OVER (ORDER BY n_chars
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             (SELECT COUNT(*) FROM documents) AS n
+      FROM hist
+    ), thr AS (
+      SELECT min(CASE WHEN cw >= CAST(ceil(0.25 * n) AS BIGINT) THEN n_chars END) AS q1,
+             min(CASE WHEN cw >= CAST(ceil(0.50 * n) AS BIGINT) THEN n_chars END) AS q2,
+             min(CASE WHEN cw >= CAST(ceil(0.75 * n) AS BIGINT) THEN n_chars END) AS q3
+      FROM cum
+    )
+    SELECT CAST(1 + CAST(d.n_chars > t.q1 AS INT)
+                  + CAST(d.n_chars > t.q2 AS INT)
+                  + CAST(d.n_chars > t.q3 AS INT) AS INT) AS bucket,
+           COUNT(*) AS n_docs,
+           min(d.n_chars) AS min_chars,
+           max(d.n_chars) AS max_chars,
+           SUM(d.n_chars) / CAST(COUNT(*) AS DOUBLE) AS avg_chars
+    FROM documents d, thr t
+    GROUP BY 1
+    """,
+    doc="Equi-depth quartile bucketing of documents by length, the "
+        "100 TB-correct way: quantile thresholds come from a value-domain "
+        "HISTOGRAM (group by n_chars, cumulate over the tiny distinct-"
+        "value relation) instead of a global sort/ntile; the 1-row "
+        "threshold relation is broadcast back over the corpus. Threshold "
+        "selection is percentile_disc semantics (min value whose "
+        "cumulative count reaches ceil(q*n)) — pure integer logic, "
+        "engine-exact. The curriculum/length-sharding primitive for "
+        "training-data pipelines.",
+)
+def q_length_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hist = docs.groupBy("n_chars").agg(F.count("*").alias("c"))
+    cum = hist.select(
+        "n_chars",
+        F.sum("c")
+        .over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+    ).crossJoin(F.broadcast(docs.agg(F.count("*").alias("n"))))
+    thr = cum.agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("cw") >= F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+                    F.col("n_chars"),
+                )
+            ).alias(f"q{i}")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+    bucketed = docs.crossJoin(F.broadcast(thr)).select(
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        ).cast("int").alias("bucket"),
+        "n_chars",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars") / F.count("*").cast("double")).alias("avg_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Blocked fuzzy matching (edit distance) — record linkage
+# ---------------------------------------------------------------------------
+
+_FUZZY_TOPK = 3
+
+
+@register(
+    "fuzzy_match_parts",
+    oracle=f"""
+    WITH blocked AS (
+      SELECT a.p_partkey AS key_a, a.p_name AS name_a,
+             b.p_partkey AS key_b, b.p_name AS name_b,
+             levenshtein(a.p_name, b.p_name) AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand
+       AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+       AND a.p_partkey < b.p_partkey
+      WHERE a.p_name <> b.p_name
+    )
+    SELECT * FROM (
+      SELECT key_a, name_a, key_b, name_b, dist,
+             CAST(row_number() OVER (PARTITION BY key_a
+                                     ORDER BY dist, key_b) AS INT) AS rn
+      FROM blocked
+    ) WHERE rn <= {_FUZZY_TOPK}
+    """,
+    doc="Blocked fuzzy self-match over the part catalog: candidate pairs "
+        "share (brand, first letter) — an equi-join, never a cross "
+        "product — then Levenshtein edit distance ranks the closest "
+        f"{_FUZZY_TOPK} distinct-name candidates per part (deterministic "
+        "tie-break on key). The record-linkage/entity-resolution "
+        "primitive; blocking keys bound each block to a catalog-sized "
+        "group so the quadratic stage never sees fact-scale data.",
+)
+def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", F.substring("p_name", 1, 1).alias("initial")
+    )
+    a = part.alias("a")
+    b = part.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.initial") == F.col("b.initial"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(F.col("a.p_name") != F.col("b.p_name"))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein("a.p_name", "b.p_name").alias("dist"),
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("key_a").orderBy("dist", "key_b")
+    )
+    return pairs.withColumn("rn", rn.cast("int")).where(F.col("rn") <= _FUZZY_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking (fixed query terms)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("spark", "data", "join")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+def _bm25_score_sql(term: str) -> str:
+    """One term's BM25 contribution — IDENTICAL text for both engines
+    (Spark SQL and DuckDB parse the same expression tree, so the float
+    ops round identically; only ln() can drift a ULP, absorbed by the
+    6dp round on the final score)."""
+    tf = f"tf_{term}"
+    return (
+        f"ln(1.0 + ((n - df_{term}) + 0.5) / (df_{term} + 0.5)) * "
+        f"(({tf} * ({_BM25_K1} + 1.0)) / "
+        f"({tf} + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))"
+    )
+
+
+@register(
+    "bm25_scores",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+             {', '.join(
+                 f"CAST(len(list_filter(string_split(lower(text), ' '), "
+                 f"x -> x = '{t}')) AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             {', '.join(
+                 f"CAST(SUM(CAST(tf_{t} > 0 AS INT)) AS DOUBLE) AS df_{t}"
+                 for t in _BM25_TERMS)}
+      FROM tok
+    )
+    SELECT doc_id, score FROM (
+      SELECT doc_id,
+             round({' + '.join(_bm25_score_sql(t) for t in _BM25_TERMS)}, 6) AS score,
+             row_number() OVER (
+               ORDER BY round({' + '.join(_bm25_score_sql(t) for t in _BM25_TERMS)}, 6) DESC,
+                        doc_id) AS rn
+      FROM tok, stats
+    ) WHERE rn <= {_BM25_TOPN}
+    """,
+    doc="BM25 document ranking for a fixed query "
+        f"{_BM25_TERMS}: per-doc term frequencies via higher-order "
+        "list_filter (JVM, no UDF), corpus stats (N, df, avgdl) as a "
+        "broadcast 1-row aggregate, Robertson/Okapi scoring with "
+        "k1=1.2 b=0.75, 6dp-rounded before the top-"
+        f"{_BM25_TOPN} rank (doc_id tie-break) to absorb ln() ULP "
+        "differences across engines. Search-relevance sibling of "
+        "tfidf_top_terms; one corpus scan + a dimension-free rank.",
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("double").alias("dl"),
+        *[
+            F.expr(
+                f"cast(size(filter(split(lower(text), ' '), x -> x = '{t}')) as double)"
+            ).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = tok.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = F.round(
+        F.expr(" + ".join(_bm25_score_sql(t) for t in _BM25_TERMS)), 6
+    )
+    scored = tok.crossJoin(F.broadcast(stats)).select(
+        "doc_id", score.alias("score")
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+    return (
+        scored.withColumn("rn", rn)
+        .where(F.col("rn") <= _BM25_TOPN)
+        .select("doc_id", "score")
+    )

@@ -1,0 +1,128 @@
+"""Semantic invariants for the analytics surface (plans/analytics.py) —
+properties the oracle compare can't express: density of the gap-filled
+spine, frame bounds, monotonicity, probability normalization,
+equi-depth balance, and ranking shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project2_bigdata_spark.plans import REGISTRY
+
+
+def run(spark, sf_dir, name):
+    return REGISTRY[name].fn(spark, sf_dir)
+
+
+def test_gap_fill_spine_is_dense(spark, sf_dir):
+    df = run(spark, sf_dir, "gap_fill_forward")
+    # per product: row count == max-min+1 days, no null fills, and every
+    # filled day carries a non-null forward value.
+    per = (
+        df.groupBy("product")
+        .agg(
+            F.count("*").alias("n"),
+            F.datediff(F.max("date"), F.min("date")).alias("span"),
+            F.sum(F.col("revenue_ffill").isNull().cast("int")).alias("nulls"),
+            F.sum("is_filled").alias("n_filled"),
+        )
+        .collect()
+    )
+    assert per
+    for r in per:
+        assert r.n == r.span + 1, f"{r.product}: spine has holes"
+        assert r.nulls == 0
+        assert 0 <= r.n_filled < r.n
+
+
+def test_rolling_median_bounds(spark, sf_dir):
+    df = run(spark, sf_dir, "rolling_median_7d")
+    bad = df.where((F.col("n_obs") < 1) | (F.col("n_obs") > 7)).count()
+    assert bad == 0
+    assert df.where(F.col("med_qty").isNull()).count() == 0
+
+
+def test_pareto_cumshare_monotone_and_prefix(spark, sf_dir):
+    rows = (
+        run(spark, sf_dir, "pareto_revenue_80")
+        .orderBy("rnk")
+        .collect()
+    )
+    assert abs(rows[-1].cum_share - 1.0) < 1e-9
+    prev = 0.0
+    seen_tail = False
+    for r in rows:
+        assert r.cum_share >= prev - 1e-12
+        prev = r.cum_share
+        if not r.in_top80:
+            seen_tail = True
+        else:
+            assert not seen_tail, "in_top80 must be a prefix of the ranking"
+
+
+def test_ewma_within_frame_bounds(spark, sf_dir):
+    df = run(spark, sf_dir, "ewma_halving")
+    assert df.where((F.col("n_obs") < 1) | (F.col("n_obs") > 30)).count() == 0
+    # EWMA is a convex combination → bounded by the series' global min/max.
+    from project2_bigdata_spark.plans.analytics import _daily
+
+    bounds = _daily(spark, sf_dir).agg(
+        F.min("total_quantity").alias("lo"), F.max("total_quantity").alias("hi")
+    ).collect()[0]
+    out = df.agg(F.min("ewma_qty").alias("lo"), F.max("ewma_qty").alias("hi")).collect()[0]
+    assert out.lo >= bounds.lo - 1e-9
+    assert out.hi <= bounds.hi + 1e-9
+
+
+def test_rfm_scores_in_range(spark, sf_dir):
+    df = run(spark, sf_dir, "rfm_scores")
+    for c in ("r_score", "f_score", "m_score"):
+        assert df.where((F.col(c) < 1) | (F.col(c) > 4)).count() == 0
+    # quartiles are equi-depth to within 1 (ntile contract)
+    sizes = [r.n for r in df.groupBy("r_score").agg(F.count("*").alias("n")).collect()]
+    assert max(sizes) - min(sizes) <= 1
+
+
+def test_markov_rows_normalize(spark, sf_dir):
+    df = run(spark, sf_dir, "markov_status_transitions")
+    sums = df.groupBy("prev_status").agg(F.sum("p").alias("s")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r.s - 1.0) < 1e-9
+
+
+def test_length_buckets_partition_corpus(spark, sf_dir):
+    from project2_bigdata_spark.catalog import table
+
+    rows = run(spark, sf_dir, "length_quantile_buckets").orderBy("bucket").collect()
+    n_total = table(spark, sf_dir, "documents").count()
+    assert [r.bucket for r in rows] == list(range(1, len(rows) + 1))
+    assert sum(r.n_docs for r in rows) == n_total
+    # buckets are ordered, non-overlapping ranges
+    for a, b in zip(rows, rows[1:]):
+        assert a.max_chars < b.min_chars
+
+
+def test_fuzzy_match_shape(spark, sf_dir):
+    df = run(spark, sf_dir, "fuzzy_match_parts")
+    assert df.where(F.col("rn") > 3).count() == 0
+    assert df.where(F.col("dist") <= 0).count() == 0
+    assert df.where(F.col("key_a") >= F.col("key_b")).count() == 0
+    # levenshtein symmetry spot-check on one row
+    r = df.limit(1).collect()
+    if r:
+        import duckdb
+
+        (d,) = duckdb.sql(
+            f"SELECT levenshtein('{r[0].name_a}', '{r[0].name_b}')"
+        ).fetchone()
+        assert d == r[0].dist
+
+
+def test_bm25_topn_sorted(spark, sf_dir):
+    rows = run(spark, sf_dir, "bm25_scores").collect()
+    assert 0 < len(rows) <= 20
+    scores = sorted((r.score for r in rows), reverse=True)
+    assert scores == [r.score for r in sorted(rows, key=lambda r: (-r.score, r.doc_id))]
+    assert all(r.score >= 0 for r in rows)

@@ -41,6 +41,7 @@ BNLJ_OK = {
     "pair_counts", "top_pairs_per_product", "association_rules",
     "train_test_time_split", "ep3_forecast_series", "revenue_checksum",
     "tfidf_top_terms", "unigram_logprob_score",
+    "rfm_scores", "length_quantile_buckets", "bm25_scores",
 }
 
 

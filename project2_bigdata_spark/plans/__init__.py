@@ -20,6 +20,7 @@ from . import ops           # noqa: E402,F401  round 2: dq gates / anomalies / i
 from . import analytics     # noqa: E402,F401  round 2: gap-fill / rolling median / pareto / RFM / fuzzy / BM25
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5
+from ..streaming import transform_state as _streaming_transform_state  # noqa: E402,F401  Phase 5 (Spark 4 typed state)
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4
 from ..sources import ingest as _sources_ingest  # noqa: E402,F401  S1/S4 sources & sinks
 

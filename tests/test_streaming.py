@@ -76,3 +76,42 @@ def test_foreach_batch_ingest_no_reprocess(spark, sf_dir):
         assert mtimes1 == mtimes2  # files untouched: batches not re-run
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_typed_state_pure_update_logic():
+    """The state transition shared by the Spark-4 typed-state path and
+    the GroupState fallback: batch folding and the deterministic
+    favorite-type tie-break."""
+    import pandas as pd
+
+    from project2_bigdata_spark.streaming.transform_state import (
+        emit_profile,
+        update_profile,
+    )
+
+    counts, total = update_profile(
+        {}, 0, pd.DataFrame({"event_type": ["view", "view", "click"]})
+    )
+    counts, total = update_profile(
+        counts, total, pd.DataFrame({"event_type": ["click", "buy"]})
+    )
+    assert counts == {"view": 2, "click": 2, "buy": 1}
+    assert total == 5
+    row = emit_profile(7, counts, total)
+    assert row.iloc[0].to_dict() == {
+        "user_id": 7, "n_events": 5, "n_types": 3,
+        # view and click tie at 2 → lexicographic wins
+        "top_type": "click",
+    }
+
+
+def test_typed_state_gate_picks_available_api(spark, sf_dir):
+    """The unbounded plan uses transformWithState when protobuf is
+    importable, else the GroupState fallback — same relation either way."""
+    from project2_bigdata_spark.streaming import transform_state as ts
+
+    plan = ts.user_profiles_stream(spark, sf_dir)._jdf.queryExecution().logical().toString()
+    if ts.HAVE_TWS:
+        assert "transformWithState" in plan or "TransformWithState" in plan
+    else:
+        assert "FlatMapGroupsInPandasWithState" in plan or "applyInPandasWithState" in plan

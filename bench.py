@@ -70,6 +70,11 @@ SECONDARY = [
     "corpus_pipeline_e2e",     # composed quality→dedup→sample→chunk
     "knn_join_topk",           # LSH-bucketed KNN self-join
     "ivf_ann_topk",            # IVF 2-probe ANN
+    # round-2 analytics surface
+    "gap_fill_forward",        # calendar spine + forward fill
+    "fuzzy_match_parts",       # blocked Levenshtein linkage
+    "bm25_scores",             # BM25 ranking scan
+    "stream_typed_state_profile",  # typed-state streaming profile
 ]
 
 

@@ -255,7 +255,7 @@ def oracle_sessionize(gap_minutes: int = 30) -> str:
                AS session_id
       FROM g
     )
-    SELECT user_id, session_id, COUNT(*) AS n_events,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
            strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_end
     FROM s GROUP BY 1, 2

@@ -168,7 +168,7 @@ WITH d AS (
            // {PACK_BUDGET} AS BIGINT) AS bin_id
   FROM d
 )
-SELECT lang, bin_id, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT lang, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM b GROUP BY 1, 2
 """

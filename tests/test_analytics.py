@@ -126,3 +126,17 @@ def test_bm25_topn_sorted(spark, sf_dir):
     scores = sorted((r.score for r in rows), reverse=True)
     assert scores == [r.score for r in sorted(rows, key=lambda r: (-r.score, r.doc_id))]
     assert all(r.score >= 0 for r in rows)
+
+
+def test_kmeans_partitions_corpus_and_converges(spark, sf_dir):
+    """Cluster sizes partition the corpus; movement is finite and
+    non-negative (the convergence signal a longer run would drive to 0)."""
+    from project2_bigdata_spark.catalog import table
+
+    rows = run(spark, sf_dir, "kmeans_lloyd_2iter").collect()
+    n = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n
+    assert len(rows) <= 4 and len({r.cid for r in rows}) == len(rows)
+    for r in rows:
+        assert r.movement >= 0.0
+        assert r.centroid_norm > 0.0

@@ -688,3 +688,70 @@ def q_corpus_pipeline_e2e(spark, sf_dir):
             F.col("n_tokens").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram-overlap decontamination (the 13-gram method, word-8-gram scale)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 8  # words per gram (GPT-3 used 13; the synthetic docs are short)
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= {_DECON_N}
+               THEN list_transform(range(1, len(w) - {_DECON_N} + 2),
+                    i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))
+               ELSE [] END) AS grams
+      FROM d
+    ), bench AS (
+      SELECT list_distinct(flatten(list(grams))) AS bg
+      FROM g WHERE doc_id < 3
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_grams,
+           CAST(len(list_intersect(grams, bg)) AS BIGINT) AS n_hit,
+           len(list_intersect(grams, bg))
+             / CAST(len(grams) AS DOUBLE) AS overlap_frac
+    FROM g, bench
+    WHERE len(grams) > 0
+    """,
+    doc="N-gram-overlap decontamination (the method behind GPT-3's "
+        f"13-gram filter, at {_DECON_N}-gram scale for the short synthetic "
+        "docs): each document's distinct word-8-grams are intersected "
+        "ROW-LOCALLY against the broadcast benchmark gram set (docs 0-2 "
+        "as the stand-in benchmark), yielding an exact overlap fraction "
+        "instead of decontaminate's binary substring hit. Benchmark sets "
+        "are small by nature, so the broadcast-array shape is the "
+        "100 TB plan: one corpus scan, zero shuffles, no explode of the "
+        "corpus gram stream",
+)
+def q_decontaminate_ngram(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    grams = F.expr(
+        f"array_distinct(CASE WHEN size(w) >= {_DECON_N} "
+        f"THEN transform(sequence(1, size(w) - {_DECON_N} + 1), "
+        f"i -> array_join(slice(w, i, {_DECON_N}), ' ')) "
+        "ELSE array() END)"
+    )
+    g = d.select("doc_id", grams.alias("grams"))
+    bench = (
+        g.filter(F.col("doc_id") < 3)
+        .agg(F.array_distinct(F.flatten(F.collect_list("grams"))).alias("bg"))
+    )
+    hits = F.size(F.array_intersect(F.col("grams"), F.col("bg")))
+    return (
+        g.crossJoin(F.broadcast(bench))
+        .where(F.size("grams") > 0)
+        .select(
+            "doc_id",
+            F.size("grams").cast("bigint").alias("n_grams"),
+            hits.cast("bigint").alias("n_hit"),
+            (hits / F.size("grams").cast("double")).alias("overlap_frac"),
+        )
+    )

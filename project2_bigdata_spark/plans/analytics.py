@@ -625,3 +625,83 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= _BM25_TOPN)
         .select("doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling Pearson correlation (exact windowed moments)
+# ---------------------------------------------------------------------------
+
+_CORR_SPAN = 30
+
+
+@register(
+    "rolling_corr_30d",
+    oracle=_DAILY_SQL + f"""
+    SELECT product, date, n_obs,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                     / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS corr_qty_rev
+    FROM (
+      SELECT product, strftime(date, '%Y-%m-%d') AS date,
+             CAST(COUNT(*) OVER w AS INT) AS n_obs,
+             CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+             CAST(CAST(SUM(CAST(total_quantity AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS sy,
+             CAST(CAST(SUM(CAST(total_quantity * total_quantity AS DECIMAL(28,4))) OVER w AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(total_revenue * total_revenue AS DECIMAL(28,4))) OVER w AS VARCHAR) AS DOUBLE) AS syy,
+             CAST(CAST(SUM(CAST(total_quantity * total_revenue AS DECIMAL(28,4))) OVER w AS VARCHAR) AS DOUBLE) AS sxy
+      FROM daily
+      WINDOW w AS (PARTITION BY product ORDER BY date
+                   ROWS BETWEEN {_CORR_SPAN - 1} PRECEDING AND CURRENT ROW)
+    )
+    """,
+    doc="Rolling Pearson corr(quantity, revenue) over the trailing 30 "
+        "observed days per product — the windowed sibling of G10 "
+        "(corr_revenue_quantity), same exact-moment recipe: all five "
+        "moment sums accumulate as DECIMAL inside the window frame "
+        "(scales the data hits exactly: totals=2dp, products=4dp) and "
+        "only the final formula runs in double, identically on both "
+        "engines. Degenerate frames (zero variance) yield NULL via the "
+        "same CASE on both sides. One shuffle on product, O(frame) "
+        "state — the demand-elasticity monitor of the reference's EDA, "
+        "made incremental.",
+)
+def q_rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        Window.partitionBy("product")
+        .orderBy("date")
+        .rowsBetween(-(_CORR_SPAN - 1), 0)
+    )
+    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    daily = _daily(spark, sf_dir)
+    m = daily.select(
+        "product",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        F.count("*").over(w).cast("int").alias("n_obs"),
+        F.count("*").over(w).cast("double").alias("n"),
+        as_d(F.sum(F.col("total_quantity").cast("decimal(18,2)")).over(w)).alias("sx"),
+        as_d(F.sum(F.col("total_revenue").cast("decimal(18,2)")).over(w)).alias("sy"),
+        as_d(
+            F.sum(
+                F.expr("total_quantity * total_quantity").cast("decimal(28,4)")
+            ).over(w)
+        ).alias("sxx"),
+        as_d(
+            F.sum(
+                F.expr("total_revenue * total_revenue").cast("decimal(28,4)")
+            ).over(w)
+        ).alias("syy"),
+        as_d(
+            F.sum(
+                F.expr("total_quantity * total_revenue").cast("decimal(28,4)")
+            ).over(w)
+        ).alias("sxy"),
+    )
+    varx = m.n * m.sxx - m.sx * m.sx
+    vary = m.n * m.syy - m.sy * m.sy
+    corr = F.when(
+        varx * vary > 0,
+        F.round((m.n * m.sxy - m.sx * m.sy) / F.sqrt(varx * vary), 6),
+    )
+    return m.select("product", "date", "n_obs", corr.alias("corr_qty_rev"))

@@ -75,6 +75,7 @@ SECONDARY = [
     "fuzzy_match_parts",       # blocked Levenshtein linkage
     "bm25_scores",             # BM25 ranking scan
     "stream_typed_state_profile",  # typed-state streaming profile
+    "kmeans_lloyd_2iter",      # iterative clustering (2 Lloyd rounds)
 ]
 
 

@@ -168,3 +168,64 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("_rev_dec").cast("string").cast("double").alias("total_revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday-seasonal anomaly monitor (seasonal sibling of revenue_anomalies)
+# ---------------------------------------------------------------------------
+
+@register(
+    "seasonal_anomalies",
+    oracle=SALES_DAILY_SQL + """
+    , keyed AS (
+      SELECT date, product, total_revenue,
+             CAST(isodow(CAST(date AS DATE)) - 1 AS INT) AS day_of_week
+      FROM sales_daily
+    ), stats AS (
+      SELECT product, day_of_week,
+             COUNT(*) AS n,
+             CAST(CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(total_revenue * total_revenue AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS sxx
+      FROM keyed GROUP BY 1, 2
+    )
+    SELECT k.date, k.product, k.day_of_week, k.total_revenue,
+           round((k.total_revenue - sx / n)
+                 / sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS z_seasonal
+    FROM keyed k JOIN stats USING (product, day_of_week)
+    WHERE n > 1 AND (sxx - sx * sx / n) > 0
+      AND abs((k.total_revenue - sx / n)
+              / sqrt((sxx - sx * sx / n) / (n - 1))) > 3.0
+    """,
+    doc="Weekday-seasonal anomaly monitor: a day is anomalous relative "
+        "to ITS OWN (product, weekday) baseline, not the product's "
+        "global mean — a busy Saturday that would trip the global "
+        "z-score (revenue_anomalies) is normal here, and a dead Monday "
+        "hiding inside the global band is caught. Same two-level exact "
+        "plan: per-(product, weekday) decimal moment sums (7x the rows "
+        "of the global stats — still tiny), broadcast back onto the "
+        "daily grain, row-local z + variance guard. Weekday uses the "
+        "pandas Monday=0 convention (functions/datetime_utils.py)",
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetime_utils import pandas_weekday
+
+    daily = sales_daily(spark, sf_dir).withColumn(
+        "day_of_week", pandas_weekday(F.to_date("date"))
+    )
+    stats = daily.groupBy("product", "day_of_week").agg(
+        F.count("*").alias("n"),
+        dsum("total_revenue").alias("sx"),
+        dsum10("total_revenue * total_revenue").alias("sxx"),
+    )
+    var_num = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    z = (F.col("total_revenue") - F.col("sx") / F.col("n")) / F.sqrt(
+        var_num / (F.col("n") - 1)
+    )
+    return (
+        daily.join(F.broadcast(stats), ["product", "day_of_week"])
+        .filter((F.col("n") > 1) & (var_num > 0) & (F.abs(z) > 3.0))
+        .select(
+            "date", "product", "day_of_week", "total_revenue",
+            F.round(z, 6).alias("z_seasonal"),
+        )
+    )

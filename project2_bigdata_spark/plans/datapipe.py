@@ -755,3 +755,65 @@ def q_decontaminate_ngram(spark, sf_dir):
             (hits / F.size("grams").cast("double")).alias("overlap_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics (normalization / whitening diagnostics)
+# ---------------------------------------------------------------------------
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, embedding::DOUBLE[] AS ed FROM embeddings
+    ), ex AS (
+      SELECT unnest(list_transform(range(1, len(ed) + 1),
+                    i -> {'pos': CAST(i AS INT), 'val': round(ed[i], 6)})) AS x
+      FROM e
+    )
+    SELECT x.pos AS pos,
+           COUNT(*) AS n_vecs,
+           round(CAST(CAST(SUM(CAST(x.val AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS dim_mean,
+           round(sqrt((CAST(CAST(SUM(CAST(x.val * x.val AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE)
+                       - CAST(CAST(SUM(CAST(x.val AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                         * CAST(CAST(SUM(CAST(x.val AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                         / COUNT(*))
+                      / (COUNT(*) - 1)), 6) AS dim_std,
+           MIN(x.val) AS dim_min,
+           MAX(x.val) AS dim_max
+    FROM ex GROUP BY 1
+    """,
+    doc="Per-dimension corpus statistics over the embedding column: "
+        "mean, sample std (exact decimal moment sums — DECIMAL(30,12) "
+        "holds 6dp squares exactly, so both engines divide identical "
+        "doubles), min, max per position. The diagnostic behind "
+        "normalization / whitening / dead-dimension detection before "
+        "training an index or a probe. Plan: row-local posexplode, one "
+        "aggregation keyed on dimension index — exactly `dims` cells "
+        "regardless of corpus size; the same shape at 100 TB",
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_parallel
+
+    e = table_parallel(spark, sf_dir, "embeddings").select(
+        F.posexplode(
+            F.expr("transform(embedding, v -> round(cast(v as double), 6))")
+        ).alias("pos0", "val")
+    )
+    sx = F.sum(F.col("val").cast("decimal(18,6)")).cast("string").cast("double")
+    sxx = (
+        F.sum((F.col("val") * F.col("val")).cast("decimal(30,12)"))
+        .cast("string").cast("double")
+    )
+    n = F.count("*")
+    return (
+        e.groupBy((F.col("pos0") + 1).cast("int").alias("pos"))
+        .agg(
+            n.alias("n_vecs"),
+            F.round(sx / n, 6).alias("dim_mean"),
+            F.round(F.sqrt((sxx - sx * sx / n) / (n - 1)), 6).alias("dim_std"),
+            F.min("val").alias("dim_min"),
+            F.max("val").alias("dim_max"),
+        )
+    )

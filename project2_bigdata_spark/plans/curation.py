@@ -821,3 +821,87 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_orders") / F.col("total").cast("double"), 6).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM quality score (conditional-probability sibling of the unigram LM)
+# ---------------------------------------------------------------------------
+
+@register(
+    "bigram_logprob_score",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(w)),
+                    i -> {'w1': w[i], 'w2': w[i+1]})) AS b
+      FROM d WHERE len(w) >= 2
+    ), uni AS (
+      SELECT unnest(w) AS u FROM d
+    ), ucount AS (
+      SELECT u AS w1, COUNT(*) AS cu FROM uni GROUP BY 1
+    ), vocab AS (SELECT COUNT(DISTINCT u) AS v FROM uni),
+    bcount AS (
+      SELECT b.w1 AS w1, b.w2 AS w2, COUNT(*) AS cb FROM bg GROUP BY 1, 2
+    ), scored AS (
+      SELECT g.doc_id,
+             round(ln((cb + 1.0) / (cu + v)), 6) AS lp
+      FROM bg g
+      JOIN bcount bc ON g.b.w1 = bc.w1 AND g.b.w2 = bc.w2
+      JOIN ucount uc ON g.b.w1 = uc.w1
+      CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+             AS sum_logprob,
+           round(CAST(CAST(SUM(CAST(lp AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_logprob
+    FROM scored GROUP BY 1
+    """,
+    doc="Bigram-LM quality score with add-one smoothing: mean token "
+        "log P(w_i | w_{i-1}) per document, P = (C(w1,w2)+1)/(C(w1)+V). "
+        "One step closer to the CCNet/KenLM perplexity filter than the "
+        "unigram score — word-salad documents whose unigrams are all "
+        "common still score low because their TRANSITIONS are rare. "
+        "Plan: bigrams are built ROW-LOCALLY from the token array (no "
+        "window/self-join), counted in one corpus-bounded agg; the "
+        "per-token probability join shuffles on the bigram key (bigram "
+        "vocab can exceed broadcast size at 100 TB — deliberately a "
+        "shuffle join, unlike the broadcastable unigram table); V rides "
+        "in as a 1-row broadcast. Per-token logprob rounded to 6dp, "
+        "summed as DECIMAL(18,6) — order-insensitive, engine-exact",
+)
+def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    toks = d.select(F.explode("w").alias("w1"))
+    ucount = toks.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = toks.agg(F.countDistinct("w1").alias("v"))
+    bg = d.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) as w1, element_at(w, i + 1) as w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bcount = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    scored = (
+        bg.join(bcount, ["w1", "w2"])
+        .join(F.broadcast(ucount), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v"))), 6
+            ).alias("lp"),
+        )
+    )
+    dec_sum = F.sum(F.col("lp").cast("decimal(18,6)")).cast("string").cast("double")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        dec_sum.alias("sum_logprob"),
+        F.round(dec_sum / F.count("*"), 6).alias("avg_logprob"),
+    )

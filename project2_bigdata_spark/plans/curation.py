@@ -905,3 +905,78 @@ def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec_sum.alias("sum_logprob"),
         F.round(dec_sum / F.count("*"), 6).alias("avg_logprob"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic contrastive negative sampling (embedding training pairs)
+# ---------------------------------------------------------------------------
+
+@register(
+    "contrastive_negatives",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    anchors AS (SELECT vec_id, label FROM embeddings),
+    cand AS (
+      SELECT a.vec_id, a.label AS anchor_label,
+             CAST(k AS INT) AS k,
+             (a.vec_id * 1103515245 + k * 2654435761 + 7919) % n_vecs AS raw
+      FROM anchors a CROSS JOIN n, unnest(range(0, 4)) AS t(k)
+    ), neg AS (
+      SELECT vec_id, anchor_label, k,
+             CASE WHEN raw = vec_id THEN (raw + 1) % (SELECT n_vecs FROM n)
+                  ELSE raw END AS neg_id
+      FROM cand
+    )
+    SELECT g.vec_id, g.anchor_label, g.k, g.neg_id,
+           e.label AS neg_label,
+           (e.label = g.anchor_label) AS label_collision
+    FROM neg g JOIN anchors e ON e.vec_id = g.neg_id
+    """,
+    doc="Deterministic negative sampling for contrastive training: each "
+        "anchor draws 4 pseudo-uniform negatives via multiplicative "
+        "integer mixing mod corpus size (exact bigint arithmetic — "
+        "identical in both engines, stable under re-partitioning and "
+        "retries, unlike rand()), with an anchor-collision bump. The "
+        "labels ride back on one equi-join keyed on vec_id, flagging "
+        "false negatives (same label) for the loss to mask. Plan: "
+        "row-local candidate generation (corpus x 4 rows), corpus size "
+        "as a 1-row broadcast, one shuffle join on the sampled key — "
+        "linear at any scale. A production pipeline swaps the mixer for "
+        "a stronger keyed hash (see hash_split_assign) without changing "
+        "the shape",
+)
+def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import table_parallel
+
+    anchors = table_parallel(spark, sf_dir, "embeddings").select("vec_id", "label")
+    n = anchors.agg(F.count("*").alias("n_vecs"))
+    cand = (
+        anchors.crossJoin(F.broadcast(n))
+        .select(
+            "vec_id",
+            F.col("label").alias("anchor_label"),
+            F.explode(F.sequence(F.lit(0), F.lit(3))).alias("k"),
+            "n_vecs",
+        )
+        .withColumn(
+            "raw",
+            (
+                F.col("vec_id") * F.lit(1103515245)
+                + F.col("k").cast("bigint") * F.lit(2654435761)
+                + F.lit(7919)
+            ) % F.col("n_vecs"),
+        )
+        .select(
+            "vec_id", "anchor_label", F.col("k").cast("int").alias("k"),
+            F.when(F.col("raw") == F.col("vec_id"),
+                   (F.col("raw") + 1) % F.col("n_vecs"))
+             .otherwise(F.col("raw")).alias("neg_id"),
+        )
+    )
+    neg_labels = anchors.select(
+        F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label")
+    )
+    return cand.join(neg_labels, "neg_id").select(
+        "vec_id", "anchor_label", "k", "neg_id", "neg_label",
+        (F.col("neg_label") == F.col("anchor_label")).alias("label_collision"),
+    )

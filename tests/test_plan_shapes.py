@@ -42,7 +42,7 @@ BNLJ_OK = {
     "train_test_time_split", "ep3_forecast_series", "revenue_checksum",
     "tfidf_top_terms", "unigram_logprob_score",
     "rfm_scores", "length_quantile_buckets", "bm25_scores",
-    "decontaminate_ngram", "bigram_logprob_score",
+    "decontaminate_ngram", "bigram_logprob_score", "contrastive_negatives",
     "kmeans_lloyd_2iter",  # all K centroids ride in as ONE broadcast row
 }
 

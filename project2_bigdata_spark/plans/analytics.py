@@ -705,3 +705,124 @@ def q_rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((m.n * m.sxy - m.sx * m.sy) / F.sqrt(varx * vary), 6),
     )
     return m.select("product", "date", "n_obs", corr.alias("corr_qty_rev"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted PageRank over the co-purchase graph (2 unrolled iterations)
+# ---------------------------------------------------------------------------
+
+_PR_PAIRS = """
+flatten(
+  transform(names, (x, i) ->
+    transform(slice(names, i + 2, size(names)), y ->
+      struct(x AS u, y AS v))))
+"""
+
+
+@register(
+    "pagerank_2iter",
+    oracle="""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, p_name
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ), pairs AS (
+      SELECT a.p_name AS u, b.p_name AS v, COUNT(*) AS w
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.p_name < b.p_name
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT u, v, w FROM pairs UNION ALL SELECT v AS u, u AS v, w FROM pairs
+    ), wout AS (
+      SELECT u, SUM(w) AS wout FROM sym GROUP BY 1
+    ), nn AS (SELECT COUNT(*) AS n FROM wout),
+    pr0 AS (SELECT u, floor(1.0 / n * 1e6 + 0.5) / 1e6 AS pr
+            FROM wout CROSS JOIN nn),
+    c1 AS (
+      SELECT s.v AS u, floor(p.pr * s.w / wo.wout * 1e6 + 0.5) / 1e6 AS c
+      FROM sym s JOIN pr0 p ON p.u = s.u JOIN wout wo ON wo.u = s.u
+    ), pr1 AS (
+      SELECT c.u,
+             floor((0.15 / n
+                    + 0.85 * CAST(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 AS pr
+      FROM c1 c CROSS JOIN nn GROUP BY c.u, n
+    ), c2 AS (
+      SELECT s.v AS u, floor(p.pr * s.w / wo.wout * 1e6 + 0.5) / 1e6 AS c
+      FROM sym s JOIN pr1 p ON p.u = s.u JOIN wout wo ON wo.u = s.u
+    ), pr2 AS (
+      SELECT c.u,
+             floor((0.15 / n
+                    + 0.85 * CAST(CAST(SUM(CAST(c AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE))
+                   * 1e6 + 0.5) / 1e6 AS pr
+      FROM c2 c CROSS JOIN nn GROUP BY c.u, n
+    ), deg AS (SELECT u, COUNT(*) AS n_neighbors FROM sym GROUP BY 1)
+    SELECT d.u AS product, d.n_neighbors, p1.pr AS pr_1, p2.pr AS pr_2
+    FROM deg d JOIN pr1 p1 ON p1.u = d.u JOIN pr2 p2 ON p2.u = d.u
+    """,
+    doc="Weighted PageRank (damping 0.85) over the product co-purchase "
+        "graph, two fully-unrolled iterations — the influence-ranking "
+        "sibling of kmeans_lloyd_2iter and connected_components in the "
+        "iterative-algorithm family. Edges are per-order DISTINCT "
+        "product pairs built ROW-LOCALLY from the sorted item array (no "
+        "per-order self-join on the Spark side), symmetrized; every "
+        "node in the symmetrized graph has out-edges, so no dangling "
+        "mass. Engine-exactness: per-edge contributions rounded to 6dp "
+        "then summed as DECIMAL(18,6) — order-insensitive under any "
+        "partitioning; all rounds use floor(x*1e6+0.5) half-up, the one "
+        "rounding both engines compute identically on doubles. Scale shape per iteration: one edge-keyed join "
+        "against the broadcast (node-sized) rank table + one node agg; "
+        "the edge relation is |products|^2-bounded and never leaves the "
+        "executors; more iterations repeat the same two stages",
+)
+def q_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pairs = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p_name"))).alias("names"))
+        .select(F.explode(F.expr(_PR_PAIRS)).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count("*").alias("w"))
+    )
+    sym = pairs.unionByName(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    wout = sym.groupBy("u").agg(F.sum("w").alias("wout"))
+    nn = wout.agg(F.count("*").alias("n"))
+    pr0 = (
+        wout.select("u").crossJoin(F.broadcast(nn))
+        .select("u", (F.floor(F.lit(1.0) / F.col("n") * 1e6 + 0.5) / 1e6).alias("pr"))
+    )
+
+    def one_iter(pr: DataFrame) -> DataFrame:
+        contrib = (
+            sym.join(F.broadcast(pr), "u")
+            .join(F.broadcast(wout), "u")
+            .select(
+                F.col("v").alias("u"),
+                (F.floor(F.col("pr") * F.col("w") / F.col("wout") * 1e6 + 0.5)
+                 / 1e6).alias("c"),
+            )
+        )
+        dec = F.sum(F.col("c").cast("decimal(18,6)")).cast("string").cast("double")
+        return (
+            contrib.groupBy("u").agg(dec.alias("s"))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "u",
+                (F.floor(
+                    (F.lit(0.15) / F.col("n") + F.lit(0.85) * F.col("s"))
+                    * 1e6 + 0.5
+                ) / 1e6).alias("pr"),
+            )
+        )
+
+    pr1 = one_iter(pr0)
+    pr2 = one_iter(pr1)
+    deg = sym.groupBy("u").agg(F.count("*").alias("n_neighbors"))
+    return (
+        deg.join(pr1.withColumnRenamed("pr", "pr_1"), "u")
+        .join(pr2.withColumnRenamed("pr", "pr_2"), "u")
+        .select(F.col("u").alias("product"), "n_neighbors", "pr_1", "pr_2")
+    )

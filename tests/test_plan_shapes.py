@@ -43,6 +43,7 @@ BNLJ_OK = {
     "tfidf_top_terms", "unigram_logprob_score",
     "rfm_scores", "length_quantile_buckets", "bm25_scores",
     "decontaminate_ngram", "bigram_logprob_score", "contrastive_negatives",
+    "pagerank_2iter",
     "kmeans_lloyd_2iter",  # all K centroids ride in as ONE broadcast row
 }
 

@@ -140,3 +140,25 @@ def test_kmeans_partitions_corpus_and_converges(spark, sf_dir):
     for r in rows:
         assert r.movement >= 0.0
         assert r.centroid_norm > 0.0
+
+
+def test_seasonal_anomalies_z_and_weekday_domain(spark, sf_dir):
+    """Every flagged row exceeds the 3-sigma band of its own
+    (product, weekday) baseline; weekday uses the pandas Monday=0
+    convention."""
+    rows = run(spark, sf_dir, "seasonal_anomalies").collect()
+    for r in rows:
+        assert abs(r.z_seasonal) > 3.0
+        assert 0 <= r.day_of_week <= 6
+
+
+def test_pagerank_is_a_distribution(spark, sf_dir):
+    """Rank mass sums to 1 after each iteration (no dangling leakage);
+    every node of the symmetrized graph has at least one neighbor."""
+    rows = run(spark, sf_dir, "pagerank_2iter").collect()
+    assert rows
+    assert abs(sum(r.pr_1 for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r.pr_2 for r in rows) - 1.0) < 1e-3
+    assert all(r.n_neighbors >= 1 for r in rows)
+    # iteration moves mass: some node's rank must actually change
+    assert any(abs(r.pr_2 - r.pr_1) > 1e-9 for r in rows)

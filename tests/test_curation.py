@@ -140,3 +140,37 @@ def test_key_skew_profile_top10(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a["n_orders"] >= b["n_orders"]
     assert all(0 < r["share"] < 1 for r in rows)
+
+
+def test_bigram_score_docs_and_bounds(spark, sf_dir):
+    """One row per multi-token doc; smoothed conditional probabilities
+    are < 1 so every logprob is negative; n_bigrams = n_tokens - 1."""
+    from project2_bigdata_spark.catalog import table
+
+    df = _run("bigram_logprob_score", spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    joined = df.join(d, "doc_id").collect()
+    assert len(joined) == d.filter(F.col("n_toks") >= 2).count()
+    for r in joined:
+        assert r.n_bigrams == r.n_toks - 1
+        assert r.avg_logprob < 0.0
+
+
+def test_contrastive_negatives_shape(spark, sf_dir):
+    """Exactly 4 negatives per anchor, all in-range, never the anchor
+    itself, and the draw is deterministic across runs."""
+    from project2_bigdata_spark.catalog import table
+
+    df = _run("contrastive_negatives", spark, sf_dir)
+    n = table(spark, sf_dir, "embeddings").count()
+    rows = df.collect()
+    assert len(rows) == 4 * n
+    per_anchor = {}
+    for r in rows:
+        assert 0 <= r.neg_id < n
+        assert r.neg_id != r.vec_id
+        assert (r.neg_label == r.anchor_label) == r.label_collision
+        per_anchor.setdefault(r.vec_id, set()).add(r.k)
+    assert all(ks == {0, 1, 2, 3} for ks in per_anchor.values())

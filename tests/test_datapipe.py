@@ -249,3 +249,16 @@ def test_multimodal_frames_flatmap_and_determinism(spark, sf_dir):
     assert len(a) >= n_docs            # ≥1 frame per doc (flat-map expands)
     b = fn(spark, sf_dir).toPandas().sort_values(["doc_id", "frame_idx"])
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_embedding_dim_stats_covers_every_dimension(spark, sf_dir):
+    from project2_bigdata_spark.plans import REGISTRY
+
+    rows = REGISTRY["embedding_dim_stats"].fn(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    dims = {r.pos for r in rows}
+    assert dims == set(range(1, 65))
+    for r in rows:
+        assert r.n_vecs == n_vecs
+        assert r.dim_min <= r.dim_mean <= r.dim_max
+        assert r.dim_std >= 0.0

@@ -76,6 +76,9 @@ SECONDARY = [
     "bm25_scores",             # BM25 ranking scan
     "stream_typed_state_profile",  # typed-state streaming profile
     "kmeans_lloyd_2iter",      # iterative clustering (2 Lloyd rounds)
+    "pagerank_2iter",          # iterative graph ranking (2 rounds)
+    "bigram_logprob_score",    # bigram-LM quality scan (shuffle join)
+    "contrastive_negatives",   # deterministic negative sampling
 ]
 
 

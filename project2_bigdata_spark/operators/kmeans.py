@@ -104,11 +104,19 @@ def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
+    # Checkpoint each 1-row centroid frame: truncating the lineage there
+    # means iteration t's assignment does NOT re-derive iteration t-1's
+    # whole assign+update subtree, so the corpus is scanned once per
+    # iteration (was 8 scan branches for 2 iterations) — the standard
+    # fix for iterative-lineage blowup, same pattern as graph.py's
+    # connected components. The checkpointed frames are K centroids (one
+    # row), so materialization cost is nil at any corpus size.
     assigned = None
     prev_cents = None
+    cents = cents.localCheckpoint(eager=False)
     for _ in range(N_ITER):
         assigned = _assign(vecs, cents)
-        prev_cents, cents = cents, _update(assigned)
+        prev_cents, cents = cents, _update(assigned).localCheckpoint(eager=False)
     sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
     fold = (
         "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "

@@ -817,3 +817,83 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("val").alias("dim_max"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source reputation rollup (the source-scoring table behind corpus
+# admission decisions)
+# ---------------------------------------------------------------------------
+
+@register(
+    "source_reputation",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, source, lang, text, string_split(text, ' ') AS w,
+             length(text) AS n_chars
+      FROM documents
+    ), s AS (
+      SELECT doc_id, source, lang,
+             md5(lower(text)) AS fp,
+             CAST(len(w) AS BIGINT) AS n_words,
+             (n_chars - (len(w) - 1)) / CAST(len(w) AS DOUBLE) AS mean_word_len,
+             CASE WHEN len(w) >= 3 THEN
+               list_transform(range(1, len(w) - 1),
+                              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+             ELSE [] END AS grams,
+             len(list_filter(w, x -> x IN ({{sw}}))) AS n_stop
+      FROM d
+    ), flagged AS (
+      SELECT source, lang, fp, n_words,
+             ((n_words BETWEEN 10 AND 100000)
+              AND (mean_word_len BETWEEN 2.0 AND 12.0)
+              AND (CASE WHEN len(grams) > 0 THEN
+                     1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE)
+                   ELSE 0.0 END) <= 0.6
+              AND n_stop >= 1) AS keep
+      FROM s
+    ), fpc AS (
+      SELECT fp, COUNT(*) AS n_copies FROM flagged GROUP BY 1
+    )
+    SELECT f.source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT f.lang) AS n_langs,
+           round(SUM(f.n_words) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_words,
+           round(SUM(CASE WHEN f.keep THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS keep_rate,
+           round(SUM(CASE WHEN c.n_copies > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS exact_dup_rate
+    FROM flagged f JOIN fpc c USING (fp)
+    GROUP BY 1
+    """.replace("{sw}", _SW),
+    doc="Per-source reputation rollup: doc volume, language breadth, "
+        "mean length, Gopher keep-rate, and exact-duplicate rate per "
+        "source — the admission table a pipeline consults before "
+        "ingesting more of a source (low keep_rate / high dup_rate "
+        "sources get down-weighted or dropped). Composes the gopher "
+        "flags (reused from q_gopher_quality_flags, same expressions) "
+        "with the exact-dedup fingerprint counts: one corpus scan, one "
+        "fingerprint-keyed shuffle, then a sources-sized aggregate. "
+        "Integer sums / counts keep every ratio engine-exact",
+)
+def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", F.md5(F.lower("text")).alias("fp")
+    )
+    flags = q_gopher_quality_flags(spark, sf_dir).select("doc_id", "n_words", "keep")
+    fpc = d.groupBy("fp").agg(F.count("*").alias("n_copies"))
+    joined = (
+        d.join(flags, "doc_id")
+        .join(fpc, "fp")
+    )
+    n = F.count("*")
+    return joined.groupBy("source").agg(
+        n.alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.round(F.sum("n_words") / n.cast("double"), 6).alias("mean_words"),
+        F.round(
+            F.sum(F.col("keep").cast("int")) / n.cast("double"), 6
+        ).alias("keep_rate"),
+        F.round(
+            F.sum((F.col("n_copies") > 1).cast("int")) / n.cast("double"), 6
+        ).alias("exact_dup_rate"),
+    )

@@ -980,3 +980,133 @@ def q_contrastive_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "anchor_label", "k", "neg_id", "neg_label",
         (F.col("neg_label") == F.col("anchor_label")).alias("label_collision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-blend curriculum assignment (z-scored composite → training phase)
+# ---------------------------------------------------------------------------
+
+def _z_sql(x: str, sx: str, sxx: str, n: str) -> str:
+    """Engine-exact z-score: inputs are identical doubles on both sides."""
+    return (
+        f"(({x}) - {sx} / {n}) / "
+        f"sqrt(({sxx} - {sx} * {sx} / {n}) / ({n} - 1))"
+    )
+
+
+@register(
+    "quality_blend_curriculum",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), vocab AS (
+      SELECT w, COUNT(*) AS tf FROM toks GROUP BY 1
+    ), tot AS (SELECT SUM(tf) AS n_tokens FROM vocab),
+    lp AS (
+      SELECT t.doc_id,
+             round(ln(CAST(v.tf AS DOUBLE) / n_tokens), 6) AS lpt
+      FROM toks t JOIN vocab v USING (w) CROSS JOIN tot
+    ), uni AS (
+      SELECT doc_id,
+             CAST(CAST(SUM(CAST(lpt AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS raw_avg
+      FROM lp GROUP BY 1
+    ), feats AS (
+      SELECT d.doc_id,
+             CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+             floor(len(list_filter(string_split(d.text, ' '),
+                                   x -> x IN ('the', 'a', 'data', 'row', 'value')))
+                   / CAST(len(string_split(d.text, ' ')) AS DOUBLE)
+                   * 1e6 + 0.5) / 1e6 AS stop_ratio,
+             floor(u.raw_avg * 1e6 + 0.5) / 1e6 AS avg_logprob
+      FROM documents d JOIN uni u USING (doc_id)
+    ), stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(n_words) AS DOUBLE) AS sx_w,
+             CAST(SUM(n_words * n_words) AS DOUBLE) AS sxx_w,
+             CAST(CAST(SUM(CAST(stop_ratio AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx_s,
+             CAST(CAST(SUM(CAST(stop_ratio * stop_ratio AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sxx_s,
+             CAST(CAST(SUM(CAST(avg_logprob AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS sx_l,
+             CAST(CAST(SUM(CAST(avg_logprob * avg_logprob AS DECIMAL(30,12))) AS VARCHAR) AS DOUBLE) AS sxx_l
+      FROM feats
+    ), scored AS (
+      SELECT doc_id, n_words, stop_ratio, avg_logprob,
+             floor((({z_w}) + ({z_s}) + ({z_l})) / 3.0 * 1e6 + 0.5) / 1e6
+               AS blend_score
+      FROM feats CROSS JOIN stats
+    )
+    SELECT doc_id, n_words, stop_ratio, avg_logprob, blend_score,
+           CAST(1 + (blend_score >= -0.5)::INT + (blend_score >= 0)::INT
+                  + (blend_score >= 0.5)::INT AS INT) AS phase
+    FROM scored
+    """.replace("{z_w}", _z_sql("n_words", "sx_w", "sxx_w", "n"))
+       .replace("{z_s}", _z_sql("stop_ratio", "sx_s", "sxx_s", "n"))
+       .replace("{z_l}", _z_sql("avg_logprob", "sx_l", "sxx_l", "n")),
+    doc="Curriculum assignment from a blended quality score: per-doc "
+        "length, stopword ratio, and unigram-LM avg logprob are each "
+        "z-scored against exact global moments (integer sums for "
+        "counts; 6dp-floored values summed as DECIMAL for the ratios), "
+        "averaged, and mapped to training phase 1-4 by FIXED z "
+        "thresholds — row-local, so no global sort / ntile over the "
+        "corpus (the scale trap of quantile-based curricula; for "
+        "equi-depth phases use the histogram-threshold plan of "
+        "length_quantile_buckets). One corpus scan + a 1-row stats "
+        "broadcast on top of the unigram-LM subplan",
+)
+def q_quality_blend_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import STOPWORDS
+
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    uni = q_unigram_logprob_score(spark, sf_dir).select(
+        "doc_id",
+        (F.floor((F.col("sum_logprob") / F.col("n_tokens")) * 1e6 + 0.5) / 1e6)
+        .alias("avg_logprob"),
+    )
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    feats = (
+        d.select(
+            "doc_id",
+            F.size("w").cast("bigint").alias("n_words"),
+            (
+                F.floor(
+                    F.size(F.expr(f"filter(w, x -> x IN ({sw}))"))
+                    / F.size("w").cast("double") * 1e6 + 0.5
+                ) / 1e6
+            ).alias("stop_ratio"),
+        )
+        .join(uni, "doc_id")
+    )
+    dec6 = lambda c: F.sum(F.col(c).cast("decimal(18,6)")).cast("string").cast("double")  # noqa: E731
+    dec12 = lambda c: F.sum((F.col(c) * F.col(c)).cast("decimal(30,12)")).cast("string").cast("double")  # noqa: E731
+    stats = feats.agg(
+        F.count("*").alias("n"),
+        F.sum("n_words").cast("double").alias("sx_w"),
+        F.sum(F.col("n_words") * F.col("n_words")).cast("double").alias("sxx_w"),
+        dec6("stop_ratio").alias("sx_s"), dec12("stop_ratio").alias("sxx_s"),
+        dec6("avg_logprob").alias("sx_l"), dec12("avg_logprob").alias("sxx_l"),
+    )
+
+    def z(x: str, sx: str, sxx: str) -> F.Column:
+        n = F.col("n")
+        return (F.col(x) - F.col(sx) / n) / F.sqrt(
+            (F.col(sxx) - F.col(sx) * F.col(sx) / n) / (n - 1)
+        )
+
+    blend = (
+        F.floor(
+            (z("n_words", "sx_w", "sxx_w")
+             + z("stop_ratio", "sx_s", "sxx_s")
+             + z("avg_logprob", "sx_l", "sxx_l")) / 3.0 * 1e6 + 0.5
+        ) / 1e6
+    )
+    scored = feats.crossJoin(F.broadcast(stats)).select(
+        "doc_id", "n_words", "stop_ratio", "avg_logprob",
+        blend.alias("blend_score"),
+    )
+    phase = (
+        F.lit(1)
+        + (F.col("blend_score") >= -0.5).cast("int")
+        + (F.col("blend_score") >= 0).cast("int")
+        + (F.col("blend_score") >= 0.5).cast("int")
+    )
+    return scored.withColumn("phase", phase.cast("int"))

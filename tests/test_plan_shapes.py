@@ -45,6 +45,7 @@ BNLJ_OK = {
     "decontaminate_ngram", "bigram_logprob_score", "contrastive_negatives",
     "pagerank_2iter",
     "kmeans_lloyd_2iter",  # all K centroids ride in as ONE broadcast row
+    "quality_blend_curriculum",  # 1-row global-moments broadcast (+ unigram subplan)
 }
 
 

@@ -143,3 +143,49 @@ reach(src, dst) AS (
 SELECT src AS doc_id, MIN(dst) AS cluster_id
 FROM reach GROUP BY 1
 """
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: per dedup cluster, keep the best member, drop the
+    rest — the step that turns clusters into an actual deduplicated
+    corpus (the reference pipeline stops at pair/cluster detection;
+    production dedup needs the keep/drop decision).
+
+    "Best" = most words, ties to the smallest doc_id — the standard
+    keep-longest heuristic (the longest member of a near-dup cluster is
+    usually the least-truncated crawl of the page).
+
+    Scale shape: reuses the cluster relation (one CC fixpoint), joins
+    document lengths on doc_id (key-partitioned), then one window over
+    cluster_id. Cluster sizes are bounded by near-dup semantics (a
+    cluster is copies of one page, not a corpus-sized group), so the
+    per-cluster window never sees a skewed partition.
+    """
+    clusters = dedup_clusters(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_words")
+    )
+    cw = Window.partitionBy("cluster_id")
+    rw = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_words").desc(), F.col("doc_id").asc()
+    )
+    return clusters.join(d, "doc_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_words",
+        F.count("*").over(cw).alias("n_members"),
+        (F.row_number().over(rw) == 1).alias("keep"),
+    )
+
+
+#: Oracle: the cluster oracle as a derived table, then the same
+#: keep-longest window decision in SQL.
+ORACLE_DEDUP_KEEP_BEST = f"""
+SELECT c.doc_id, c.cluster_id, q.n_words,
+       COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members,
+       (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                           ORDER BY q.n_words DESC, c.doc_id ASC) = 1) AS keep
+FROM ({ORACLE_DEDUP_CLUSTERS}) c
+JOIN (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+      FROM documents) q USING (doc_id)
+"""

@@ -479,7 +479,12 @@ def q_lang_id_ngram(spark, sf_dir):
     )
 
 
-from ..operators.graph import ORACLE_DEDUP_CLUSTERS, dedup_clusters  # noqa: E402
+from ..operators.graph import (  # noqa: E402
+    ORACLE_DEDUP_CLUSTERS,
+    ORACLE_DEDUP_KEEP_BEST,
+    dedup_clusters,
+    dedup_keep_best,
+)
 
 register(
     "dedup_clusters",
@@ -492,6 +497,16 @@ register(
         "localCheckpoint; converges in O(diameter) rounds. Oracle: "
         "DuckDB recursive-CTE transitive closure",
 )(dedup_clusters)
+
+register(
+    "dedup_keep_best",
+    oracle=ORACLE_DEDUP_KEEP_BEST,
+    doc="Dedup survivorship: per transitive cluster keep the longest "
+        "member (ties to min doc_id), flag the rest for drop — clusters "
+        "from the CC fixpoint, lengths joined on doc_id, one bounded "
+        "per-cluster window. Oracle: cluster oracle as a derived table "
+        "+ the same keep-longest ROW_NUMBER decision",
+)(dedup_keep_best)
 
 
 @register(

@@ -644,6 +644,118 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle(iterations: int = 3) -> str:
+    """Unrolled DuckDB twin of q_bpe_encode: the same 3 merge rounds as
+    _bpe_oracle, but the word is carried through so the final select is
+    the encoded vocabulary instead of the merge list."""
+    sql = """
+    WITH vocab AS (
+      SELECT w, COUNT(*) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+      ) GROUP BY 1
+    ), v0 AS (
+      SELECT w, array_to_string(regexp_extract_all(w, '.'), '~') AS sym, tf
+      FROM vocab
+    )"""
+    for i in range(1, iterations + 1):
+        prev = f"v{i - 1}"
+        sql += f""",
+    p{i} AS (
+      SELECT pair, CAST(SUM(tf) AS BIGINT) AS n FROM (
+        SELECT tf, unnest(CASE WHEN len(parts) >= 2 THEN
+                 list_transform(range(1, len(parts)),
+                                j -> parts[j] || ' ' || parts[j+1])
+               ELSE [] END) AS pair
+        FROM (SELECT string_split(sym, '~') AS parts, tf FROM {prev})
+      ) GROUP BY 1
+    ), b{i} AS (
+      SELECT pair, n FROM p{i} ORDER BY n DESC, pair LIMIT 1
+    ), v{i} AS (
+      SELECT w,
+             replace(sym,
+                     replace((SELECT pair FROM b{i}), ' ', '~'),
+                     replace((SELECT pair FROM b{i}), ' ', '')) AS sym, tf
+      FROM {prev}
+    )"""
+    return sql + f"""
+    SELECT w, tf, sym AS encoded,
+           CAST(len(string_split(sym, '~')) AS BIGINT) AS n_tokens
+    FROM v{iterations}
+    """
+
+
+@register(
+    "bpe_encode",
+    oracle=_bpe_encode_oracle(3),
+    doc="BPE tokenizer application: re-run the 3 greedy merge rounds of "
+        "bpe_train_merges, keep the END STATE — every vocabulary word "
+        "with its encoded symbol sequence and post-merge token count. "
+        "This is the broadcastable encode table a streaming tokenizer "
+        "pass joins against (tokenize the corpus = one broadcast join "
+        "on w, never re-running BPE over the token stream). Same "
+        "two-level shape as training: the corpus is touched once for "
+        "the vocab rollup; merges apply over the vocabulary only. "
+        "Oracle: the unrolled-iteration SQL with the word carried "
+        "through, so the driver hash-checks the whole loop's end state",
+)
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("tf"))
+    )
+    base = vocab.select(
+        "w",
+        F.concat_ws("~", F.expr("regexp_extract_all(w, '.', 0)")).alias("sym"),
+        "tf",
+    )
+    # Merge search runs on a cached copy (3 driver actions over the
+    # vocabulary); the returned frame is rebuilt on fresh lineage from
+    # the collected merge strings so nothing stays pinned in storage.
+    loop = base.cache()
+    cur = loop
+    merges: list[str] = []
+    for _ in range(3):
+        pairs = cur.select(
+            "tf",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(split(sym, '~')) >= 2 THEN "
+                    "transform(sequence(1, size(split(sym, '~')) - 1), "
+                    "j -> concat(split(sym, '~')[j-1], ' ', split(sym, '~')[j])) "
+                    "ELSE array() END"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("tf").cast("bigint").alias("n"))
+            .orderBy(F.desc("n"), "pair")
+            .first()
+        )
+        merges.append(top["pair"])
+        cur = cur.select(
+            "w",
+            F.replace(
+                F.col("sym"),
+                F.lit(top["pair"].replace(" ", "~")),
+                F.lit(top["pair"].replace(" ", "")),
+            ).alias("sym"),
+            "tf",
+        )
+    loop.unpersist()
+    sym = F.col("sym")
+    for pair in merges:
+        sym = F.replace(sym, F.lit(pair.replace(" ", "~")), F.lit(pair.replace(" ", "")))
+    return base.select(
+        "w",
+        "tf",
+        sym.alias("encoded"),
+        F.size(F.split(sym, "~")).cast("bigint").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM quality score (CCNet-style perplexity filter stand-in)
 # ---------------------------------------------------------------------------

@@ -756,6 +756,44 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_tokenize_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS tokens_per_word
+    FROM toks JOIN ({_bpe_encode_oracle(3)}) enc USING (w)
+    GROUP BY 1
+    """,
+    doc="Tokenize the corpus under the trained BPE: token stream joins "
+        "the BROADCAST encode table on the word (vocabulary-sized — MBs "
+        "at 100 TB corpus scale), then one per-doc agg. This is the "
+        "scale pattern bpe_encode exists for: the merge loop never "
+        "touches the token stream; tokenization is one broadcast join + "
+        "one key-partitioned agg over a single corpus scan. Output: "
+        "per-doc word count, BPE token count, tokens-per-word fertility",
+)
+def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = q_bpe_encode(spark, sf_dir).select("w", "n_tokens")
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        toks.join(F.broadcast(enc), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("tokens_per_word"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM quality score (CCNet-style perplexity filter stand-in)
 # ---------------------------------------------------------------------------

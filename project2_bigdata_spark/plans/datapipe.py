@@ -912,3 +912,61 @@ def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("n_copies") > 1).cast("int")) / n.cast("double"), 6
         ).alias("exact_dup_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy (gibberish / encoding-junk detector)
+# ---------------------------------------------------------------------------
+
+@register(
+    "char_entropy",
+    oracle="""
+    WITH cs AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      FROM documents WHERE length(text) > 0
+    ), cnt AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM cs GROUP BY 1, 2
+    ), agg AS (
+      SELECT doc_id,
+             CAST(SUM(k) AS BIGINT) AS n_chars,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+             CAST(CAST(SUM(CAST(k AS DECIMAL(10,0))
+                           * CAST(round(ln(k), 6) AS DECIMAL(10,6)))
+                  AS VARCHAR) AS DOUBLE) AS s
+      FROM cnt GROUP BY 1
+    )
+    SELECT doc_id, n_chars, n_distinct_chars,
+           round(round(ln(n_chars), 6) - s / n_chars, 6) AS char_entropy_nats
+    FROM agg
+    """,
+    doc="Per-doc character-distribution Shannon entropy (nats) — the "
+        "cheap gibberish/encoding-junk detector (binary spew scores "
+        "near ln(alphabet); natural text sits in a narrow band). "
+        "Entirely row-local: char counts via higher-order array "
+        "functions, entropy as ln(n) - sum(k*ln k)/n with the per-term "
+        "6dp-round + decimal-fold convention (functions/money.py style) "
+        "so the double is identical across engines and partitionings. "
+        "One corpus scan, zero shuffles, zero Python.",
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = (
+        d.withColumn("cs", F.expr("regexp_extract_all(text, '.', 0)"))
+        .withColumn("dc", F.expr("array_distinct(cs)"))
+        .withColumn("counts", F.expr("transform(dc, c -> size(filter(cs, x -> x = c)))"))
+    )
+    s = F.expr(
+        "cast(cast(aggregate(counts, cast(0 as decimal(20,6)), "
+        "(acc, k) -> cast(acc + cast(k as decimal(10,0)) "
+        "* cast(round(ln(cast(k as double)), 6) as decimal(10,6)) "
+        "as decimal(20,6))) as string) as double)"
+    )
+    n_chars = F.size("cs").cast("bigint")
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        F.size("dc").cast("bigint").alias("n_distinct_chars"),
+        F.round(
+            F.round(F.log(n_chars.cast("double")), 6) - s / n_chars, 6
+        ).alias("char_entropy_nats"),
+    )

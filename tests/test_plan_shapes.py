@@ -51,7 +51,7 @@ BNLJ_OK = {
 
 @pytest.mark.parametrize("name", [
     "sales_daily", "product_probability_join", "customer_rollup",
-    "ep2_clients_by_store", "tfidf_top_terms",
+    "ep2_clients_by_store", "tfidf_top_terms", "bpe_tokenize_docs",
 ])
 def test_dimension_joins_are_broadcast(spark, sf_dir, name):
     """Every dimension join must be broadcast — a shuffled dim join at

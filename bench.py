@@ -79,6 +79,9 @@ SECONDARY = [
     "pagerank_2iter",          # iterative graph ranking (2 rounds)
     "bigram_logprob_score",    # bigram-LM quality scan (shuffle join)
     "contrastive_negatives",   # deterministic negative sampling
+    "dedup_keep_best",         # CC fixpoint + survivorship window
+    "bpe_tokenize_docs",       # BPE loop + broadcast-encode tokenize
+    "char_entropy",            # row-local entropy decimal fold
 ]
 
 

@@ -226,6 +226,66 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rates.join(kept, "lang").select("lang", "n_in", "rate", "n_kept")
 
 
+#: Token budget for the mixture plan — a PLAN parameter (what the
+#: training run wants), not a corpus property; 1M forces epochs > 1 on
+#: the test corpus so the upsampling path is exercised.
+_MIX_BUDGET = 1_000_000.0
+
+
+@register(
+    "mixture_plan",
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS tokens
+      FROM documents GROUP BY 1
+    ), z AS (
+      SELECT CAST(CAST(SUM(CAST(round(sqrt(tokens), 6) AS DECIMAL(18,6)))
+                  AS VARCHAR) AS DOUBLE) AS norm
+      FROM t
+    )
+    SELECT source, tokens,
+           round(round(sqrt(tokens), 6) / norm, 6) AS weight,
+           CAST(floor(round(round(sqrt(tokens), 6) / norm, 6) * {_MIX_BUDGET})
+                AS BIGINT) AS target_tokens,
+           round(CAST(floor(round(round(sqrt(tokens), 6) / norm, 6)
+                            * {_MIX_BUDGET}) AS BIGINT) / tokens, 6) AS epochs
+    FROM t CROSS JOIN z
+    """,
+    doc="Source-mixture plan: tempered (alpha=0.5) per-source weights "
+        "over available tokens, a token-budget allocation, and the "
+        "epochs/repeat factor per source (>1 = upsample — the Pile/LLaMA "
+        "data-mixing step; temperature_sample only downsamples rows, "
+        "this PLANS the mixture). One source-level agg + a 1-row "
+        "broadcast normalizer; the weight normalizer sums 6dp-rounded "
+        "sqrt values as decimals so every engine and partitioning "
+        "derives bit-identical weights.",
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = (
+        d.select("source", F.size(F.split("text", " ")).cast("bigint").alias("nw"))
+        .groupBy("source")
+        .agg(F.sum("nw").cast("bigint").alias("tokens"))
+    )
+    z = t.agg(
+        F.expr(
+            "cast(cast(sum(cast(round(sqrt(tokens), 6) as decimal(18,6))) "
+            "as string) as double)"
+        ).alias("norm")
+    )
+    weight = F.round(F.round(F.sqrt("tokens"), 6) / F.col("norm"), 6)
+    target = F.floor(weight * F.lit(_MIX_BUDGET)).cast("bigint")
+    return t.crossJoin(F.broadcast(z)).select(
+        "source",
+        "tokens",
+        weight.alias("weight"),
+        target.alias("target_tokens"),
+        F.round(target / F.col("tokens"), 6).alias("epochs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic train/val/test hash split
 # ---------------------------------------------------------------------------

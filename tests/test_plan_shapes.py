@@ -46,6 +46,7 @@ BNLJ_OK = {
     "pagerank_2iter",
     "kmeans_lloyd_2iter",  # all K centroids ride in as ONE broadcast row
     "quality_blend_curriculum",  # 1-row global-moments broadcast (+ unigram subplan)
+    "mixture_plan",  # 1-row weight-normalizer broadcast
 }
 
 

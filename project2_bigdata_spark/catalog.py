@@ -32,16 +32,24 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     tune(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) — unreadable by Spark natively;
-        # with nanosAsLong it arrives as epoch-nanos, convert to micros
-        # timestamp (UTC session ⇒ wall clock matches the NTZ source).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            # integer div: epoch-nanos > 2^53 would lose precision in double
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        # older testdata stored ts as parquet TIMESTAMP(NANOS) — unreadable
+        # by Spark natively; with nanosAsLong it arrives as epoch-nanos.
+        # integer div: epoch-nanos > 2^53 would lose precision in double
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # current testdata stores timestamps as TIMESTAMP(MICROS,
+    # isAdjustedToUTC=false), which Spark reads as TIMESTAMP_NTZ. NTZ
+    # forbids epoch casts (`cast(ts as long)`) and diverges from the
+    # TIMESTAMP_LTZ the rest of the engine assumes; with the session
+    # pinned to UTC the NTZ→LTZ cast is wall-clock-preserving, so
+    # normalize every NTZ column at the scan boundary.
+    ntz = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, T.TimestampNTZType)]
+    if ntz:
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
     return df
 
 

@@ -22,9 +22,11 @@ RUNTIME_CONF = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # events.parquet stores ts as TIMESTAMP(NANOS, isAdjustedToUTC=false),
-    # which Spark's parquet reader rejects; read as long and convert in
-    # catalog.table (SPARK-40819 escape hatch).
+    # older testdata generations stored events.ts as TIMESTAMP(NANOS,
+    # isAdjustedToUTC=false), which Spark's parquet reader rejects; read
+    # as long and convert in catalog.table (SPARK-40819 escape hatch).
+    # Harmless on current micros-typed data. catalog.table also
+    # normalizes TIMESTAMP_NTZ columns (the current generation) to LTZ.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

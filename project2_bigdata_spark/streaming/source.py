@@ -37,4 +37,9 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if isinstance(sdf.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(sdf.schema["ts"].dataType, T.TimestampNTZType):
+        # current testdata: TIMESTAMP(MICROS, isAdjustedToUTC=false) → NTZ;
+        # normalize to LTZ exactly like catalog.table (UTC session ⇒
+        # wall-clock-preserving) so watermarks/windows see TimestampType.
+        sdf = sdf.withColumn("ts", F.col("ts").cast("timestamp"))
     return sdf

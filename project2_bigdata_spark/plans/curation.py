@@ -1320,3 +1320,145 @@ def q_quality_blend_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         + (F.col("blend_score") >= 0.5).cast("int")
     )
     return scored.withColumn("phase", phase.cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Split-distribution divergence (train/val/test contamination-drift gate)
+# ---------------------------------------------------------------------------
+
+_SD_ORACLE = """
+WITH toks AS (
+  SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+                THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f8'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), vocab AS (
+  SELECT w,
+         CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT) AS c_tr,
+         CAST(COUNT(*) FILTER (WHERE split = 'val')   AS BIGINT) AS c_va,
+         CAST(COUNT(*) FILTER (WHERE split = 'test')  AS BIGINT) AS c_te
+  FROM toks GROUP BY w
+), terms AS (
+  SELECT c_tr, c_va, c_te,
+         round((c_tr + 1) * ln(c_tr + 1.0), 6) AS a_tr_tr,
+         round((c_va + 1) * ln(c_va + 1.0), 6) AS a_va_va,
+         round((c_va + 1) * ln(c_tr + 1.0), 6) AS a_va_tr,
+         round((c_te + 1) * ln(c_te + 1.0), 6) AS a_te_te,
+         round((c_te + 1) * ln(c_tr + 1.0), 6) AS a_te_tr
+  FROM vocab
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v,
+         CAST(SUM(c_tr) AS BIGINT) AS n_tr,
+         CAST(SUM(c_va) AS BIGINT) AS n_va,
+         CAST(SUM(c_te) AS BIGINT) AS n_te,
+         CAST(CAST(SUM(CAST(a_tr_tr AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_tr_tr,
+         CAST(CAST(SUM(CAST(a_va_va AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_va_va,
+         CAST(CAST(SUM(CAST(a_va_tr AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_va_tr,
+         CAST(CAST(SUM(CAST(a_te_te AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_te_te,
+         CAST(CAST(SUM(CAST(a_te_tr AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE) AS s_te_tr
+  FROM terms
+)
+SELECT 'train' AS split, n_tr AS n_tokens, v AS vocab_size,
+       round((s_tr_tr - s_tr_tr) / CAST(n_tr + v AS DOUBLE)
+             - ln(CAST(n_tr + v AS DOUBLE)) + ln(CAST(n_tr + v AS DOUBLE)), 6)
+         AS kl_vs_train
+FROM g
+UNION ALL
+SELECT 'val', n_va, v,
+       round((s_va_va - s_va_tr) / CAST(n_va + v AS DOUBLE)
+             - ln(CAST(n_va + v AS DOUBLE)) + ln(CAST(n_tr + v AS DOUBLE)), 6)
+FROM g
+UNION ALL
+SELECT 'test', n_te, v,
+       round((s_te_te - s_te_tr) / CAST(n_te + v AS DOUBLE)
+             - ln(CAST(n_te + v AS DOUBLE)) + ln(CAST(n_tr + v AS DOUBLE)), 6)
+FROM g
+"""
+
+
+@register(
+    "split_divergence",
+    oracle=_SD_ORACLE,
+    doc="Unigram-distribution KL divergence of each hash split against "
+        "train — the drift gate a training pipeline runs before shipping "
+        "a new data mix (a val/test token distribution far from train "
+        "invalidates held-out loss). Splits are the md5 assignment of "
+        "hash_split_assign; distributions are add-one smoothed over the "
+        "shared vocabulary. Exactness: KL(s||t) is expanded to "
+        "(SUM((c_s+1)ln(c_s+1)) - SUM((c_s+1)ln(c_t+1)))/D_s "
+        "- ln(D_s) + ln(D_t) with D_s = n_tokens_s + V, so every summed "
+        "term is O(1)-or-larger magnitude (safe to round at 6dp, unlike "
+        "raw p*log(p/q) terms ~1e-10 whose rounding would drown the "
+        "signal or flip on engine ULP drift), then decimal-folded. "
+        "Scale: one shuffle (token -> vocab rollup, map-side combine), "
+        "a vocabulary-sized intermediate, one 1-row global fold, and the "
+        "3 output rows exploded row-locally from that single row -- no "
+        "joins anywhere; KL(train||train) is exactly 0.0 by construction "
+        "on both engines.",
+)
+def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = F.when(b < "f0", "train").when(b < "f8", "val").otherwise("test")
+    toks = d.select(split.alias("split"), F.explode(F.split("text", " ")).alias("w"))
+
+    def cnt(s: str) -> F.Column:
+        return F.sum(F.when(F.col("split") == s, 1).otherwise(0)).cast("bigint")
+
+    vocab = toks.groupBy("w").agg(
+        cnt("train").alias("c_tr"), cnt("val").alias("c_va"), cnt("test").alias("c_te")
+    )
+
+    def term(cs: str, ct: str) -> F.Column:
+        return F.round(
+            (F.col(cs) + 1).cast("double") * F.log((F.col(ct) + 1).cast("double")), 6
+        )
+
+    terms = vocab.select(
+        "c_tr", "c_va", "c_te",
+        term("c_tr", "c_tr").alias("a_tr_tr"),
+        term("c_va", "c_va").alias("a_va_va"),
+        term("c_va", "c_tr").alias("a_va_tr"),
+        term("c_te", "c_te").alias("a_te_te"),
+        term("c_te", "c_tr").alias("a_te_tr"),
+    )
+
+    def fold(c: str) -> F.Column:
+        return F.sum(F.col(c).cast("decimal(28,6)")).cast("string").cast("double")
+
+    g = terms.agg(
+        F.count("*").cast("bigint").alias("v"),
+        F.sum("c_tr").alias("n_tr"),
+        F.sum("c_va").alias("n_va"),
+        F.sum("c_te").alias("n_te"),
+        fold("a_tr_tr").alias("s_tr_tr"),
+        fold("a_va_va").alias("s_va_va"),
+        fold("a_va_tr").alias("s_va_tr"),
+        fold("a_te_te").alias("s_te_te"),
+        fold("a_te_tr").alias("s_te_tr"),
+    )
+
+    def kl(ss: str, st: str, n: str) -> F.Column:
+        ds = (F.col(n) + F.col("v")).cast("double")
+        dtr = (F.col("n_tr") + F.col("v")).cast("double")
+        return F.round((F.col(ss) - F.col(st)) / ds - F.log(ds) + F.log(dtr), 6)
+
+    def row(name: str, n: str, ss: str, st: str) -> F.Column:
+        return F.struct(
+            F.lit(name).alias("split"),
+            F.col(n).alias("n_tokens"),
+            F.col("v").alias("vocab_size"),
+            kl(ss, st, n).alias("kl_vs_train"),
+        )
+
+    rows = F.explode(F.array(
+        row("train", "n_tr", "s_tr_tr", "s_tr_tr"),
+        row("val", "n_va", "s_va_va", "s_va_tr"),
+        row("test", "n_te", "s_te_te", "s_te_tr"),
+    ))
+    return g.select(rows.alias("r")).select("r.*")

@@ -1462,3 +1462,96 @@ def q_split_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         row("test", "n_te", "s_te_te", "s_te_tr"),
     ))
     return g.select(rows.alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage (held-out contamination via exact fingerprints)
+# ---------------------------------------------------------------------------
+
+_SL_ORACLE = """
+WITH d AS (
+  SELECT CASE WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f0'
+                THEN 'train'
+              WHEN substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 2) < 'f8'
+                THEN 'val'
+              ELSE 'test' END AS split,
+         md5(text) AS fp
+  FROM documents
+), per_fp AS (
+  SELECT fp,
+         CAST(COUNT(*) FILTER (WHERE split = 'train') AS BIGINT) AS n_tr,
+         CAST(COUNT(*) FILTER (WHERE split = 'val')   AS BIGINT) AS n_va,
+         CAST(COUNT(*) FILTER (WHERE split = 'test')  AS BIGINT) AS n_te
+  FROM d GROUP BY fp
+), g AS (
+  SELECT CAST(SUM(n_va) AS BIGINT) AS n_va,
+         CAST(SUM(n_te) AS BIGINT) AS n_te,
+         CAST(SUM(CASE WHEN n_tr > 0 THEN n_va ELSE 0 END) AS BIGINT) AS l_va,
+         CAST(SUM(CASE WHEN n_tr > 0 THEN n_te ELSE 0 END) AS BIGINT) AS l_te
+  FROM per_fp
+)
+SELECT 'val' AS split, n_va AS n_docs, l_va AS n_leaked,
+       round(CASE WHEN n_va > 0 THEN CAST(l_va AS DOUBLE) / n_va
+                  ELSE 0.0 END, 6) AS leak_rate
+FROM g
+UNION ALL
+SELECT 'test', n_te, l_te,
+       round(CASE WHEN n_te > 0 THEN CAST(l_te AS DOUBLE) / n_te
+                  ELSE 0.0 END, 6)
+FROM g
+"""
+
+
+@register(
+    "split_leakage",
+    oracle=_SL_ORACLE,
+    doc="Held-out contamination check: how many val/test documents have "
+        "an exact-text twin (md5 fingerprint) inside train. The companion "
+        "gate to decontaminate/decontaminate_ngram (those test against an "
+        "EXTERNAL benchmark set; this audits the pipeline's own split "
+        "boundary, where upstream exact-dup survivors leak evaluation "
+        "answers into training). Scale: fingerprint + split tag are "
+        "row-local, one shuffle groups by fingerprint (doc-count-sized, "
+        "map-side combined), and the verdict is a 1-row global fold "
+        "exploded into the two held-out rows -- no joins, same shape as "
+        "dedup_exact so it rides the same 100 TB plan.",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    b = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 2
+    )
+    split = F.when(b < "f0", "train").when(b < "f8", "val").otherwise("test")
+
+    def cnt(s: str) -> F.Column:
+        return F.sum(F.when(F.col("split") == s, 1).otherwise(0)).cast("bigint")
+
+    per_fp = (
+        d.select(split.alias("split"), F.md5("text").alias("fp"))
+        .groupBy("fp")
+        .agg(cnt("train").alias("n_tr"), cnt("val").alias("n_va"),
+             cnt("test").alias("n_te"))
+    )
+    leaked = lambda c: F.sum(  # noqa: E731
+        F.when(F.col("n_tr") > 0, F.col(c)).otherwise(0)
+    ).cast("bigint")
+    g = per_fp.agg(
+        F.sum("n_va").cast("bigint").alias("n_va"),
+        F.sum("n_te").cast("bigint").alias("n_te"),
+        leaked("n_va").alias("l_va"),
+        leaked("n_te").alias("l_te"),
+    )
+
+    def row(name: str, n: str, l: str) -> F.Column:
+        rate = F.when(
+            F.col(n) > 0, F.round(F.col(l).cast("double") / F.col(n), 6)
+        ).otherwise(F.lit(0.0))
+        return F.struct(
+            F.lit(name).alias("split"),
+            F.col(n).alias("n_docs"),
+            F.col(l).alias("n_leaked"),
+            rate.alias("leak_rate"),
+        )
+
+    rows = F.explode(F.array(row("val", "n_va", "l_va"), row("test", "n_te", "l_te")))
+    return g.select(rows.alias("r")).select("r.*")

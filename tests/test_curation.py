@@ -174,3 +174,42 @@ def test_contrastive_negatives_shape(spark, sf_dir):
         assert (r.neg_label == r.anchor_label) == r.label_collision
         per_anchor.setdefault(r.vec_id, set()).add(r.k)
     assert all(ks == {0, 1, 2, 3} for ks in per_anchor.values())
+
+
+def test_split_leakage_detects_cross_split_twin(spark, tmp_path):
+    """The sf testdata happens to contain no cross-split exact twins, so
+    the parity test only proves the zero case; this constructs a
+    train/val twin and checks the leak actually fires."""
+    import hashlib
+
+    def assigned(i: int) -> str:
+        h = hashlib.md5(f"split:{i}".encode()).hexdigest()[:2]
+        return "train" if h < "f0" else ("val" if h < "f8" else "test")
+
+    pick = {}
+    for i in range(4096):
+        pick.setdefault(assigned(i), i)
+        if len(pick) == 3:
+            break
+    rows = [
+        (pick["train"], "the shared secret text", "en", "srcA", 22),
+        (pick["val"], "the shared secret text", "en", "srcB", 22),
+        (pick["test"], "something else entirely", "en", "srcC", 23),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    )
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.split: r for r in _run("split_leakage", spark, str(tmp_path)).collect()}
+    assert out["val"].n_docs == 1 and out["val"].n_leaked == 1
+    assert out["val"].leak_rate == 1.0
+    assert out["test"].n_docs == 1 and out["test"].n_leaked == 0
+    assert out["test"].leak_rate == 0.0
+
+
+def test_split_divergence_train_is_zero(spark, sf_dir):
+    out = {r.split: r for r in _run("split_divergence", spark, sf_dir).collect()}
+    assert set(out) == {"train", "val", "test"}
+    assert out["train"].kl_vs_train == 0.0
+    assert out["val"].kl_vs_train > 0.0 and out["test"].kl_vs_train > 0.0
+    assert out["train"].vocab_size == out["val"].vocab_size

@@ -17,9 +17,10 @@ def test_watermarked_append_subset_of_complete(spark, sf_dir):
     """Append mode emits only watermark-finalized windows: a subset of the
     batch answer, never rows the batch answer lacks."""
     emitted = run_to_batch(watermarked_hourly(spark, sf_dir), mode="append")
+    from project2_bigdata_spark.catalog import table
+
     batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        table(spark, sf_dir, "events")
         .groupBy(F.window("ts", "1 hour"), "event_type")
         .agg(F.count("*").alias("n"))
     )

@@ -82,6 +82,8 @@ SECONDARY = [
     "dedup_keep_best",         # CC fixpoint + survivorship window
     "bpe_tokenize_docs",       # BPE loop + broadcast-encode tokenize
     "char_entropy",            # row-local entropy decimal fold
+    "split_divergence",        # split KL drift gate (vocab fold)
+    "split_leakage",           # cross-split exact-twin audit
 ]
 
 
@@ -111,6 +113,23 @@ def main() -> None:
     )
     warm.write.mode("overwrite").format("noop").save()
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    # Python-worker warm-up: spawn the per-core pyspark daemon workers
+    # and pay the pandas/numpy import ONCE here, so the first Arrow-UDF
+    # query in the run isn't charged the fleet's cold start (observed
+    # ~13-25 s for 32 workers on a cold page cache vs <1 s warm). On a
+    # real cluster workers are long-lived; charging spawn cost to one
+    # arbitrary query would misrank it round-over-round.
+    from pyspark.sql.types import LongType as _Long
+
+    @_F.pandas_udf(_Long())
+    def _warm_udf(s):
+        return s.str.len().astype("int64")
+
+    (spark.range(0, spark.sparkContext.defaultParallelism * 4, 1,
+                 spark.sparkContext.defaultParallelism)
+     .select(_warm_udf(_F.col("id").cast("string")).alias("n"))
+     .write.mode("overwrite").format("noop").save())
 
     def run_set(names: list[str]) -> dict[str, float]:
         out: dict[str, float] = {}
@@ -145,6 +164,19 @@ def main() -> None:
     timings = run_set(HEADLINE)
     secondary = run_set(SECONDARY)
 
+    # Testdata fingerprint: the driver regenerates the parquet corpora
+    # between rounds (observed: round 2 switched timestamp physical
+    # types and file contents). Timings across different data
+    # generations are not comparable, so stamp each history record with
+    # a fingerprint of the input files (sizes are cheap and change with
+    # any regen).
+    sizes = sorted(
+        (f, os.path.getsize(os.path.join(sf_dir, f)))
+        for f in os.listdir(sf_dir) if f.endswith(".parquet")
+    )
+    import hashlib
+    data_fp = hashlib.md5(json.dumps(sizes).encode()).hexdigest()[:12]
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total",
@@ -154,6 +186,7 @@ def main() -> None:
         "secondary": secondary,
         "secondary_total": round(sum(secondary.values()), 3),
         "calibration_50m_agg": calibration,
+        "data_fingerprint": data_fp,
         "sf": sf,
     }
     print(json.dumps(result))

@@ -35,9 +35,16 @@ def connected_components(
     """Min-label propagation: (doc_id) × (src, dst) → (doc_id, cluster_id)
     where cluster_id = min doc_id in the component. Deterministic for any
     edge order; singleton vertices keep themselves as cluster_id."""
+    # Materialize the symmetrized edge table ONCE before iterating: the
+    # edge relation's lineage is the whole pair-generation pipeline
+    # (shingling + blocked self-join), and every fixpoint round consumes
+    # it — without the checkpoint each round re-runs pair generation
+    # from the raw corpus (2× per round via the union). The edge list is
+    # graph-sized, far smaller than the corpus, so pinning it is exactly
+    # what a 100 TB run wants (same pattern as pagerank/kmeans).
     sym = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)
     labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
     prev_sum = None
     for _ in range(max_iter):

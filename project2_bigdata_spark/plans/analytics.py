@@ -830,3 +830,157 @@ def q_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(pr2.withColumnRenamed("pr", "pr_2"), "u")
         .select(F.col("u").alias("product"), "n_neighbors", "pr_1", "pr_2")
     )
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build (validity intervals from a change stream)
+# ---------------------------------------------------------------------------
+
+_SCD2_ORACLE = """
+WITH seq AS (
+  SELECT o_custkey, o_orderkey, o_orderpriority,
+         strftime(o_orderdate, '%Y-%m-%d') AS d,
+         CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                OR lag(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), seg AS (
+  SELECT o_custkey, o_orderpriority, d,
+         CAST(SUM(chg) OVER (PARTITION BY o_custkey
+                             ORDER BY d, o_orderkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS version
+  FROM seq
+), spans AS (
+  SELECT o_custkey AS custkey, version,
+         o_orderpriority AS priority,
+         MIN(d) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM seg GROUP BY 1, 2, 3
+)
+SELECT custkey, version, priority, valid_from,
+       lead(valid_from) OVER (PARTITION BY custkey ORDER BY version)
+         AS valid_to,
+       n_orders,
+       (lead(valid_from) OVER (PARTITION BY custkey ORDER BY version) IS NULL)
+         AS is_current
+FROM spans
+"""
+
+
+@register(
+    "scd2_priority_history",
+    oracle=_SCD2_ORACLE,
+    doc="Slowly-changing-dimension (type 2) build: collapse each "
+        "customer's order-priority sequence into validity intervals "
+        "[valid_from, valid_to) with an is_current flag — the standard "
+        "warehouse pattern for reconstructing attribute history from an "
+        "append-only change stream (no reference analog; engine-surface "
+        "extension like asof_join). Change detection is lag() + a "
+        "running sum over one window, span rollup is one groupBy, and "
+        "valid_to closes each span with lead() over the version "
+        "sequence. Scale: every window partitions by custkey — state "
+        "is one customer's history, never corpus-sized; two shuffles "
+        "total (custkey, then the span rollup reuses the same key so "
+        "AQE can pipeline it). Ties on order date resolve by orderkey "
+        "on both engines.",
+)
+def q_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    chg = (
+        F.lag("o_orderpriority").over(w).isNull()
+        | (F.lag("o_orderpriority").over(w) != F.col("o_orderpriority"))
+    ).cast("int")
+    seg = (
+        o.select(
+            "o_custkey", "o_orderkey", "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+            chg.alias("chg"),
+        )
+        .withColumn(
+            "version",
+            F.sum("chg").over(
+                Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).cast("bigint"),
+        )
+    )
+    spans = seg.groupBy(
+        F.col("o_custkey").alias("custkey"), "version",
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.min("d").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_orders"),
+    )
+    vw = Window.partitionBy("custkey").orderBy("version")
+    return spans.select(
+        "custkey", "version", "priority", "valid_from",
+        F.lead("valid_from").over(vw).alias("valid_to"),
+        "n_orders",
+        F.lead("valid_from").over(vw).isNull().alias("is_current"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized interval join (two LARGE sides — the batch band-join path)
+# ---------------------------------------------------------------------------
+
+_ATTR_ORACLE = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts
+FROM events v
+JOIN events p
+  ON p.user_id = v.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 1 HOUR
+"""
+
+
+@register(
+    "attribution_window_join",
+    oracle=_ATTR_ORACLE,
+    doc="Batch interval join between two LARGE event sets: every "
+        "purchase a user made within 1h after each of their views "
+        "(view->purchase attribution). Spark has no native batch "
+        "interval join, and a raw inequality join between two fact "
+        "tables is a per-key cartesian blowup; this is the bucketize-"
+        "the-range-key path asof.py's docstring points to: each view's "
+        "(t, t+1h] window is tagged with the (at most 2) hour-buckets "
+        "it touches -- a CONSTANT duplication factor, not "
+        "data-dependent -- purchases carry their single hour-bucket, "
+        "both sides equi-join on (user, bucket) so Catalyst plans a "
+        "hash join, and the exact interval predicate filters within "
+        "buckets. Scale: one shuffle on (user, hour) -- skewed users "
+        "are split across their hour-buckets by construction; no "
+        "nested-loop stage anywhere. (orders x events is structurally "
+        "empty here: the corpora place orders in 1995-2001 and events "
+        "in 2024, so the demo band-join is event-to-event.)",
+)
+def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hour = lambda c: F.floor(F.col(c).cast("long") / F.lit(3600))  # noqa: E731
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("vts")
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("ts").alias("pts"), hour("ts").alias("bucket"),
+    )
+    # each view window (t, t+1h] touches at most hour-buckets b and b+1
+    vb = v.withColumn("bucket", F.explode(F.array(hour("vts"), hour("vts") + 1)))
+    return (
+        vb.join(p, ["user_id", "bucket"])
+        .filter(
+            (F.col("pts") > F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "view_id", "purchase_id",
+            F.date_format("vts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        )
+    )

@@ -84,6 +84,9 @@ SECONDARY = [
     "char_entropy",            # row-local entropy decimal fold
     "split_divergence",        # split KL drift gate (vocab fold)
     "split_leakage",           # cross-split exact-twin audit
+    "scd2_priority_history",   # SCD2 validity-interval build
+    "attribution_window_join", # bucketized batch interval join
+    "triangle_count",          # degree-ordered wedge closing
 ]
 
 

@@ -984,3 +984,117 @@ def q_attribution_window_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (degree-ordered) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_TRI_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_name
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), edges AS (
+  SELECT DISTINCT a.p_name AS u, b.p_name AS v
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.p_name < b.p_name
+), deg AS (
+  SELECT x AS p, COUNT(*) AS d
+  FROM (SELECT u AS x FROM edges UNION ALL SELECT v FROM edges)
+  GROUP BY 1
+), keyd AS (
+  SELECT p, lpad(CAST(d AS VARCHAR), 10, '0') || '|' || p AS k FROM deg
+), fw AS (
+  SELECT CASE WHEN ku.k < kv.k THEN e.u ELSE e.v END AS src,
+         CASE WHEN ku.k < kv.k THEN e.v ELSE e.u END AS dst,
+         CASE WHEN ku.k < kv.k THEN kv.k ELSE ku.k END AS dst_k
+  FROM edges e JOIN keyd ku ON ku.p = e.u JOIN keyd kv ON kv.p = e.v
+), tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM fw e1
+  JOIN fw e2 ON e2.src = e1.src AND e1.dst_k < e2.dst_k
+  JOIN fw e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+)
+SELECT p AS product, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM (SELECT a AS p FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+GROUP BY 1
+"""
+
+#: Row-local (x, y) pairs with x < y from the sorted DISTINCT name array.
+_TRI_PAIRS = """
+flatten(
+  transform(names, (x, i) ->
+    transform(slice(names, i + 2, size(names)), y ->
+      struct(x AS u, y AS v))))
+"""
+
+
+@register(
+    "triangle_count",
+    oracle=_TRI_ORACLE,
+    doc="Per-product triangle participation counts over the co-purchase "
+        "graph via DEGREE-ORDERED wedge closing (the MapReduce-classic "
+        "Cohen / Suri-Vassilvitskii scheme): orient every edge from its "
+        "lower-(degree, name) endpoint to the higher one, generate "
+        "wedges only from pairs of OUT-edges of a common source, and "
+        "close them against the oriented edge list. Each triangle has "
+        "exactly one vertex with two out-edges in this orientation, so "
+        "it is generated exactly once. Scale: the orientation bounds "
+        "out-degree by O(sqrt(m)) regardless of natural degree skew -- "
+        "a celebrity node's star produces NO wedges at the hub (its "
+        "edges all point outward-by-order), killing the quadratic "
+        "blowup a naive vertex-grouped enumeration hits; the wedge join "
+        "and closing join are both equi-joins (src, then (src,dst)), "
+        "sum-of-squared-OUT-degree = O(m^1.5) work. Edge derivation is "
+        "the row-local sorted-distinct-pairs pattern shared with "
+        "pagerank; the (deg|name) orientation key is a zero-padded "
+        "string so both engines compare it identically. Degree table is "
+        "node-sized -> broadcast to both endpoint lookups.",
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    edges = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p_name"))).alias("names"))
+        .select(F.explode(F.expr(_TRI_PAIRS)).alias("e"))
+        .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        edges.select(F.col("u").alias("p"))
+        .unionAll(edges.select(F.col("v").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("d"))
+    )
+    keyd = deg.select(
+        "p", F.concat(F.lpad(F.col("d").cast("string"), 10, "0"),
+                      F.lit("|"), F.col("p")).alias("k")
+    )
+    ku = keyd.select(F.col("p").alias("u"), F.col("k").alias("ku"))
+    kv = keyd.select(F.col("p").alias("v"), F.col("k").alias("kv"))
+    ordered = F.col("ku") < F.col("kv")
+    fw = (
+        edges.join(F.broadcast(ku), "u").join(F.broadcast(kv), "v")
+        .select(
+            F.when(ordered, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(ordered, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(ordered, F.col("kv")).otherwise(F.col("ku")).alias("dst_k"),
+        )
+    )
+    e1 = fw.select(F.col("src"), F.col("dst").alias("b"), F.col("dst_k").alias("bk"))
+    e2 = fw.select(F.col("src"), F.col("dst").alias("c"), F.col("dst_k").alias("ck"))
+    wedges = e1.join(e2, "src").filter(F.col("bk") < F.col("ck"))
+    closing = fw.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"]).select(
+        F.col("src").alias("a"), "b", "c"
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("product"))
+        .groupBy("product")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )

@@ -87,6 +87,7 @@ SECONDARY = [
     "scd2_priority_history",   # SCD2 validity-interval build
     "attribution_window_join", # bucketized batch interval join
     "triangle_count",          # degree-ordered wedge closing
+    "pmi_cooccurrence",        # windowed word-pair PMI
 ]
 
 

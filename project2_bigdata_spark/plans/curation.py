@@ -1555,3 +1555,98 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = F.explode(F.array(row("val", "n_va", "l_va"), row("test", "n_te", "l_te")))
     return g.select(rows.alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Windowed PMI co-occurrence (distributional word statistics)
+# ---------------------------------------------------------------------------
+
+_PMI_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), tok AS (
+  SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos FROM d
+), tok2 AS (
+  SELECT doc_id, pos, ws[pos] AS w FROM tok
+), pairs AS (
+  SELECT least(t1.w, t2.w) AS a, greatest(t1.w, t2.w) AS b
+  FROM tok2 t1 JOIN tok2 t2
+    ON t1.doc_id = t2.doc_id
+   AND t2.pos BETWEEN t1.pos + 1 AND t1.pos + 3
+), pc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab FROM pairs GROUP BY 1, 2
+), uni AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c_w
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1
+), tot AS (
+  SELECT (SELECT CAST(SUM(c_w) AS BIGINT) FROM uni) AS n_tokens,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs
+)
+SELECT pc.a, pc.b, pc.c_ab,
+       round(ln(CAST(pc.c_ab AS DOUBLE)) - ln(CAST(t.n_pairs AS DOUBLE))
+             - ln(CAST(ua.c_w AS DOUBLE)) - ln(CAST(ub.c_w AS DOUBLE))
+             + 2 * ln(CAST(t.n_tokens AS DOUBLE)), 6) AS pmi
+FROM pc
+JOIN uni ua ON ua.w = pc.a
+JOIN uni ub ON ub.w = pc.b
+CROSS JOIN tot t
+WHERE pc.c_ab >= 5
+"""
+
+#: Row-local windowed pairs: for 1-based position p, partners at
+#: positions p+1..p+3; canonicalized (least, greatest) for symmetry.
+_PMI_PAIRS = """
+flatten(
+  transform(ws, (x, i) ->
+    transform(slice(ws, i + 2, 3), y ->
+      struct(least(x, y) AS a, greatest(x, y) AS b))))
+"""
+
+
+@register(
+    "pmi_cooccurrence",
+    oracle=_PMI_ORACLE,
+    doc="Pointwise mutual information of word pairs co-occurring within "
+        "a 3-token window — the distributional statistic under "
+        "word2vec-era embeddings (SGNS factorizes the shifted PMI "
+        "matrix) and collocation mining. Pair generation is ROW-LOCAL "
+        "(transform+slice over the token array, the pairs.py pattern) "
+        "-- no positional self-join on the Spark side, one shuffle to "
+        "the vocabulary^2-bounded pair rollup; unigram counts broadcast "
+        "back. Exactness: PMI = ln c_ab - ln T - ln c_a - ln c_b "
+        "+ 2 ln N, every term an ln of an exact integer computed "
+        "identically on both engines, rounded at 6dp only at the end; "
+        "c_ab >= 5 floor kills the noisy tail (standard practice).",
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("ws")
+    )
+    pairs = d.select(F.explode(F.expr(_PMI_PAIRS)).alias("p")).select("p.a", "p.b")
+    pc = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c_ab"))
+    uni = (
+        d.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("c_w"))
+    )
+    tot = pairs.agg(F.count("*").cast("bigint").alias("n_pairs")).crossJoin(
+        uni.agg(F.sum("c_w").cast("bigint").alias("n_tokens"))
+    )
+    ua = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
+    ub = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))
+    pmi = F.round(
+        F.log(F.col("c_ab").cast("double"))
+        - F.log(F.col("n_pairs").cast("double"))
+        - F.log(F.col("c_a").cast("double"))
+        - F.log(F.col("c_b").cast("double"))
+        + 2 * F.log(F.col("n_tokens").cast("double")),
+        6,
+    )
+    return (
+        pc.filter(F.col("c_ab") >= 5)
+        .join(F.broadcast(ua), "a")
+        .join(F.broadcast(ub), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", "c_ab", pmi.alias("pmi"))
+    )

@@ -47,6 +47,7 @@ BNLJ_OK = {
     "kmeans_lloyd_2iter",  # all K centroids ride in as ONE broadcast row
     "quality_blend_curriculum",  # 1-row global-moments broadcast (+ unigram subplan)
     "mixture_plan",  # 1-row weight-normalizer broadcast
+    "pmi_cooccurrence",  # 1-row (n_pairs, n_tokens) totals broadcast
 }
 
 

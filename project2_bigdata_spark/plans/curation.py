@@ -1650,3 +1650,80 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select("a", "b", "c_ab", pmi.alias("pmi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis A-ES)
+# ---------------------------------------------------------------------------
+
+_AES_ORACLE = """
+WITH h AS (
+  SELECT doc_id, source, CAST(n_chars AS BIGINT) AS w,
+         substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+  FROM documents
+), u AS (
+  SELECT doc_id, source, w,
+         list_sum(list_transform(range(1, 9), i ->
+           (strpos('0123456789abcdef', substr(hx, i, 1)) - 1)
+           * power(16.0, -i))) AS uu
+  FROM h
+), k AS (
+  SELECT doc_id, source, w,
+         round(-ln(uu + 1.1641532182693481e-10) / w, 7) AS key
+  FROM u
+)
+SELECT source, doc_id, w, key,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY key ASC, doc_id ASC) AS rk
+  FROM k
+) WHERE rk <= 20
+"""
+
+
+@register(
+    "weighted_sample_aes",
+    oracle=_AES_ORACLE,
+    doc="Weighted sampling without replacement (Efraimidis-Spirakis "
+        "A-ES): top-20 documents per source under weight n_chars, via "
+        "the exponential sort key -ln(u)/w -- selection probability "
+        "proportional to weight, one pass, no rejection loop. u is NOT "
+        "an RNG draw: the first 8 md5 hex digits fold into a dyadic "
+        "double (each digit*16^-i term and their sum are EXACT binary "
+        "floats), so u is bit-identical on both engines and under any "
+        "retry/re-partitioning -- Spark's rand() is neither. The sort "
+        "key is rounded at 7dp before ranking with a doc_id tiebreak "
+        "(repo convention: never rank raw transcendental output; any "
+        "7dp collision resolves identically on both engines). Scale: "
+        "row-local key build over the scan, one shuffle for the "
+        "per-source top-k window -- the same shape as group_sample_topk "
+        "but weight-aware; +2^-33 guards ln(0) without disturbing the "
+        "dyadic exactness of u.",
+)
+def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    hx = F.substring(
+        F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 8
+    )
+    u = F.expr(
+        "aggregate(transform(sequence(1, 8), i -> "
+        "(instr('0123456789abcdef', substring(_hx, i, 1)) - 1)"
+        " * pow(16.0D, -cast(i as double))), cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    key = F.round(-F.log(F.col("_u") + F.lit(1.1641532182693481e-10)) / F.col("w"), 7)
+    scored = (
+        d.select(
+            "doc_id", "source",
+            F.col("n_chars").cast("bigint").alias("w"),
+            hx.alias("_hx"),
+        )
+        .withColumn("_u", u)
+        .select("doc_id", "source", "w", key.alias("key"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("key").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id", "w", "key", "rk")
+    )

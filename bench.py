@@ -88,6 +88,8 @@ SECONDARY = [
     "attribution_window_join", # bucketized batch interval join
     "triangle_count",          # degree-ordered wedge closing
     "pmi_cooccurrence",        # windowed word-pair PMI
+    "weighted_sample_aes",     # A-ES weighted per-source sample
+    "multitouch_attribution",  # band join + credit allocation
 ]
 
 

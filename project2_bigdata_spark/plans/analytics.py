@@ -1098,3 +1098,98 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("product")
         .agg(F.count("*").cast("bigint").alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution (linear + time-decay credit allocation)
+# ---------------------------------------------------------------------------
+
+_MTA_ORACLE = """
+WITH touches AS (
+  SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+         (epoch_us(p.ts) - epoch_us(v.ts)) // 1000000 AS dt_seconds
+  FROM events p
+  JOIN events v
+    ON v.user_id = p.user_id
+   AND p.event_type = 'purchase' AND v.event_type = 'view'
+   AND v.ts < p.ts
+   AND v.ts >= p.ts - INTERVAL 1 HOUR
+), wtd AS (
+  SELECT purchase_id, view_id, dt_seconds,
+         round(power(0.5, CAST(dt_seconds AS DOUBLE) / 900.0), 9) AS raw
+  FROM touches
+), g AS (
+  SELECT purchase_id, view_id, dt_seconds, raw,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n_touches,
+         CAST(CAST(SUM(CAST(raw AS DECIMAL(18,9))) OVER w AS VARCHAR)
+              AS DOUBLE) AS total_raw
+  FROM wtd
+  WINDOW w AS (PARTITION BY purchase_id)
+)
+SELECT purchase_id, view_id, dt_seconds, n_touches,
+       round(1.0 / n_touches, 6) AS credit_linear,
+       round(raw / total_raw, 6) AS credit_decay
+FROM g
+"""
+
+
+@register(
+    "multitouch_attribution",
+    oracle=_MTA_ORACLE,
+    doc="Multi-touch attribution: every view in the hour before a "
+        "purchase shares the credit, linear (1/n) and time-decay "
+        "(15-min half-life) — the marketing-analytics allocation that "
+        "consumes the band-join relation. Same hour-bucketization as "
+        "attribution_window_join (purchase lookback window [t-1h, t) "
+        "touches <= 2 hour-buckets -> constant duplication, equi-join "
+        "on (user, bucket), exact predicate inside; no nested-loop "
+        "stage), then one window over purchase_id for the allocation. "
+        "Exactness: decay weights are pow(0.5, dt/900) on integer dt "
+        "(identical input doubles both engines), rounded to 9dp BEFORE "
+        "the normalizing sum, which is an exact decimal(18,9) fold -- "
+        "a float window-sum would be partition-order-dependent and flip "
+        "the 6dp shares; credit_decay sums to 1 per purchase modulo "
+        "terminal rounding. Scale: shuffle on (user, hour) then "
+        "(purchase) -- both real keys, no skew amplification.",
+)
+def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hour = lambda c: F.floor(F.col(c).cast("long") / F.lit(3600))  # noqa: E731
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id",
+        F.col("ts").alias("vts"), hour("ts").alias("bucket"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    pb = p.withColumn("bucket", F.explode(F.array(hour("pts") - 1, hour("pts"))))
+    touches = (
+        pb.join(v, ["user_id", "bucket"])
+        .filter(
+            (F.col("vts") < F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 1 HOUR"))
+        )
+        .select(
+            "purchase_id", "view_id",
+            # exact micros difference, then integer-div to whole seconds:
+            # casting each side to seconds first floors independently and
+            # drifts ±1 vs the oracle when sub-second parts straddle.
+            F.expr("(unix_micros(pts) - unix_micros(vts)) div 1000000")
+            .cast("bigint").alias("dt_seconds"),
+        )
+    )
+    raw = F.round(F.pow(F.lit(0.5), F.col("dt_seconds").cast("double") / 900.0), 9)
+    w = Window.partitionBy("purchase_id")
+    total_raw = (
+        F.sum(F.col("raw").cast("decimal(18,9)")).over(w)
+        .cast("string").cast("double")
+    )
+    return (
+        touches.withColumn("raw", raw)
+        .select(
+            "purchase_id", "view_id", "dt_seconds",
+            F.count("*").over(w).cast("bigint").alias("n_touches"),
+            F.round(F.lit(1.0) / F.count("*").over(w), 6).alias("credit_linear"),
+            F.round(F.col("raw") / total_raw, 6).alias("credit_decay"),
+        )
+    )

@@ -970,3 +970,60 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.log(n_chars.cast("double")), 6) - s / n_chars, 6
         ).alias("char_entropy_nats"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka energy ratios (prefix-dimension quality of embeddings)
+# ---------------------------------------------------------------------------
+
+def _mrl_oracle() -> str:
+    def ss(k: str) -> str:
+        return (f"list_sum(list_transform(embedding[1:{k}]::DOUBLE[],"
+                " x -> x * x))")
+
+    per_k = " UNION ALL ".join(
+        f"SELECT label, {k} AS k, round({ss(k)} / {ss(64)}, 6) AS r FROM embeddings"
+        for k in (8, 16, 32)
+    )
+    return f"""
+    WITH r AS ({per_k})
+    SELECT label, k, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           round(CAST(CAST(SUM(CAST(r AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE)
+                 / COUNT(*), 6) AS mean_energy
+    FROM r GROUP BY 1, 2
+    """
+
+
+@register(
+    "matryoshka_energy",
+    oracle=_mrl_oracle(),
+    doc="Matryoshka-style prefix-energy audit: per label, the mean "
+        "fraction of each embedding's squared norm captured by its "
+        "first 8/16/32 dimensions -- the measurement behind MRL-style "
+        "truncation decisions (can the vector store serve dim-16 "
+        "prefixes?). Entirely row-local per vector (sequential "
+        "squared-prefix folds over the array, same expression shape as "
+        "embedding_norms), per-vector ratios rounded at 6dp, then an "
+        "exact decimal fold to the per-(label, k) mean -- "
+        "partition-order-independent. One scan, one label-keyed "
+        "shuffle whose cardinality is |labels| x 3.",
+)
+def q_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+
+    def ss(k: int) -> F.Column:
+        return F.expr(
+            f"aggregate(slice(embedding, 1, {k}), cast(0.0 as double), "
+            "(acc, x) -> acc + cast(x as double) * cast(x as double))"
+        )
+
+    rows = F.explode(F.array(*[
+        F.struct(F.lit(k).alias("k"), F.round(ss(k) / ss(64), 6).alias("r"))
+        for k in (8, 16, 32)
+    ]))
+    per_vec = e.select("label", rows.alias("e")).select("label", "e.k", "e.r")
+    dec_sum = F.sum(F.col("r").cast("decimal(18,6)")).cast("string").cast("double")
+    return per_vec.groupBy("label", "k").agg(
+        F.count("*").cast("bigint").alias("n_vecs"),
+        F.round(dec_sum / F.count("*"), 6).alias("mean_energy"),
+    )

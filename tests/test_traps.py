@@ -166,3 +166,22 @@ def test_bucketed_asof_equals_plain(spark, sf_dir):
     assert bucketed.count() == plain.count()
     assert bucketed.exceptAll(plain).count() == 0
     assert plain.exceptAll(bucketed).count() == 0
+
+
+def test_catalog_normalizes_timestamps(spark, sf_dir):
+    """The driver regenerates testdata between rounds and has already
+    switched timestamp physical types once (TIMESTAMP(NANOS) -> 
+    TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads as
+    TIMESTAMP_NTZ). Every engine path assumes TimestampType (LTZ) --
+    epoch casts are illegal on NTZ -- so catalog.table must normalize
+    whatever arrives at the scan boundary."""
+    from pyspark.sql import types as T
+
+    from project2_bigdata_spark.catalog import table
+
+    for name, col in [
+        ("events", "ts"), ("orders", "o_orderdate"), ("lineitem", "l_shipdate"),
+    ]:
+        dt = table(spark, sf_dir, name).schema[col].dataType
+        assert isinstance(dt, T.TimestampType), (name, col, dt)
+        assert not isinstance(dt, T.TimestampNTZType), (name, col, dt)

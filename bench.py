@@ -90,6 +90,9 @@ SECONDARY = [
     "pmi_cooccurrence",        # windowed word-pair PMI
     "weighted_sample_aes",     # A-ES weighted per-source sample
     "multitouch_attribution",  # band join + credit allocation
+    "mad_outliers",            # robust MAD outlier days
+    "chisq_priority_segment",  # contingency-table chi-square
+    "matryoshka_energy",       # prefix-energy embedding audit
 ]
 
 

@@ -1193,3 +1193,140 @@ def q_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("raw") / total_raw, 6).alias("credit_decay"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MAD-based robust outlier detection (median absolute deviation)
+# ---------------------------------------------------------------------------
+
+_MAD_ORACLE = _DAILY_SQL + """
+, med AS (
+  SELECT product, median(total_quantity) AS med_qty FROM daily GROUP BY 1
+), dev AS (
+  SELECT d.product, d.total_quantity, m.med_qty,
+         abs(d.total_quantity - m.med_qty) AS dv
+  FROM daily d JOIN med m USING (product)
+), mad AS (
+  SELECT product, median(dv) AS mad_qty FROM dev GROUP BY 1
+)
+SELECT d.product, m.med_qty, a.mad_qty,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(CASE WHEN abs(d.total_quantity - m.med_qty)
+                          > 3 * 1.4826 * a.mad_qty
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM daily d JOIN med m USING (product) JOIN mad a USING (product)
+GROUP BY 1, 2, 3
+"""
+
+
+@register(
+    "mad_outliers",
+    oracle=_MAD_ORACLE,
+    doc="Robust per-product outlier days via median absolute deviation: "
+        "|qty - median| > 3 * 1.4826 * MAD -- the detector that, unlike "
+        "the z-score of revenue_anomalies, is not dragged by the "
+        "outliers it is hunting (median/MAD have a 50% breakdown point "
+        "vs 0% for mean/std). Exactness needs NO rounding: daily "
+        "quantities are integer-valued doubles, so exact-percentile "
+        "medians interpolate to .0/.5 midpoints and MAD to .25 "
+        "multiples -- all dyadic, bit-identical on both engines, and "
+        "the threshold product is one identical double expression. "
+        "Scale: the exact grouped median buffers one product's daily "
+        "history (calendar-bounded, ~2.4k values here), fine per "
+        "group; medians are product-table-sized -> broadcast back; two "
+        "shuffles total on (date,product) then (product).",
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).select("product", "total_quantity")
+    med = daily.groupBy("product").agg(
+        F.expr("percentile(total_quantity, 0.5)").alias("med_qty")
+    )
+    dev = daily.join(F.broadcast(med), "product").withColumn(
+        "dv", F.abs(F.col("total_quantity") - F.col("med_qty"))
+    )
+    mad = dev.groupBy("product").agg(F.expr("percentile(dv, 0.5)").alias("mad_qty"))
+    flagged = (
+        daily.join(F.broadcast(med), "product").join(F.broadcast(mad), "product")
+    )
+    out = (
+        F.abs(F.col("total_quantity") - F.col("med_qty"))
+        > 3 * 1.4826 * F.col("mad_qty")
+    ).cast("int")
+    return flagged.groupBy("product", "med_qty", "mad_qty").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum(out).cast("bigint").alias("n_outliers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test (priority x market segment)
+# ---------------------------------------------------------------------------
+
+_CHISQ_ORACLE = """
+WITH o AS (
+  SELECT o.o_orderpriority AS priority, c.c_mktsegment AS segment,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+  GROUP BY 1, 2
+), t AS (
+  SELECT o.*, 
+         SUM(n) OVER (PARTITION BY priority) AS row_tot,
+         SUM(n) OVER (PARTITION BY segment) AS col_tot,
+         SUM(n) OVER () AS grand_tot
+  FROM o
+), cells AS (
+  SELECT priority, segment, n,
+         round(CAST(row_tot AS DOUBLE) * col_tot / grand_tot, 6) AS expected,
+         round(power(n - CAST(row_tot AS DOUBLE) * col_tot / grand_tot, 2)
+               / (CAST(row_tot AS DOUBLE) * col_tot / grand_tot), 6) AS contrib
+  FROM t
+)
+SELECT priority, segment, n, expected, contrib,
+       CAST(CAST(SUM(CAST(contrib AS DECIMAL(18,6))) OVER () AS VARCHAR)
+            AS DOUBLE) AS chi2_total
+FROM cells
+"""
+
+
+@register(
+    "chisq_priority_segment",
+    oracle=_CHISQ_ORACLE,
+    doc="Chi-square independence test of order priority vs customer "
+        "market segment: the contingency-table screening every "
+        "feature-selection / AB-analysis toolkit ships. Observed "
+        "counts are exact integers; expected = row_tot*col_tot/N and "
+        "each cell's (O-E)^2/E are single identical double expression "
+        "trees rounded at 6dp; chi2_total folds the rounded "
+        "contributions as exact decimal over the |R x C| cells (25 "
+        "here) -- order-independent. Scale: one fact-dim join + one "
+        "(priority, segment) rollup; everything after the rollup "
+        "operates on a |R x C|-sized relation, so the window passes "
+        "are trivially cheap at any corpus size.",
+)
+def q_chisq_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    rt = F.sum("n").over(Window.partitionBy("priority"))
+    ct = F.sum("n").over(Window.partitionBy("segment"))
+    gt = F.sum("n").over(Window.partitionBy())
+    expected_raw = rt.cast("double") * ct / gt
+    with_e = cells.select(
+        "priority", "segment", "n",
+        F.round(expected_raw, 6).alias("expected"),
+        F.round(
+            F.pow(F.col("n") - expected_raw, F.lit(2)) / expected_raw, 6
+        ).alias("contrib"),
+    )
+    chi2 = (
+        F.sum(F.col("contrib").cast("decimal(18,6)")).over(Window.partitionBy())
+        .cast("string").cast("double")
+    )
+    return with_e.withColumn("chi2_total", chi2)

@@ -93,6 +93,8 @@ SECONDARY = [
     "mad_outliers",            # robust MAD outlier days
     "chisq_priority_segment",  # contingency-table chi-square
     "matryoshka_energy",       # prefix-energy embedding audit
+    "kcore_2round",            # self-calibrating k-core peel
+    "session_path_transitions",  # in-session Markov matrix
 ]
 
 

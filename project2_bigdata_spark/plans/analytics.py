@@ -1330,3 +1330,179 @@ def q_chisq_priority_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("string").cast("double")
     )
     return with_e.withColumn("chi2_total", chi2)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (2 unrolled rounds, self-calibrating thresholds)
+# ---------------------------------------------------------------------------
+
+_KCORE_ORACLE = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_name
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), pw AS (
+  SELECT a.p_name AS u, b.p_name AS v, CAST(COUNT(*) AS BIGINT) AS w
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.p_name < b.p_name
+  GROUP BY 1, 2
+), wm AS (SELECT median(w) AS wmed FROM pw),
+strong AS (
+  SELECT u, v FROM pw CROSS JOIN wm WHERE w >= wmed
+), sym AS (
+  SELECT u, v FROM strong UNION ALL SELECT v AS u, u AS v FROM strong
+), deg0 AS (
+  SELECT u AS p, CAST(COUNT(*) AS BIGINT) AS d0 FROM sym GROUP BY 1
+), km AS (SELECT median(d0) AS kk FROM deg0),
+v1 AS (
+  SELECT p FROM deg0 CROSS JOIN km WHERE d0 >= kk
+), deg1 AS (
+  SELECT s.u AS p, CAST(COUNT(*) AS BIGINT) AS d1
+  FROM sym s
+  JOIN v1 a ON a.p = s.u
+  JOIN v1 b ON b.p = s.v
+  GROUP BY 1
+)
+SELECT g.p AS product, g.d0, d.d1,
+       COALESCE(d.d1 >= (SELECT kk FROM km), FALSE) AS in_core
+FROM deg0 g LEFT JOIN deg1 d ON d.p = g.p
+"""
+
+
+@register(
+    "kcore_2round",
+    oracle=_KCORE_ORACLE,
+    doc="k-core peeling over the strong co-purchase graph, two unrolled "
+        "rounds: keep edges with weight >= the exact median edge "
+        "weight, then iteratively drop vertices with degree < the exact "
+        "median initial degree -- the density-core extraction that "
+        "complements connected components (reach), pagerank (influence) "
+        "and triangle_count (closure) in the graph family. Both "
+        "thresholds are SELF-CALIBRATING exact medians of integers "
+        "(dyadic, engine-identical at any scale factor -- a fixed "
+        "absolute threshold would silently empty the graph at small "
+        "SF). Scale per round: degree agg + two node-list joins, node "
+        "list broadcast (|products|-bounded); the edge table is the "
+        "|products|^2-bounded rollup; more rounds repeat the same two "
+        "stages, the standard distributed peel.",
+)
+def q_kcore_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    pw = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p_name"))).alias("names"))
+        .select(F.explode(F.expr(_TRI_PAIRS)).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
+        .agg(F.count("*").cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    wm = pw.agg(F.expr("percentile(w, 0.5)").alias("wmed"))
+    strong = pw.crossJoin(F.broadcast(wm)).filter(F.col("w") >= F.col("wmed"))
+    sym = strong.select("u", "v").unionAll(
+        strong.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    deg0 = sym.groupBy(F.col("u").alias("p")).agg(
+        F.count("*").cast("bigint").alias("d0")
+    )
+    km = deg0.agg(F.expr("percentile(d0, 0.5)").alias("kk"))
+    v1 = (
+        deg0.crossJoin(F.broadcast(km))
+        .filter(F.col("d0") >= F.col("kk"))
+        .select("p")
+    )
+    deg1 = (
+        sym.join(F.broadcast(v1.select(F.col("p").alias("u"))), "u")
+        .join(F.broadcast(v1.select(F.col("p").alias("v"))), "v")
+        .groupBy(F.col("u").alias("p"))
+        .agg(F.count("*").cast("bigint").alias("d1"))
+    )
+    return (
+        deg0.join(deg1, "p", "left")
+        .crossJoin(F.broadcast(km))
+        .select(
+            F.col("p").alias("product"), "d0", "d1",
+            F.coalesce(F.col("d1") >= F.col("kk"), F.lit(False)).alias("in_core"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Session path transitions (Markov chain over in-session event sequences)
+# ---------------------------------------------------------------------------
+
+_PATH_ORACLE = """
+WITH g AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM g
+), steps AS (
+  SELECT lag(event_type) OVER sw AS from_type, event_type AS to_type
+  FROM s
+  WINDOW sw AS (PARTITION BY user_id, session_id ORDER BY ts, event_id)
+), pairs AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM steps WHERE from_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_type, to_type, n,
+       round(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY from_type), 6) AS p
+FROM pairs
+"""
+
+
+@register(
+    "session_path_transitions",
+    oracle=_PATH_ORACLE,
+    doc="Markov transition matrix over IN-SESSION event sequences: "
+        "sessionize (30-min gap, the sessionize_events logic), lag the "
+        "event type within each session, roll up (from, to) counts and "
+        "row-normalize -- the clickstream next-step model behind "
+        "path-analysis and funnel-leak dashboards (the order-status "
+        "sibling is markov_status_transitions; this one is event-grain "
+        "with session boundaries cutting the chains). Exactness: "
+        "probabilities are exact-integer ratios rounded at 6dp; gap "
+        "detection compares exact microsecond differences. Scale: one "
+        "shuffle on user_id serves both session assignment and the "
+        "in-session lag (same partitioning, AQE reuses it); the final "
+        "rollup is |event_types|^2-bounded.",
+)
+def q_session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(uw))
+    s = (
+        e.withColumn(
+            "is_new", (gap_us.isNull() | (gap_us > 1800 * 1_000_000)).cast("int")
+        )
+        .withColumn(
+            "session_id",
+            F.sum("is_new").over(
+                uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    pairs = (
+        s.select(F.lag("event_type").over(sw).alias("from_type"),
+                 F.col("event_type").alias("to_type"))
+        .filter(F.col("from_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    return pairs.select(
+        "from_type", "to_type", "n",
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("from_type")), 6
+        ).alias("p"),
+    )

@@ -48,6 +48,7 @@ BNLJ_OK = {
     "quality_blend_curriculum",  # 1-row global-moments broadcast (+ unigram subplan)
     "mixture_plan",  # 1-row weight-normalizer broadcast
     "pmi_cooccurrence",  # 1-row (n_pairs, n_tokens) totals broadcast
+    "kcore_2round",  # 1-row median-threshold broadcasts (wmed, kk)
 }
 
 

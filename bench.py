@@ -95,6 +95,8 @@ SECONDARY = [
     "matryoshka_energy",       # prefix-energy embedding audit
     "kcore_2round",            # self-calibrating k-core peel
     "session_path_transitions",  # in-session Markov matrix
+    "trimmed_mean_revenue",    # rank-trimmed robust mean
+    "inverted_index",          # posting-list index build
 ]
 
 

@@ -1506,3 +1506,119 @@ def q_session_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy("from_type")), 6
         ).alias("p"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean (rank-based 10% trim, order-statistics robust location)
+# ---------------------------------------------------------------------------
+
+_TRIM_ORACLE = _DAILY_SQL + """
+, ranked AS (
+  SELECT product, total_revenue,
+         CAST(row_number() OVER (PARTITION BY product
+                                 ORDER BY total_revenue, date) AS BIGINT) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY product) AS BIGINT) AS n
+  FROM daily
+)
+SELECT product, MAX(n) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       round(CAST(CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS trimmed_mean
+FROM ranked
+WHERE rn > CAST(floor(n * 0.1) AS BIGINT)
+  AND rn <= n - CAST(floor(n * 0.1) AS BIGINT)
+GROUP BY product
+"""
+
+
+@register(
+    "trimmed_mean_revenue",
+    oracle=_TRIM_ORACLE,
+    doc="10% trimmed mean of daily revenue per product: rank-trim the "
+        "lowest and highest floor(n/10) observations (deterministic "
+        "(value, date) tie order) and decimal-fold the survivors -- the "
+        "location estimate between mean (0% breakdown) and median (50%) "
+        "that demand planning actually uses. Rank-based trimming beats "
+        "percentile-threshold trimming for parity: the kept SET is an "
+        "integer function of the ordering, so there is no threshold "
+        "float to disagree on. One (date,product) rollup then one "
+        "product-keyed window -- partitions bounded by a product's "
+        "calendar.",
+)
+def q_trimmed_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("product").orderBy("total_revenue", "date")
+    ranked = daily.select(
+        "product", "total_revenue",
+        F.row_number().over(w).cast("bigint").alias("rn"),
+        F.count("*").over(Window.partitionBy("product")).cast("bigint").alias("n"),
+    )
+    lo = F.floor(F.col("n") * 0.1).cast("bigint")
+    kept = ranked.filter((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
+    dec_sum = (
+        F.sum(F.col("total_revenue").cast("decimal(18,2)"))
+        .cast("string").cast("double")
+    )
+    return kept.groupBy("product").agg(
+        F.max("n").alias("n_days"),
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.round(dec_sum / F.count("*"), 6).alias("trimmed_mean"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted index postings (IR-engine term index, flattened)
+# ---------------------------------------------------------------------------
+
+_INVIDX_ORACLE = """
+WITH tf AS (
+  SELECT w AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+), stats AS (
+  SELECT term, doc_id, tf,
+         CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+         CAST(SUM(tf) OVER (PARTITION BY term) AS BIGINT) AS total_tf,
+         CAST(row_number() OVER (PARTITION BY term
+                                 ORDER BY tf DESC, doc_id ASC) AS INT) AS rk
+  FROM tf
+)
+SELECT term, df, total_tf, rk, doc_id, tf
+FROM stats WHERE rk <= 3
+"""
+
+
+@register(
+    "inverted_index",
+    oracle=_INVIDX_ORACLE,
+    doc="Inverted-index construction: per term, document frequency, "
+        "total term frequency, and the top-3 postings by tf (doc_id "
+        "tiebreak) -- the index-build relation behind bm25_scores "
+        "(which consumes idf at query time; this materializes the "
+        "posting lists themselves, flattened one row per posting for "
+        "exact cross-engine compare). Scale: one (term, doc) rollup "
+        "with map-side combine, then one term-keyed window; hot terms "
+        "(stopwords) bound the window partition by their document "
+        "frequency -- the same skew profile as vocab_stats, and the "
+        "reason real IR systems threshold stopwords first (tf floor "
+        "composable here as a WHERE before the window).",
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    tw = Window.partitionBy("term")
+    rw = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id").asc())
+    return (
+        tf.select(
+            "term",
+            F.count("*").over(tw).cast("bigint").alias("df"),
+            F.sum("tf").over(tw).cast("bigint").alias("total_tf"),
+            F.row_number().over(rw).cast("int").alias("rk"),
+            "doc_id", "tf",
+        )
+        .filter(F.col("rk") <= 3)
+    )

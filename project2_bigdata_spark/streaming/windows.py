@@ -285,3 +285,51 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     return run_to_batch(joined)
+
+
+@register(
+    "stream_topk_per_window",
+    oracle="""
+    WITH hourly AS (
+      SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+             event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT window_start, event_type, n, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n DESC, event_type ASC) AS INT) AS rk
+      FROM hourly
+    ) WHERE rk <= 3
+    """,
+    doc="Streaming windowed top-k: tumbling-hour counts per event type "
+        "from the stream, then the per-window top-3 rank -- the "
+        "trending-items pattern. Window functions are ILLEGAL on a "
+        "streaming DataFrame (rank needs the whole window closed), so "
+        "the rank runs as a batch post-pass over the replayed sink -- "
+        "exactly how production serves it (complete/append sink table, "
+        "rank at read time or in foreachBatch). The streaming stage "
+        "shuffles on (window, type) with state keyed the same way; the "
+        "rank pass is window-count-sized. Deterministic (n desc, type) "
+        "tie order on both engines.",
+)
+def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    sink = run_to_batch(agg).select(
+        F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n",
+    )
+    rw = Window.partitionBy("window_start").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        sink.withColumn("rk", F.row_number().over(rw).cast("int"))
+        .filter(F.col("rk") <= 3)
+    )

@@ -279,3 +279,101 @@ def test_hash_split_is_stable_and_total(spark, ids):
             h = hashlib.md5(f"split:{i}".encode()).hexdigest()[:2]
             expect = "train" if h < "f0" else ("val" if h < "f8" else "test")
             assert got[i] == expect
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=0, max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    """CC fixpoint == an independent union-find model on random small
+    graphs (self-loops and duplicate edges included by generation)."""
+    from project2_bigdata_spark.operators.graph import connected_components
+
+    vertices = sorted({v for e in edges for v in e} | set(range(3)))
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: min(u for u in vertices if find(u) == find(v)) for v in vertices}
+
+    vdf = spark.createDataFrame([(v,) for v in vertices], "doc_id long")
+    edf = spark.createDataFrame(
+        [(a, b) for a, b in edges] or [(0, 0)], "src long, dst long"
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(vdf, edf).collect()
+    }
+    assert got == expected
+
+
+def test_triangle_count_brute_force(spark, tmp_path):
+    """triangle_count on a constructed basket table == hand enumeration:
+    baskets {A,B,C},{A,B},{B,C,D},{A,C} give edges AB,AC,BC,BD,CD and
+    triangles ABC and BCD -> A:1, B:2, C:2, D:1."""
+    from project2_bigdata_spark.plans import REGISTRY
+
+    parts = [(1, "A"), (2, "B"), (3, "C"), (4, "D")]
+    baskets = [[1, 2, 3], [1, 2], [2, 3, 4], [1, 3]]
+    li = [(ok, pk) for ok, items in enumerate(baskets) for pk in items]
+    spark.createDataFrame(parts, "p_partkey long, p_name string").write.parquet(
+        str(tmp_path / "part.parquet")
+    )
+    spark.createDataFrame(li, "l_orderkey long, l_partkey long").write.parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    got = {
+        r.product: r.n_triangles
+        for r in REGISTRY["triangle_count"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {"A": 1, "B": 2, "C": 2, "D": 1}
+
+
+def test_multitouch_credits_sum_to_one(spark, sf_dir):
+    """Decay credits per purchase sum to 1 modulo terminal 6dp rounding
+    (the decimal-fold normalizer guarantees the ratio base is exact)."""
+    from project2_bigdata_spark.plans import REGISTRY
+
+    rows = REGISTRY["multitouch_attribution"].fn(spark, sf_dir).collect()
+    by_purchase: dict[int, list] = {}
+    for r in rows:
+        by_purchase.setdefault(r.purchase_id, []).append(r)
+    assert by_purchase, "expected at least one attributed purchase"
+    for pid, rs in by_purchase.items():
+        n = rs[0].n_touches
+        assert len(rs) == n
+        for col in ("credit_linear", "credit_decay"):
+            s = sum(getattr(r, col) for r in rs)
+            assert abs(s - 1.0) <= n * 1e-6 + 1e-9, (pid, col, s)
+
+
+def test_kcore_internal_consistency(spark, sf_dir):
+    """Peel semantics: d1 is only present for round-1 survivors, and
+    in_core holds exactly when d1 >= the degree threshold (recovered
+    from the data as the min d1 among in-core nodes <= kk <= ...)."""
+    from project2_bigdata_spark.plans import REGISTRY
+
+    rows = REGISTRY["kcore_2round"].fn(spark, sf_dir).collect()
+    assert rows
+    in_core_d1 = [r.d1 for r in rows if r.in_core]
+    out_d1 = [r.d1 for r in rows if not r.in_core and r.d1 is not None]
+    assert all(d is not None for d in in_core_d1)
+    if in_core_d1 and out_d1:
+        # every in-core degree beats every surviving non-core degree
+        assert min(in_core_d1) > max(out_d1)
+    for r in rows:
+        if r.d1 is not None:
+            assert r.d1 <= r.d0

@@ -1622,3 +1622,118 @@ def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rk") <= 3)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curves (signup-cohort revenue by account age)
+# ---------------------------------------------------------------------------
+
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS cohort_m
+  FROM orders GROUP BY 1
+), aged AS (
+  SELECT f.cohort_m,
+         datediff('month', f.cohort_m,
+                  date_trunc('month', o.o_orderdate)) AS age_months,
+         o.o_custkey, o.o_totalprice
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+)
+SELECT strftime(cohort_m, '%Y-%m') AS cohort,
+       CAST(age_months AS INT) AS age_months,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS revenue
+FROM aged GROUP BY 1, 2
+"""
+
+
+@register(
+    "cohort_ltv",
+    oracle=_LTV_ORACLE,
+    doc="Cohort lifetime-value curves: customers bucketed by first-order "
+        "month, revenue rolled up by months-since-acquisition -- the "
+        "LTV/payback table every growth dashboard draws, and the "
+        "revenue-weighted sibling of weekly_retention. Month ages come "
+        "from month-truncated dates on both engines (integer month "
+        "arithmetic, no day-count ambiguity); revenue is the standard "
+        "exact decimal fold. Scale: first-order rollup shuffles on "
+        "custkey, the age join is custkey-co-partitioned (AQE reuses "
+        "the exchange), final rollup is |cohorts x ages|-bounded -- "
+        "calendar^2, independent of order volume.",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "MM").alias("cohort_m")
+    )
+    aged = o.join(firsts, "o_custkey").select(
+        "cohort_m",
+        F.months_between(F.trunc("o_orderdate", "MM"), F.col("cohort_m"))
+        .cast("int").alias("age_months"),
+        "o_custkey", "o_totalprice",
+    )
+    return aged.groupBy(
+        F.date_format("cohort_m", "yyyy-MM").alias("cohort"), "age_months"
+    ).agg(
+        F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("string").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ship-latency distribution (order -> line shipment lag)
+# ---------------------------------------------------------------------------
+
+_SHIPLAT_ORACLE = """
+WITH lat AS (
+  SELECT o.o_orderpriority AS priority,
+         datediff('day', CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(MIN(days) AS BIGINT) AS min_days,
+       CAST(MAX(days) AS BIGINT) AS max_days,
+       median(days) AS median_days,
+       round(CAST(SUM(days) AS DOUBLE) / COUNT(*), 6) AS avg_days
+FROM lat GROUP BY 1
+"""
+
+
+@register(
+    "ship_latency_stats",
+    oracle=_SHIPLAT_ORACLE,
+    doc="Order-to-shipment latency distribution per order priority: "
+        "count, min/max, exact median, mean of datediff(ship, order) "
+        "days -- the fulfillment-SLA rollup. Day lags are exact "
+        "integers, so the median interpolates to dyadic midpoints and "
+        "the mean is an exact-integer ratio rounded at 6dp; "
+        "deliberately NO interpolated p95 -- (1-g)a+gb with g=.05 "
+        "steps is not dyadic and the two engines' interpolation "
+        "formulas can differ in the last ulp (the histogram/equi-depth "
+        "queries cover tail shape exactly instead). One orderkey join "
+        "(co-partitioned fact-fact, the sales_daily shuffle) + a "
+        "5-row rollup.",
+)
+def q_ship_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    lat = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate").cast("date"),
+                   F.col("o_orderdate").cast("date")).alias("days"),
+    )
+    return lat.groupBy("priority").agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.min("days").cast("bigint").alias("min_days"),
+        F.max("days").cast("bigint").alias("max_days"),
+        F.expr("percentile(days, 0.5)").alias("median_days"),
+        F.round(F.sum("days").cast("double") / F.count("*"), 6).alias("avg_days"),
+    )

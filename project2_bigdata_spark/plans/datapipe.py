@@ -1027,3 +1027,85 @@ def q_matryoshka_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_vecs"),
         F.round(dec_sum / F.count("*"), 6).alias("mean_energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end embedding dedup: cosine pairs -> clusters -> survivorship
+# ---------------------------------------------------------------------------
+
+def _embdedup_oracle() -> str:
+    from ..operators.similarity import oracle_embedding_near_dup
+
+    return f"""
+    WITH RECURSIVE
+    p AS (SELECT id_a, id_b FROM ({oracle_embedding_near_dup()}) t),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM p
+      UNION SELECT id_b AS src, id_a AS dst FROM p
+    ),
+    reach(src, dst) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    ),
+    cl AS (SELECT src AS vec_id, MIN(dst) AS cluster_id FROM reach GROUP BY 1),
+    norms AS (
+      SELECT vec_id,
+             round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                         embedding::DOUBLE[])), 6) AS l2_norm
+      FROM embeddings
+    )
+    SELECT c.vec_id, c.cluster_id, n.l2_norm,
+           CAST(COUNT(*) OVER (PARTITION BY c.cluster_id) AS BIGINT)
+             AS n_members,
+           (ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                               ORDER BY n.l2_norm DESC, c.vec_id ASC) = 1)
+             AS keep
+    FROM cl c JOIN norms n USING (vec_id)
+    """
+
+
+@register(
+    "dedup_embedding_clusters",
+    oracle=_embdedup_oracle(),
+    doc="End-to-end embedding dedup: hyperplane-LSH cosine pairs "
+        "(dedup_embedding_cosine) -> connected-components clustering "
+        "(the operators.graph fixpoint, edge table checkpointed once) "
+        "-> keep-highest-norm survivorship per cluster (vec_id "
+        "tiebreak; norm is the 6dp-rounded l2 of embedding_norms, so "
+        "the rank key is engine-identical). The embedding-space twin "
+        "of dedup_keep_best: pair recall comes from LSH buckets, "
+        "transitivity from the CC fixpoint, and the keep decision is "
+        "one window over cluster_id, bounded by near-dup cluster "
+        "sizes. Every stage is a previously-proven component -- this "
+        "query certifies the COMPOSITION.",
+)
+def q_dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import connected_components
+    from ..operators.similarity import embedding_near_dup
+
+    e = table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    verts = e.select(F.col("vec_id").alias("doc_id"))
+    cc = connected_components(verts, pairs).select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+    dot = (
+        "aggregate(zip_with(embedding, embedding, (x, y) -> "
+        "cast(x as double) * cast(y as double)), cast(0.0 as double), "
+        "(acc, v) -> acc + v)"
+    )
+    norms = e.select("vec_id", F.round(F.sqrt(F.expr(dot)), 6).alias("l2_norm"))
+    from pyspark.sql.window import Window as W
+
+    cw = W.partitionBy("cluster_id")
+    rw = W.partitionBy("cluster_id").orderBy(
+        F.col("l2_norm").desc(), F.col("vec_id").asc()
+    )
+    return cc.join(norms, "vec_id").select(
+        "vec_id", "cluster_id", "l2_norm",
+        F.count("*").over(cw).cast("bigint").alias("n_members"),
+        (F.row_number().over(rw) == 1).alias("keep"),
+    )

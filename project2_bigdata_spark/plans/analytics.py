@@ -1737,3 +1737,73 @@ def q_ship_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(days, 0.5)").alias("median_days"),
         F.round(F.sum("days").cast("double") / F.count("*"), 6).alias("avg_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Supplier dimension coverage (region-level supplier base)
+# ---------------------------------------------------------------------------
+
+_SUPP_ORACLE = """
+WITH s AS (
+  SELECT r.r_name AS region, n.n_name AS nation,
+         sup.s_suppkey, sup.s_name, sup.s_acctbal
+  FROM supplier sup
+  JOIN nation n ON n.n_nationkey = sup.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey
+)
+SELECT region,
+       CAST(COUNT(DISTINCT nation) AS BIGINT) AS n_nations,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+            AS DOUBLE) AS total_acctbal,
+       round(CAST(CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS VARCHAR)
+                  AS DOUBLE) / COUNT(*), 6) AS avg_acctbal,
+       MIN(CASE WHEN rk = 1 THEN s_name END) AS top_supplier
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY region
+                               ORDER BY s_acctbal DESC, s_suppkey ASC) AS rk
+  FROM s
+) GROUP BY region
+"""
+
+
+@register(
+    "supplier_region_stats",
+    oracle=_SUPP_ORACLE,
+    doc="Supplier-base rollup per region: nation coverage, headcount, "
+        "exact decimal account-balance totals/means, and the "
+        "top-balance supplier (argmax with s_suppkey tiebreak) -- "
+        "closes the one base table (supplier) the rest of the surface "
+        "never touched, so every table in the star schema now has "
+        "oracle-checked coverage. Plan: supplier scan with BOTH dim "
+        "joins broadcast (nation 25 rows, region 5), one region "
+        "rollup; the argmax window partitions by the 5-row region key "
+        "AFTER the dims collapse the key space -- trivially bounded.",
+)
+def q_supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sup = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    s = (
+        sup.join(F.broadcast(n), sup.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation"),
+            "s_suppkey", "s_name", "s_acctbal",
+        )
+    )
+    rw = Window.partitionBy("region").orderBy(
+        F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
+    )
+    ranked = s.withColumn("rk", F.row_number().over(rw))
+    dec_sum = (
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
+        .cast("string").cast("double")
+    )
+    return ranked.groupBy("region").agg(
+        F.countDistinct("nation").cast("bigint").alias("n_nations"),
+        F.count("*").cast("bigint").alias("n_suppliers"),
+        dec_sum.alias("total_acctbal"),
+        F.round(dec_sum / F.count("*"), 6).alias("avg_acctbal"),
+        F.min(F.when(F.col("rk") == 1, F.col("s_name"))).alias("top_supplier"),
+    )

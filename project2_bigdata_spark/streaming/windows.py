@@ -333,3 +333,78 @@ def q_stream_topk_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         sink.withColumn("rk", F.row_number().over(rw).cast("int"))
         .filter(F.col("rk") <= 3)
     )
+
+
+@register(
+    "stream_interval_join_outer",
+    oracle="""
+    WITH v AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), wm AS (
+      SELECT least((SELECT max(ts) FROM v), (SELECT max(ts) FROM p)) AS w
+    )
+    SELECT v.event_id AS view_event_id, p.event_id AS purchase_event_id,
+           v.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(v.ts) AS BIGINT) AS micros_to_purchase
+    FROM v JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT v.event_id, NULL, v.user_id, NULL
+    FROM v CROSS JOIN wm
+    WHERE v.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p
+        WHERE p.user_id = v.user_id
+          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+      )
+    """,
+    doc="LEFT OUTER stream-stream interval join: matched (view, "
+        "purchase) rows emit as they arrive like the inner variant; a "
+        "view's NULL row emits only once the global watermark passes "
+        "its join window's upper bound, proving no purchase can still "
+        "arrive -- the semantics that make outer joins possible on "
+        "unbounded streams at all (state rows are evicted WITH their "
+        "verdict, never silently). The bounded-replay oracle models "
+        "the final watermark exactly: zero-delay watermarks make it "
+        "min(max view ts, max purchase ts), so null rows appear "
+        "precisely for unmatched views whose window closed before it "
+        "-- tail views (last ~1h of the replay) stay verdict-less, "
+        "exactly as a production restart would find them. Same "
+        "evictable-state bounds as stream_interval_join.",
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "0 seconds")
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    joined = views.join(
+        purchases,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("v_ts"))
+        & (F.col("p_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    return run_to_batch(joined, mode="append").select(
+        "view_event_id", "purchase_event_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("micros_to_purchase"),
+    )

@@ -78,3 +78,65 @@ def top_pairs_per_product(spark: SparkSession, sf_dir: str, k: int = 10) -> Data
         .withColumn("rnk", F.row_number().over(w).cast("int"))
         .filter(F.col("rnk") <= k)
     )
+
+
+#: All (i, j>i, k>j) triples of the sorted DISTINCT name array,
+#: generated row-local (no self-joins anywhere on the Spark side).
+_TRIPLES_EXPR = """
+flatten(transform(names, (x, i) ->
+  flatten(transform(slice(names, i + 2, size(names)), (y, j) ->
+    transform(slice(names, i + j + 3, size(names)), z ->
+      struct(x AS a, y AS b, z AS c))))))
+"""
+
+
+def triple_counts_topk(spark: SparkSession, sf_dir: str, k: int = 50) -> DataFrame:
+    """Top-K most frequent 3-itemsets (distinct per-basket products,
+    a<b<c canonical order) — the next market-basket order above A8's
+    pairs. Triples are generated ROW-LOCALLY by nested
+    transform+slice (C(|basket|,3) per row, baskets are small); the
+    only shuffle is the triple rollup, bounded by |products|^3 —
+    independent of order volume. Deterministic (count desc, a, b, c)
+    rank; the K winners come from a distributed sort+limit
+    (TakeOrdered — per-partition top-K then a K-sized merge), NOT a
+    global row_number window, which would single-partition the
+    |products|^3 relation; the rank window then touches only the K
+    survivors."""
+    from pyspark.sql.window import Window
+
+    lineitem = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    triples = (
+        lineitem.join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.array_distinct(F.collect_list("p_name"))).alias("names"))
+        .select(F.explode(F.expr(_TRIPLES_EXPR)).alias("t"))
+        .groupBy("t.a", "t.b", "t.c")
+        .agg(F.count("*").cast("bigint").alias("n_baskets"))
+    )
+    order = [
+        F.col("n_baskets").desc(), F.col("a").asc(),
+        F.col("b").asc(), F.col("c").asc(),
+    ]
+    topk = triples.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
+    return topk.withColumn("rk", F.row_number().over(w).cast("int"))
+
+
+ORACLE_TRIPLES_TOPK = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_name
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+), triples AS (
+  SELECT x.p_name AS a, y.p_name AS b, z.p_name AS c,
+         CAST(COUNT(*) AS BIGINT) AS n_baskets
+  FROM items x
+  JOIN items y ON y.l_orderkey = x.l_orderkey AND y.p_name > x.p_name
+  JOIN items z ON z.l_orderkey = x.l_orderkey AND z.p_name > y.p_name
+  GROUP BY 1, 2, 3
+)
+SELECT a, b, c, n_baskets, CAST(rk AS INT) AS rk FROM (
+  SELECT *, row_number() OVER (ORDER BY n_baskets DESC, a, b, c) AS rk
+  FROM triples
+) WHERE rk <= 50
+"""

@@ -229,3 +229,82 @@ def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6).alias("z_seasonal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Column profiling (the ANALYZE/ dbt-docs surface)
+# ---------------------------------------------------------------------------
+
+_PROFILE_ORACLE = """
+WITH t AS (SELECT * FROM orders)
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr
+FROM t
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM t
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM t
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM t
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+       COUNT(DISTINCT o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d')
+FROM t
+"""
+
+
+@register(
+    "profile_orders_columns",
+    oracle=_PROFILE_ORACLE,
+    doc="Column-level profiling of the orders table (row count, "
+        "non-null count, exact distinct count, min/max as canonical "
+        "strings per column) -- the ANALYZE TABLE / dbt-docs relation "
+        "every warehouse exposes, and the statistics a cost-based "
+        "planner feeds on. ONE scan computes every column's profile "
+        "(the per-column aggregates fuse into a single aggregate node; "
+        "the output is exploded from one row), except exact distincts "
+        "which Spark expands per-column -- at 100 TB swap "
+        "approx_count_distinct into the same shape "
+        "(approx_distinct_customers shows the HLL path). min/max "
+        "stringified through one canonical format per type so both "
+        "engines compare text, not type-display quirks.",
+)
+def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def prof(col: str, repr_fn) -> F.Column:
+        return F.struct(
+            F.lit(col).alias("column_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(col).cast("bigint").alias("n_nonnull"),
+            F.countDistinct(col).cast("bigint").alias("n_distinct"),
+            repr_fn(F.min(col)).alias("min_repr"),
+            repr_fn(F.max(col)).alias("max_repr"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_date = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    g = o.agg(
+        prof("o_orderkey", as_str).alias("p1"),
+        prof("o_custkey", as_str).alias("p2"),
+        prof("o_orderstatus", as_str).alias("p3"),
+        prof("o_orderpriority", as_str).alias("p4"),
+        prof("o_orderdate", as_date).alias("p5"),
+    )
+    return g.select(
+        F.explode(F.array("p1", "p2", "p3", "p4", "p5")).alias("r")
+    ).select("r.*")

@@ -281,3 +281,15 @@ def q_ep2_customer_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", "n_tickets", "total_spent",
                 "fav_product", "fav_product_lines", "fav_weekday")
     )
+
+
+from ..operators.pairs import ORACLE_TRIPLES_TOPK, triple_counts_topk  # noqa: E402
+
+register(
+    "triple_counts_topk",
+    oracle=ORACLE_TRIPLES_TOPK,
+    doc="Top-50 3-itemsets over distinct basket products (a<b<c "
+        "canonical) — row-local nested transform+slice generation, one "
+        "products^3-bounded rollup, deterministic global rank; see "
+        "operators.pairs.triple_counts_topk",
+)(triple_counts_topk)

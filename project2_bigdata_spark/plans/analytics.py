@@ -1807,3 +1807,65 @@ def q_supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(dec_sum / F.count("*"), 6).alias("avg_acctbal"),
         F.min(F.when(F.col("rk") == 1, F.col("s_name"))).alias("top_supplier"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per type x day
+# ---------------------------------------------------------------------------
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, value,
+         epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dt_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, CAST(ts AS DATE)
+               ORDER BY ts, event_id)
+), seg AS (
+  SELECT event_type, d,
+         round(value * (dt_us / 1000000.0), 6) AS contrib, dt_us
+  FROM seq WHERE dt_us IS NOT NULL
+)
+SELECT event_type, strftime(d, '%Y-%m-%d') AS date,
+       CAST(COUNT(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt_us) AS BIGINT) AS covered_us,
+       round(CAST(CAST(SUM(CAST(contrib AS DECIMAL(28,6))) AS VARCHAR)
+                  AS DOUBLE)
+             / (CAST(SUM(dt_us) AS DOUBLE) / 1000000.0), 6) AS twap
+FROM seg GROUP BY 1, 2
+"""
+
+
+@register(
+    "twap_hourly",
+    oracle=_TWAP_ORACLE,
+    doc="Time-weighted average value per (event_type, day): each "
+        "observation holds until the next one in its partition, so its "
+        "weight is the exact microsecond gap to the successor (lead; "
+        "the day's last segment is open-ended and excluded) -- the "
+        "TWAP/TWA metric financial and metrics systems use where "
+        "plain AVG over-weights bursts. Exactness: weights are exact "
+        "integer micros; per-segment value*dt contributions are "
+        "rounded at 6dp then decimal-folded; the denominator stays an "
+        "exact BIGINT micros sum until one final division. Scale: one "
+        "shuffle on (type, day) serving both the lead window and the "
+        "rollup; partitions are one type-day of events.",
+)
+def q_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+    w = Window.partitionBy("event_type", d.alias("d")).orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", d.alias("d"), "value",
+        (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")))
+        .alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    contrib = F.round(F.col("value") * (F.col("dt_us") / 1000000.0), 6)
+    num = (
+        F.sum(contrib.cast("decimal(28,6)")).cast("string").cast("double")
+    )
+    den_us = F.sum("dt_us").cast("bigint")
+    return seq.groupBy("event_type", F.date_format("d", "yyyy-MM-dd").alias("date")).agg(
+        F.count("*").cast("bigint").alias("n_segments"),
+        den_us.alias("covered_us"),
+        F.round(num / (den_us.cast("double") / 1000000.0), 6).alias("twap"),
+    )

@@ -1869,3 +1869,157 @@ def q_twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         den_us.alias("covered_us"),
         F.round(num / (den_us.cast("double") / 1000000.0), 6).alias("twap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week top movers
+# ---------------------------------------------------------------------------
+
+_WOW_ORACLE = _DAILY_SQL + """
+, weekly AS (
+  SELECT product,
+         CAST(date_trunc('week', date) AS DATE) AS week_start,
+         SUM(CAST(total_revenue AS DECIMAL(18,2))) AS rev
+  FROM daily GROUP BY 1, 2
+), shifted AS (
+  SELECT product, week_start,
+         CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS rev,
+         CAST(CAST(lag(rev) OVER (PARTITION BY product ORDER BY week_start)
+                   AS VARCHAR) AS DOUBLE) AS prev_rev,
+         CAST(date_trunc('week', week_start - INTERVAL 7 DAY) AS DATE)
+           = lag(week_start) OVER (PARTITION BY product ORDER BY week_start)
+           AS contiguous
+  FROM weekly
+), movers AS (
+  SELECT product, strftime(week_start, '%Y-%m-%d') AS week_start,
+         rev, prev_rev,
+         round(rev - prev_rev, 2) AS delta,
+         round((rev - prev_rev) / prev_rev, 6) AS pct_change
+  FROM shifted
+  WHERE contiguous AND prev_rev > 0
+)
+SELECT product, week_start, rev, prev_rev, delta, pct_change,
+       CAST(rk AS INT) AS rk
+FROM (
+  SELECT *, row_number() OVER (ORDER BY abs(delta) DESC, product, week_start)
+            AS rk
+  FROM movers
+) WHERE rk <= 25
+"""
+
+
+@register(
+    "top_movers_wow",
+    oracle=_WOW_ORACLE,
+    doc="Week-over-week top movers: the 25 largest absolute revenue "
+        "swings between CONTIGUOUS weeks per product (gap weeks "
+        "excluded by checking lag(week) == week-7d, so a product "
+        "returning after a dark month is not scored as a spike). "
+        "Weekly sums are exact decimals via the varchar round-trip; "
+        "delta is a 2dp-exact difference and pct_change a 6dp-rounded "
+        "ratio -- ranking on abs(delta) with (product, week) "
+        "tiebreaks is deterministic. Scale: daily->weekly rollup "
+        "shuffles on product (reused by the lag window); the final "
+        "top-25 is a distributed sort+limit, ranked after the cut "
+        "like triple_counts_topk.",
+)
+def q_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    weekly = daily.groupBy(
+        "product", F.date_trunc("week", "date").cast("date").alias("week_start")
+    ).agg(
+        F.sum(F.col("total_revenue").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    pw = Window.partitionBy("product").orderBy("week_start")
+    shifted = weekly.select(
+        "product", "week_start",
+        F.col("rev_dec").cast("string").cast("double").alias("rev"),
+        F.lag("rev_dec").over(pw).cast("string").cast("double").alias("prev_rev"),
+        (F.date_sub(F.col("week_start"), 7) == F.lag("week_start").over(pw))
+        .alias("contiguous"),
+    )
+    movers = (
+        shifted.filter(F.col("contiguous") & (F.col("prev_rev") > 0))
+        .select(
+            "product",
+            F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+            "rev", "prev_rev",
+            F.round(F.col("rev") - F.col("prev_rev"), 2).alias("delta"),
+            F.round((F.col("rev") - F.col("prev_rev")) / F.col("prev_rev"), 6)
+            .alias("pct_change"),
+        )
+    )
+    order = [F.abs(F.col("delta")).desc(), F.col("product").asc(),
+             F.col("week_start").asc()]
+    topk = movers.orderBy(*order).limit(25)
+    return topk.withColumn(
+        "rk", F.row_number().over(Window.orderBy(*order)).cast("int")
+    )
+
+
+# ---------------------------------------------------------------------------
+# New vs returning customers per month
+# ---------------------------------------------------------------------------
+
+_NVR_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, date_trunc('month', MIN(o_orderdate)) AS first_m
+  FROM orders GROUP BY 1
+), tagged AS (
+  SELECT date_trunc('month', o.o_orderdate) AS m, o.o_custkey,
+         date_trunc('month', o.o_orderdate) = f.first_m AS is_new,
+         o.o_totalprice
+  FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(COUNT(DISTINCT CASE WHEN is_new THEN o_custkey END) AS BIGINT)
+         AS n_new,
+       CAST(COUNT(DISTINCT CASE WHEN NOT is_new THEN o_custkey END) AS BIGINT)
+         AS n_returning,
+       CAST(CAST(SUM(CASE WHEN is_new
+                          THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR)
+            AS DOUBLE) AS new_revenue,
+       CAST(CAST(SUM(CASE WHEN NOT is_new
+                          THEN CAST(o_totalprice AS DECIMAL(18,2))
+                          ELSE CAST(0 AS DECIMAL(18,2)) END) AS VARCHAR)
+            AS DOUBLE) AS returning_revenue
+FROM tagged GROUP BY 1
+"""
+
+
+@register(
+    "new_vs_returning_monthly",
+    oracle=_NVR_ORACLE,
+    doc="Monthly new-vs-returning split: a customer is NEW in their "
+        "first-order month and RETURNING in every later active month; "
+        "distinct headcounts and exact decimal revenue per bucket -- "
+        "the acquisition/retention overview next to cohort_ltv. Same "
+        "custkey-co-partitioned first-order join as cohort_ltv; the "
+        "month rollup is calendar-bounded.",
+)
+def q_new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.trunc(F.min("o_orderdate"), "MM").alias("first_m")
+    )
+    tagged = o.join(firsts, "o_custkey").select(
+        F.trunc("o_orderdate", "MM").alias("m"),
+        "o_custkey",
+        (F.trunc("o_orderdate", "MM") == F.col("first_m")).alias("is_new"),
+        "o_totalprice",
+    )
+    dec = lambda cond: (  # noqa: E731
+        F.sum(
+            F.when(cond, F.col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(F.lit(0).cast("decimal(18,2)"))
+        ).cast("string").cast("double")
+    )
+    return tagged.groupBy(F.date_format("m", "yyyy-MM").alias("month")).agg(
+        F.countDistinct(F.when(F.col("is_new"), F.col("o_custkey")))
+        .cast("bigint").alias("n_new"),
+        F.countDistinct(F.when(~F.col("is_new"), F.col("o_custkey")))
+        .cast("bigint").alias("n_returning"),
+        dec(F.col("is_new")).alias("new_revenue"),
+        dec(~F.col("is_new")).alias("returning_revenue"),
+    )

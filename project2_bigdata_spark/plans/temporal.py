@@ -135,3 +135,74 @@ def q_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_active"),
         F.coalesce(F.sum("retained"), F.lit(0)).alias("n_retained"),
     )
+
+
+@register(
+    "funnel_step_times",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             min(ts) FILTER (WHERE event_type = 'view')     AS t_view,
+             min(ts) FILTER (WHERE event_type = 'click')    AS t_click,
+             min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+      FROM events GROUP BY 1
+    ), steps AS (
+      SELECT
+        CASE WHEN t_view IS NOT NULL AND t_click > t_view
+             THEN epoch_us(t_click) - epoch_us(t_view) END AS us_view_click,
+        CASE WHEN t_view IS NOT NULL AND t_click > t_view
+              AND t_purchase > t_click
+             THEN epoch_us(t_purchase) - epoch_us(t_click) END
+          AS us_click_purchase
+      FROM firsts
+    )
+    SELECT CAST(COUNT(us_view_click) AS BIGINT) AS n_view_click,
+           median(us_view_click) AS median_us_view_click,
+           round(CAST(SUM(us_view_click) AS DOUBLE) / COUNT(us_view_click), 6)
+             AS avg_us_view_click,
+           CAST(COUNT(us_click_purchase) AS BIGINT) AS n_click_purchase,
+           median(us_click_purchase) AS median_us_click_purchase,
+           round(CAST(SUM(us_click_purchase) AS DOUBLE)
+                 / COUNT(us_click_purchase), 6) AS avg_us_click_purchase
+    FROM steps
+    """,
+    doc="Funnel step-time distribution: for users advancing through the "
+        "strictly-ordered view->click->purchase funnel (same firsts "
+        "relation as funnel_view_click_purchase), the per-step "
+        "conversion delay in exact microseconds with exact median "
+        "(integer micros -> dyadic midpoints) and exact-ratio mean -- "
+        "the 'how long does conversion take' companion to the 'how "
+        "many convert' funnel. Same two-shuffle shape (user_id rollup, "
+        "then a global 1-row aggregate whose exact median buffers only "
+        "funnel completers).",
+)
+def q_funnel_step_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    first_of = lambda t: F.min(F.when(F.col("event_type") == t, F.col("ts")))  # noqa: E731
+    firsts = e.groupBy("user_id").agg(
+        first_of("view").alias("t_view"),
+        first_of("click").alias("t_click"),
+        first_of("purchase").alias("t_purchase"),
+    )
+    s2 = F.col("t_view").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & (F.col("t_purchase") > F.col("t_click"))
+    steps = firsts.select(
+        F.when(s2, F.unix_micros("t_click") - F.unix_micros("t_view"))
+        .alias("us_view_click"),
+        F.when(s3, F.unix_micros("t_purchase") - F.unix_micros("t_click"))
+        .alias("us_click_purchase"),
+    )
+    return steps.agg(
+        F.count("us_view_click").cast("bigint").alias("n_view_click"),
+        F.expr("percentile(us_view_click, 0.5)").alias("median_us_view_click"),
+        F.round(
+            F.sum("us_view_click").cast("double") / F.count("us_view_click"), 6
+        ).alias("avg_us_view_click"),
+        F.count("us_click_purchase").cast("bigint").alias("n_click_purchase"),
+        F.expr("percentile(us_click_purchase, 0.5)")
+        .alias("median_us_click_purchase"),
+        F.round(
+            F.sum("us_click_purchase").cast("double")
+            / F.count("us_click_purchase"), 6
+        ).alias("avg_us_click_purchase"),
+    )

@@ -2023,3 +2023,67 @@ def q_new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         dec(F.col("is_new")).alias("new_revenue"),
         dec(~F.col("is_new")).alias("returning_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase intervals (per market segment)
+# ---------------------------------------------------------------------------
+
+_REPUR_ORACLE = """
+WITH gaps AS (
+  SELECT o_custkey,
+         datediff('day',
+                  CAST(lag(o_orderdate) OVER w AS DATE),
+                  CAST(o_orderdate AS DATE)) AS gap_days
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), seg AS (
+  SELECT c.c_mktsegment AS segment, g.gap_days
+  FROM gaps g JOIN customer c ON c.c_custkey = g.o_custkey
+  WHERE g.gap_days IS NOT NULL
+)
+SELECT segment,
+       CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(MIN(gap_days) AS BIGINT) AS min_days,
+       CAST(MAX(gap_days) AS BIGINT) AS max_days,
+       median(gap_days) AS median_days,
+       round(CAST(SUM(gap_days) AS DOUBLE) / COUNT(*), 6) AS avg_days
+FROM seg GROUP BY 1
+"""
+
+
+@register(
+    "repurchase_intervals",
+    oracle=_REPUR_ORACLE,
+    doc="Repeat-purchase cadence per market segment: the day gaps "
+        "between each customer's consecutive orders (lag over "
+        "(o_orderdate, o_orderkey) -- deterministic under same-day "
+        "orders), rolled up to count/min/max/exact-median/mean per "
+        "segment -- the inter-purchase-time metric behind replenishment "
+        "and churn-risk models (a customer 3x past their segment median "
+        "is drifting). Integer day gaps keep the median dyadic and the "
+        "mean an exact ratio. One custkey shuffle for the lag, one "
+        "broadcast dim join, a 5-row rollup.",
+)
+def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        "o_custkey",
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lag(F.col("o_orderdate").cast("date")).over(w),
+        ).alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    seg = gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "gap_days"
+    )
+    return seg.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        F.min("gap_days").cast("bigint").alias("min_days"),
+        F.max("gap_days").cast("bigint").alias("max_days"),
+        F.expr("percentile(gap_days, 0.5)").alias("median_days"),
+        F.round(F.sum("gap_days").cast("double") / F.count("*"), 6)
+        .alias("avg_days"),
+    )

@@ -206,3 +206,58 @@ def q_funnel_step_times(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("us_click_purchase"), 6
         ).alias("avg_us_click_purchase"),
     )
+
+
+@register(
+    "rolling_28d_active_users",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+      SELECT MIN(d) AS mn, MAX(d) AS mx FROM ud
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    )
+    SELECT strftime(s.d, '%Y-%m-%d') AS date,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau_28d
+    FROM spine s
+    JOIN ud u ON u.d BETWEEN s.d - 27 AND s.d
+    GROUP BY 1
+    """,
+    doc="Rolling 28-day active users per day (the MAU curve): exact "
+        "sliding-window distinct users. Distinct counts do not "
+        "decompose over sliding frames, so the scalable shape is the "
+        "day-expansion trick: each distinct (user, active-day) pair "
+        "explodes to the <= 28 output days it supports -- a CONSTANT "
+        "28x duplication of the user-day relation (already collapsed "
+        "from raw events), then one distinct + count per day. No "
+        "window over an unbounded frame, no per-day re-scan; the "
+        "oracle's range self-join is the same relation stated "
+        "relationally. Output restricted to the observed day span "
+        "(days whose trailing window begins before the data are still "
+        "reported, matching the oracle spine).",
+)
+def q_rolling_28d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    bounds = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    expanded = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(F.date_add(F.col("d"), 27), F.col("mx")),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("out_d"),
+        )
+        .distinct()
+    )
+    return expanded.groupBy(
+        F.date_format("out_d", "yyyy-MM-dd").alias("date")
+    ).agg(F.count("*").cast("bigint").alias("mau_28d"))

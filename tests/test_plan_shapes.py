@@ -49,6 +49,7 @@ BNLJ_OK = {
     "mixture_plan",  # 1-row weight-normalizer broadcast
     "pmi_cooccurrence",  # 1-row (n_pairs, n_tokens) totals broadcast
     "kcore_2round",  # 1-row median-threshold broadcasts (wmed, kk)
+    "rolling_28d_active_users",  # 1-row day-span bounds broadcast
 }
 
 

@@ -1727,3 +1727,146 @@ def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("source", "doc_id", "w", "key", "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multinomial Naive Bayes language classifier (train + score + confusion)
+# ---------------------------------------------------------------------------
+
+_NB_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, lang AS actual_lang,
+         unnest(string_split(text, ' ')) AS w
+  FROM documents
+), cnt AS (
+  SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+  GROUP BY 1, 2
+), langs AS (
+  SELECT lang,
+         CAST(SUM(c) AS BIGINT) AS n_tok,
+         (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) FROM cnt) AS v
+  FROM cnt GROUP BY 1
+), priors AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), docn AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_d FROM toks GROUP BY 1
+), terms AS (
+  SELECT t.doc_id, t.actual_lang, l.lang,
+         round(ln(COALESCE(c.c, 0) + 1.0), 6) AS term
+  FROM toks t
+  CROSS JOIN langs l
+  LEFT JOIN cnt c ON c.lang = l.lang AND c.w = t.w
+), folded AS (
+  SELECT doc_id, actual_lang, lang,
+         CAST(CAST(SUM(CAST(term AS DECIMAL(28,6))) AS VARCHAR) AS DOUBLE)
+           AS s_like
+  FROM terms GROUP BY 1, 2, 3
+), scored AS (
+  SELECT f.doc_id, f.actual_lang, f.lang,
+         round(f.s_like
+               - round(d.n_d * ln(CAST(l.n_tok + l.v AS DOUBLE)), 6)
+               + round(ln(CAST(p.n_docs AS DOUBLE)), 6), 6) AS score
+  FROM folded f
+  JOIN docn d USING (doc_id)
+  JOIN langs l ON l.lang = f.lang
+  JOIN priors p ON p.lang = f.lang
+), pred AS (
+  SELECT doc_id, actual_lang, lang AS pred_lang
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang ASC) AS rk
+    FROM scored
+  ) WHERE rk = 1
+)
+SELECT actual_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY 1, 2
+"""
+
+
+@register(
+    "nb_lang_confusion",
+    oracle=_NB_ORACLE,
+    doc="Multinomial Naive Bayes language classifier, trained AND scored "
+        "as pure relational algebra: add-one-smoothed per-language word "
+        "likelihoods, document log-likelihood "
+        "sum(ln(c_wl+1)) - n_d*ln(N_l+V) + ln(prior), argmax language "
+        "per doc, confusion-matrix output -- distributed ML with an "
+        "exact cross-engine oracle, complementing the numpy/spark.ml "
+        "family that cannot have one. Exactness: per-occurrence terms "
+        "ln(c+1) are O(1)+ magnitude, rounded 6dp, decimal-folded per "
+        "(doc, lang); the analytic corrections are single rounded "
+        "terms; argmax breaks exact score ties by language name "
+        "identically on both engines. Scale: token stream joins the "
+        "BROADCAST (vocab x langs) count table -- constant "
+        "|langs|-factor expansion, two shuffles ((doc,lang) fold, then "
+        "doc argmax), and the confusion rollup is |langs|^2. Smoothing "
+        "handles unseen (w, lang) pairs via the left join's COALESCE 0.",
+)
+def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.col("lang").alias("actual_lang"),
+        F.explode(F.split("text", " ")).alias("w"),
+    )
+    cnt = (
+        d.select("lang", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    # vocabulary size as a 1-row broadcast, NOT an eager .count() at
+    # plan-build time (the driver-action anti-pattern: extra job per
+    # construction, opaque to Catalyst)
+    vtab = cnt.agg(F.countDistinct("w").cast("bigint").alias("v"))
+    langs = (
+        cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("n_tok"))
+        .crossJoin(F.broadcast(vtab))
+    )
+    priors = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    docn = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_d"))
+    lang_list = langs.select("lang")
+    # token x language grid with smoothed counts (broadcast count table)
+    grid = (
+        toks.crossJoin(F.broadcast(lang_list.withColumnRenamed("lang", "l")))
+        .join(
+            F.broadcast(cnt.select(F.col("lang").alias("l"), "w", "c")),
+            ["l", "w"], "left",
+        )
+        .select(
+            "doc_id", "actual_lang", F.col("l").alias("lang"),
+            F.round(F.log(F.coalesce(F.col("c"), F.lit(0)) + 1.0), 6)
+            .alias("term"),
+        )
+    )
+    folded = grid.groupBy("doc_id", "actual_lang", "lang").agg(
+        F.sum(F.col("term").cast("decimal(28,6)"))
+        .cast("string").cast("double").alias("s_like")
+    )
+    scored = (
+        folded.join(F.broadcast(docn), "doc_id")
+        .join(F.broadcast(langs), "lang")
+        .join(F.broadcast(priors), "lang")
+        .select(
+            "doc_id", "actual_lang", "lang",
+            F.round(
+                F.col("s_like")
+                - F.round(
+                    F.col("n_d")
+                    * F.log((F.col("n_tok") + F.col("v")).cast("double")), 6
+                )
+                + F.round(F.log(F.col("n_docs").cast("double")), 6),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang").asc()
+    )
+    pred = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("actual_lang", F.col("lang").alias("pred_lang"))
+    )
+    return pred.groupBy("actual_lang", "pred_lang").agg(
+        F.count("*").cast("bigint").alias("n_docs")
+    )

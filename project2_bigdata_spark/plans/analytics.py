@@ -2087,3 +2087,159 @@ def q_repurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("gap_days").cast("double") / F.count("*"), 6)
         .alias("avg_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend per product (closed form from exact moments)
+# ---------------------------------------------------------------------------
+
+_OLS_ORACLE = _DAILY_SQL + """
+, mn AS (SELECT MIN(CAST(date AS DATE)) AS d0 FROM daily),
+pts AS (
+  SELECT product,
+         CAST(datediff('day', d0, CAST(date AS DATE)) AS BIGINT) AS x,
+         CAST(total_quantity AS BIGINT) AS y
+  FROM daily CROSS JOIN mn
+), m AS (
+  SELECT product,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY 1
+)
+SELECT product, n,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN round(CAST(n * sxy - sx * sy AS DOUBLE)
+                       / (n * sxx - sx * sx), 6) END AS slope,
+       CASE WHEN n * sxx - sx * sx <> 0
+            THEN round(CAST(sy * sxx - sx * sxy AS DOUBLE)
+                       / (n * sxx - sx * sx), 6) END AS intercept
+FROM m
+"""
+
+
+@register(
+    "sales_trend_ols",
+    oracle=_OLS_ORACLE,
+    doc="Per-product OLS demand trend: slope and intercept of daily "
+        "quantity against day index, computed in closed form from "
+        "exact integer moment sums (n, Sx, Sy, Sxy, Sxx -- daily "
+        "quantities are integer-valued, day indexes are integers, all "
+        "sums fit BIGINT by construction), so the only float ops are "
+        "two final divisions of identical exact integers -- the same "
+        "moments discipline as volatility_cv and corr_revenue_"
+        "quantity extended to regression. Degenerate single-day "
+        "products yield NULL (zero determinant), not NaN. One "
+        "(date,product) rollup + one product rollup; the global min "
+        "date rides in as a 1-row broadcast.",
+)
+def q_sales_trend_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    mn = daily.agg(F.min(F.col("date").cast("date")).alias("d0"))
+    pts = daily.crossJoin(F.broadcast(mn)).select(
+        "product",
+        F.datediff(F.col("date").cast("date"), F.col("d0"))
+        .cast("bigint").alias("x"),
+        F.col("total_quantity").cast("bigint").alias("y"),
+    )
+    m = pts.groupBy("product").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    det = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return m.select(
+        "product", "n",
+        F.when(det != 0, F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("double") / det, 6)).alias("slope"),
+        F.when(det != 0, F.round(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            .cast("double") / det, 6)).alias("intercept"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Revenue concentration metrics (Gini, HHI, top-k shares)
+# ---------------------------------------------------------------------------
+
+_CONC_ORACLE = _DAILY_SQL + """
+, rev AS (
+  SELECT product, SUM(CAST(total_revenue AS DECIMAL(18,2))) AS r
+  FROM daily GROUP BY 1
+), ranked AS (
+  SELECT r, CAST(row_number() OVER (ORDER BY r ASC, product ASC) AS BIGINT)
+         AS i
+  FROM rev
+), g AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(CAST(SUM(r) AS VARCHAR) AS DOUBLE) AS total,
+         CAST(CAST(SUM(i * r) AS VARCHAR) AS DOUBLE) AS weighted,
+         CAST(CAST(SUM(CAST(r AS DECIMAL(38,4)) * r) AS VARCHAR) AS DOUBLE)
+           AS sum_sq,
+         CAST(CAST(SUM(CASE WHEN i > (SELECT COUNT(*) FROM rev) - 1
+                            THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+                   AS VARCHAR) AS DOUBLE) AS top1,
+         CAST(CAST(SUM(CASE WHEN i > (SELECT COUNT(*) FROM rev) - 5
+                            THEN r ELSE CAST(0 AS DECIMAL(18,2)) END)
+                   AS VARCHAR) AS DOUBLE) AS top5
+  FROM ranked
+)
+SELECT n AS n_products,
+       round(2.0 * weighted / (n * total) - (n + 1.0) / n, 6) AS gini,
+       round(sum_sq / (total * total), 6) AS hhi,
+       round(top1 / total, 6) AS top1_share,
+       round(top5 / total, 6) AS top5_share
+FROM g
+"""
+
+
+@register(
+    "concentration_metrics",
+    oracle=_CONC_ORACLE,
+    doc="Revenue-concentration summary over products: Gini coefficient "
+        "(rank formulation 2*sum(i*r)/(n*sum(r)) - (n+1)/n over the "
+        "ascending (revenue, product) order), Herfindahl index "
+        "sum(share^2) computed as an exact decimal sum of squares over "
+        "total^2, and top-1/top-5 revenue shares -- the inequality "
+        "dashboard next to pareto_revenue_80. Every accumulation is an "
+        "exact decimal fold (i*r and r*r stay decimal); floats appear "
+        "only in the final identical-expression divisions, rounded at "
+        "6dp. Product-table-sized relation end to end after the daily "
+        "rollup.",
+)
+def q_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    rev = daily.groupBy("product").agg(
+        F.sum(F.col("total_revenue").cast("decimal(18,2)")).alias("r")
+    )
+    w = Window.orderBy(F.col("r").asc(), F.col("product").asc())
+    ranked = rev.select("r", F.row_number().over(w).cast("bigint").alias("i"))
+    nrow = rev.agg(F.count("*").cast("bigint").alias("n_products"))
+    ranked = ranked.crossJoin(F.broadcast(nrow))
+    dec0 = F.lit(0).cast("decimal(18,2)")
+    g = ranked.agg(
+        F.max("n_products").alias("n"),
+        F.sum("r").cast("string").cast("double").alias("total"),
+        F.sum(F.col("i") * F.col("r")).cast("string").cast("double")
+        .alias("weighted"),
+        F.sum(F.col("r").cast("decimal(38,4)") * F.col("r"))
+        .cast("string").cast("double").alias("sum_sq"),
+        F.sum(F.when(F.col("i") > F.col("n_products") - 1, F.col("r"))
+              .otherwise(dec0)).cast("string").cast("double").alias("top1"),
+        F.sum(F.when(F.col("i") > F.col("n_products") - 5, F.col("r"))
+              .otherwise(dec0)).cast("string").cast("double").alias("top5"),
+    )
+    return g.select(
+        F.col("n").alias("n_products"),
+        F.round(2.0 * F.col("weighted") / (F.col("n") * F.col("total"))
+                - (F.col("n") + 1.0) / F.col("n"), 6).alias("gini"),
+        F.round(F.col("sum_sq") / (F.col("total") * F.col("total")), 6)
+        .alias("hhi"),
+        F.round(F.col("top1") / F.col("total"), 6).alias("top1_share"),
+        F.round(F.col("top5") / F.col("total"), 6).alias("top5_share"),
+    )

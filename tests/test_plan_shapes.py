@@ -51,6 +51,8 @@ BNLJ_OK = {
     "kcore_2round",  # 1-row median-threshold broadcasts (wmed, kk)
     "rolling_28d_active_users",  # 1-row day-span bounds broadcast
     "nb_lang_confusion",  # 5-row language grid + 1-row vocab-size broadcasts
+    "sales_trend_ols",  # 1-row global-min-date broadcast
+    "concentration_metrics",  # 1-row product-count broadcast
 }
 
 

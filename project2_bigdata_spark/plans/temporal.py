@@ -261,3 +261,33 @@ def q_rolling_28d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return expanded.groupBy(
         F.date_format("out_d", "yyyy-MM-dd").alias("date")
     ).agg(F.count("*").cast("bigint").alias("mau_28d"))
+
+
+@register(
+    "activity_heatmap",
+    oracle="""
+    SELECT CAST((CAST(dayofweek(ts) AS INT) + 6) % 7 AS INT) AS dow,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+    doc="Weekday x hour activity heatmap (Mon=0 pandas weekday parity "
+        "via functions.datetime_utils): event and distinct-user counts "
+        "per cell -- the when-are-users-active dashboard relation. One "
+        "scan, one 168-cell rollup with map-side combine; the distinct "
+        "count expands per cell but the key space is the fixed 7x24 "
+        "grid. DuckDB dayofweek is Sunday=0, Spark's is Sunday=1; both "
+        "sides normalize to Monday=0 explicitly.",
+)
+def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.datetime_utils import pandas_weekday
+
+    e = table(spark, sf_dir, "events")
+    return e.groupBy(
+        pandas_weekday(F.col("ts")).alias("dow"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

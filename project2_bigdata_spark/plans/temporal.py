@@ -291,3 +291,71 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_events"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+@register(
+    "stickiness_dau_mau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), bounds AS (
+      SELECT MIN(d) AS mn, MAX(d) AS mx FROM ud
+    ), spine AS (
+      SELECT CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), dau AS (
+      SELECT d, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1
+    ), mau AS (
+      SELECT s.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS mau_28d
+      FROM spine s JOIN ud u ON u.d BETWEEN s.d - 27 AND s.d
+      GROUP BY 1
+    )
+    SELECT strftime(m.d, '%Y-%m-%d') AS date,
+           COALESCE(a.dau, 0) AS dau, m.mau_28d,
+           round(CAST(COALESCE(a.dau, 0) AS DOUBLE) / m.mau_28d, 6)
+             AS stickiness
+    FROM mau m LEFT JOIN dau a ON a.d = m.d
+    """,
+    doc="DAU/MAU(28d) stickiness per day -- the engagement-intensity "
+        "ratio product analytics tracks beside the MAU curve. Composes "
+        "the collapsed user-day relation both ways: straight per-day "
+        "distinct count (DAU) and the constant-28x day-expansion "
+        "(MAU28, the rolling_28d_active_users shape); the ratio is an "
+        "exact-integer division rounded at 6dp. Days inside the span "
+        "with zero activity report DAU 0, not a gap.",
+)
+def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    bounds = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
+    dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
+    mau = (
+        ud.crossJoin(F.broadcast(bounds))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("d"),
+                    F.least(F.date_add(F.col("d"), 27), F.col("mx")),
+                    F.expr("interval 1 day"),
+                )
+            ).alias("out_d"),
+        )
+        .distinct()
+        .groupBy("out_d")
+        .agg(F.count("*").cast("bigint").alias("mau_28d"))
+    )
+    return (
+        mau.join(dau, mau.out_d == dau.d, "left")
+        .select(
+            F.date_format("out_d", "yyyy-MM-dd").alias("date"),
+            F.coalesce(F.col("dau"), F.lit(0)).cast("bigint").alias("dau"),
+            "mau_28d",
+            F.round(
+                F.coalesce(F.col("dau"), F.lit(0)).cast("double")
+                / F.col("mau_28d"), 6
+            ).alias("stickiness"),
+        )
+    )

@@ -50,6 +50,7 @@ BNLJ_OK = {
     "pmi_cooccurrence",  # 1-row (n_pairs, n_tokens) totals broadcast
     "kcore_2round",  # 1-row median-threshold broadcasts (wmed, kk)
     "rolling_28d_active_users",  # 1-row day-span bounds broadcast
+    "stickiness_dau_mau",  # same day-span bounds broadcast
     "nb_lang_confusion",  # 5-row language grid + 1-row vocab-size broadcasts
     "sales_trend_ols",  # 1-row global-min-date broadcast
     "concentration_metrics",  # 1-row product-count broadcast

@@ -209,7 +209,7 @@ def train_best_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
+@register(
     "ml_train_per_product",
     oracle=None,  # linear solve isn't SQL-expressible; rows-only + unit tests
     doc="U3 faithful: per-product search over MODEL FAMILIES (ridge-AR "
@@ -219,8 +219,17 @@ register(
         "refit on full history — the reference's RF/SVR/MLP grid + "
         "best-model-per-product protocol (EDA.ipynb cells 58-69) with "
         "deterministic families. Winners persist via save_models/"
-        "load_models (parquet model sink, S5) and drive ml_forecast_14d.",
-)(train_best_models)
+        "load_models (parquet model sink, S5) and drive ml_forecast_14d. "
+        "Driver-facing projection serializes coef (array<double>) to a "
+        "JSON string: the harness canonicalizes results through pandas "
+        "sort_values, which cannot hash list cells; the internal "
+        "relation train_best_models() keeps the typed array for the "
+        "model sink.",
+)
+def q_ml_train_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return train_best_models(spark, sf_dir).withColumn(
+        "coef", F.to_json(F.transform("coef", lambda c: F.round(c, 6)))
+    )
 
 
 def save_models(models: DataFrame, path: str) -> None:

@@ -135,10 +135,20 @@ _MH_PRIME = 4294967311  # first prime > 2^32
 
 def _with_hashed_shingles(df: DataFrame) -> DataFrame:
     """Shingles hashed ONCE to int64 (``hs``). All downstream minhash and
-    Jaccard math runs on integers: one xxhash64 per shingle total,
-    instead of one per (shingle × hash function)."""
+    Jaccard math runs on integers: one hash per shingle total, instead
+    of one per (shingle × hash function).
+
+    The hash is the first 13 hex chars of md5 parsed as an integer
+    (52 bits, always positive) — engine-portable, so the DuckDB oracle
+    (:func:`oracle_minhash_near_dup`) reproduces every signature bit.
+    xxhash64 would be ~2× cheaper per shingle but is Spark-specific and
+    would make the flagship near-dup path unverifiable."""
     return _with_shingles(df).withColumn(
-        "hs", F.expr("transform(shingles, s -> xxhash64(s))")
+        "hs",
+        F.expr(
+            "transform(shingles,"
+            " s -> cast(conv(substr(md5(s), 1, 13), 16, 10) as bigint))"
+        ),
     )
 
 
@@ -206,10 +216,12 @@ def minhash_band_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band_idx"),
-                    # xxhash64 over the band's minhash values directly —
-                    # typed multi-arg hash, no string concat
-                    F.xxhash64(*[
+                    # band key = the band's minhash values joined as a
+                    # string — portable across engines (the oracle builds
+                    # the same key), and the equi-join only needs equality
+                    F.concat_ws("_", *[
                         F.element_at("minhashes", b * ROWS_PER_BAND + j + 1)
+                        .cast("string")
                         for j in range(ROWS_PER_BAND)
                     ]).alias("band_hash"),
                 )
@@ -254,6 +266,74 @@ def minhash_band_pairs(
         .select("doc_a", "doc_b", (common / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
+
+
+def oracle_minhash_near_dup(threshold: float = 0.8) -> str:
+    """Exact DuckDB mirror of :func:`minhash_band_pairs`: same md5-13-hex
+    shingle hashes, same universal-hash minhash signatures (the
+    ``_MH_PARAMS`` constants are embedded below), same band keys, same
+    ``MAX_BUCKET`` cap, same integer-set Jaccard verify — so the driver
+    value-hash CONFIRMS the flagship near-dup path bit-for-bit."""
+    mh_entries = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> ({a}::BIGINT * (h & 4294967295::BIGINT)"
+        f" + {b}::BIGINT) % {_MH_PRIME}::BIGINT))"
+        for a, b in _MH_PARAMS
+    )
+    band_selects = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, concat_ws('_', "
+        + ", ".join(
+            f"CAST(mh[{b * ROWS_PER_BAND + j + 1}] AS VARCHAR)"
+            for j in range(ROWS_PER_BAND)
+        )
+        + ") AS band_hash FROM mh"
+        for b in range(N_BANDS)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE WHEN len(words) >= 3 THEN
+               list_distinct(list_transform(range(1, len(words) - 1),
+                 i -> concat_ws(' ', words[CAST(i AS INT)],
+                                words[CAST(i AS INT) + 1],
+                                words[CAST(i AS INT) + 2])))
+             ELSE [] END AS shingles
+      FROM docs
+    ), hx AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> CAST(concat('0x', substr(md5(s), 1, 13)) AS BIGINT)) AS hs,
+             CAST(len(shingles) AS BIGINT) AS set_size
+      FROM sh WHERE len(shingles) > 0
+    ), mh AS (
+      SELECT doc_id,
+             [{mh_entries}] AS mh
+      FROM hx
+    ), bands AS (
+      {band_selects}
+    ), capped AS (
+      SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bn
+        FROM bands
+      ) WHERE bn <= {MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM capped x JOIN capped y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ), verified AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+               / CAST(a.set_size + b.set_size
+                      - len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+                      AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN hx a ON cand.doc_a = a.doc_id
+      JOIN hx b ON cand.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
 
 
 @F.pandas_udf(LongType())

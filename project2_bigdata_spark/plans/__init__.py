@@ -26,12 +26,15 @@ from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4
 from ..sources import ingest as _sources_ingest  # noqa: E402,F401  S1/S4 sources & sinks
 
 
-# Driver-facing iteration order. The round-1 driver verified exactly the
-# first 50 entries of queries(); everything registered after plans.pipelines
-# got no CORRECTNESS row. Round 2 front-loads those 47 queries (oracle-bearing
-# first, then rows-only) so they earn driver verdicts; the 50 already-green
-# queries follow and remain covered by the local oracle-parity suite
-# (tests/test_oracle_parity.py) either way.
+# Driver-facing iteration order. The driver verifies the first 50 entries
+# of queries() per round; CORRECTNESS_r01 covered _ROUND1_VERIFIED and
+# CORRECTNESS_r02 covered _ROUND2_CHECKED. Round 3 fronts (a) rows that
+# ERRED or that gained a real oracle this round (they already have a
+# CORRECTNESS row, so a naive "never-checked first" order would demote
+# them and make the red/rows-only verdict permanent), then (b) the
+# LLM-data-pipeline core, then the remaining never-checked queries with
+# oracle-bearing ones first. Already-green queries trail and stay covered
+# by the local oracle-parity suite (tests/test_oracle_parity.py).
 _ROUND1_VERIFIED = [
     "sales_daily", "sales_daily_filtered", "count_sales", "kpi_global",
     "value_counts_priority", "value_counts_segment", "distinct_counts",
@@ -79,16 +82,60 @@ _ROUND2_FRONT = [
 ]
 
 
+# Every query with a CORRECTNESS row after rounds 1+2: _ROUND1_VERIFIED
+# plus the 50 rows of CORRECTNESS_r02 (the 48 _ROUND2_FRONT entries and
+# the first two round-2 additions that slipped into that window).
+_ROUND2_CHECKED = frozenset(_ROUND1_VERIFIED) | frozenset(_ROUND2_FRONT) | {
+    "triple_counts_topk", "funnel_step_times",
+}
+
+# Rows that must RE-enter the driver window despite having a CORRECTNESS
+# row: the r2 `err` row (driver canonicalizer choked on its array column
+# — fixed by a driver-facing JSON projection) and the r2 `no_oracle`
+# rows that gained exact DuckDB oracles in round 3.
+_ROUND3_RECHECK = [
+    "ml_train_per_product",   # r2 err: unhashable coef column, now JSON
+    "minhash_near_dup",       # r2 rows-only, now md5-in-SQL oracle
+    "multimodal_decode",      # r2 rows-only, now deterministic + oracle
+    "multimodal_frames",      # r2 rows-only, now deterministic + oracle
+]
+
+# Never-checked LLM-data-pipeline core, fronted ahead of late analytics
+# extras (VERDICT r2 item 1).
+_ROUND3_LLM_CORE = [
+    "dedup_clusters", "dedup_keep_best", "knn_join_topk", "ivf_ann_topk",
+    "corpus_pipeline_e2e", "pii_redact", "decontaminate",
+    "decontaminate_ngram", "gopher_quality_flags", "bpe_pair_stats",
+    "bpe_train_merges", "bpe_encode", "bpe_tokenize_docs", "mixture_plan",
+    "stream_interval_join", "chunk_documents", "sequence_packing",
+    "winnowing_fingerprints", "span_dedup_crossdoc", "lang_id_ngram",
+    "stratified_sample", "temperature_sample", "weighted_sample_aes",
+    "hash_split_assign", "embedding_quantize", "dedup_embedding_clusters",
+]
+
+
 def driver_order() -> list[str]:
     """Registry names in the order the driver should check them.
 
-    Round-1-unverified queries first (_ROUND2_FRONT, frozen), then any
-    newly added queries (driver-unverified but locally oracle-checked),
-    then the round-1-green queries. Every registered name appears
-    exactly once.
+    Re-check rows first (erred / newly-oracled — see _ROUND3_RECHECK),
+    then the never-checked LLM-pipeline core, then the remaining
+    never-checked queries (oracle-bearing before rows-only), then the
+    already-green tail. Every registered name appears exactly once.
     """
-    front = [n for n in _ROUND2_FRONT if n in REGISTRY]
-    placed = set(front) | set(_ROUND1_VERIFIED)
-    new = [n for n in REGISTRY if n not in placed]
-    verified = [n for n in _ROUND1_VERIFIED if n in REGISTRY]
-    return front + new + verified
+    order: list[str] = []
+    placed: set[str] = set()
+
+    def take(names) -> None:
+        for n in names:
+            if n in REGISTRY and n not in placed:
+                order.append(n)
+                placed.add(n)
+
+    take(_ROUND3_RECHECK)
+    take(_ROUND3_LLM_CORE)
+    rest = [n for n in REGISTRY
+            if n not in placed and n not in _ROUND2_CHECKED]
+    take([n for n in rest if REGISTRY[n].oracle is not None])
+    take(rest)  # rows-only remainder
+    take(REGISTRY)  # already-checked tail, registration order
+    return order

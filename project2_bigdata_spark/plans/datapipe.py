@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    blocked_jaccard_pairs, exact_dedup, minhash_band_pairs, simhash_buckets,
+    blocked_jaccard_pairs, exact_dedup, minhash_band_pairs,
+    oracle_minhash_near_dup, simhash_buckets,
 )
 from ..operators.multimodal import multimodal_features
 from ..operators.similarity import (
@@ -176,11 +177,14 @@ def q_dedup_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "minhash_near_dup",
-    oracle=None,  # xxhash64 seeds are Spark-specific → driver rows-only
+    oracle=oracle_minhash_near_dup(threshold=0.8),
     doc="MinHash(16) + LSH banding (4×4) near-dup candidates, verified "
         "with exact Jaccard ≥ 0.8. Candidate generation is an equi-join "
-        "on (band_idx, band_hash) — never all-pairs. Verified against "
-        "dedup_blocked_jaccard in tests/test_datapipe.py (recall check).",
+        "on (band_idx, band_hash) — never all-pairs. Signatures are "
+        "md5-derived (engine-portable), so the DuckDB oracle rebuilds "
+        "the full signature/banding/verify pipeline and value-hash "
+        "CONFIRMS it; recall vs dedup_blocked_jaccard unit-tested in "
+        "tests/test_datapipe.py.",
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_pairs(spark, sf_dir, threshold=0.8)

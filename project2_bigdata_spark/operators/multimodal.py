@@ -94,13 +94,23 @@ def attach_payload_binary(spark: SparkSession, path: str, glob: str = "*") -> Da
     )
 
 
+def _md5_52(b: bytes) -> int:
+    """First 13 hex chars of md5 as a (52-bit, always positive) int64 —
+    the same engine-portable fingerprint the dedup/minhash operators use,
+    so the DuckDB oracle can rebuild it as
+    ``CAST(concat('0x', substr(md5(x), 1, 13)) AS BIGINT)``."""
+    import hashlib
+
+    return int(hashlib.md5(b).hexdigest()[:13], 16)
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     """STUB — deterministic fake for the absent image decoder: derives
     pseudo-dimensions from the byte length so downstream schema/tests
-    are meaningful."""
+    are meaningful. Checksum is the md5-prefix fingerprint (portable:
+    the registered query's oracle recomputes it in SQL)."""
     n = len(payload)
-    checksum = sum(payload) % (1 << 31)
-    return checksum, (n % 640) + 1, (n % 480) + 1
+    return _md5_52(payload), (n % 640) + 1, (n % 480) + 1
 
 
 def _decode(payload: bytes) -> tuple[int, int, int]:
@@ -125,18 +135,23 @@ def _decode(payload: bytes) -> tuple[int, int, int]:
     return _fake_decode(payload)
 
 
-def decode_features(df_with_payload: DataFrame) -> DataFrame:
+def decode_features(df_with_payload: DataFrame, decoder=None) -> DataFrame:
     """mapInPandas decode: Arrow batches in, typed feature rows out.
 
     Partition-preserving (no shuffle); batch size is governed by
     spark.sql.execution.arrow.maxRecordsPerBatch, so executor memory is
     bounded regardless of corpus size.
+
+    ``decoder`` defaults to :func:`_decode` (PIL-upgradeable). The
+    registered ``multimodal_decode`` query pins ``decoder=_fake_decode``
+    so its output is environment-independent and oracle-checkable.
     """
+    decoder = decoder or _decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            rows = [_decode(bytes(p)) for p in payloads]
+            rows = [decoder(bytes(p)) for p in payloads]
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "n_bytes": payloads.map(len).astype("int64"),
@@ -150,7 +165,13 @@ def decode_features(df_with_payload: DataFrame) -> DataFrame:
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return decode_features(attach_payload(table(spark, sf_dir, "documents")))
+    """Driver-facing decode relation, pinned to the deterministic fake
+    decoder (environment-independent → exact DuckDB oracle). The
+    PIL-upgradeable path stays available via
+    ``decode_features(df, decoder=_decode)``."""
+    return decode_features(
+        attach_payload(table(spark, sf_dir, "documents")), decoder=_fake_decode
+    )
 
 
 RESIZE_SCHEMA = StructType([
@@ -208,7 +229,7 @@ def sample_frames(df_with_payload: DataFrame, every_n: int = 10) -> DataFrame:
                     chunk = b[i * 100:(i + 1) * 100]
                     ids.append(doc_id)
                     idxs.append(i)
-                    sums.append(sum(chunk) % (1 << 31))
+                    sums.append(_md5_52(chunk))
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int32"),

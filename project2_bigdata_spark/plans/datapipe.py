@@ -292,11 +292,25 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode",
-    oracle=None,  # mapInPandas decode plumbing → driver rows-only
+    # DuckDB md5(VARCHAR) hashes the string's UTF-8 bytes — exactly the
+    # payload bytes the Python decoder sees (payload = encode(text)).
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(concat('0x', substr(md5(text), 1, 13)) AS BIGINT)
+             AS byte_checksum,
+           CAST((strlen(text) % 640) + 1 AS INT) AS width,
+           CAST((strlen(text) % 480) + 1 AS INT) AS height,
+           'text/plain' AS mime
+    FROM documents
+    """,
     doc="Multimodal plumbing: binary payload + metadata struct through an "
-        "Arrow mapInPandas decode (deterministic fake decoder — see "
-        "operators.multimodal; real decoder swaps in without plan changes). "
-        "Byte checksums unit-tested against pure-Python in tests/",
+        "Arrow mapInPandas decode, pinned to the deterministic fake "
+        "decoder (md5-prefix checksum + length-derived pseudo-dims) so "
+        "the relation is environment-independent and the DuckDB oracle "
+        "value-hash CONFIRMS it. The PIL-upgradeable decoder stays on "
+        "the operator API (operators.multimodal.decode_features); "
+        "swapping it in changes no plan shape.",
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal_features(spark, sf_dir)
@@ -398,11 +412,32 @@ from ..operators.multimodal import multimodal_frames  # noqa: E402
 
 register(
     "multimodal_frames",
-    oracle=None,  # binary flat-map stub — rows-only + unit tests
+    # Frames are 100-BYTE slices of the payload; the oracle slices the
+    # VARCHAR by characters, identical because documents.text is ASCII
+    # in the testdata (asserted by tests/test_multimodal.py so a
+    # non-ASCII regen surfaces as a test failure, not an oracle mismatch).
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text, CAST(strlen(text) AS BIGINT) AS nb
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text,
+             CAST(unnest(range(0, greatest(nb // 100, 1), 10)) AS INT)
+               AS frame_idx
+      FROM d
+    )
+    SELECT doc_id, frame_idx,
+           CAST(concat('0x',
+                substr(md5(substr(text, frame_idx * 100 + 1, 100)), 1, 13))
+             AS BIGINT) AS frame_checksum
+    FROM f
+    """,
     doc="Multimodal frame sampling: mapInPandas flat-map (one payload → "
-        "many frame rows), decode stubbed deterministically; the Arrow "
-        "batch shape, schema, and row multiplication are the real, "
-        "tested plumbing",
+        "many frame rows), every 10th 100-byte 'frame' fingerprinted "
+        "with the md5-prefix checksum — deterministic, so the DuckDB "
+        "oracle rebuilds every sampled frame and value-hash CONFIRMS "
+        "the flat-map plumbing (real impl swaps in ffmpeg keyframe "
+        "iteration with the same schema)",
 )(multimodal_frames)
 
 

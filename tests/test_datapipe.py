@@ -109,8 +109,19 @@ def test_multimodal_checksum_matches_python(spark, sf_dir):
         payload = text.encode("utf-8")
         r = feats[doc_id]
         assert r.n_bytes == len(payload)
-        assert r.byte_checksum == sum(payload) % (1 << 31)
+        assert r.byte_checksum == int(hashlib.md5(payload).hexdigest()[:13], 16)
         assert r.mime == "text/plain"
+
+
+def test_multimodal_corpus_is_ascii(spark, sf_dir):
+    """The multimodal_frames oracle slices the VARCHAR by characters
+    while the operator slices the payload by bytes — identical only
+    while the corpus is ASCII. Assert it here so a non-ASCII testdata
+    regen fails loudly in tests instead of as an opaque driver
+    hash-mismatch."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.filter(F.length("text") != F.length(F.encode("text", "utf-8"))).count()
+    assert n == 0
 
 
 def test_similarity_top1_matches_numpy(spark, sf_dir):

@@ -1631,7 +1631,7 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("c_w"))
     )
     tot = pairs.agg(F.count("*").cast("bigint").alias("n_pairs")).crossJoin(
-        uni.agg(F.sum("c_w").cast("bigint").alias("n_tokens"))
+        F.broadcast(uni.agg(F.sum("c_w").cast("bigint").alias("n_tokens")))
     )
     ua = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
     ub = uni.select(F.col("w").alias("b"), F.col("c_w").alias("c_b"))

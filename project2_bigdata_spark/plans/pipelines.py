@@ -187,10 +187,14 @@ def q_revenue_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     def total(df: DataFrame, alias: str) -> DataFrame:
         return df.agg(dsum("r", alias))
 
+    # 1-row aggregates: explicit broadcast so the scalar augment can
+    # never plan as a non-broadcast nested-loop join (AQE rescues it at
+    # sf0.1, but at scale a single slow plan here stalls the pipeline —
+    # matches every sibling scalar-augment site, e.g. operators/pairs.py).
     return (
         total(daily, "daily_total")
-        .crossJoin(total(ticket, "ticket_total"))
-        .crossJoin(total(cust, "customer_total"))
+        .crossJoin(F.broadcast(total(ticket, "ticket_total")))
+        .crossJoin(F.broadcast(total(cust, "customer_total")))
     )
 
 

@@ -97,6 +97,25 @@ def test_no_nested_loop_join_outside_allowlist(spark, sf_dir):
     assert not offenders, f"nested-loop joins leaked into: {offenders}"
 
 
+@pytest.mark.parametrize("name", ["revenue_checksum", "pmi_cooccurrence"])
+def test_scalar_augment_joins_are_broadcast(spark, sf_dir, name):
+    """Every 1-row scalar-augment crossJoin must carry an explicit
+    broadcast hint: it must plan as BroadcastNestedLoopJoin (never
+    CartesianProduct), with AQE on or off — a 1-row frame that ever
+    plans as a non-broadcast NLJ is a stall at scale."""
+    orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    try:
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            plan = plan_of(spark, sf_dir, name)
+            assert "CartesianProduct" not in plan, f"{name} (aqe={aqe}):\n{plan}"
+            assert "BroadcastNestedLoopJoin" in plan, (
+                f"{name} (aqe={aqe}): expected broadcast NLJ\n{plan}"
+            )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", orig)
+
+
 def test_no_python_udf_outside_allowlist(spark, sf_dir):
     """U1: parity paths are JVM-only; Python appears only in the
     documented Arrow-batch operators."""

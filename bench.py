@@ -144,17 +144,35 @@ def main() -> None:
      .select(_warm_udf(_F.col("id").cast("string")).alias("n"))
      .write.mode("overwrite").format("noop").save())
 
-    def run_set(names: list[str]) -> dict[str, float]:
-        out: dict[str, float] = {}
+    # Repetitions: BENCH_HISTORY shows ~2x per-query swings under host
+    # load on this shared VM (pair_counts 2.17-3.84s across identical
+    # code); single-run timings made round-over-round deltas noise.
+    # Each query runs N times back-to-back; "queries" reports the MIN
+    # (least-contended observation — the engine's actual cost), medians
+    # and raw runs ride along for dispersion.
+    reps_headline = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps_secondary = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SECONDARY", "2"))
+
+    def run_set(names: list[str], reps: int):
+        import statistics
+
+        mins: dict[str, float] = {}
+        medians: dict[str, float] = {}
+        runs: dict[str, list[float]] = {}
         for name in names:
             if name not in REGISTRY:
                 continue
             q = REGISTRY[name]
-            t0 = time.perf_counter()
-            df = q.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
-            out[name] = round(time.perf_counter() - t0, 3)
-        return out
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                df = q.fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+                ts.append(round(time.perf_counter() - t0, 3))
+            mins[name] = min(ts)
+            medians[name] = round(statistics.median(ts), 3)
+            runs[name] = ts
+        return mins, medians, runs
 
     # Machine-speed calibration: a fixed synthetic JVM workload (no I/O,
     # no Python) timed best-of-2. Host load varies between rounds on a
@@ -174,21 +192,34 @@ def main() -> None:
         return round(best, 3)
 
     calibration = _calibrate()
-    timings = run_set(HEADLINE)
-    secondary = run_set(SECONDARY)
+    timings, timings_median, timings_runs = run_set(HEADLINE, reps_headline)
+    secondary, secondary_median, secondary_runs = run_set(
+        SECONDARY, reps_secondary)
 
     # Testdata fingerprint: the driver regenerates the parquet corpora
     # between rounds (observed: round 2 switched timestamp physical
     # types and file contents). Timings across different data
     # generations are not comparable, so stamp each history record with
-    # a fingerprint of the input files (sizes are cheap and change with
-    # any regen).
-    sizes = sorted(
-        (f, os.path.getsize(os.path.join(sf_dir, f)))
-        for f in os.listdir(sf_dir) if f.endswith(".parquet")
-    )
+    # a fingerprint of the input files. Sizes alone could collide across
+    # a value-changing regen (same row counts, fixed-width columns, same
+    # compression), so fold in mtime_ns and a first/last-4KB content
+    # sample of each file.
     import hashlib
-    data_fp = hashlib.md5(json.dumps(sizes).encode()).hexdigest()[:12]
+
+    h = hashlib.md5()
+    for f in sorted(os.listdir(sf_dir)):
+        if not f.endswith(".parquet"):
+            continue
+        p = os.path.join(sf_dir, f)
+        st = os.stat(p)
+        h.update(f.encode())
+        h.update(str((st.st_size, st.st_mtime_ns)).encode())
+        with open(p, "rb") as fh:
+            h.update(fh.read(4096))
+            if st.st_size > 4096:
+                fh.seek(-4096, os.SEEK_END)
+                h.update(fh.read(4096))
+    data_fp = h.hexdigest()[:12]
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -196,7 +227,13 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": timings_median,
+        "queries_runs": timings_runs,
+        "runs_per_query": reps_headline,
         "secondary": secondary,
+        "secondary_median": secondary_median,
+        "secondary_runs": secondary_runs,
+        "runs_per_secondary": reps_secondary,
         "secondary_total": round(sum(secondary.values()), 3),
         "calibration_50m_agg": calibration,
         "data_fingerprint": data_fp,

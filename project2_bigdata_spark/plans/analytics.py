@@ -1211,8 +1211,12 @@ _MAD_ORACLE = _DAILY_SQL + """
 )
 SELECT d.product, m.med_qty, a.mad_qty,
        CAST(COUNT(*) AS BIGINT) AS n_days,
+       -- threshold constant written multiplied-out (4.4478, one literal)
+       -- on BOTH sides: Spark would compute 3 * double(1.4826) while
+       -- DuckDB parses 3 * 1.4826 as exact DECIMAL — a ~2-ulp gap that
+       -- could flip a borderline comparison
        CAST(SUM(CASE WHEN abs(d.total_quantity - m.med_qty)
-                          > 3 * 1.4826 * a.mad_qty
+                          > 4.4478 * a.mad_qty
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
 FROM daily d JOIN med m USING (product) JOIN mad a USING (product)
 GROUP BY 1, 2, 3
@@ -1248,9 +1252,11 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = (
         daily.join(F.broadcast(med), "product").join(F.broadcast(mad), "product")
     )
+    # 4.4478 = 3 * 1.4826 multiplied out: the SAME literal as the oracle,
+    # so both engines round the constant identically (see oracle comment)
     out = (
         F.abs(F.col("total_quantity") - F.col("med_qty"))
-        > 3 * 1.4826 * F.col("mad_qty")
+        > F.lit(4.4478) * F.col("mad_qty")
     ).cast("int")
     return flagged.groupBy("product", "med_qty", "mad_qty").agg(
         F.count("*").cast("bigint").alias("n_days"),

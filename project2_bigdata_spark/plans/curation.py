@@ -1668,9 +1668,12 @@ WITH h AS (
            * power(16.0, -i))) AS uu
   FROM h
 ), k AS (
+  -- w > 0 guard on BOTH sides: a zero-weight doc has selection
+  -- probability 0 under A-ES, and -ln(u)/0 is NULL in Spark vs inf in
+  -- DuckDB with opposite NULL ordering — a guaranteed divergence
   SELECT doc_id, source, w,
          round(-ln(uu + 1.1641532182693481e-10) / w, 7) AS key
-  FROM u
+  FROM u WHERE w > 0
 )
 SELECT source, doc_id, w, key,
        CAST(rk AS INT) AS rk
@@ -1718,6 +1721,7 @@ def q_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("bigint").alias("w"),
             hx.alias("_hx"),
         )
+        .filter(F.col("w") > 0)  # P(select)=0 for zero weight; see oracle
         .withColumn("_u", u)
         .select("doc_id", "source", "w", key.alias("key"))
     )

@@ -116,3 +116,51 @@ def test_typed_state_gate_picks_available_api(spark, sf_dir):
         assert "transformWithState" in plan or "TransformWithState" in plan
     else:
         assert "FlatMapGroupsInPandasWithState" in plan or "applyInPandasWithState" in plan
+
+
+def test_outer_interval_join_null_verdict_boundary(spark, tmp_path):
+    """Pins stream_interval_join_outer's eviction boundary on a tiny
+    constructed stream: a view's NULL verdict emits iff
+    view.ts + 1h < watermark, where the final watermark (zero-delay)
+    is min(max view ts, max purchase ts). The oracle hardcodes exactly
+    this; if a Spark upgrade shifts the final no-data-batch watermark
+    advance or the boundary's inclusivity, THIS test fails with named
+    rows instead of the driver reporting an opaque hash mismatch."""
+    import datetime as dt
+
+    from project2_bigdata_spark.plans import REGISTRY
+
+    t = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)  # noqa: E731
+    rows = [
+        # (event_id, user_id, event_type, ts)
+        (1, 1, "view", t(0)),       # matched: P at +30min
+        (2, 1, "purchase", t(0, 30)),
+        (3, 2, "view", t(0, 10)),   # unmatched, window closes 01:10 < wm → NULL row
+        (4, 5, "view", t(2)),       # matched AT the inclusive upper bound (+1h exactly)
+        (5, 5, "purchase", t(3)),
+        (6, 3, "view", t(8)),       # boundary: 08:00+1h == wm 09:00 → strict < → NO row
+        (7, 8, "purchase", t(9)),   # max purchase ts → wm = min(10:00, 09:00) = 09:00
+        (8, 4, "view", t(9, 30)),   # tail: window open past wm → NO row
+        (9, 9, "view", t(10)),      # max view ts
+    ]
+    spark.createDataFrame(
+        rows, "event_id bigint, user_id bigint, event_type string, ts timestamp"
+    ).coalesce(1).write.parquet(f"{tmp_path}/tmp_events")
+    import glob
+    import shutil
+
+    part = glob.glob(f"{tmp_path}/tmp_events/part-*.parquet")[0]
+    shutil.move(part, f"{tmp_path}/events.parquet")
+
+    out = REGISTRY["stream_interval_join_outer"].fn(spark, str(tmp_path))
+    got = {
+        r.view_event_id: (r.purchase_event_id, r.micros_to_purchase)
+        for r in out.collect()
+    }
+    assert got == {
+        1: (2, 30 * 60 * 1_000_000),   # in-window match
+        4: (5, 3_600 * 1_000_000),     # upper bound inclusive: p.ts == v.ts + 1h
+        3: (None, None),               # verdict emitted: 01:10 < 09:00 watermark
+        # 6 absent: 09:00 == watermark, boundary is STRICT <
+        # 8, 9 absent: windows still open at final watermark
+    }

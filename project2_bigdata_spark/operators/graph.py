@@ -12,8 +12,11 @@ Scale shape per round: one shuffle join (edges ⋈ labels on src) + one
 min-aggregate by dst — both key-partitioned, no stage is quadratic.
 The convergence probe is a scalar aggregate per round (sum of labels,
 monotonically decreasing), which is the unavoidable driver action of
-any fixpoint loop. Lineage is truncated per round via localCheckpoint
-so plans don't grow with iteration count.
+any fixpoint loop. Lineage is truncated per round via
+session.truncate_lineage — localCheckpoint on local mode, reliable
+checkpoint() when SPARK_GRAFT_CHECKPOINT_DIR is set (a cluster run) —
+so plans don't grow with iteration count and executor loss can't kill
+the loop mid-flight.
 """
 
 from __future__ import annotations
@@ -23,6 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
+from ..session import truncate_lineage
 from .dedup import blocked_jaccard_pairs
 from .textstats import fingerprint
 
@@ -42,9 +46,12 @@ def connected_components(
     # from the raw corpus (2× per round via the union). The edge list is
     # graph-sized, far smaller than the corpus, so pinning it is exactly
     # what a 100 TB run wants (same pattern as pagerank/kmeans).
-    sym = edges.union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)
+    sym = truncate_lineage(
+        edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ),
+        eager=True,
+    )
     labels = vertices.select("doc_id", F.col("doc_id").alias("label"))
     prev_sum = None
     for _ in range(max_iter):
@@ -53,7 +60,7 @@ def connected_components(
             .groupBy("dst")
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = (
+        labels = truncate_lineage(
             labels.join(nbr_min, labels.doc_id == nbr_min.dst, "left")
             .select(
                 "doc_id",
@@ -61,7 +68,6 @@ def connected_components(
                     F.col("label"), F.coalesce("nbr_min", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=False)
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:  # fixpoint: no label moved this round

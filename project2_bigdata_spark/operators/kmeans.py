@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table_parallel
 from ..plans.registry import register
+from ..session import truncate_lineage
 
 K = 4
 N_ITER = 2
@@ -113,10 +114,10 @@ def kmeans_cluster_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row), so materialization cost is nil at any corpus size.
     assigned = None
     prev_cents = None
-    cents = cents.localCheckpoint(eager=False)
+    cents = truncate_lineage(cents)
     for _ in range(N_ITER):
         assigned = _assign(vecs, cents)
-        prev_cents, cents = cents, _update(assigned).localCheckpoint(eager=False)
+        prev_cents, cents = cents, truncate_lineage(_update(assigned))
     sizes = assigned.groupBy("cid").agg(F.count("*").alias("n_vecs"))
     fold = (
         "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "

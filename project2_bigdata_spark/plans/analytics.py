@@ -22,6 +22,7 @@ from pyspark.sql.window import Window
 from ..catalog import table
 from ..functions.money import dsum, oracle_dsum
 from ..operators.salesviews import sale_lines
+from ..session import truncate_lineage
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -779,7 +780,7 @@ def q_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
     # Both edge directions are emitted ROW-LOCALLY by _PR_PAIRS, so the
     # symmetrized relation is ONE aggregation over one fact scan. It is
-    # reused by wout/deg and both iterations; localCheckpoint
+    # reused by wout/deg and both iterations; truncate_lineage
     # materializes the (|products|^2-bounded) edge table once and
     # truncates lineage, instead of re-deriving it from the fact per
     # reference (measured: 28 fact-scan branches without it).
@@ -790,8 +791,8 @@ def q_pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(_PR_PAIRS)).alias("e"))
         .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count("*").alias("w"))
-        .localCheckpoint(eager=False)
     )
+    sym = truncate_lineage(sym)
     wout = sym.groupBy("u").agg(F.sum("w").alias("wout"))
     nn = wout.agg(F.count("*").alias("n"))
     pr0 = (
@@ -1063,8 +1064,8 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(_TRI_PAIRS)).alias("e"))
         .select(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    edges = truncate_lineage(edges)
     deg = (
         edges.select(F.col("u").alias("p"))
         .unionAll(edges.select(F.col("v").alias("p")))
@@ -1401,13 +1402,14 @@ def q_kcore_2round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.explode(F.expr(_TRI_PAIRS)).alias("e"))
         .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count("*").cast("bigint").alias("w"))
-        .localCheckpoint(eager=False)
     )
+    pw = truncate_lineage(pw)
     wm = pw.agg(F.expr("percentile(w, 0.5)").alias("wmed"))
     strong = pw.crossJoin(F.broadcast(wm)).filter(F.col("w") >= F.col("wmed"))
     sym = strong.select("u", "v").unionAll(
         strong.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint(eager=False)
+    )
+    sym = truncate_lineage(sym)
     deg0 = sym.groupBy(F.col("u").alias("p")).agg(
         F.count("*").cast("bigint").alias("d0")
     )

@@ -533,7 +533,9 @@ register(
         "min doc_id canonical. Driver-controlled min-label propagation "
         "(the GraphX pattern without the library): per round one "
         "key-partitioned join + min-agg, lineage truncated via "
-        "localCheckpoint; converges in O(diameter) rounds. Oracle: "
+        "session.truncate_lineage (reliable checkpoint when "
+        "SPARK_GRAFT_CHECKPOINT_DIR is set); converges in O(diameter) "
+        "rounds. Oracle: "
         "DuckDB recursive-CTE transitive closure",
 )(dedup_clusters)
 

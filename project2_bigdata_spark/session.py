@@ -41,6 +41,27 @@ def tune(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def truncate_lineage(df, eager: bool = False):
+    """Truncate a DataFrame's lineage inside iterative/fixpoint loops.
+
+    With ``SPARK_GRAFT_CHECKPOINT_DIR`` set, uses a RELIABLE
+    ``checkpoint()`` into that directory (HDFS/object storage on a real
+    cluster): the truncated frame survives executor loss, which is what
+    a 100 TB fixpoint needs — ``localCheckpoint`` pins blocks to
+    executors, so losing one kills every frame derived from it
+    mid-loop. Unset (tests/bench on local mode, where executor loss
+    means the whole JVM died anyway), falls back to ``localCheckpoint``
+    and avoids the checkpoint write entirely.
+    """
+    ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if ckdir:
+        sc = df.sparkSession.sparkContext
+        if not sc.getCheckpointDir():
+            sc.setCheckpointDir(ckdir)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
+
 def get_session(app_name: str = "project2_bigdata_spark",
                 cores: int | None = None,
                 shuffle_partitions: int | None = None) -> SparkSession:

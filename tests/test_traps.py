@@ -185,3 +185,32 @@ def test_catalog_normalizes_timestamps(spark, sf_dir):
         dt = table(spark, sf_dir, name).schema[col].dataType
         assert isinstance(dt, T.TimestampType), (name, col, dt)
         assert not isinstance(dt, T.TimestampNTZType), (name, col, dt)
+
+
+def test_truncate_lineage_reliable_checkpoint_path(spark, tmp_path, monkeypatch):
+    """truncate_lineage switches from localCheckpoint (executor-pinned,
+    dies with an executor) to a reliable checkpoint() into
+    SPARK_GRAFT_CHECKPOINT_DIR when that env var is set — the 100 TB
+    fixpoint-loop contract. Values must be identical either way."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.session import truncate_lineage
+
+    df = spark.range(0, 100).select("id", (F.col("id") * 2).alias("v"))
+    expected = sorted((r.id, r.v) for r in df.collect())
+
+    # default path: no env var → localCheckpoint, nothing written to disk
+    monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR", raising=False)
+    local = truncate_lineage(df, eager=True)
+    assert sorted((r.id, r.v) for r in local.collect()) == expected
+
+    # reliable path: env var set → checkpoint files land in the dir
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    reliable = truncate_lineage(df, eager=True)
+    assert sorted((r.id, r.v) for r in reliable.collect()) == expected
+    import glob
+
+    assert glob.glob(f"{ckdir}/**/rdd-*", recursive=True), (
+        "no reliable checkpoint files written"
+    )

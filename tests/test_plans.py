@@ -107,15 +107,28 @@ def test_corpus_operators_shuffle_free(spark, sf_dir):
 
 def test_driver_order_invariants():
     """driver_order() must enumerate every registered query exactly once,
-    with the round-2 front-loaded (previously driver-unverified) block
-    first — the mechanism that banks driver CORRECTNESS rows per round."""
-    from project2_bigdata_spark.plans import REGISTRY, driver_order
-    from project2_bigdata_spark.plans import __init__ as _  # noqa: F401
+    fronting (1) erred/newly-oracled re-checks, (2) the LLM-pipeline
+    core, (3) remaining never-checked queries with oracle-bearing ones
+    first — the mechanism that banks driver CORRECTNESS rows per round
+    and re-surfaces red rows instead of demoting them forever."""
+    from project2_bigdata_spark.plans import (
+        _ROUND2_CHECKED,
+        _ROUND3_LLM_CORE,
+        _ROUND3_RECHECK,
+        REGISTRY,
+        driver_order,
+    )
 
     order = driver_order()
     assert len(order) == len(set(order)), "duplicate names in driver order"
     assert set(order) == set(REGISTRY), "driver order must cover the registry"
-    from project2_bigdata_spark.plans import _ROUND2_FRONT
-
-    front_present = [n for n in _ROUND2_FRONT if n in REGISTRY]
-    assert order[: len(front_present)] == front_present
+    recheck = [n for n in _ROUND3_RECHECK if n in REGISTRY]
+    assert order[: len(recheck)] == recheck
+    core = [n for n in _ROUND3_LLM_CORE
+            if n in REGISTRY and n not in _ROUND3_RECHECK]
+    assert order[len(recheck): len(recheck) + len(core)] == core
+    # everything never driver-checked must come before the checked tail
+    never = [n for n in REGISTRY
+             if n not in _ROUND2_CHECKED and n not in recheck]
+    window = order[: len(recheck) + len(never)]
+    assert set(never) <= set(window)

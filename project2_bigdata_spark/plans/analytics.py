@@ -21,6 +21,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions.money import dsum, oracle_dsum
+from ..operators.rank import global_ntile
 from ..operators.salesviews import sale_lines
 from ..session import truncate_lineage
 from .registry import register
@@ -313,9 +314,11 @@ def q_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
         "days since last order vs the global max date (broadcast scalar), "
         "order count, exact decimal spend; ntile(4) with a unique "
         "tie-break (custkey) so quartile assignment is deterministic on "
-        "both engines. Scale: the ntile windows run over the customer "
-        "dimension; for fact-scale equi-depth bucketing see "
-        "length_quantile_buckets (threshold broadcast, no global sort).",
+        "both engines. Scale: quartiles computed by operators/rank.py's "
+        "two-phase global_ntile (range shuffle + per-range window + "
+        "broadcast prefix offsets) — no single-partition window over the "
+        "customer population; for threshold-based fact-scale bucketing "
+        "see length_quantile_buckets.",
 )
 def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
@@ -335,15 +338,24 @@ def q_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary",
         )
     )
-    r = F.ntile(4).over(Window.orderBy(F.asc("rec_days"), F.asc("custkey")))
-    fq = F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monetary"), F.asc("custkey")))
-    return per_cust.select(
+    # NTILE over the full customer population with no rank predicate is
+    # the one window shape InferWindowGroupLimit can't save — a naive
+    # Window.orderBy here single-partitions |customers| rows. Route
+    # through the two-phase global_ntile (range shuffle + per-range
+    # window + broadcast offsets): bit-identical buckets (the custkey
+    # tie-break makes the order total), fully parallel. operators/rank.py
+    d = per_cust.select("custkey", "rec_days", "freq", "monetary")
+    d = global_ntile(d, [F.asc("rec_days"), F.asc("custkey")], 4, out="r_score")
+    d = global_ntile(d, [F.desc("freq"), F.asc("custkey")], 4, out="f_score")
+    d = global_ntile(d, [F.desc("monetary"), F.asc("custkey")], 4, out="m_score")
+    return d.select(
         "custkey", "rec_days", "freq", "monetary",
-        r.cast("int").alias("r_score"),
-        fq.cast("int").alias("f_score"),
-        m.cast("int").alias("m_score"),
-        F.concat(r.cast("string"), fq.cast("string"), m.cast("string")).alias("rfm"),
+        "r_score", "f_score", "m_score",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm"),
     )
 
 

@@ -42,6 +42,23 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def compare(spark, query, sf_dir: str, float_ulps: int = 0) -> None:
     """Assert the Spark result of ``query`` matches its DuckDB oracle."""
     sdf = query.fn(spark, sf_dir)
+    # The driver's canonicalizer does pandas.sort_values over RAW cell
+    # values, which throws `unhashable type` on array/map/struct cells
+    # (this is exactly what turned ml_train_per_product red in round 2 —
+    # CORRECTNESS_r02.json). Our local canon() stringifies objects and
+    # would hide that, so enforce atomic-only schemas for every
+    # oracle-bearing query here, where the full parity sweep runs.
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    complex_cols = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not complex_cols, (
+        f"{query.name}: oracle-checked output has complex-typed columns "
+        f"{complex_cols} — the driver canonicalizer cannot sort these; "
+        f"serialize to JSON strings (see ml/forecast.py coef fix)"
+    )
     actual = canon(sdf.toPandas())
     con = duck_con(sf_dir)
     expected = canon(con.execute(query.oracle).fetchdf())

@@ -1,0 +1,80 @@
+"""Parity tests for operators/rank.py (scalable global ranking).
+
+The two-phase rank must be bit-identical to the naive single-partition
+window on any total order, including the NTILE fat/thin bucket boundary
+and the N < n degenerate case.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from project2_bigdata_spark.operators.rank import global_ntile, global_row_number
+
+
+def _frame(spark, n_rows: int):
+    # Values with heavy ties; id is the unique tie-break. Spread over
+    # several input partitions so the range shuffle actually moves rows.
+    return (
+        spark.range(1, n_rows + 1, numPartitions=7)
+        .select(
+            F.col("id").cast("bigint").alias("id"),
+            (F.col("id") % 10).cast("bigint").alias("v"),
+        )
+    )
+
+
+@pytest.mark.parametrize("n_rows", [103, 16])
+def test_global_row_number_matches_window(spark, n_rows):
+    df = _frame(spark, n_rows)
+    order = [F.col("v").desc(), F.col("id").asc()]
+    got = {
+        (r["id"], r["rn"])
+        for r in global_row_number(df, order, num_partitions=5).collect()
+    }
+    want = {
+        (r["id"], r["rn"])
+        for r in df.withColumn(
+            "rn", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        ).collect()
+    }
+    assert got == want
+
+
+@pytest.mark.parametrize(
+    ("n_rows", "n"),
+    [
+        (103, 4),   # fat/thin boundary: 103 = 4*25 + 3
+        (100, 4),   # exact division
+        (103, 7),
+        (3, 5),     # N < n: bucket i for row i
+        (1, 4),
+    ],
+)
+def test_global_ntile_matches_window(spark, n_rows, n):
+    df = _frame(spark, n_rows)
+    order = [F.col("v").asc(), F.col("id").asc()]
+    got = {
+        (r["id"], r["bucket"])
+        for r in global_ntile(df, order, n, num_partitions=5).collect()
+    }
+    want = {
+        (r["id"], r["bucket"])
+        for r in df.withColumn(
+            "bucket", F.ntile(n).over(Window.orderBy(*order))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_uses_range_partitioning(spark):
+    """The data-bearing shuffle must be a range exchange, not a collapse
+    to one partition — that is the whole point of the operator."""
+    df = _frame(spark, 103)
+    plan = (
+        global_row_number(df, [F.col("v").asc(), F.col("id").asc()])
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "rangepartitioning(" in plan

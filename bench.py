@@ -97,6 +97,7 @@ SECONDARY = [
     "session_path_transitions",  # in-session Markov matrix
     "trimmed_mean_revenue",    # rank-trimmed robust mean
     "inverted_index",          # posting-list index build
+    "rfm_scores",              # two-phase global_ntile (3 range sorts)
 ]
 
 

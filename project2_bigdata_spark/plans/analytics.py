@@ -85,46 +85,48 @@ WITH sale_lines AS (
     FROM spine s
     LEFT JOIN daily ON daily.product = s.product AND daily.date = s.d
     """,
-    doc="Dense per-product calendar spine (sequence+explode between each "
-        "product's first and last sale) with gap days forward-filled from "
-        "the last observed revenue (last(ignorenulls) window). The "
-        "time-series regularization step every forecasting pipeline needs "
-        "before lag features; the reference gets it implicitly from "
-        "pandas resample. Scale: the spine is dimension-sized (products × "
-        "days), the ffill window partitions per product — no global sort.",
+    doc="Dense per-product calendar with gap days forward-filled from "
+        "the last observed revenue. The time-series regularization step "
+        "every forecasting pipeline needs before lag features; the "
+        "reference gets it implicitly from pandas resample. Plan is "
+        "spine-FREE: lead() gives each observed day its successor, and "
+        "explode(sequence(date, next-1)) emits the gap run carrying the "
+        "fill value — one fact aggregation (the spine+left-join oracle "
+        "shape would scan the fact twice: pruning defeats exchange "
+        "reuse), one per-product window, row-local explode.",
 )
 def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily(spark, sf_dir).alias("daily")
-    spine = (
-        _daily(spark, sf_dir)
-        .groupBy("product")
-        .agg(F.min("date").alias("mn"), F.max("date").alias("mx"))
+    # Spine-free plan: each observed day explodes into the date run
+    # [date, next_observed_date) carrying its own revenue — the union of
+    # runs IS the dense [min, max] calendar per product, and the carried
+    # value IS the forward fill. Equivalent to the oracle's
+    # spine + left join + last_value(IGNORE NULLS) row-for-row, but with
+    # ONE _daily subtree instead of two (column pruning made the
+    # spine/daily subtrees differ, so Spark could not reuse the
+    # fact-join exchange: 100 TB would pay the dominant join twice) and
+    # no spine join at all — just one lead() window on the daily
+    # dimension relation and a row-local explode.
+    daily = _daily(spark, sf_dir)
+    nxt = F.lead("date").over(Window.partitionBy("product").orderBy("date"))
+    return (
+        daily.withColumn("next_d", nxt)
         .select(
-            F.col("product").alias("sp_product"),
-            F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("d"),
+            "product",
+            "total_revenue",
+            F.col("date").alias("obs_date"),
+            F.explode(
+                F.sequence(
+                    "date",
+                    F.coalesce(F.date_sub("next_d", 1), "date"),
+                )
+            ).alias("d"),
         )
-        .alias("spine")
-    )
-    joined = spine.join(
-        daily,
-        (F.col("daily.product") == F.col("spine.sp_product"))
-        & (F.col("daily.date") == F.col("spine.d")),
-        "left",
-    ).select(
-        F.col("spine.sp_product").alias("product"),
-        F.col("spine.d").alias("d"),
-        F.col("daily.total_revenue").alias("total_revenue"),
-    )
-    w = (
-        Window.partitionBy("product")
-        .orderBy("d")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return joined.select(
-        "product",
-        F.date_format("d", "yyyy-MM-dd").alias("date"),
-        F.last("total_revenue", ignorenulls=True).over(w).alias("revenue_ffill"),
-        F.col("total_revenue").isNull().cast("int").alias("is_filled"),
+        .select(
+            "product",
+            F.date_format("d", "yyyy-MM-dd").alias("date"),
+            F.col("total_revenue").alias("revenue_ffill"),
+            (F.col("d") != F.col("obs_date")).cast("int").alias("is_filled"),
+        )
     )
 
 
@@ -1248,32 +1250,58 @@ GROUP BY 1, 2, 3
         "medians interpolate to .0/.5 midpoints and MAD to .25 "
         "multiples -- all dyadic, bit-identical on both engines, and "
         "the threshold product is one identical double expression. "
-        "Scale: the exact grouped median buffers one product's daily "
-        "history (calendar-bounded, ~2.4k values here), fine per "
-        "group; medians are product-table-sized -> broadcast back; two "
-        "shuffles total on (date,product) then (product).",
+        "Scale: one product's daily history is calendar-bounded "
+        "(~2.4k values), so it is collected per group once and both "
+        "medians + the outlier count fold row-locally over the sorted "
+        "array; two shuffles total on (date,product) then (product), "
+        "one fact aggregation, zero joins.",
 )
 def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass plan: the med→dev→mad→flag chain referenced the daily
+    # relation four times, and column pruning kept the subtrees distinct
+    # — Spark planned FOUR fact aggregations (no ReusedExchange; 19
+    # exchanges measured). Instead collect each product's daily history
+    # once (calendar-bounded, ≤ ~2.4k doubles — same bound the
+    # per-product ML grid relies on) and compute both medians and the
+    # outlier count row-locally from the sorted array: one fact
+    # aggregation, one product shuffle, zero joins.
+    # The median formula is written out (odd: middle; even: exact
+    # dyadic midpoint) and equals both Spark's percentile(0.5) and
+    # DuckDB's median on these integer-valued doubles.
     daily = _daily(spark, sf_dir).select("product", "total_quantity")
-    med = daily.groupBy("product").agg(
-        F.expr("percentile(total_quantity, 0.5)").alias("med_qty")
+    arr = daily.groupBy("product").agg(
+        F.collect_list("total_quantity").alias("q")
     )
-    dev = daily.join(F.broadcast(med), "product").withColumn(
-        "dv", F.abs(F.col("total_quantity") - F.col("med_qty"))
-    )
-    mad = dev.groupBy("product").agg(F.expr("percentile(dv, 0.5)").alias("mad_qty"))
-    flagged = (
-        daily.join(F.broadcast(med), "product").join(F.broadcast(mad), "product")
+
+    def _median(col: str) -> str:
+        # element_at takes an INT index; div yields BIGINT, so cast
+        return (
+            f"CASE WHEN size({col}) % 2 = 1 "
+            f"THEN element_at({col}, cast((size({col}) + 1) div 2 as int)) "
+            f"ELSE (element_at({col}, cast(size({col}) div 2 as int)) "
+            f"  + element_at({col}, cast(size({col}) div 2 + 1 as int))) / 2 "
+            f"END"
+        )
+
+    arr = (
+        arr.withColumn("s", F.expr("array_sort(q)"))
+        .withColumn("med_qty", F.expr(_median("s")))
+        .withColumn(
+            "sdv", F.expr("array_sort(transform(q, x -> abs(x - med_qty)))")
+        )
+        .withColumn("mad_qty", F.expr(_median("sdv")))
     )
     # 4.4478 = 3 * 1.4826 multiplied out: the SAME literal as the oracle,
     # so both engines round the constant identically (see oracle comment)
-    out = (
-        F.abs(F.col("total_quantity") - F.col("med_qty"))
-        > F.lit(4.4478) * F.col("mad_qty")
-    ).cast("int")
-    return flagged.groupBy("product", "med_qty", "mad_qty").agg(
-        F.count("*").cast("bigint").alias("n_days"),
-        F.sum(out).cast("bigint").alias("n_outliers"),
+    return arr.select(
+        "product",
+        "med_qty",
+        "mad_qty",
+        F.expr("cast(size(q) as bigint)").alias("n_days"),
+        F.expr(
+            "cast(size(filter(q, x -> abs(x - med_qty) > 4.4478 * mad_qty)) "
+            "as bigint)"
+        ).alias("n_outliers"),
     )
 
 

@@ -24,8 +24,11 @@ bucket arithmetic below reproduces SQL NTILE exactly. Parity is enforced
 by tests/test_rank_ops.py against ``F.row_number``/``F.ntile`` and, for
 ``rfm_scores``, by the DuckDB oracle sweep.
 
-Cost: one range shuffle (plus the sampling job that picks boundaries) and
-one hash shuffle on partition id per distinct sort order, both fully
+Cost: one range shuffle (plus the sampling job that picks boundaries),
+one hash shuffle on partition id, and one lineage-truncating
+materialization (session.truncate_lineage — the ranked frame is consumed
+by both the offset and data sides, and chained calls would otherwise
+embed the upstream plan 4^k times) per distinct sort order, all fully
 parallel — versus one all-rows-to-one-task shuffle for the naive window.
 """
 
@@ -34,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+
+from ..session import truncate_lineage
 
 #: Column name used internally for the range-partition id.
 _PID = "__rank_pid"
@@ -45,12 +50,16 @@ def global_row_number(
     order: list[Column],
     out: str = "rn",
     num_partitions: int | None = None,
+    truncate: bool = True,
 ) -> DataFrame:
     """Append a 1-based global ``row_number`` over ``order`` to ``df``.
 
     ``order`` must be a total order (include a unique tie-break column) —
     with ties across a range boundary the split between ranges would be
     sampling-dependent. Output column ``out`` is ``bigint``.
+    ``truncate=False`` skips the lineage-truncating materialization (see
+    module docstring) — only for plan inspection in tests; chained
+    production use must keep it.
     """
     if num_partitions is None:
         ranged = df.repartitionByRange(*order)
@@ -62,6 +71,16 @@ def global_row_number(
     tagged = ranged.withColumn(_PID, F.spark_partition_id())
     local = F.row_number().over(Window.partitionBy(_PID).orderBy(*order))
     tagged = tagged.withColumn(_LRN, local.cast("bigint"))
+    # `tagged` is referenced twice below (offset side + data side). A
+    # plain DataFrame would EMBED the whole upstream plan twice — and
+    # chained calls (three ntiles in rfm_scores) then multiply: 4^k
+    # copies of the base scan were observed in the executed plan before
+    # this truncation. Materialize once (reliable checkpoint on a real
+    # cluster, localCheckpoint in local mode — session.truncate_lineage)
+    # so both consumers and every later chained call read the
+    # range-ranked rows, not the lineage.
+    if truncate:
+        tagged = truncate_lineage(tagged)
 
     counts = tagged.groupBy(_PID).agg(F.count("*").alias("__n"))
     # Prefix sum over ≤ #shuffle-partitions rows — bounded by cluster

@@ -218,23 +218,31 @@ def ivf_ann_topk(
         )
         .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
-    ranked = (
+    # The centroid ranking feeds both the cell assignment (all vectors)
+    # and the probe list (query vectors). As plain lineage each branch
+    # re-embedded the scan + broadcast + O(N × N_CENTROIDS × dim)
+    # ranking (4 embedding scans observed) — keep only the top-1 cell
+    # and the N_PROBE probe cells, and materialize that narrow frame
+    # once (session.truncate_lineage) so the ranking runs exactly once.
+    from ..session import truncate_lineage
+
+    base = truncate_lineage(
         e.crossJoin(F.broadcast(cents_row))
         .withColumn("cent_rank", F.expr(_CENT_RANKING))
-        .drop("cents")
+        .select(
+            "vec_id", "label", F.col("embedding").alias("ce"),
+            F.expr("element_at(cent_rank, 1).cid").alias("cell"),
+            F.expr(f"transform(slice(cent_rank, 1, {N_PROBE}), p -> p.cid)")
+            .alias("pcells"),
+        )
     )
-    cand = ranked.select(
-        "vec_id", "label", F.col("embedding").alias("ce"),
-        F.expr("element_at(cent_rank, 1).cid").alias("cell"),
-    )
+    cand = base.select("vec_id", "label", "ce", "cell")
     probes = (
-        ranked.filter(F.col("vec_id") < n_queries)
+        base.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qe"),
-            F.explode(
-                F.expr(f"transform(slice(cent_rank, 1, {N_PROBE}), p -> p.cid)")
-            ).alias("probe_cell"),
+            F.col("ce").alias("qe"),
+            F.explode("pcells").alias("probe_cell"),
         )
     )
     sim = F.round(_cosine("qe", "ce"), 6)

@@ -19,6 +19,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import table, table_parallel
 from ..functions.money import dsum_expr, oracle_dsum
+from ..session import truncate_lineage
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -891,7 +892,13 @@ def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    vocab = toks.groupBy("w").agg(F.count("*").alias("tf"))
+    # vocab feeds both the probability join and the corpus-total — as
+    # plain lineage each consumer re-embeds the tokenize+count subtree,
+    # i.e. an extra full corpus scan just to total the vocabulary.
+    # Materialize the vocabulary-sized aggregate once (it is tiny
+    # relative to the corpus): scans drop 3 → 2, the inherent minimum
+    # for build-LM-then-score without persisting exploded tokens.
+    vocab = truncate_lineage(toks.groupBy("w").agg(F.count("*").alias("tf")))
     tot = vocab.agg(F.sum("tf").alias("n_tokens"))
     scored = (
         toks.join(F.broadcast(vocab), "w")
@@ -1286,6 +1293,11 @@ def q_quality_blend_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(uni, "doc_id")
     )
+    # feats feeds both the global-moments aggregate and the scored
+    # projection; un-materialized, each re-embeds the whole corpus +
+    # unigram-LM subplan (8 corpus scans measured). The frame is
+    # narrow (doc_id + 3 doubles) — materialize once.
+    feats = truncate_lineage(feats)
     dec6 = lambda c: F.sum(F.col(c).cast("decimal(18,6)")).cast("string").cast("double")  # noqa: E731
     dec12 = lambda c: F.sum((F.col(c) * F.col(c)).cast("decimal(30,12)")).cast("string").cast("double")  # noqa: E731
     stats = feats.agg(
@@ -1624,13 +1636,20 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.split("text", " ").alias("ws")
     )
     pairs = d.select(F.explode(F.expr(_PMI_PAIRS)).alias("p")).select("p.a", "p.b")
-    pc = pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c_ab"))
-    uni = (
+    # Both vocabulary-sized aggregates feed multiple consumers — the
+    # pair counts (threshold filter + corpus pair total) and the unigram
+    # counts (both join sides + token total). Materialize each once and
+    # derive the totals FROM them: the corpus is scanned exactly twice
+    # (pair explosion, token explosion) instead of five times.
+    pc = truncate_lineage(
+        pairs.groupBy("a", "b").agg(F.count("*").cast("bigint").alias("c_ab"))
+    )
+    uni = truncate_lineage(
         d.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count("*").cast("bigint").alias("c_w"))
     )
-    tot = pairs.agg(F.count("*").cast("bigint").alias("n_pairs")).crossJoin(
+    tot = pc.agg(F.sum("c_ab").cast("bigint").alias("n_pairs")).crossJoin(
         F.broadcast(uni.agg(F.sum("c_w").cast("bigint").alias("n_tokens")))
     )
     ua = uni.select(F.col("w").alias("a"), F.col("c_w").alias("c_a"))
@@ -1813,7 +1832,11 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("lang").alias("actual_lang"),
         F.explode(F.split("text", " ")).alias("w"),
     )
-    cnt = (
+    # (lang, word) count table feeds three consumers (vocab size,
+    # per-language totals, the smoothed-likelihood join) — materialize
+    # the vocabulary-sized aggregate once instead of re-embedding the
+    # corpus tokenize 3×.
+    cnt = truncate_lineage(
         d.select("lang", F.explode(F.split("text", " ")).alias("w"))
         .groupBy("lang", "w")
         .agg(F.count("*").cast("bigint").alias("c"))
@@ -1827,7 +1850,6 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(vtab))
     )
     priors = d.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
-    docn = toks.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_d"))
     lang_list = langs.select("lang")
     # token x language grid with smoothed counts (broadcast count table)
     grid = (
@@ -1844,11 +1866,14 @@ def q_nb_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     folded = grid.groupBy("doc_id", "actual_lang", "lang").agg(
         F.sum(F.col("term").cast("decimal(28,6)"))
-        .cast("string").cast("double").alias("s_like")
+        .cast("string").cast("double").alias("s_like"),
+        # grid has exactly one row per (token, language), so this group
+        # count IS the document's token count — no separate docn
+        # aggregation (which re-embedded the tokenize subtree)
+        F.count("*").cast("bigint").alias("n_d"),
     )
     scored = (
-        folded.join(F.broadcast(docn), "doc_id")
-        .join(F.broadcast(langs), "lang")
+        folded.join(F.broadcast(langs), "lang")
         .join(F.broadcast(priors), "lang")
         .select(
             "doc_id", "actual_lang", "lang",

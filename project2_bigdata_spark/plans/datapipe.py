@@ -25,6 +25,7 @@ from ..operators.textstats import (
     STOPWORDS, documents_with_stats, fingerprint, token_count_bpeish,
 )
 from ..catalog import table
+from ..session import truncate_lineage
 from .registry import register
 
 _SW = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -932,8 +933,14 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Integer sums / counts keep every ratio engine-exact",
 )
 def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").select(
-        "doc_id", "source", "lang", F.md5(F.lower("text")).alias("fp")
+    # The fingerprint projection feeds both the per-doc join side and
+    # the copy-count aggregate; materialize the narrow frame (no text
+    # column) once so md5(text) and the corpus scan happen once, not
+    # twice.
+    d = truncate_lineage(
+        table(spark, sf_dir, "documents").select(
+            "doc_id", "source", "lang", F.md5(F.lower("text")).alias("fp")
+        )
     )
     flags = q_gopher_quality_flags(spark, sf_dir).select("doc_id", "n_words", "keep")
     fpc = d.groupBy("fp").agg(F.count("*").alias("n_copies"))

@@ -71,10 +71,28 @@ def test_global_ntile_matches_window(spark, n_rows, n):
 
 def test_global_row_number_uses_range_partitioning(spark):
     """The data-bearing shuffle must be a range exchange, not a collapse
-    to one partition — that is the whole point of the operator."""
+    to one partition — that is the whole point of the operator.
+    truncate=False keeps the lineage visible for the assertion (the
+    production path materializes it away — covered by the next test)."""
     df = _frame(spark, 103)
     plan = (
-        global_row_number(df, [F.col("v").asc(), F.col("id").asc()])
+        global_row_number(df, [F.col("v").asc(), F.col("id").asc()],
+                          truncate=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "rangepartitioning(" in plan
+
+
+def test_chained_calls_do_not_blow_up_the_plan(spark):
+    """Chained rankings must not embed the upstream plan exponentially:
+    before lineage truncation, three chained ntiles planned 4^3 copies
+    of the base relation (observed as 128 scans in rfm_scores)."""
+    from project2_bigdata_spark.operators.rank import global_ntile
+
+    df = _frame(spark, 103)
+    d = global_ntile(df, [F.col("v").asc(), F.col("id").asc()], 4, out="a")
+    d = global_ntile(d, [F.col("v").desc(), F.col("id").asc()], 4, out="b")
+    d = global_ntile(d, [F.col("id").desc()], 4, out="c")
+    plan = d._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") <= 4
+    assert d.count() == 103

@@ -2048,13 +2048,16 @@ FROM tagged GROUP BY 1
 )
 def q_new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
-    firsts = o.groupBy("o_custkey").agg(
-        F.trunc(F.min("o_orderdate"), "MM").alias("first_m")
+    # first-order month as a window over the same custkey partition the
+    # oracle's aggregate+join implies — one orders scan and one shuffle
+    # instead of a second scan feeding a self-join
+    first_m = F.trunc(
+        F.min("o_orderdate").over(Window.partitionBy("o_custkey")), "MM"
     )
-    tagged = o.join(firsts, "o_custkey").select(
+    tagged = o.select(
         F.trunc("o_orderdate", "MM").alias("m"),
         "o_custkey",
-        (F.trunc("o_orderdate", "MM") == F.col("first_m")).alias("is_new"),
+        (F.trunc("o_orderdate", "MM") == first_m).alias("is_new"),
         "o_totalprice",
     )
     dec = lambda cond: (  # noqa: E731

@@ -246,7 +246,14 @@ def q_ep2_customer_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
     p = table(spark, sf_dir, "part")
-    lines = (
+    # The 3-table fact join feeds two independent rollups (favourite
+    # product, per-ticket KPIs) and the ticket rollup feeds two more —
+    # as plain lineage the drill re-planned the lineitem⋈orders join
+    # and scans per branch (3 lineitem scans measured). Materialize the
+    # narrow joined lines once and the ticket-sized rollup once.
+    from ..session import truncate_lineage
+
+    lines = truncate_lineage(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(
@@ -263,7 +270,7 @@ def q_ep2_customer_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("custkey", F.col("product").alias("fav_product"),
                 F.col("n").alias("fav_product_lines"))
     )
-    per_ticket = (
+    per_ticket = truncate_lineage(
         lines.groupBy("custkey", "o_orderkey")
         .agg(F.min("o_orderdate").alias("d"),
              F.sum(F.col("revenue").cast("decimal(18,2)")).alias("t_rev"))

@@ -53,6 +53,7 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from ..catalog import table  # noqa: E402
+from ..session import truncate_lineage  # noqa: E402
 
 
 @register(
@@ -242,7 +243,12 @@ def q_funnel_step_times(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_rolling_28d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    # The collapsed user-day relation feeds the bounds aggregate AND the
+    # day expansion; materialize it once (users × days — far smaller
+    # than raw events) so the events scan + distinct shuffle run once.
+    ud = truncate_lineage(
+        e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    )
     bounds = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
     expanded = (
         ud.crossJoin(F.broadcast(bounds))
@@ -328,7 +334,12 @@ def q_activity_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    # ud feeds three consumers (bounds, DAU, the MAU day-expansion);
+    # materialize the collapsed user-day relation once — see
+    # q_rolling_28d_active_users.
+    ud = truncate_lineage(
+        e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    )
     bounds = ud.agg(F.min("d").alias("mn"), F.max("d").alias("mx"))
     dau = ud.groupBy("d").agg(F.count("*").cast("bigint").alias("dau"))
     mau = (

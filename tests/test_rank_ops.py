@@ -69,6 +69,20 @@ def test_global_ntile_matches_window(spark, n_rows, n):
     assert got == want
 
 
+def test_rfm_scores_under_reliable_checkpoint(spark, sf_dir, tmp_path,
+                                              monkeypatch):
+    """rfm_scores (three chained global_ntile calls, each with a
+    lineage-truncating materialization) must stay oracle-exact when
+    truncate_lineage takes the reliable checkpoint() path — the
+    configuration a real cluster runs with."""
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck"))
+    from project2_bigdata_spark.plans import REGISTRY
+
+    from .oracle_harness import compare
+
+    compare(spark, REGISTRY["rfm_scores"], sf_dir)
+
+
 def test_global_row_number_uses_range_partitioning(spark):
     """The data-bearing shuffle must be a range exchange, not a collapse
     to one partition — that is the whole point of the operator.

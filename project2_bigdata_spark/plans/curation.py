@@ -1092,9 +1092,20 @@ def q_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    # The unigram count table feeds both the smoothing join and the
+    # vocabulary size; materialize the word-vocabulary-sized aggregate
+    # once and derive |V| as its row count — the naive build (separate
+    # distinct-vocab pass) embedded a fourth corpus scan. The remaining
+    # three passes (unigram build, bigram build, scoring stream) each
+    # need a different explosion of the corpus; fusing the two builds
+    # into one tagged explode was measured SLOWER at sf0.1 (the fatter
+    # combined shuffle and bigram-vocabulary checkpoint outweigh the
+    # saved scan), so the builds stay separate.
     toks = d.select(F.explode("w").alias("w1"))
-    ucount = toks.groupBy("w1").agg(F.count("*").alias("cu"))
-    vocab = toks.agg(F.countDistinct("w1").alias("v"))
+    ucount = truncate_lineage(
+        toks.groupBy("w1").agg(F.count("*").alias("cu"))
+    )
+    vocab = ucount.agg(F.count("*").alias("v"))
     bg = d.filter(F.size("w") >= 2).select(
         "doc_id",
         F.explode(

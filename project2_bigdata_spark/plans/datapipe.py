@@ -389,8 +389,14 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     terms = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # tf has exactly one row per (doc, term), so doc_freq is a plain
+    # row count per term OF tf — materialize tf once and derive df from
+    # it instead of a second tokenize pass over the corpus (the n_docs
+    # scan reads zero columns: parquet footers only).
+    tf = truncate_lineage(
+        terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").cast("bigint").alias("doc_freq"))
     n = d.agg(F.count("*").alias("n_docs"))
     scored = (
         tf.join(F.broadcast(df_), "term")

@@ -56,7 +56,10 @@ def truncate_lineage(df, eager: bool = False):
     ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckdir:
         sc = df.sparkSession.sparkContext
-        if not sc.getCheckpointDir():
+        current = sc.getCheckpointDir()
+        # re-point when the env var changed mid-session (getCheckpointDir
+        # returns a resolved URI, so compare by suffix not equality)
+        if not current or ckdir.rstrip("/") not in current:
             sc.setCheckpointDir(ckdir)
         return df.checkpoint(eager=eager)
     return df.localCheckpoint(eager=eager)

@@ -164,6 +164,44 @@ def test_two_level_agg_for_global_kpis(spark, sf_dir):
     )
 
 
+#: Max base-table parquet scans allowed in each audited query's physical
+#: plan (the round-3 scan audit's outcome, locked in). References to a
+#: truncated/materialized intermediate show as `Scan ExistingRDD` and are
+#: cheap (memory/disk blocks, no recompute) — only parquet re-scans of
+#: the corpus multiply I/O at 100 TB. 2 = the inherent build-model-then-
+#: score shape (one pass builds the vocab/model, one pass scores); 0 =
+#: every consumer reads a materialized intermediate.
+MAX_PARQUET_SCANS = {
+    "quality_blend_curriculum": 0,   # was 8 text scans pre-audit
+    "nb_lang_confusion": 2,          # was 7
+    "pmi_cooccurrence": 0,           # was 5
+    "ivf_ann_topk": 0,               # was 4 embedding scans
+    "rfm_scores": 0,                 # was 4^3 chained-ntile expansion
+    "pagerank_2iter": 0,             # was 28 fact-scan branches
+    "unigram_logprob_score": 1,
+    "source_reputation": 1,
+    "tfidf_top_terms": 1,
+    "bigram_logprob_score": 2,
+    "dedup_keep_best": 1,
+    "kmeans_lloyd_2iter": 1,
+}
+
+
+@pytest.mark.parametrize("name", sorted(MAX_PARQUET_SCANS))
+def test_no_redundant_corpus_scans(spark, sf_dir, name):
+    """Multiply-consumed intermediates must not re-embed the corpus scan
+    per consumer: each audited query's plan stays at (or below) its
+    audited parquet-scan count."""
+    import re
+
+    plan = plan_of(spark, sf_dir, name)
+    n = len(re.findall(r"(?:File)?Scan parquet", plan))
+    assert n <= MAX_PARQUET_SCANS[name], (
+        f"{name}: {n} parquet scans (cap {MAX_PARQUET_SCANS[name]}) — a "
+        f"multiply-consumed intermediate is re-scanning the corpus\n{plan}"
+    )
+
+
 def test_results_invariant_under_aqe_toggle(spark, sf_dir):
     """Correctness must not depend on AQE's runtime re-planning: the
     exactness conventions (decimal sums, deterministic tie-breaks) make

@@ -154,7 +154,7 @@ def test_winnowing_shared_run_guarantee(spark, a_words, b_words):
     from unittest import mock
 
     rows_df = spark.createDataFrame(rows, "doc_id long, text string")
-    with mock.patch.object(corpus_mod, "table", lambda s, sf, t: rows_df):
+    with mock.patch.object(corpus_mod, "table_parallel", lambda s, sf, t: rows_df):
         out = winnowing_fingerprints(spark, "unused").collect()
     fps = {}
     for r in out:

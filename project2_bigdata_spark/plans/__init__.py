@@ -89,20 +89,10 @@ _ROUND2_CHECKED = frozenset(_ROUND1_VERIFIED) | frozenset(_ROUND2_FRONT) | {
     "triple_counts_topk", "funnel_step_times",
 }
 
-# Rows that must RE-enter the driver window despite having a CORRECTNESS
-# row: the r2 `err` row (driver canonicalizer choked on its array column
-# — fixed by a driver-facing JSON projection) and the r2 `no_oracle`
-# rows that gained exact DuckDB oracles in round 3.
-_ROUND3_RECHECK = [
-    "ml_train_per_product",   # r2 err: unhashable coef column, now JSON
-    "minhash_near_dup",       # r2 rows-only, now md5-in-SQL oracle
-    "multimodal_decode",      # r2 rows-only, now deterministic + oracle
-    "multimodal_frames",      # r2 rows-only, now deterministic + oracle
-]
-
-# Never-checked LLM-data-pipeline core, fronted ahead of late analytics
-# extras (VERDICT r2 item 1).
-_ROUND3_LLM_CORE = [
+# Standing priority hint for never-checked queries: the LLM-data-
+# pipeline core fronts ahead of late analytics extras (VERDICT r2
+# item 1) — names already checked are skipped automatically.
+_LLM_CORE_PRIORITY = [
     "dedup_clusters", "dedup_keep_best", "knn_join_topk", "ivf_ann_topk",
     "corpus_pipeline_e2e", "pii_redact", "decontaminate",
     "decontaminate_ngram", "gopher_quality_flags", "bpe_pair_stats",
@@ -114,14 +104,66 @@ _ROUND3_LLM_CORE = [
 ]
 
 
+def _correctness_rows() -> dict[str, dict]:
+    """Union of every driver CORRECTNESS_r*.json row (later rounds win).
+
+    Read at call time so the ordering self-adjusts each round without a
+    code change: a new CORRECTNESS file moves its green rows to the tail
+    and keeps erred rows in front.
+    """
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    rows: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name, row in data.items():
+                if isinstance(row, dict):
+                    rows[name] = row
+    return rows
+
+
 def driver_order() -> list[str]:
     """Registry names in the order the driver should check them.
 
-    Re-check rows first (erred / newly-oracled — see _ROUND3_RECHECK),
-    then the never-checked LLM-pipeline core, then the remaining
-    never-checked queries (oracle-bearing before rows-only), then the
-    already-green tail. Every registered name appears exactly once.
+    Derived from the CORRECTNESS_r*.json files on disk, so each round's
+    driver run re-prioritizes the next one automatically:
+
+    1. re-check rows — a real error, a hash mismatch, or a ``no_oracle``
+       verdict for a query that NOW has an oracle in the registry (the
+       driver result would upgrade);
+    2. never-checked queries — LLM-pipeline core first, then
+       oracle-bearing, then rows-only;
+    3. the already-checked tail (green and by-design rows-only), which
+       stays covered by the local oracle-parity suite.
+
+    Every registered name appears exactly once.
     """
+    rows = _correctness_rows()
+
+    def needs_recheck(name: str) -> bool:
+        row = rows.get(name)
+        if row is None:
+            return False
+        if row.get("hash_match") is False:
+            return True  # wrong answer on record — always re-enter
+        err = row.get("err")
+        if err is None:
+            return False
+        if err == "no_oracle":
+            # rows-only by design stays in the tail; a query that since
+            # GAINED an oracle re-enters to upgrade its row
+            return REGISTRY[name].oracle is not None
+        return True  # driver-level error (canonicalizer, OOM, ...)
+
     order: list[str] = []
     placed: set[str] = set()
 
@@ -131,11 +173,10 @@ def driver_order() -> list[str]:
                 order.append(n)
                 placed.add(n)
 
-    take(_ROUND3_RECHECK)
-    take(_ROUND3_LLM_CORE)
-    rest = [n for n in REGISTRY
-            if n not in placed and n not in _ROUND2_CHECKED]
-    take([n for n in rest if REGISTRY[n].oracle is not None])
-    take(rest)  # rows-only remainder
+    take([n for n in REGISTRY if needs_recheck(n)])
+    never = [n for n in REGISTRY if n not in placed and n not in rows]
+    take([n for n in _LLM_CORE_PRIORITY if n in never])
+    take([n for n in never if REGISTRY[n].oracle is not None])
+    take(never)  # rows-only remainder
     take(REGISTRY)  # already-checked tail, registration order
     return order

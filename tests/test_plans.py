@@ -107,28 +107,43 @@ def test_corpus_operators_shuffle_free(spark, sf_dir):
 
 def test_driver_order_invariants():
     """driver_order() must enumerate every registered query exactly once,
-    fronting (1) erred/newly-oracled re-checks, (2) the LLM-pipeline
-    core, (3) remaining never-checked queries with oracle-bearing ones
-    first — the mechanism that banks driver CORRECTNESS rows per round
-    and re-surfaces red rows instead of demoting them forever."""
+    fronting (1) erred / hash-mismatched / newly-oracled re-checks,
+    (2) never-checked queries (LLM core, then oracle-bearing), (3) the
+    checked tail — derived from the CORRECTNESS_r*.json files on disk so
+    each driver round re-prioritizes the next automatically."""
     from project2_bigdata_spark.plans import (
-        _ROUND2_CHECKED,
-        _ROUND3_LLM_CORE,
-        _ROUND3_RECHECK,
         REGISTRY,
+        _correctness_rows,
         driver_order,
     )
 
     order = driver_order()
     assert len(order) == len(set(order)), "duplicate names in driver order"
     assert set(order) == set(REGISTRY), "driver order must cover the registry"
-    recheck = [n for n in _ROUND3_RECHECK if n in REGISTRY]
-    assert order[: len(recheck)] == recheck
-    core = [n for n in _ROUND3_LLM_CORE
-            if n in REGISTRY and n not in _ROUND3_RECHECK]
-    assert order[len(recheck): len(recheck) + len(core)] == core
-    # everything never driver-checked must come before the checked tail
-    never = [n for n in REGISTRY
-             if n not in _ROUND2_CHECKED and n not in recheck]
-    window = order[: len(recheck) + len(never)]
-    assert set(never) <= set(window)
+
+    rows = _correctness_rows()
+    assert rows, "driver CORRECTNESS files must be readable"
+    pos = {n: i for i, n in enumerate(order)}
+
+    never = [n for n in REGISTRY if n not in rows]
+    recheck = [
+        n for n in REGISTRY if n in rows and (
+            rows[n].get("hash_match") is False
+            or (rows[n].get("err") == "no_oracle"
+                and REGISTRY[n].oracle is not None)
+            or rows[n].get("err") not in (None, "no_oracle")
+        )
+    ]
+    done = [n for n in REGISTRY if n in rows and n not in recheck]
+
+    # every re-check and never-checked query precedes the checked tail
+    frontier = len(recheck) + len(never)
+    assert all(pos[n] < frontier for n in recheck), "re-checks must lead"
+    assert all(pos[n] < frontier for n in never), "never-checked precede tail"
+    assert all(pos[n] >= frontier for n in done), "green rows go to the tail"
+    # within the never-checked block, oracle-bearing queries come first
+    no_oracle_never = [n for n in never if REGISTRY[n].oracle is None]
+    oracled_never = [n for n in never if REGISTRY[n].oracle is not None]
+    if no_oracle_never and oracled_never:
+        assert max(pos[n] for n in oracled_never) < min(
+            pos[n] for n in no_oracle_never)

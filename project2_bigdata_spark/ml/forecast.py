@@ -257,7 +257,17 @@ def q_ml_sparkml_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import OneHotEncoder, StringIndexer, VectorAssembler
     from pyspark.ml.regression import LinearRegression
 
-    df = feature_frame(spark, sf_dir).cache()
+    # right-size before caching: the lag/window pipeline leaves the frame
+    # at spark.sql.shuffle.partitions (200 under the driver's defaults);
+    # iterative fitting then runs many small jobs over the cached frame,
+    # each paying per-task overhead on every near-empty partition
+    # hash-partition on product (not round-robin: RoundRobinPartitioning
+    # perturbs row order, and seeded tree/sample draws are order-
+    # sensitive — results must not depend on the incoming partitioning)
+    df = (feature_frame(spark, sf_dir)
+          .repartition(spark.sparkContext.defaultParallelism, "product")
+          .sortWithinPartitions("product", "date")
+          .cache())
     train = df.filter(F.col("is_test") == 0)
     pipe = Pipeline(stages=[
         StringIndexer(inputCol="product", outputCol="product_ix",
@@ -365,7 +375,17 @@ def q_ml_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.regression import RandomForestRegressor
     from pyspark.ml.tuning import ParamGridBuilder, TrainValidationSplit
 
-    df = feature_frame(spark, sf_dir).cache()
+    # right-size before caching: the lag/window pipeline leaves the frame
+    # at spark.sql.shuffle.partitions (200 under the driver's defaults);
+    # iterative fitting then runs many small jobs over the cached frame,
+    # each paying per-task overhead on every near-empty partition
+    # hash-partition on product (not round-robin: RoundRobinPartitioning
+    # perturbs row order, and seeded tree/sample draws are order-
+    # sensitive — results must not depend on the incoming partitioning)
+    df = (feature_frame(spark, sf_dir)
+          .repartition(spark.sparkContext.defaultParallelism, "product")
+          .sortWithinPartitions("product", "date")
+          .cache())
     train = df.filter(F.col("is_test") == 0)
     rf = RandomForestRegressor(
         featuresCol="features", labelCol="total_quantity", seed=42,
@@ -391,7 +411,10 @@ def q_ml_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         trainRatio=0.8,
         seed=42,
-        parallelism=2,
+        # fit all 4 grid candidates concurrently — each fit is itself
+        # JVM-distributed, and candidate-level parallelism does not
+        # change the (seeded) result, only the wall time
+        parallelism=4,
     )
     model = tvs.fit(train)
     best_rf = model.bestModel.stages[-1]

@@ -44,8 +44,10 @@ from .relational import SALES_DAILY_SQL
     """,
     doc="Data-quality gate: rule → violation count over the raw tables "
         "(non-positive money, null keys, referential orphans via "
-        "anti-join, domain ranges). Each rule is one aggregate over one "
-        "scan — the orphan check is a broadcast-able anti join, never a "
+        "anti-join, domain ranges). All rules against one table fold "
+        "into ONE conditional-count aggregate over ONE scan (a rule per "
+        "scan would read the fact table once per rule at 100 TB); the "
+        "orphan check is a broadcast-able anti join, never a "
         "distinct-collect. The relation a pipeline asserts == 0 on "
         "before promoting a batch",
 )
@@ -54,35 +56,38 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
     events = table(spark, sf_dir, "events")
 
-    def one(rule: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").cast("bigint").alias("n_violations")).select(
-            F.lit(rule).alias("rule"), "n_violations"
-        )
+    def nviol(cond) -> F.Column:
+        return F.count_if(cond).cast("bigint")
 
+    def unpivot(agg: DataFrame) -> DataFrame:
+        # one aggregate row with a column per rule → (rule, n_violations)
+        return agg.unpivot([], agg.columns, "rule", "n_violations")
+
+    order_rules = unpivot(orders.agg(
+        nviol(F.col("o_totalprice") <= 0).alias("orders_nonpositive_price"),
+        nviol(F.col("o_custkey").isNull()).alias("orders_null_custkey"),
+    ))
+    lineitem_rules = unpivot(lineitem.agg(
+        nviol((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50))
+        .alias("lineitem_quantity_out_of_range"),
+    ))
+    event_rules = unpivot(events.agg(
+        nviol((F.col("ts") < "1992-01-01") | (F.col("ts") >= "2000-01-01"))
+        .alias("events_ts_out_of_range"),
+    ))
     orphans = lineitem.join(
         orders.select("o_orderkey"),
         lineitem.l_orderkey == F.col("o_orderkey"),
         "left_anti",
+    ).agg(F.count("*").cast("bigint").alias("n_violations")).select(
+        F.lit("lineitem_orphan_orderkey").alias("rule"), "n_violations"
     )
-    checks = [
-        one("orders_nonpositive_price", orders.filter(F.col("o_totalprice") <= 0)),
-        one("orders_null_custkey", orders.filter(F.col("o_custkey").isNull())),
-        one("lineitem_orphan_orderkey", orphans),
-        one(
-            "lineitem_quantity_out_of_range",
-            lineitem.filter((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
-        ),
-        one(
-            "events_ts_out_of_range",
-            events.filter(
-                (F.col("ts") < "1992-01-01") | (F.col("ts") >= "2000-01-01")
-            ),
-        ),
-    ]
-    out = checks[0]
-    for c in checks[1:]:
-        out = out.unionByName(c)
-    return out
+    return (
+        order_rules
+        .unionByName(orphans)
+        .unionByName(lineitem_rules)
+        .unionByName(event_rules)
+    )
 
 
 @register(
@@ -111,7 +116,14 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "health dashboard",
 )
 def q_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = sales_daily(spark, sf_dir)
+    from ..session import truncate_lineage
+
+    # daily feeds BOTH the per-product stats and the z-score join; as
+    # plain lineage each branch re-embeds the 3-scan fact join (measured
+    # 6 parquet scans — ReuseExchange does not fire across the branches).
+    # The date×product grain is bounded and tiny relative to the fact
+    # table, so materialize it once.
+    daily = truncate_lineage(sales_daily(spark, sf_dir))
     stats = daily.groupBy("product").agg(
         F.count("*").alias("n"),
         dsum("total_revenue").alias("sx"),

@@ -184,6 +184,10 @@ MAX_PARQUET_SCANS = {
     "bigram_logprob_score": 2,
     "dedup_keep_best": 1,
     "kmeans_lloyd_2iter": 1,
+    "revenue_anomalies": 0,          # was 6: daily subplan embedded twice
+    "dq_checks": 5,                  # per-table rule folds: orders 2 +
+                                     # lineitem 2 + events 1, each pruned
+                                     # to single rule/join columns
 }
 
 

@@ -24,7 +24,7 @@ from ..operators.similarity import (
 from ..operators.textstats import (
     STOPWORDS, documents_with_stats, fingerprint, token_count_bpeish,
 )
-from ..catalog import table
+from ..catalog import table, table_parallel
 from ..session import truncate_lineage
 from .registry import register
 
@@ -857,8 +857,6 @@ def q_decontaminate_ngram(spark, sf_dir):
         "regardless of corpus size; the same shape at 100 TB",
 )
 def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..catalog import table_parallel
-
     e = table_parallel(spark, sf_dir, "embeddings").select(
         F.posexplode(
             F.expr("transform(embedding, v -> round(cast(v as double), 6))")
@@ -1000,10 +998,13 @@ def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "functions, entropy as ln(n) - sum(k*ln k)/n with the per-term "
         "6dp-round + decimal-fold convention (functions/money.py style) "
         "so the double is identical across engines and partitionings. "
-        "One corpus scan, zero shuffles, zero Python.",
+        "One corpus scan, zero key shuffles, zero Python; the scan goes "
+        "through table_parallel because the per-doc sort/run-length "
+        "compute dominates the scan stage (single-split input would pin "
+        "it to one task).",
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    d = table_parallel(spark, sf_dir, "documents").filter(F.length("text") > 0)
     # Run-length counts over the SORTED char array: O(n log n) per doc
     # vs the naive transform(distinct, c -> size(filter(cs, ...)))
     # which is O(distinct × n) — measured 1.8× faster at sf0.1. The

@@ -214,3 +214,40 @@ def test_truncate_lineage_reliable_checkpoint_path(spark, tmp_path, monkeypatch)
     assert glob.glob(f"{ckdir}/**/rdd-*", recursive=True), (
         "no reliable checkpoint files written"
     )
+
+
+def test_table_parallel_guard_never_fires_on_large_inputs(spark, sf_dir, monkeypatch):
+    """table_parallel's spread is a SMALL-single-split-input escape hatch:
+    on a large (multi-split) input it must add NO repartition — at real
+    scale the exchange would shuffle the whole corpus for nothing."""
+    from project2_bigdata_spark import catalog
+
+    monkeypatch.setattr(catalog, "_SMALL_INPUT_BYTES", 1)  # nothing is small
+    big = catalog.table_parallel(spark, sf_dir, "documents")
+    assert "Repartition" not in big._jdf.queryExecution().logical().toString()
+
+    monkeypatch.setattr(catalog, "_SMALL_INPUT_BYTES", 1 << 40)  # all small
+    small = catalog.table_parallel(spark, sf_dir, "documents")
+    assert "Repartition" in small._jdf.queryExecution().logical().toString()
+
+
+def test_winnowing_drops_short_docs_like_explode(spark, monkeypatch):
+    """winnowing uses explode_outer + not-null (so Catalyst cannot push an
+    inferred size(fps)>0 filter below the exchange with the fingerprint
+    expression inlined — see operators/corpus.py). Semantics must equal
+    plain explode: docs too short for any gram produce NO rows, not a
+    null-fingerprint row."""
+    from unittest import mock
+
+    import project2_bigdata_spark.operators.corpus as corpus_mod
+    from project2_bigdata_spark.operators.corpus import winnowing_fingerprints
+
+    rows_df = spark.createDataFrame(
+        [(0, "too short"),                      # < k words → no grams
+         (1, "one two three four five six")],   # exactly one window run
+        "doc_id long, text string",
+    )
+    with mock.patch.object(corpus_mod, "table_parallel", lambda s, sf, t: rows_df):
+        out = winnowing_fingerprints(spark, "unused").collect()
+    assert all(r.fingerprint is not None for r in out)
+    assert {r.doc_id for r in out} == {1}, "short doc must yield zero rows"

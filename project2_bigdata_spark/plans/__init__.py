@@ -26,68 +26,10 @@ from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4
 from ..sources import ingest as _sources_ingest  # noqa: E402,F401  S1/S4 sources & sinks
 
 
-# Driver-facing iteration order. The driver verifies the first 50 entries
-# of queries() per round; CORRECTNESS_r01 covered _ROUND1_VERIFIED and
-# CORRECTNESS_r02 covered _ROUND2_CHECKED. Round 3 fronts (a) rows that
-# ERRED or that gained a real oracle this round (they already have a
-# CORRECTNESS row, so a naive "never-checked first" order would demote
-# them and make the red/rows-only verdict permanent), then (b) the
-# LLM-data-pipeline core, then the remaining never-checked queries with
-# oracle-bearing ones first. Already-green queries trail and stay covered
-# by the local oracle-parity suite (tests/test_oracle_parity.py).
-_ROUND1_VERIFIED = [
-    "sales_daily", "sales_daily_filtered", "count_sales", "kpi_global",
-    "value_counts_priority", "value_counts_segment", "distinct_counts",
-    "product_price_stats", "volatility_cv", "corr_revenue_quantity",
-    "mode_store", "acctbal_histogram", "product_probability_join",
-    "daily_avg_price_guarded", "top20_orders", "monthly_rollup",
-    "weekly_rollup", "weekday_features", "union_mixed_aggregates",
-    "distinct_products", "status_priority_rollup", "events_hourly",
-    "events_time_avg", "ticket_totals", "customer_rollup", "sql_view_layer",
-    "revenue_share", "explode_items", "items_array_stats", "hours_per_day",
-    "pair_counts", "top_pairs_per_product", "ticket_reassembly",
-    "ticket_revenue_arrayfold", "posexplode_items", "association_rules",
-    "lag_features", "argmax_daily_product", "best_month_per_product",
-    "moving_avg_7d", "cumulative_revenue", "train_test_time_split",
-    "product_revenue_ranks", "window_navigation", "product_rank_distributions",
-    "ep1_sales_overview", "ep2_clients_by_store", "ep3_forecast_series",
-    "revenue_checksum", "ep2_customer_drill",
-]
-
-
-# The 48 round-1-unverified queries, frozen in priority order (oracle-
-# bearing first, rows-only last) so they are guaranteed inside the
-# driver's check window this round. Queries added later in round 2 slot
-# AFTER this list: they carry local verification already and can rotate
-# into the window next round.
-_ROUND2_FRONT = [
-    "asof_join", "asof_join_bucketed", "range_join_tiers", "sessionize",
-    "funnel_view_click_purchase", "weekly_retention",
-    "semi_join_active_customers", "anti_join_inactive_customers",
-    "full_outer_daily_activity", "products_intersect_years",
-    "products_except_years", "cube_status_priority",
-    "pivot_priority_by_status", "distinct_aggregates",
-    "unpivot_status_revenue", "string_functions", "quantity_percentiles",
-    "math_functions", "json_props_extract", "grouping_sets_explicit",
-    "text_quality", "token_counts", "doc_fingerprints", "lang_stats",
-    "dedup_exact", "dedup_blocked_jaccard", "similarity_topk",
-    "ann_lsh_topk", "embedding_norms", "dedup_embedding_cosine",
-    "vocab_stats", "tfidf_top_terms", "stream_tumbling_hourly",
-    "stream_sliding_6h", "stream_session_window", "stream_dedup",
-    "stream_static_join", "stream_stateful_counters",
-    "wape_seasonal_naive", "ingest_extended_json_repair",
-    "approx_distinct_customers", "minhash_near_dup", "simhash_buckets",
-    "multimodal_decode", "multimodal_frames", "ml_train_per_product",
-    "ml_sparkml_global", "ml_forecast_14d",
-]
-
-
-# Every query with a CORRECTNESS row after rounds 1+2: _ROUND1_VERIFIED
-# plus the 50 rows of CORRECTNESS_r02 (the 48 _ROUND2_FRONT entries and
-# the first two round-2 additions that slipped into that window).
-_ROUND2_CHECKED = frozenset(_ROUND1_VERIFIED) | frozenset(_ROUND2_FRONT) | {
-    "triple_counts_topk", "funnel_step_times",
-}
+# Driver-facing iteration order. The driver verifies the first 50
+# entries of queries() per round; driver_order() below derives the
+# order from the CORRECTNESS_r*.json files the driver leaves behind, so
+# each round's results re-prioritize the next round automatically.
 
 # Standing priority hint for never-checked queries: the LLM-data-
 # pipeline core fronts ahead of late analytics extras (VERDICT r2

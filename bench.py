@@ -98,6 +98,10 @@ SECONDARY = [
     "trimmed_mean_revenue",    # rank-trimmed robust mean
     "inverted_index",          # posting-list index build
     "rfm_scores",              # two-phase global_ntile (3 range sorts)
+    "winnowing_fingerprints",  # spread + explode_outer (was the 96s trap)
+    "dq_checks",               # per-table conditional-count rule folds
+    "revenue_anomalies",       # materialized daily frame (was 2x fact join)
+    "char_entropy",            # spread per-doc sort/run-length compute
 ]
 
 

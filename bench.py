@@ -101,7 +101,6 @@ SECONDARY = [
     "winnowing_fingerprints",  # spread + explode_outer (was the 96s trap)
     "dq_checks",               # per-table conditional-count rule folds
     "revenue_anomalies",       # materialized daily frame (was 2x fact join)
-    "char_entropy",            # spread per-doc sort/run-length compute
 ]
 
 

@@ -974,7 +974,7 @@ def q_source_reputation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "char_entropy",
     oracle="""
     WITH cs AS (
-      SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+      SELECT doc_id, unnest(regexp_extract_all(text, '[^\n]')) AS c
       FROM documents WHERE length(text) > 0
     ), cnt AS (
       SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS k FROM cs GROUP BY 1, 2
@@ -1011,8 +1011,18 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count multiset is identical and the decimal fold below is exact
     # and associative, so the different count ORDER cannot change the
     # result (same reason the fold is partition-order-independent).
+    #
+    # Char class is [^\n] on BOTH engines, not '.': Java's '.' excludes
+    # all line terminators (\r, U+2028, ...) while DuckDB/RE2's '.'
+    # excludes only \n — [^\n] means the same thing to both. Docs whose
+    # text is line terminators ONLY extract zero chars; the oracle drops
+    # them naturally (unnest of an empty list yields no rows), so the
+    # Spark side must filter size(cs) > 0 — and must anyway: on an empty
+    # srt the ends-filter would evaluate element_at(srt, 1) and throw
+    # under ANSI mode (sequence(1, 0) runs DESCENDING, [1, 0]).
     d = (
-        d.withColumn("cs", F.expr("regexp_extract_all(text, '.', 0)"))
+        d.withColumn("cs", F.regexp_extract_all("text", F.lit("[^\n]"), F.lit(0)))
+        .filter(F.size("cs") > 0)
         .withColumn("srt", F.expr("array_sort(cs)"))
         .withColumn(
             "ends",  # 1-based positions where a run of equal chars ends

@@ -251,3 +251,47 @@ def test_winnowing_drops_short_docs_like_explode(spark, monkeypatch):
         out = winnowing_fingerprints(spark, "unused").collect()
     assert all(r.fingerprint is not None for r in out)
     assert {r.doc_id for r in out} == {1}, "short doc must yield zero rows"
+
+
+def test_char_entropy_line_terminator_only_docs(spark):
+    """A doc whose text is ONLY line terminators extracts zero chars:
+    it must be DROPPED (matching the oracle, where unnest of an empty
+    list yields no rows) — not crash. Before the size(cs)>0 guard,
+    sequence(1, 0) ran DESCENDING ([1, 0]) and the ends-filter hit
+    element_at(empty, 1) → ANSI INVALID_ARRAY_INDEX_IN_ELEMENT_AT.
+    Also pins the [^\\n] char class shared with the oracle: Java's '.'
+    excludes \\r while DuckDB/RE2's '.' does not, so '.' would diverge
+    on any doc containing \\r."""
+    import math
+    from unittest import mock
+
+    import duckdb
+
+    import project2_bigdata_spark.plans.datapipe as dp
+    from project2_bigdata_spark.plans import REGISTRY
+
+    rows = [
+        (1, "hello world", "en"),
+        (2, "\n\n", "en"),          # line terminators only → dropped
+        (3, "a\nb", "en"),          # entropy over {a, b}: ln 2
+        (4, "", "en"),              # empty → dropped by length > 0
+        (5, "x\ry", "en"),          # \r IS a char under [^\n]: {x, \r, y}
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    with mock.patch.object(dp, "table_parallel", lambda s, sf, t: docs):
+        out = {r.doc_id: r for r in REGISTRY["char_entropy"].fn(spark, "unused").collect()}
+
+    assert set(out) == {1, 3, 5}
+    assert out[3].n_chars == 2 and out[3].n_distinct_chars == 2
+    assert math.isclose(out[3].char_entropy_nats, math.log(2), abs_tol=1e-6)
+    assert out[5].n_chars == 3 and out[5].n_distinct_chars == 3
+
+    con = duckdb.connect()
+    con.register("documents", __import__("pandas").DataFrame(
+        rows, columns=["doc_id", "text", "lang"]))
+    oracle = {int(r[0]): r for r in con.execute(REGISTRY["char_entropy"].oracle).fetchall()}
+    con.close()
+    assert set(oracle) == set(out)
+    for k in out:
+        assert (out[k].n_chars, out[k].n_distinct_chars) == (oracle[k][1], oracle[k][2])
+        assert out[k].char_entropy_nats == oracle[k][3], (k, out[k], oracle[k])

@@ -2047,7 +2047,10 @@ FROM tagged GROUP BY 1
         "month rollup is calendar-bounded.",
 )
 def q_new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = table(spark, sf_dir, "orders")
+    # NULL custkeys fall out of the oracle's inner join against firsts;
+    # the window rewrite would keep them (NULLs form their own window
+    # partition), so filter them explicitly to preserve join semantics.
+    o = table(spark, sf_dir, "orders").filter(F.col("o_custkey").isNotNull())
     # first-order month as a window over the same custkey partition the
     # oracle's aggregate+join implies — one orders scan and one shuffle
     # instead of a second scan feeding a self-join

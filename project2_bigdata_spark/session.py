@@ -52,16 +52,40 @@ def truncate_lineage(df, eager: bool = False):
     mid-loop. Unset (tests/bench on local mode, where executor loss
     means the whole JVM died anyway), falls back to ``localCheckpoint``
     and avoids the checkpoint write entirely.
+
+    Checkpoint files are cleaned when the frame is garbage-collected
+    *if* ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (a
+    startup-time conf: ``get_session`` sets it; cluster submits must
+    pass it at submit time — it cannot be applied to a live session).
     """
     ckdir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
     if ckdir:
         sc = df.sparkSession.sparkContext
         current = sc.getCheckpointDir()
-        # re-point when the env var changed mid-session (getCheckpointDir
-        # returns a resolved URI, so compare by suffix not equality)
-        if not current or ckdir.rstrip("/") not in current:
+        # setCheckpointDir appends a per-session UUID component and may
+        # resolve to a full URI; re-point only when the PARENT dir
+        # differs from the env var, compared at path-component
+        # granularity (substring matching would treat /data/ck as
+        # already-set while checkpoints kept landing in /data/ck2)
+        tail = ckdir.rstrip("/")
+        parent = (current or "").rstrip("/").rsplit("/", 1)[0]
+        same = parent.endswith(tail) and (
+            len(parent) == len(tail) or parent[-len(tail) - 1] in ":/"
+        )
+        if not same:
             sc.setCheckpointDir(ckdir)
-        return df.checkpoint(eager=eager)
+        if eager:
+            # a reliable checkpoint writes its files in a SEPARATE job
+            # that recomputes the plan from scratch unless the data is
+            # cached — persist first so the subtree runs once (compute
+            # into cache → write checkpoint from cache → drop cache)
+            df = df.persist()
+            out = df.checkpoint(eager=True)
+            df.unpersist()
+            return out
+        return df.checkpoint(eager=False)
+    # localCheckpoint persists (memory+disk) internally — no double
+    # compute on this path
     return df.localCheckpoint(eager=eager)
 
 
@@ -84,6 +108,12 @@ def get_session(app_name: str = "project2_bigdata_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # delete reliable-checkpoint files when their frame is GC'd —
+        # without this, SPARK_GRAFT_CHECKPOINT_DIR grows without bound
+        # across fixpoint iterations (startup-time conf, so it lives
+        # here rather than RUNTIME_CONF; cluster submits set it at
+        # submit time)
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
     for k, v in RUNTIME_CONF.items():
         b = b.config(k, v)

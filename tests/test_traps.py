@@ -295,3 +295,27 @@ def test_char_entropy_line_terminator_only_docs(spark):
     for k in out:
         assert (out[k].n_chars, out[k].n_distinct_chars) == (oracle[k][1], oracle[k][2])
         assert out[k].char_entropy_nats == oracle[k][3], (k, out[k], oracle[k])
+
+
+def test_truncate_lineage_repoints_on_dir_change(spark, tmp_path, monkeypatch):
+    """Changing SPARK_GRAFT_CHECKPOINT_DIR mid-session must re-point the
+    checkpoint dir even when the NEW dir is a path-prefix of the old one
+    (naive substring matching treats /ck as already-set while files keep
+    landing in /ck2)."""
+    import glob
+
+    from project2_bigdata_spark.session import truncate_lineage
+
+    df = spark.range(0, 10)
+    old = str(tmp_path / "ck2")
+    new = str(tmp_path / "ck")  # prefix of old
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", old)
+    truncate_lineage(df, eager=True).collect()
+    assert glob.glob(f"{old}/**/rdd-*", recursive=True)
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", new)
+    truncate_lineage(df, eager=True).collect()
+    assert glob.glob(f"{new}/**/rdd-*", recursive=True), (
+        "checkpoints still landing in the old dir after env change"
+    )

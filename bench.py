@@ -206,8 +206,11 @@ def main() -> None:
     # generations are not comparable, so stamp each history record with
     # a fingerprint of the input files. Sizes alone could collide across
     # a value-changing regen (same row counts, fixed-width columns, same
-    # compression), so fold in mtime_ns and a first/last-4KB content
-    # sample of each file.
+    # compression), so fold in a first/last-4KB content sample of each
+    # file — the parquet footer carries schema + column stats, so any
+    # value-changing regen perturbs it. mtime deliberately NOT included:
+    # it would mark byte-identical regens (same generator, same seed) as
+    # incomparable and discard valid history.
     import hashlib
 
     h = hashlib.md5()
@@ -217,7 +220,7 @@ def main() -> None:
         p = os.path.join(sf_dir, f)
         st = os.stat(p)
         h.update(f.encode())
-        h.update(str((st.st_size, st.st_mtime_ns)).encode())
+        h.update(str(st.st_size).encode())
         with open(p, "rb") as fh:
             h.update(fh.read(4096))
             if st.st_size > 4096:

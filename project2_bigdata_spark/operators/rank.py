@@ -45,21 +45,18 @@ _PID = "__rank_pid"
 _LRN = "__rank_local_rn"
 
 
-def global_row_number(
+def _ranked_with_counts(
     df: DataFrame,
     order: list[Column],
-    out: str = "rn",
-    num_partitions: int | None = None,
-    truncate: bool = True,
-) -> DataFrame:
-    """Append a 1-based global ``row_number`` over ``order`` to ``df``.
+    out: str,
+    num_partitions: int | None,
+    truncate: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared core: (ranked output, per-range counts frame).
 
-    ``order`` must be a total order (include a unique tie-break column) —
-    with ties across a range boundary the split between ranges would be
-    sampling-dependent. Output column ``out`` is ``bigint``.
-    ``truncate=False`` skips the lineage-truncating materialization (see
-    module docstring) — only for plan inspection in tests; chained
-    production use must keep it.
+    The counts frame is exposed so :func:`global_ntile` can derive the
+    global row count from it instead of re-executing the ranked output
+    (which would run the offsets broadcast join a second time per call).
     """
     if num_partitions is None:
         ranged = df.repartitionByRange(*order)
@@ -93,11 +90,32 @@ def global_row_number(
         _PID,
         F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"),
     )
-    return (
+    ranked = (
         tagged.join(F.broadcast(offsets), _PID)
         .withColumn(out, (F.col("__off") + F.col(_LRN)).cast("bigint"))
         .drop(_PID, _LRN, "__off")
     )
+    return ranked, counts
+
+
+def global_row_number(
+    df: DataFrame,
+    order: list[Column],
+    out: str = "rn",
+    num_partitions: int | None = None,
+    truncate: bool = True,
+) -> DataFrame:
+    """Append a 1-based global ``row_number`` over ``order`` to ``df``.
+
+    ``order`` must be a total order (include a unique tie-break column) —
+    with ties across a range boundary the split between ranges would be
+    sampling-dependent. Output column ``out`` is ``bigint``.
+    ``truncate=False`` skips the lineage-truncating materialization (see
+    module docstring) — only for plan inspection in tests; chained
+    production use must keep it.
+    """
+    ranked, _ = _ranked_with_counts(df, order, out, num_partitions, truncate)
+    return ranked
 
 
 def global_ntile(
@@ -115,8 +133,12 @@ def global_ntile(
     Same total-order requirement as :func:`global_row_number`.
     """
     rn = "__rank_gn"
-    ranked = global_row_number(df, order, out=rn, num_partitions=num_partitions)
-    total = ranked.agg(F.count("*").cast("bigint").alias("__N"))
+    ranked, counts = _ranked_with_counts(
+        df, order, rn, num_partitions, truncate=True)
+    # Global N = Σ per-range counts: a scan of the tiny counts aggregate
+    # over the materialized ranked frame — counting `ranked` itself
+    # would re-execute the offsets broadcast join just to learn N.
+    total = counts.agg(F.sum("__n").cast("bigint").alias("__N"))
     ranked = ranked.crossJoin(F.broadcast(total))
 
     # All-integer arithmetic (`div`, not `/`): double division would be

@@ -84,9 +84,18 @@ def truncate_lineage(df, eager: bool = False):
             df.unpersist()
             return out
         return df.checkpoint(eager=False)
-    # localCheckpoint persists (memory+disk) internally — no double
-    # compute on this path
-    return df.localCheckpoint(eager=eager)
+    # localCheckpoint persists internally — no double compute on this
+    # path. Store SERIALIZED (PySpark's MEMORY_AND_DISK; the JVM default
+    # is the deserialized variant): a deserialized block materializes a
+    # whole partition as row OBJECTS before the store can evict it, and
+    # a scale-stress run measured exactly that as an executor OOM
+    # (tfidf's tf frame at 100x sf0.1 under a 2 GB heap, tools/
+    # scale_stress.py) — serialized blocks are ~5-10x smaller and the
+    # same run completes.
+    from pyspark import StorageLevel
+
+    return df.localCheckpoint(
+        eager=eager, storageLevel=StorageLevel.MEMORY_AND_DISK)
 
 
 def get_session(app_name: str = "project2_bigdata_spark",

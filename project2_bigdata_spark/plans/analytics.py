@@ -492,15 +492,30 @@ def q_length_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _FUZZY_TOPK = 3
 
+#: Blocks bigger than this are excluded from the quadratic Levenshtein
+#: stage (same discipline as operators/dedup.MAX_JACCARD_BLOCK): block
+#: size grows linearly with catalog SF (measured 17 at sf0.01, 128 at
+#: sf0.1 — the 20x scale-stress run showed the in-block quadratic as
+#: the only super-linear stage in the suite), so an uncapped block is
+#: unbounded at scale. Hot blocks belong to a finer-keyed linkage pass.
+MAX_FUZZY_BLOCK = 500
+
 
 @register(
     "fuzzy_match_parts",
     oracle=f"""
-    WITH blocked AS (
+    WITH p AS (
+      SELECT * FROM (
+        SELECT p_partkey, p_name, p_brand,
+               COUNT(*) OVER (PARTITION BY p_brand, substr(p_name, 1, 1))
+                 AS block_n
+        FROM part
+      ) WHERE block_n <= {MAX_FUZZY_BLOCK}
+    ), blocked AS (
       SELECT a.p_partkey AS key_a, a.p_name AS name_a,
              b.p_partkey AS key_b, b.p_name AS name_b,
              levenshtein(a.p_name, b.p_name) AS dist
-      FROM part a JOIN part b
+      FROM p a JOIN p b
         ON a.p_brand = b.p_brand
        AND substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
        AND a.p_partkey < b.p_partkey
@@ -518,13 +533,20 @@ _FUZZY_TOPK = 3
         "product — then Levenshtein edit distance ranks the closest "
         f"{_FUZZY_TOPK} distinct-name candidates per part (deterministic "
         "tie-break on key). The record-linkage/entity-resolution "
-        "primitive; blocking keys bound each block to a catalog-sized "
-        "group so the quadratic stage never sees fact-scale data.",
+        "primitive; blocking keys keep the quadratic stage off "
+        "fact-scale data, and blocks over MAX_FUZZY_BLOCK are excluded "
+        "entirely (mirrored in the oracle) — block size grows with "
+        "catalog SF, so the in-block quadratic needs the same cap "
+        "discipline as dedup_blocked_jaccard.",
 )
 def q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = table(spark, sf_dir, "part").select(
         "p_partkey", "p_name", "p_brand", F.substring("p_name", 1, 1).alias("initial")
     )
+    block_n = F.count("*").over(Window.partitionBy("p_brand", "initial"))
+    part = part.withColumn("block_n", block_n).filter(
+        F.col("block_n") <= MAX_FUZZY_BLOCK
+    ).drop("block_n")
     a = part.alias("a")
     b = part.alias("b")
     pairs = (

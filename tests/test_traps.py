@@ -319,3 +319,38 @@ def test_truncate_lineage_repoints_on_dir_change(spark, tmp_path, monkeypatch):
     assert glob.glob(f"{new}/**/rdd-*", recursive=True), (
         "checkpoints still landing in the old dir after env change"
     )
+
+
+def test_fuzzy_match_block_cap(spark):
+    """Blocks over MAX_FUZZY_BLOCK are excluded from the quadratic
+    Levenshtein stage on BOTH engines (block size grows linearly with
+    catalog SF — the 20x scale-stress run measured the uncapped
+    in-block quadratic as the suite's only super-linear stage)."""
+    from unittest import mock
+
+    import duckdb
+    import pandas as pd
+
+    import project2_bigdata_spark.plans.analytics as an
+    from project2_bigdata_spark.plans import REGISTRY
+
+    # hot block: brand B1 / initial 'a' with cap+1 members; cool block:
+    # brand B2 / initial 'b' with 3 members
+    cap = an.MAX_FUZZY_BLOCK
+    rows = [(i, f"aname {i:04d}", "B1") for i in range(cap + 1)]
+    rows += [(10_000 + i, f"bname {i}", "B2") for i in range(3)]
+    pdf = pd.DataFrame(rows, columns=["p_partkey", "p_name", "p_brand"])
+    part = spark.createDataFrame(pdf)
+
+    with mock.patch.object(an, "table", lambda s, sf, t: part):
+        out = REGISTRY["fuzzy_match_parts"].fn(spark, "unused").collect()
+    assert out, "cool block must still produce matches"
+    assert all(r.key_a >= 10_000 for r in out), "hot block must be excluded"
+
+    con = duckdb.connect()
+    con.register("part", pdf)
+    oracle = con.execute(REGISTRY["fuzzy_match_parts"].oracle).fetchall()
+    con.close()
+    assert sorted((r.key_a, r.key_b, r.dist) for r in out) == sorted(
+        (r[0], r[2], r[4]) for r in oracle
+    )

@@ -78,8 +78,14 @@ def truncate_lineage(df, eager: bool = False):
             # a reliable checkpoint writes its files in a SEPARATE job
             # that recomputes the plan from scratch unless the data is
             # cached — persist first so the subtree runs once (compute
-            # into cache → write checkpoint from cache → drop cache)
-            df = df.persist()
+            # into cache → write checkpoint from cache → drop cache).
+            # Serialized level: persist()'s default is DESERIALIZED
+            # rows, which materialize a whole partition on-heap before
+            # eviction (the OOM cliff measured by the scale-stress run
+            # on the localCheckpoint path below).
+            from pyspark import StorageLevel
+
+            df = df.persist(StorageLevel.MEMORY_AND_DISK)
             out = df.checkpoint(eager=True)
             df.unpersist()
             return out

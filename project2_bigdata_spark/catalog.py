@@ -68,13 +68,35 @@ def table_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     immediately should use :func:`table` (they shuffle anyway, and the
     extra exchange is pure cost)."""
     df = table(spark, sf_dir, name)
-    try:
-        size = os.path.getsize(f"{sf_dir}/{name}.parquet")
-    except OSError:
-        return df
-    if size < _SMALL_INPUT_BYTES:
+    if _input_bytes(f"{sf_dir}/{name}.parquet") < _SMALL_INPUT_BYTES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+def _input_bytes(path: str) -> int:
+    """Data size of a parquet file OR directory-shaped table.
+
+    ``os.path.getsize`` on a directory returns the inode size (~KB) —
+    which would make the small-input guard fire on an arbitrarily large
+    directory table and shuffle the whole corpus. Sum the data files,
+    stopping as soon as the small threshold is cleared (a 100 TB table
+    must not pay a full listing just to prove it is not small).
+    Unreadable paths count as not-small: never add an exchange on
+    uncertain evidence."""
+    try:
+        if not os.path.isdir(path):
+            return os.path.getsize(path)
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue  # _SUCCESS, checksums, hidden metadata
+                total += os.path.getsize(os.path.join(root, f))
+                if total >= _SMALL_INPUT_BYTES:
+                    return total
+        return total
+    except OSError:
+        return _SMALL_INPUT_BYTES
 
 
 class Catalog:

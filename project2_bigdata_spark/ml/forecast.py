@@ -281,11 +281,17 @@ def q_ml_sparkml_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     model = pipe.fit(train)
     scored = model.transform(df.filter(F.col("is_test") == 1))
-    return scored.groupBy("product").agg(
+    out = scored.groupBy("product").agg(
         F.count("*").alias("n_test"),
         (F.sum(F.abs(F.col("total_quantity") - F.col("prediction")))
          / F.sum(F.abs("total_quantity"))).alias("test_wape"),
     )
+    # the cache exists for the iterative fit, which is done — drop it
+    # so repeated invocations (bench reps, the 187-query driver sweep)
+    # don't pin one copy per run; the returned plan recomputes the
+    # feature frame once at action time instead
+    df.unpersist()
+    return out
 
 
 _FORECAST_SCHEMA = "product string, step int, date date, predicted_quantity double"
@@ -419,10 +425,14 @@ def q_ml_rf_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = tvs.fit(train)
     best_rf = model.bestModel.stages[-1]
     scored = model.transform(df.filter(F.col("is_test") == 1))
-    return scored.groupBy("product").agg(
+    out = scored.groupBy("product").agg(
         F.count("*").alias("n_test"),
         (F.sum(F.abs(F.col("total_quantity") - F.col("prediction")))
          / F.sum(F.abs("total_quantity"))).alias("test_wape"),
         F.lit(best_rf.getNumTrees).alias("best_num_trees"),
         F.lit(best_rf.getMaxDepth()).alias("best_max_depth"),
     )
+    # cache served the TrainValidationSplit fits — release it (see
+    # q_ml_sparkml_global)
+    df.unpersist()
+    return out

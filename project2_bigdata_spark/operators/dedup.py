@@ -172,8 +172,10 @@ def _minhash_signature(df: DataFrame) -> DataFrame:
 MAX_BUCKET = 100
 
 #: Previous call's persisted shingle relation (released on next call so
-#: at most one copy is cached per process).
-_SHINGLE_CACHE: DataFrame | None = None
+#: at most one copy is cached per process). Keyed by (session, sf_dir):
+#: a frame persisted under a stopped SparkSession is unusable, so a new
+#: session must rebuild rather than hand back a dead frame.
+_SHINGLE_CACHE: tuple[SparkSession, str, DataFrame] | None = None
 
 
 def minhash_band_pairs(
@@ -198,8 +200,11 @@ def minhash_band_pairs(
     (the dedup norm) hit the warm index.
     """
     global _SHINGLE_CACHE
-    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[0] != sf_dir:
-        _SHINGLE_CACHE[1].unpersist()
+    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[:2] != (spark, sf_dir):
+        try:
+            _SHINGLE_CACHE[2].unpersist()
+        except Exception:
+            pass  # cached under a session that no longer exists
         _SHINGLE_CACHE = None
     if _SHINGLE_CACHE is None:
         from pyspark import StorageLevel
@@ -207,8 +212,8 @@ def minhash_band_pairs(
         docs = _with_hashed_shingles(table_parallel(spark, sf_dir, "documents")).select(
             "doc_id", "hs", F.col("n_shingles").alias("set_size"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLE_CACHE = (sf_dir, docs)
-    docs = _SHINGLE_CACHE[1]
+        _SHINGLE_CACHE = (spark, sf_dir, docs)
+    docs = _SHINGLE_CACHE[2]
     sig = _minhash_signature(docs)
     bands = sig.select(
         "doc_id",

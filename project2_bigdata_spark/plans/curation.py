@@ -556,7 +556,7 @@ def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
       ) GROUP BY 1
     ), chars AS (
-      SELECT w, tf, regexp_extract_all(w, '.') AS cs FROM vocab
+      SELECT w, tf, regexp_extract_all(w, '[^\\n]') AS cs FROM vocab
     ), pairs AS (
       SELECT unnest(CASE WHEN len(cs) >= 2 THEN
                list_transform(range(1, len(cs)), i -> cs[i] || ' ' || cs[i+1])
@@ -588,7 +588,11 @@ def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("tf"))
     )
-    chars = vocab.withColumn("cs", F.expr("regexp_extract_all(w, '.', 0)"))
+    # [^\n] not '.': Java's '.' excludes every line terminator (\r,
+    # U+2028, ...) while DuckDB/RE2's excludes only \n — a word holding
+    # \r would split differently per engine and flip pair counts (and
+    # possibly the greedy merge winner). Same convention as char_entropy.
+    chars = vocab.withColumn("cs", F.expr("regexp_extract_all(w, '[^\\n]', 0)"))
     pairs = chars.select(
         F.explode(
             F.expr(
@@ -617,7 +621,7 @@ def _bpe_oracle(iterations: int = 3) -> str:
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
       ) GROUP BY 1
     ), v0 AS (
-      SELECT array_to_string(regexp_extract_all(w, '.'), '~') AS sym, tf
+      SELECT array_to_string(regexp_extract_all(w, '[^\\n]'), '~') AS sym, tf
       FROM vocab
     )"""
     selects = []
@@ -667,7 +671,7 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     syms = vocab.select(
-        F.concat_ws("~", F.expr("regexp_extract_all(w, '.', 0)")).alias("sym"), "tf"
+        F.concat_ws("~", F.expr("regexp_extract_all(w, '[^\\n]', 0)")).alias("sym"), "tf"
     ).cache()
 
     merges = []
@@ -715,7 +719,7 @@ def _bpe_encode_oracle(iterations: int = 3) -> str:
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
       ) GROUP BY 1
     ), v0 AS (
-      SELECT w, array_to_string(regexp_extract_all(w, '.'), '~') AS sym, tf
+      SELECT w, array_to_string(regexp_extract_all(w, '[^\\n]'), '~') AS sym, tf
       FROM vocab
     )"""
     for i in range(1, iterations + 1):
@@ -768,7 +772,7 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = vocab.select(
         "w",
-        F.concat_ws("~", F.expr("regexp_extract_all(w, '.', 0)")).alias("sym"),
+        F.concat_ws("~", F.expr("regexp_extract_all(w, '[^\\n]', 0)")).alias("sym"),
         "tf",
     )
     # Merge search runs on a cached copy (3 driver actions over the

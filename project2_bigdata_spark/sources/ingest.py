@@ -156,8 +156,11 @@ def compact_small_files(
     files (so output files land near the 128 MB sweet spot) and returns
     the new file count. Coalesce, not repartition: compaction must not
     shuffle — it only merges co-located splits. The rewrite goes
-    through a temp dir + atomic rename so a failed compaction never
-    corrupts the table."""
+    through a temp dir, then TWO renames (live → .old, tmp → live,
+    delete .old): the live path always exists as a complete table — a
+    crash between the renames leaves the table briefly absent-by-name
+    but both copies intact on disk, whereas delete-then-rename would
+    destroy the only copy before the replacement is in place."""
     import math
     import shutil
 
@@ -169,9 +172,12 @@ def compact_small_files(
     )
     n_out = max(1, math.ceil(size / target_file_bytes))
     tmp = path.rstrip("/") + ".__compact_tmp__"
+    old = path.rstrip("/") + ".__compact_old__"
     spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(path)
+    shutil.rmtree(old, ignore_errors=True)  # leftover from a prior crash
+    os.rename(path, old)
     os.rename(tmp, path)
+    shutil.rmtree(old)
     return sum(
         1
         for root, _, files in os.walk(path)

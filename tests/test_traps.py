@@ -354,3 +354,29 @@ def test_fuzzy_match_block_cap(spark):
     assert sorted((r.key_a, r.key_b, r.dist) for r in out) == sorted(
         (r[0], r[2], r[4]) for r in oracle
     )
+
+
+def test_shingle_cache_survives_session_swap(spark, sf_dir):
+    """_SHINGLE_CACHE is keyed by (session, sf_dir): an entry left by a
+    previous (possibly stopped) session must be discarded and rebuilt,
+    not handed back — and a failing unpersist on the dead frame must
+    not propagate."""
+    import project2_bigdata_spark.operators.dedup as dd
+
+    class DeadFrame:
+        def unpersist(self):
+            raise RuntimeError("SparkContext has been shut down")
+
+    old = dd._SHINGLE_CACHE
+    try:
+        dd._SHINGLE_CACHE = (object(), sf_dir, DeadFrame())
+        out = dd.minhash_band_pairs(spark, sf_dir)
+        assert out.count() >= 0
+        assert dd._SHINGLE_CACHE[0] is spark
+    finally:
+        if dd._SHINGLE_CACHE is not None:
+            try:
+                dd._SHINGLE_CACHE[2].unpersist()
+            except Exception:
+                pass
+        dd._SHINGLE_CACHE = old

@@ -292,6 +292,41 @@ def oracle_ivf_ann_topk(n_queries: int = 5, k: int = 10) -> str:
     """
 
 
+#: Buckets bigger than this are excluded from the pairwise stages
+#: (embedding_near_dup, knn_join_topk) — same discipline as
+#: dedup.MAX_BUCKET / analytics.MAX_FUZZY_BLOCK. A FIXED plane count
+#: means a fixed bucket count, so Σ bucket² grows as corpus²/2^planes:
+#: the 100x scale-stress run measured both pair stages at ~300x wall
+#: for 100x data. Real deployments size N_PLANES with the corpus
+#: (target bucket ≈ constant: planes ≈ log2(N / target)); the cap
+#: enforces that target against skew and against an under-sized
+#: signature. Measured occupancy on the driver's data: max bucket 8 at
+#: sf0.01, 23 at sf0.1 — the cap changes nothing at checked scales.
+MAX_EMB_BUCKET = 500
+
+
+def _capped_buckets(e: DataFrame) -> DataFrame:
+    """Drop vectors whose bucket exceeds MAX_EMB_BUCKET (hot buckets
+    need a finer signature, not a bigger join)."""
+    n = F.count("*").over(Window.partitionBy("bucket"))
+    return (
+        e.withColumn("__bn", n)
+        .filter(F.col("__bn") <= MAX_EMB_BUCKET)
+        .drop("__bn")
+    )
+
+
+def _oracle_capped_e(bucket_sql: str, cols: str) -> str:
+    """Oracle mirror of _capped_buckets: the bucketed+capped relation."""
+    return f"""
+      SELECT * FROM (
+        SELECT {cols},
+               COUNT(*) OVER (PARTITION BY bucket) AS __bn
+        FROM (SELECT *, CAST({bucket_sql} AS INT) AS bucket FROM embeddings)
+      ) WHERE __bn <= {MAX_EMB_BUCKET}
+    """
+
+
 def embedding_near_dup(
     spark: SparkSession, sf_dir: str, threshold: float = 0.4
 ) -> DataFrame:
@@ -300,16 +335,17 @@ def embedding_near_dup(
     rounded cosine ≥ threshold.
 
     Same scale shape as MinHash dedup: the bucket equi-join replaces the
-    all-pairs product, so work grows with Σ bucket² (bounded by the
-    8-bit signature), not corpus². Recall is the standard LSH trade-off
-    — tighten with more bands of planes.
+    all-pairs product, work grows with Σ bucket², and buckets over
+    MAX_EMB_BUCKET are excluded (mirrored in the oracle) so the sum is
+    bounded under skew and corpus growth. Recall is the standard LSH
+    trade-off — tighten with more bands of planes.
 
     Default threshold is 0.4 because the synthetic embeddings contain no
     true near-duplicates (max pairwise cosine ≈ 0.51): the default
     exercises the full candidate→verify path on this data; production
     near-dup dedup uses 0.9+.
     """
-    e = (
+    e = _capped_buckets(
         table_parallel(spark, sf_dir, "embeddings")
         .withColumn("bucket", _bucket_expr())
         .select("vec_id", "label", F.col("embedding").alias("emb"), "bucket")
@@ -338,9 +374,7 @@ def oracle_embedding_near_dup(threshold: float = 0.4) -> str:
     )
     return f"""
     WITH e AS (
-      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
-             CAST({bucket} AS INT) AS bucket
-      FROM embeddings
+      {_oracle_capped_e(bucket, "vec_id, label, embedding::DOUBLE[] AS emb, bucket")}
     )
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            a.label AS label_a, b.label AS label_b,
@@ -360,11 +394,13 @@ def knn_join_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     cosine with vec_id tie-break).
 
     The all-pairs product never materializes: candidates share an 8-bit
-    bucket (equi-join, Σ bucket² work), and the per-vector top-k is one
-    window over the candidate set. At higher recall targets, union
-    multiple plane banks (multi-probe) before the window — same shape.
+    bucket (equi-join, Σ bucket² work) with buckets over MAX_EMB_BUCKET
+    excluded (mirrored in the oracle — see the cap's rationale above),
+    and the per-vector top-k is one window over the candidate set. At
+    higher recall targets, union multiple plane banks (multi-probe)
+    before the window — same shape.
     """
-    e = (
+    e = _capped_buckets(
         table_parallel(spark, sf_dir, "embeddings")
         .withColumn("bucket", _bucket_expr())
         .select("vec_id", F.col("embedding").alias("emb"), "bucket")
@@ -390,9 +426,7 @@ def oracle_knn_join_topk(k: int = 3) -> str:
     )
     return f"""
     WITH e AS (
-      SELECT vec_id, embedding::DOUBLE[] AS emb,
-             CAST({bucket} AS INT) AS bucket
-      FROM embeddings
+      {_oracle_capped_e(bucket, "vec_id, embedding::DOUBLE[] AS emb, bucket")}
     ), sims AS (
       SELECT a.vec_id AS src, b.vec_id AS dst,
              round(list_dot_product(a.emb, b.emb) /

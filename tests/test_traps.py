@@ -380,3 +380,41 @@ def test_shingle_cache_survives_session_swap(spark, sf_dir):
             except Exception:
                 pass
         dd._SHINGLE_CACHE = old
+
+
+def test_embedding_bucket_cap(spark):
+    """LSH buckets over MAX_EMB_BUCKET are excluded from the pairwise
+    stages on BOTH engines — with a fixed plane count, bucket count is
+    fixed, so uncapped bucket joins grow as corpus^2/2^planes (the 100x
+    scale-stress measured ~300x wall for 100x data before the cap)."""
+    from unittest import mock
+
+    import duckdb
+    import pandas as pd
+
+    import project2_bigdata_spark.operators.similarity as sim
+
+    cap = sim.MAX_EMB_BUCKET
+    hot = [1.0] + [0.0] * 63           # one shared bucket, cap+1 members
+    cool_a = [-1.0] + [0.0] * 63       # distinct bucket, 2 close members
+    cool_b = [-1.0, 0.01] + [0.0] * 62
+    rows = [(i, hot, "h") for i in range(cap + 1)]
+    rows += [(10_000, cool_a, "c"), (10_001, cool_b, "c")]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    emb = spark.createDataFrame(pdf)
+
+    with mock.patch.object(sim, "table_parallel", lambda s, sf, t: emb):
+        pairs = sim.embedding_near_dup(spark, "unused").collect()
+        knn = sim.knn_join_topk(spark, "unused").collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(10_000, 10_001)}
+    assert {r.src for r in knn} == {10_000, 10_001}
+
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    o_pairs = con.execute(sim.oracle_embedding_near_dup()).fetchall()
+    o_knn = con.execute(sim.oracle_knn_join_topk()).fetchall()
+    con.close()
+    assert sorted((r.id_a, r.id_b, r.cos_sim) for r in pairs) == sorted(
+        (r[0], r[1], r[4]) for r in o_pairs)
+    assert sorted((r.src, r.dst, r.cos_sim) for r in knn) == sorted(
+        (r[0], r[1], r[2]) for r in o_knn)

@@ -324,9 +324,13 @@ from ..operators.similarity import (  # noqa: E402
 register(
     "dedup_embedding_cosine",
     oracle=oracle_embedding_near_dup(),
-    doc="Embedding-cosine near-dup pairs: hyperplane-LSH bucket join + "
-        "rounded-cosine verify ≥ 0.95 — completes the dedup family "
-        "(exact / blocked-Jaccard / MinHash / SimHash / embedding)",
+    doc="Embedding-cosine near-dup pairs: hyperplane-LSH bucket join "
+        "(bucket-size capped) + rounded-cosine verify at the operator's "
+        "default threshold 0.4 — the synthetic embeddings have no true "
+        "near-dups (max pairwise cosine ≈ 0.51), so 0.4 exercises the "
+        "full candidate→verify path; production dedup raises it to "
+        "0.9+. Completes the dedup family (exact / blocked-Jaccard / "
+        "MinHash / SimHash / embedding)",
 )(embedding_near_dup)
 
 

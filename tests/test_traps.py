@@ -418,3 +418,27 @@ def test_embedding_bucket_cap(spark):
         (r[0], r[1], r[4]) for r in o_pairs)
     assert sorted((r.src, r.dst, r.cos_sim) for r in knn) == sorted(
         (r[0], r[1], r[2]) for r in o_knn)
+
+
+def test_input_bytes_handles_directory_tables(spark, tmp_path):
+    """os.path.getsize on a directory returns the inode size (~KB),
+    which would make the small-input guard fire on arbitrarily large
+    directory-shaped tables. _input_bytes must sum the data files and
+    skip _SUCCESS/hidden metadata."""
+    import os
+
+    from project2_bigdata_spark import catalog
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 1000).repartition(4).write.parquet(p)
+    inode = os.path.getsize(p)
+    real = catalog._input_bytes(p)
+    data = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(p) for f in fs
+        if not f.startswith((".", "_"))
+    )
+    assert real == data and real > inode
+    # unreadable path counts as not-small: never add an exchange on
+    # uncertain evidence
+    assert catalog._input_bytes(str(tmp_path / "missing")) >= catalog._SMALL_INPUT_BYTES

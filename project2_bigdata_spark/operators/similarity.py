@@ -307,10 +307,15 @@ MAX_EMB_BUCKET = 500
 
 def _capped_buckets(e: DataFrame) -> DataFrame:
     """Drop vectors whose bucket exceeds MAX_EMB_BUCKET (hot buckets
-    need a finer signature, not a bigger join)."""
-    n = F.count("*").over(Window.partitionBy("bucket"))
+    need a finer signature, not a bigger join).
+
+    Counts come from a groupBy + broadcast join, NOT a COUNT window:
+    the window would shuffle the whole corpus on bucket just to learn
+    256 counts, while the groupBy partial-aggregates map-side and
+    broadcasts a bucket-count table smaller than a page."""
+    counts = e.groupBy("bucket").agg(F.count("*").alias("__bn"))
     return (
-        e.withColumn("__bn", n)
+        e.join(F.broadcast(counts), "bucket")
         .filter(F.col("__bn") <= MAX_EMB_BUCKET)
         .drop("__bn")
     )

@@ -309,13 +309,18 @@ def _capped_buckets(e: DataFrame) -> DataFrame:
     """Drop vectors whose bucket exceeds MAX_EMB_BUCKET (hot buckets
     need a finer signature, not a bigger join).
 
-    Counts come from a groupBy + broadcast join, NOT a COUNT window:
-    the window would shuffle the whole corpus on bucket just to learn
-    256 counts, while the groupBy partial-aggregates map-side and
-    broadcasts a bucket-count table smaller than a page."""
-    counts = e.groupBy("bucket").agg(F.count("*").alias("__bn"))
+    A COUNT window over bucket looks wasteful (a corpus shuffle to
+    learn 256 counts) but is measurably the right shape: the shuffle
+    does double duty. Its HashPartitioning(bucket) is exactly what the
+    downstream pair equi-join needs, so BOTH join sides — identical
+    subtrees, deduped by ReuseExchange — consume the one exchange with
+    no further shuffle, and the 8-plane signature computes once. The
+    alternatives (groupBy+broadcast counts, with or without a
+    materialization) each re-shuffled both join sides on bucket anyway
+    and measured ~3× slower at 100× data (123 s vs 42 s)."""
+    n = F.count("*").over(Window.partitionBy("bucket"))
     return (
-        e.join(F.broadcast(counts), "bucket")
+        e.withColumn("__bn", n)
         .filter(F.col("__bn") <= MAX_EMB_BUCKET)
         .drop("__bn")
     )

@@ -359,16 +359,23 @@ def embedding_near_dup(
         table_parallel(spark, sf_dir, "embeddings")
         .withColumn("bucket", _bucket_expr())
         .select("vec_id", "label", F.col("embedding").alias("emb"), "bucket")
-    )
+    ).withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="emb", b="emb"))))
+    # norm precomputed per VECTOR (O(N) folds), so each PAIR costs one
+    # dot-product fold instead of three; sqrt of the same double is the
+    # same double, so dot/(na*nb) is bit-identical to the oracle's
+    # dot/(sqrt(aa)*sqrt(bb))
     a = e.select(
         F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
-        F.col("emb").alias("ea"), "bucket",
+        F.col("emb").alias("ea"), F.col("nrm").alias("na"), "bucket",
     )
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
-        F.col("emb").alias("eb"), F.col("bucket").alias("bucket_b"),
+        F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
     )
-    sim = F.round(_cosine("ea", "eb"), 6)
+    sim = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6
+    )
     return (
         a.join(b, (a.bucket == b.bucket_b) & (F.col("id_a") < F.col("id_b")))
         .select("id_a", "id_b", "label_a", "label_b", sim.alias("cos_sim"))
@@ -414,11 +421,16 @@ def knn_join_topk(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         table_parallel(spark, sf_dir, "embeddings")
         .withColumn("bucket", _bucket_expr())
         .select("vec_id", F.col("embedding").alias("emb"), "bucket")
-    )
-    a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"), "bucket")
+    ).withColumn("nrm", F.sqrt(F.expr(_DOT.format(a="emb", b="emb"))))
+    # per-vector norms: one fold per pair instead of three (see
+    # embedding_near_dup)
+    a = e.select(F.col("vec_id").alias("src"), F.col("emb").alias("ea"),
+                 F.col("nrm").alias("na"), "bucket")
     b = e.select(F.col("vec_id").alias("dst"), F.col("emb").alias("eb"),
-                 F.col("bucket").alias("bucket_b"))
-    sim = F.round(_cosine("ea", "eb"), 6)
+                 F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"))
+    sim = F.round(
+        F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6
+    )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), "dst")
     return (
         a.join(b, (a.bucket == b.bucket_b) & (F.col("src") != F.col("dst")))

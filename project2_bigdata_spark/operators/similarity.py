@@ -53,11 +53,20 @@ def brute_force_topk(
     """Exact cosine top-k of every corpus vector for the first n_queries
     vec_ids. Queries are broadcast; corpus is scanned once."""
     e = table_parallel(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     queries = e.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"),
+        nrm.alias("qn"),
     )
-    cand = e.select("vec_id", "label", F.col("embedding").alias("ce"))
-    sim = F.round(_cosine("qe", "ce"), 6)
+    cand = e.select("vec_id", "label", F.col("embedding").alias("ce"),
+                    nrm.alias("cn"))
+    # norms precomputed per vector: each (query, vector) pair costs one
+    # 64-dim fold, not three; sqrt of the same double is the same
+    # double, so dot/(qn*cn) is bit-identical to the oracle's
+    # dot/(sqrt(qq)*sqrt(cc))
+    sim = F.round(
+        F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         cand.crossJoin(F.broadcast(queries))
@@ -89,13 +98,19 @@ def lsh_ann_topk(
 ) -> DataFrame:
     """ANN top-k: candidates restricted to the query's hyperplane bucket."""
     e = table_parallel(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        nrm.alias("qn"),
         F.col("bucket").alias("qbucket"),
     )
-    cand = e.select("vec_id", "label", F.col("embedding").alias("ce"), "bucket")
-    sim = F.round(_cosine("qe", "ce"), 6)
+    cand = e.select("vec_id", "label", F.col("embedding").alias("ce"),
+                    nrm.alias("cn"), "bucket")
+    # per-vector norms: one fold per candidate pair (see brute_force_topk)
+    sim = F.round(
+        F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         cand.join(F.broadcast(queries), cand.bucket == queries.qbucket)
@@ -169,16 +184,15 @@ N_CENTROIDS = 8
 N_PROBE = 2
 
 #: rounded cosine between the row's embedding and a centroid struct `c`
-#: (all-double math, 6dp rounding shared with the oracle)
+#: (all-double math, 6dp rounding shared with the oracle). Norms are
+#: PRECOMPUTED — `rn` once per row, `c.cnrm` once per centroid — so the
+#: 8-centroid ranking costs 8 folds per row instead of 24; sqrt of the
+#: same double is the same double, so the quotient is bit-identical to
+#: the oracle's dot/(sqrt(aa)*sqrt(cc)).
 _CENT_SIM = (
     "round("
     "aggregate(zip_with(embedding, c.cemb, (x, y) -> cast(x as double) * y), "
-    "cast(0.0 as double), (acc, v) -> acc + v) / ("
-    "sqrt(aggregate(zip_with(embedding, embedding, "
-    "(x, y) -> cast(x as double) * cast(y as double)), "
-    "cast(0.0 as double), (acc, v) -> acc + v)) * "
-    "sqrt(aggregate(zip_with(c.cemb, c.cemb, (x, y) -> x * y), "
-    "cast(0.0 as double), (acc, v) -> acc + v))), 6)"
+    "cast(0.0 as double), (acc, v) -> acc + v) / (rn * c.cnrm), 6)"
 )
 
 #: per-row array of (sim, cid) vs every centroid, best-first (sim desc,
@@ -214,8 +228,12 @@ def ivf_ann_topk(
             F.struct(
                 F.col("vec_id").cast("int").alias("cid"),
                 F.expr("transform(embedding, x -> cast(x as double))").alias("cemb"),
+                F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+                .alias("cnrm"),
             ).alias("c")
         )
+        # sort key is cid (first struct field, distinct) — the trailing
+        # cnrm field cannot reorder
         .agg(F.sort_array(F.collect_list("c")).alias("cents"))
     )
     # The centroid ranking feeds both the cell assignment (all vectors)
@@ -227,25 +245,33 @@ def ivf_ann_topk(
     from ..session import truncate_lineage
 
     base = truncate_lineage(
-        e.crossJoin(F.broadcast(cents_row))
+        e.withColumn(
+            "rn", F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+        )
+        .crossJoin(F.broadcast(cents_row))
         .withColumn("cent_rank", F.expr(_CENT_RANKING))
         .select(
-            "vec_id", "label", F.col("embedding").alias("ce"),
+            "vec_id", "label", F.col("embedding").alias("ce"), "rn",
             F.expr("element_at(cent_rank, 1).cid").alias("cell"),
             F.expr(f"transform(slice(cent_rank, 1, {N_PROBE}), p -> p.cid)")
             .alias("pcells"),
         )
     )
-    cand = base.select("vec_id", "label", "ce", "cell")
+    cand = base.select("vec_id", "label", "ce", F.col("rn").alias("cn"), "cell")
     probes = (
         base.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("ce").alias("qe"),
+            F.col("rn").alias("qn"),
             F.explode("pcells").alias("probe_cell"),
         )
     )
-    sim = F.round(_cosine("qe", "ce"), 6)
+    # rerank reuses the materialized per-vector norms: one fold per
+    # candidate pair (see brute_force_topk)
+    sim = F.round(
+        F.expr(_DOT.format(a="qe", b="ce")) / (F.col("qn") * F.col("cn")), 6
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         cand.join(F.broadcast(probes), cand.cell == probes.probe_cell)

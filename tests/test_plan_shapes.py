@@ -185,6 +185,10 @@ MAX_PARQUET_SCANS = {
     "dedup_keep_best": 1,
     "kmeans_lloyd_2iter": 1,
     "revenue_anomalies": 0,          # was 6: daily subplan embedded twice
+    "knn_join_topk": 2,              # one embeddings scan per join side;
+    "dedup_embedding_cosine": 2,     # the bucket COUNT-window shuffle
+                                     # co-partitions the pair join (AQE
+                                     # dedupes the canonical exchanges)
     "dq_checks": 5,                  # per-table rule folds: orders 2 +
                                      # lineitem 2 + events 1, each pruned
                                      # to single rule/join columns

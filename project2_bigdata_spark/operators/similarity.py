@@ -40,13 +40,6 @@ _DOT = (
 )
 
 
-def _cosine(a: str, b: str) -> F.Column:
-    dot = F.expr(_DOT.format(a=a, b=b))
-    na = F.sqrt(F.expr(_DOT.format(a=a, b=a)))
-    nb = F.sqrt(F.expr(_DOT.format(a=b, b=b)))
-    return dot / (na * nb)
-
-
 def brute_force_topk(
     spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
 ) -> DataFrame:

@@ -154,8 +154,11 @@ def main() -> None:
     # Each query runs N times back-to-back; "queries" reports the MIN
     # (least-contended observation — the engine's actual cost), medians
     # and raw runs ride along for dispersion.
+    # Secondary at 3 reps (was 2): min-of-2 could not separate host noise
+    # from real sub-second regressions (VERDICT r3 item 1) — with
+    # median-of-3 riding along, a >30% delta is attributable.
     reps_headline = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    reps_secondary = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SECONDARY", "2"))
+    reps_secondary = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_SECONDARY", "3"))
 
     def run_set(names: list[str], reps: int):
         import statistics
@@ -200,6 +203,15 @@ def main() -> None:
     secondary, secondary_median, secondary_runs = run_set(
         SECONDARY, reps_secondary)
 
+    # Tertiary sweep: every registered query not already timed above,
+    # once per run (1 rep — coverage, not precision), so no query ships
+    # with zero perf evidence. Disable with SPARK_GRAFT_BENCH_TERTIARY=0.
+    tertiary: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_BENCH_TERTIARY", "1") != "0":
+        covered = set(HEADLINE) | set(SECONDARY)
+        rest = [n for n in REGISTRY if n not in covered]
+        tertiary, _, _ = run_set(rest, 1)
+
     # Testdata fingerprint: the driver regenerates the parquet corpora
     # between rounds (observed: round 2 switched timestamp physical
     # types and file contents). Timings across different data
@@ -242,6 +254,8 @@ def main() -> None:
         "secondary_runs": secondary_runs,
         "runs_per_secondary": reps_secondary,
         "secondary_total": round(sum(secondary.values()), 3),
+        "tertiary": tertiary,
+        "tertiary_total": round(sum(tertiary.values()), 3),
         "calibration_50m_agg": calibration,
         "data_fingerprint": data_fp,
         "sf": sf,

@@ -172,10 +172,24 @@ def _minhash_signature(df: DataFrame) -> DataFrame:
 MAX_BUCKET = 100
 
 #: Previous call's persisted shingle relation (released on next call so
-#: at most one copy is cached per process). Keyed by (session, sf_dir):
-#: a frame persisted under a stopped SparkSession is unusable, so a new
-#: session must rebuild rather than hand back a dead frame.
-_SHINGLE_CACHE: tuple[SparkSession, str, DataFrame] | None = None
+#: at most one copy is cached per process). Keyed by (applicationId,
+#: sf_dir) — a VALUE key, not the SparkSession object, so the cache
+#: never pins a stopped session's gateway objects alive through the key
+#: itself (ADVICE r3 item 4); a liveness probe below drops the entry
+#: (and its frame → session reference chain) as soon as any call finds
+#: the owning context stopped, letting the JVM side be collected.
+_SHINGLE_CACHE: tuple[str, str, DataFrame] | None = None
+
+
+def _shingle_cache_alive() -> bool:
+    """True iff the cached frame's owning SparkContext is still running."""
+    if _SHINGLE_CACHE is None:
+        return False
+    try:
+        jsc = _SHINGLE_CACHE[2].sparkSession.sparkContext._jsc
+        return jsc is not None and not jsc.sc().isStopped()
+    except Exception:
+        return False
 
 
 def minhash_band_pairs(
@@ -200,19 +214,23 @@ def minhash_band_pairs(
     (the dedup norm) hit the warm index.
     """
     global _SHINGLE_CACHE
-    if _SHINGLE_CACHE is not None and _SHINGLE_CACHE[:2] != (spark, sf_dir):
-        try:
-            _SHINGLE_CACHE[2].unpersist()
-        except Exception:
-            pass  # cached under a session that no longer exists
-        _SHINGLE_CACHE = None
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _SHINGLE_CACHE is not None and (
+        _SHINGLE_CACHE[:2] != key or not _shingle_cache_alive()
+    ):
+        if _shingle_cache_alive():  # stale key but live context: release
+            try:
+                _SHINGLE_CACHE[2].unpersist()
+            except Exception:
+                pass
+        _SHINGLE_CACHE = None  # drops the frame → dead session refs too
     if _SHINGLE_CACHE is None:
         from pyspark import StorageLevel
 
         docs = _with_hashed_shingles(table_parallel(spark, sf_dir, "documents")).select(
             "doc_id", "hs", F.col("n_shingles").alias("set_size"),
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLE_CACHE = (spark, sf_dir, docs)
+        _SHINGLE_CACHE = (*key, docs)
     docs = _SHINGLE_CACHE[2]
     sig = _minhash_signature(docs)
     bands = sig.select(

@@ -74,22 +74,25 @@ def truncate_lineage(df, eager: bool = False):
         )
         if not same:
             sc.setCheckpointDir(ckdir)
-        if eager:
-            # a reliable checkpoint writes its files in a SEPARATE job
-            # that recomputes the plan from scratch unless the data is
-            # cached — persist first so the subtree runs once (compute
-            # into cache → write checkpoint from cache → drop cache).
-            # Serialized level: persist()'s default is DESERIALIZED
-            # rows, which materialize a whole partition on-heap before
-            # eviction (the OOM cliff measured by the scale-stress run
-            # on the localCheckpoint path below).
-            from pyspark import StorageLevel
+        # a reliable checkpoint writes its files in a SEPARATE job that
+        # recomputes the plan from scratch unless the data is cached —
+        # persist first so the subtree runs once (compute into cache →
+        # write checkpoint from cache → drop cache). This wrap applies
+        # to BOTH eager modes: a lazy checkpoint(eager=False) would
+        # still double-compute (caller's first action + the checkpoint
+        # job), and every production truncate_lineage caller consumes
+        # the frame immediately (fixpoint probes), so materializing now
+        # costs nothing extra and halves the compute (ADVICE r3 item 2).
+        # Serialized level: persist()'s default is DESERIALIZED rows,
+        # which materialize a whole partition on-heap before eviction
+        # (the OOM cliff measured by the scale-stress run on the
+        # localCheckpoint path below).
+        from pyspark import StorageLevel
 
-            df = df.persist(StorageLevel.MEMORY_AND_DISK)
-            out = df.checkpoint(eager=True)
-            df.unpersist()
-            return out
-        return df.checkpoint(eager=False)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out = df.checkpoint(eager=True)
+        df.unpersist()
+        return out
     # localCheckpoint persists internally — no double compute on this
     # path. Store SERIALIZED (PySpark's MEMORY_AND_DISK; the JVM default
     # is the deserialized variant): a deserialized block materializes a

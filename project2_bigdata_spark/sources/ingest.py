@@ -160,9 +160,16 @@ def compact_small_files(
     delete .old): the live path always exists as a complete table — a
     crash between the renames leaves the table briefly absent-by-name
     but both copies intact on disk, whereas delete-then-rename would
-    destroy the only copy before the replacement is in place."""
+    destroy the only copy before the replacement is in place. On entry,
+    if the live path is missing but ``.__compact_old__`` exists (crash
+    landed between the two renames), the old copy is renamed back first
+    so recovery is automatic rather than manual."""
     import math
     import shutil
+
+    old_ = path.rstrip("/") + ".__compact_old__"
+    if not os.path.exists(path) and os.path.isdir(old_):
+        os.rename(old_, path)  # auto-restore from a mid-rename crash
 
     size = sum(
         os.path.getsize(os.path.join(root, f))

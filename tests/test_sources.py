@@ -159,6 +159,33 @@ def test_compaction_merges_small_files(spark, sf_dir):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_compaction_recovers_from_mid_rename_crash(spark, sf_dir):
+    """A crash between compaction's two renames leaves the table only at
+    .__compact_old__; the next compact_small_files call must rename it
+    back and proceed (ADVICE r3 item 3) — no manual recovery."""
+    import shutil
+    import tempfile
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import compact_small_files
+
+    d = tempfile.mkdtemp(prefix="compact_crash_", dir="/root/repo")
+    try:
+        docs = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+        docs.repartition(4).write.mode("overwrite").parquet(f"{d}/t")
+        checksum = tuple(docs.agg(F.sum("doc_id"), F.sum("n_chars")).first())
+        # simulate the crash window: live → .old done, tmp → live not
+        import os
+        os.rename(f"{d}/t", f"{d}/t.__compact_old__")
+        n_after = compact_small_files(spark, f"{d}/t")
+        assert n_after == 1
+        back = spark.read.parquet(f"{d}/t")
+        assert tuple(back.agg(F.sum("doc_id"), F.sum("n_chars")).first()) == checksum
+        assert not os.path.exists(f"{d}/t.__compact_old__")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_schema_evolution_merged_read(spark, sf_dir):
     """Two batches with different columns read as one relation."""
     import shutil

@@ -216,6 +216,38 @@ def test_truncate_lineage_reliable_checkpoint_path(spark, tmp_path, monkeypatch)
     )
 
 
+def test_truncate_lineage_reliable_single_compute(spark, tmp_path, monkeypatch):
+    """On the reliable-checkpoint branch the subtree must run ONCE for
+    checkpoint + first consumption combined (persist → checkpoint →
+    unpersist wrap, both eager modes — ADVICE r3 item 2). Without the
+    wrap, checkpoint()'s separate writing job recomputes the plan and an
+    expensive upstream runs twice."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    from project2_bigdata_spark.session import truncate_lineage
+
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", str(tmp_path / "ck1"))
+    acc = spark.sparkContext.accumulator(0)
+
+    @F.udf(LongType())
+    def counted(x):
+        acc.add(1)
+        return x * 2
+
+    n = 64
+    df = spark.range(0, n, 1, 4).select("id", counted(F.col("id")).alias("v"))
+    for eager in (True, False):
+        acc.value = 0
+        out = truncate_lineage(df, eager=eager)
+        assert out.count() == n
+        assert out.count() == n  # second consume: still from checkpoint
+        assert acc.value == n, (
+            f"subtree ran {acc.value / n:.1f}x (eager={eager}); "
+            "expected exactly once"
+        )
+
+
 def test_table_parallel_guard_never_fires_on_large_inputs(spark, sf_dir, monkeypatch):
     """table_parallel's spread is a SMALL-single-split-input escape hatch:
     on a large (multi-split) input it must add NO repartition — at real
@@ -357,22 +389,24 @@ def test_fuzzy_match_block_cap(spark):
 
 
 def test_shingle_cache_survives_session_swap(spark, sf_dir):
-    """_SHINGLE_CACHE is keyed by (session, sf_dir): an entry left by a
-    previous (possibly stopped) session must be discarded and rebuilt,
-    not handed back — and a failing unpersist on the dead frame must
-    not propagate."""
+    """_SHINGLE_CACHE is keyed by (applicationId, sf_dir): an entry left
+    by a previous (possibly stopped) session must be discarded and
+    rebuilt, not handed back — and a dead frame must be dropped without
+    an unpersist call propagating (the liveness probe skips unpersist
+    entirely for a frame whose context is gone)."""
     import project2_bigdata_spark.operators.dedup as dd
 
     class DeadFrame:
+        # no sparkSession attribute → liveness probe says "dead"
         def unpersist(self):
             raise RuntimeError("SparkContext has been shut down")
 
     old = dd._SHINGLE_CACHE
     try:
-        dd._SHINGLE_CACHE = (object(), sf_dir, DeadFrame())
+        dd._SHINGLE_CACHE = ("app-from-a-previous-life", sf_dir, DeadFrame())
         out = dd.minhash_band_pairs(spark, sf_dir)
         assert out.count() >= 0
-        assert dd._SHINGLE_CACHE[0] is spark
+        assert dd._SHINGLE_CACHE[0] == spark.sparkContext.applicationId
     finally:
         if dd._SHINGLE_CACHE is not None:
             try:

@@ -55,6 +55,11 @@ _KEYSPACE = {
     "l_orderkey": ("orders", "o_orderkey"),
     "l_partkey": ("part", "p_partkey"),
     "l_suppkey": ("supplier", "s_suppkey"),
+    # events.user_id shares the customer key space (sf0.1: user_id
+    # 0..1499 ⊂ c_custkey 0..14999; every event joins a customer) —
+    # shift by the CUSTOMER base so events↔orders/customer fan-out is
+    # preserved for copies i>0 (ADVICE r3 item 1).
+    "user_id": ("customer", "c_custkey"),
 }
 
 

@@ -320,3 +320,49 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.explode(F.array("p1", "p2", "p3", "p4", "p5")).alias("r")
     ).select("r.*")
+
+
+@register(
+    "profile_orders_columns_hll",
+    oracle=None,  # HLL estimates are engine-specific by construction:
+    # Spark's approx_count_distinct (HyperLogLog++) and DuckDB's
+    # approx_count_distinct use different register layouts/hash
+    # functions, so the estimate VALUES legitimately differ — the
+    # rows-only check pins shape/cardinality; exactness is covered by
+    # the hash-green exact twin above (profile_orders_columns).
+    doc="The 100 TB variant of profile_orders_columns: identical "
+        "single-scan profile shape with approx_count_distinct (HLL++, "
+        "rsd 0.01) in place of exact COUNT(DISTINCT) — exact distincts "
+        "expand the aggregate per column (one Expand row per column per "
+        "input row), which at 100 TB multiplies shuffle volume by the "
+        "column count; the HLL sketch is constant memory per column and "
+        "keeps the whole profile in ONE pass with no expansion. This is "
+        "the swap profile_orders_columns's doc promises "
+        "(approx_distinct_customers shows the single-column path).",
+)
+def q_profile_orders_columns_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+
+    def prof(col: str, repr_fn) -> F.Column:
+        return F.struct(
+            F.lit(col).alias("column_name"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count(col).cast("bigint").alias("n_nonnull"),
+            F.approx_count_distinct(col, rsd=0.01).cast("bigint").alias(
+                "n_distinct_approx"),
+            repr_fn(F.min(col)).alias("min_repr"),
+            repr_fn(F.max(col)).alias("max_repr"),
+        )
+
+    as_str = lambda c: c.cast("string")  # noqa: E731
+    as_date = lambda c: F.date_format(c, "yyyy-MM-dd")  # noqa: E731
+    g = o.agg(
+        prof("o_orderkey", as_str).alias("p1"),
+        prof("o_custkey", as_str).alias("p2"),
+        prof("o_orderstatus", as_str).alias("p3"),
+        prof("o_orderpriority", as_str).alias("p4"),
+        prof("o_orderdate", as_date).alias("p5"),
+    )
+    return g.select(
+        F.explode(F.array("p1", "p2", "p3", "p4", "p5")).alias("r")
+    ).select("r.*")

@@ -370,3 +370,118 @@ def q_stickiness_dau_mau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("stickiness"),
         )
     )
+
+
+@register(
+    "range_join_grid",
+    oracle="""
+    WITH ladder AS (
+      SELECT p_retailprice AS price, MAX(p_partkey) AS pk
+      FROM part GROUP BY 1
+    ),
+    pts AS (
+      SELECT l_orderkey, l_extendedprice / l_quantity AS up
+      FROM lineitem WHERE l_quantity > 0
+    )
+    SELECT pk AS p_partkey,
+           COUNT(*) AS n_items,
+           CAST(SUM(l_orderkey) AS BIGINT) AS orderkey_checksum
+    FROM pts ASOF JOIN ladder ON pts.up >= ladder.price
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Grid-cell range join with TWO LARGE SIDES — the scale path "
+        "SCALE.md names next to range_join_tiers (whose broadcast "
+        "nested-loop is only right when one side is tiny). Semantics: "
+        "price as-of — each lineitem's unit price matches the greatest "
+        "part retail price <= it (ties broken by max partkey), rolled "
+        "up to items-per-rung. Plan: bucketize the range key into "
+        "N_GRID_CELLS cells; rungs land in exactly ONE cell each "
+        "(intervals are implicit, so no interval replication at all); "
+        "points hash-equi-join their own cell and take the in-cell max "
+        "under the EXACT predicate; rungs from strictly lower cells are "
+        "folded in via a per-cell running-max carry table (the "
+        "cross-bucket carry pattern of asof_join_bucketed) joined "
+        "broadcast. Work is one cell-keyed hash shuffle of each side + "
+        "a cells-sized summary — never a nested loop over two fact "
+        "tables; the only windows run over the N_GRID_CELLS-row spine. "
+        "AQE skew-join splits hot cells (price skew).",
+)
+def q_range_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    N_CELLS = 4096  # ~shuffle-partitions x 128: per-cell side sizes are
+    # |side|/4096 under uniform prices; hot cells split by AQE skew-join
+
+    part = table(spark, sf_dir, "part")
+    li = table(spark, sf_dir, "lineitem")
+
+    # rungs: one per DISTINCT price (deterministic tie-break = max pk).
+    # Rung-table-sized and consumed by THREE subplans (domain stats,
+    # cell summaries, the grid join probe side) — materialized once so
+    # the part scan doesn't re-embed per consumer (scan-count pinned).
+    ladder = truncate_lineage(
+        part.groupBy(F.col("p_retailprice").alias("price")).agg(
+            F.max("p_partkey").alias("pk")))
+    stats = ladder.agg(F.min("price").alias("lo"), F.max("price").alias("hi"))
+
+    def cell_of(c: F.Column) -> F.Column:
+        w = F.greatest(
+            (F.col("hi") - F.col("lo")) / F.lit(N_CELLS), F.lit(1e-9))
+        raw = F.floor((c - F.col("lo")) / w)
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(N_CELLS - 1))
+
+    rungs = ladder.crossJoin(F.broadcast(stats)).select(
+        cell_of(F.col("price")).alias("cell"), "price", "pk")
+
+    pts = (
+        li.filter(F.col("l_quantity") > 0)
+        .select(
+            "l_orderkey", "l_linenumber",
+            (F.col("l_extendedprice") / F.col("l_quantity")).alias("up"),
+        )
+        .crossJoin(F.broadcast(stats))
+        .select("l_orderkey", "l_linenumber", "up",
+                cell_of(F.col("up")).alias("cell"))
+    )
+
+    # per-cell best rung over a FULL 0..N-1 spine, then the carry =
+    # best rung of any strictly lower cell (every lower-cell price is
+    # < every point value in this cell, by cell arithmetic) — a window
+    # over exactly N_CELLS rows, constant-bounded at any corpus size
+    spine = stats.select(
+        F.explode(F.sequence(F.lit(0), F.lit(N_CELLS - 1))).alias("cell"))
+    summ = rungs.groupBy("cell").agg(
+        F.max(F.struct("price", "pk")).alias("best"))
+    w_carry = Window.orderBy("cell").rowsBetween(
+        Window.unboundedPreceding, -1)
+    carry = (
+        spine.join(summ, "cell", "left")
+        .withColumn("carry", F.max("best").over(w_carry))
+        .select("cell", "carry")
+    )
+
+    # THE grid join: points x rungs on cell (hash), exact predicate
+    # inside the in-cell max; no rung => null, resolved by the carry
+    per_pt = (
+        pts.join(rungs, "cell", "left")
+        .groupBy("l_orderkey", "l_linenumber", "cell", "up")
+        .agg(F.max(F.when(F.col("price") <= F.col("up"),
+                          F.struct("price", "pk"))).alias("best_in"))
+        .join(F.broadcast(carry), "cell", "left")
+        .withColumn(
+            "best",
+            F.when(F.col("best_in").isNull(), F.col("carry"))
+            .when(F.col("carry").isNull(), F.col("best_in"))
+            .when(F.col("best_in") >= F.col("carry"), F.col("best_in"))
+            .otherwise(F.col("carry")),
+        )
+        .filter(F.col("best").isNotNull())
+    )
+    return (
+        per_pt.groupBy(F.col("best.pk").alias("p_partkey"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.sum("l_orderkey").cast("bigint").alias("orderkey_checksum"),
+        )
+        .orderBy("p_partkey")
+    )

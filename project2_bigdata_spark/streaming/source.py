@@ -26,15 +26,30 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-batching + checkpoint recovery — no hand-rolled retry).
     """
     tune(spark)
-    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # the file source wants a *directory*; pathGlobFilter selects the
-    # events file within it (a production feed is a directory anyway)
-    sdf = (
-        spark.readStream.schema(raw_schema)
-        .option("maxFilesPerTrigger", "1")
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    import os
+
+    path = f"{sf_dir}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written table: events.parquet IS a directory of part
+        # files (the amplified scale-stress corpora, and any production
+        # feed) — stream the directory itself. The glob-filter branch
+        # below would match no files here and silently replay an EMPTY
+        # stream: the r3 K=100 streaming stress rows passed on zero
+        # input because of exactly that (caught and fixed round 4).
+        reader = spark.readStream.schema(raw_schema).option(
+            "maxFilesPerTrigger", "1")
+        sdf = reader.parquet(path)
+    else:
+        # driver testdata: events.parquet is a single FILE inside
+        # sf_dir; the file source wants a directory, so point it at
+        # sf_dir and glob-select the file within it
+        sdf = (
+            spark.readStream.schema(raw_schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     if isinstance(sdf.schema["ts"].dataType, T.LongType):
         sdf = sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     elif isinstance(sdf.schema["ts"].dataType, T.TimestampNTZType):

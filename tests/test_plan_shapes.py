@@ -54,6 +54,8 @@ BNLJ_OK = {
     "nb_lang_confusion",  # 5-row language grid + 1-row vocab-size broadcasts
     "sales_trend_ols",  # 1-row global-min-date broadcast
     "concentration_metrics",  # 1-row product-count broadcast
+    "range_join_grid",  # 1-row (lo, hi) domain-stats broadcast; the
+                        # range join itself is the cell hash join below
 }
 
 
@@ -192,6 +194,8 @@ MAX_PARQUET_SCANS = {
     "dq_checks": 5,                  # per-table rule folds: orders 2 +
                                      # lineitem 2 + events 1, each pruned
                                      # to single rule/join columns
+    "range_join_grid": 1,            # lineitem only; the 3×-consumed
+                                     # rung ladder is materialized
 }
 
 
@@ -208,6 +212,40 @@ def test_no_redundant_corpus_scans(spark, sf_dir, name):
         f"{name}: {n} parquet scans (cap {MAX_PARQUET_SCANS[name]}) — a "
         f"multiply-consumed intermediate is re-scanning the corpus\n{plan}"
     )
+
+
+def test_range_join_grid_is_cell_hash_join(spark, sf_dir):
+    """The two-large-sides range join must execute as an EQUI join on
+    the grid cell (hash/merge — broadcastable locally, shuffled at
+    scale), never a nested loop or cartesian between the two fact
+    sides; the only nested-loop nodes allowed are the 1-row domain-stats
+    broadcasts."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "range_join_grid")
+    assert "CartesianProduct" not in plan, plan
+    cell_joins = [
+        ln for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                     r".{0,40}\[cell", ln)
+    ]
+    assert cell_joins, f"no cell-keyed equi join found\n{plan}"
+    for ln in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in ln:
+            # 1-row stats crossJoins only — they never carry a join cond
+            assert "Cross" in ln or "BuildRight" in ln, ln
+
+
+def test_profile_hll_has_no_distinct_expand(spark, sf_dir):
+    """The HLL profile's whole point: one scan, one aggregate, NO
+    per-column Expand (exact multi-distinct expands input rows x
+    column count — the shuffle multiplier the sketch removes)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "profile_orders_columns_hll")
+    assert "Expand" not in plan, plan
+    n = len(re.findall(r"(?:File)?Scan parquet", plan))
+    assert n == 1, f"expected exactly one orders scan, got {n}\n{plan}"
 
 
 def test_results_invariant_under_aqe_toggle(spark, sf_dir):

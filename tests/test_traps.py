@@ -104,6 +104,26 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
         assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])
 
 
+def test_profile_hll_tracks_exact_profile(spark, sf_dir):
+    """profile_orders_columns_hll has no oracle (HLL estimates are
+    engine-specific); assert against the exact twin instead: identical
+    shape/rows/non-null counts/min-max reprs, and every distinct
+    estimate within ±5% of the exact count."""
+    from project2_bigdata_spark.plans import REGISTRY
+
+    hll = {r.column_name: r for r in
+           REGISTRY["profile_orders_columns_hll"].fn(spark, sf_dir).collect()}
+    exact = {r.column_name: r for r in
+             REGISTRY["profile_orders_columns"].fn(spark, sf_dir).collect()}
+    assert set(hll) == set(exact)
+    for col, h in hll.items():
+        e = exact[col]
+        assert (h.n_rows, h.n_nonnull, h.min_repr, h.max_repr) == (
+            e.n_rows, e.n_nonnull, e.min_repr, e.max_repr), col
+        assert abs(h.n_distinct_approx - e.n_distinct) / max(e.n_distinct, 1) <= 0.05, (
+            col, h.n_distinct_approx, e.n_distinct)
+
+
 def test_random_split_w5(spark, sf_dir):
     """W5: randomSplit([0.7,0.2,0.1], seed=42) — reference uses sklearn
     train_test_split(seed 42); RNGs differ, so assert structure not rows

@@ -264,6 +264,28 @@ def main() -> None:
     _append_history(result)
     spark.stop()
 
+    # FINAL stdout line: a compact self-contained summary. The driver
+    # records only the last ~2KB of stdout in BENCH_r{N}.json and
+    # parses its last line as JSON; the full record above is far larger
+    # than that window, so r3/r4 artifacts landed with "parsed": null
+    # (VERDICT r4 What's-missing #2). Keep this line < ~1.2KB: headline
+    # per-query mins + the three totals + provenance. Full detail
+    # (medians, raw runs, secondary/tertiary per-query) persists in
+    # BENCH_HISTORY.jsonl.
+    compact = {
+        "metric": "headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "secondary_total": result["secondary_total"],
+        "tertiary_total": result["tertiary_total"],
+        "n_queries_timed": len(timings) + len(secondary) + len(tertiary),
+        "calibration_50m_agg": calibration,
+        "data_fingerprint": data_fp,
+    }
+    print(json.dumps(compact), flush=True)
+
 
 def _append_history(result: dict) -> None:
     """Keep a round-keyed timing history (BENCH_HISTORY.jsonl) so later

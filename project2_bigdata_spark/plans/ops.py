@@ -322,25 +322,15 @@ def q_profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.*")
 
 
-@register(
-    "profile_orders_columns_hll",
-    oracle=None,  # HLL estimates are engine-specific by construction:
-    # Spark's approx_count_distinct (HyperLogLog++) and DuckDB's
-    # approx_count_distinct use different register layouts/hash
-    # functions, so the estimate VALUES legitimately differ — the
-    # rows-only check pins shape/cardinality; exactness is covered by
-    # the hash-green exact twin above (profile_orders_columns).
-    doc="The 100 TB variant of profile_orders_columns: identical "
-        "single-scan profile shape with approx_count_distinct (HLL++, "
-        "rsd 0.01) in place of exact COUNT(DISTINCT) — exact distincts "
-        "expand the aggregate per column (one Expand row per column per "
-        "input row), which at 100 TB multiplies shuffle volume by the "
-        "column count; the HLL sketch is constant memory per column and "
-        "keeps the whole profile in ONE pass with no expansion. This is "
-        "the swap profile_orders_columns's doc promises "
-        "(approx_distinct_customers shows the single-column path).",
-)
-def q_profile_orders_columns_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _profile_hll_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The raw single-scan HLL profile WITH the estimate column.
+
+    Used by the registered query (which projects the estimate into a
+    cross-engine-deterministic sanity bound) and by the ±5% twin test
+    (tests/test_traps.py), which validates the estimate VALUES against
+    the exact twin — raw HLL estimates can't be oracle-hashed because
+    Spark's HLL++ and DuckDB's sketch use different register layouts.
+    """
     o = table(spark, sf_dir, "orders")
 
     def prof(col: str, repr_fn) -> F.Column:
@@ -366,3 +356,76 @@ def q_profile_orders_columns_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.explode(F.array("p1", "p2", "p3", "p4", "p5")).alias("r")
     ).select("r.*")
+
+
+@register(
+    "profile_orders_columns_hll",
+    # HYBRID oracle (VERDICT r4 Next-round #5): every exact field of
+    # the profile (rows / non-null / min / max reprs) is hash-checked
+    # cross-engine; the HLL estimate itself is engine-specific (Spark
+    # HLL++ vs DuckDB's sketch differ in register layout and hash), so
+    # it enters the comparable output only through a deterministic
+    # sanity bound — estimate ∈ [1, ceil(1.05·n_nonnull)], which the
+    # oracle mirrors with the exact distinct (always inside the bound;
+    # rsd=0.01 puts a >5% overshoot ~5σ out, and HLL++ is deterministic
+    # on fixed data). Raw estimate values stay validated by the ±5%
+    # exact-twin unit test via _profile_hll_frame.
+    oracle="""
+WITH t AS (SELECT * FROM orders)
+SELECT 'o_orderkey' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o_orderkey) AS BIGINT) AS n_nonnull,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_repr,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_repr,
+       COUNT(DISTINCT o_orderkey)
+         BETWEEN 1 AND CAST(CEIL(1.05 * COUNT(o_orderkey)) AS BIGINT)
+         AS approx_distinct_sane
+FROM t
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR),
+       COUNT(DISTINCT o_custkey)
+         BETWEEN 1 AND CAST(CEIL(1.05 * COUNT(o_custkey)) AS BIGINT)
+FROM t
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+       MIN(o_orderstatus), MAX(o_orderstatus),
+       COUNT(DISTINCT o_orderstatus)
+         BETWEEN 1 AND CAST(CEIL(1.05 * COUNT(o_orderstatus)) AS BIGINT)
+FROM t
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+       MIN(o_orderpriority), MAX(o_orderpriority),
+       COUNT(DISTINCT o_orderpriority)
+         BETWEEN 1 AND CAST(CEIL(1.05 * COUNT(o_orderpriority)) AS BIGINT)
+FROM t
+UNION ALL
+SELECT 'o_orderdate', COUNT(*), COUNT(o_orderdate),
+       strftime(MIN(o_orderdate), '%Y-%m-%d'),
+       strftime(MAX(o_orderdate), '%Y-%m-%d'),
+       COUNT(DISTINCT o_orderdate)
+         BETWEEN 1 AND CAST(CEIL(1.05 * COUNT(o_orderdate)) AS BIGINT)
+FROM t
+""",
+    doc="The 100 TB variant of profile_orders_columns: identical "
+        "single-scan profile shape with approx_count_distinct (HLL++, "
+        "rsd 0.01) in place of exact COUNT(DISTINCT) — exact distincts "
+        "expand the aggregate per column (one Expand row per column per "
+        "input row), which at 100 TB multiplies shuffle volume by the "
+        "column count; the HLL sketch is constant memory per column and "
+        "keeps the whole profile in ONE pass with no expansion. This is "
+        "the swap profile_orders_columns's doc promises "
+        "(approx_distinct_customers shows the single-column path). "
+        "Output exposes the exact profile fields plus the estimate's "
+        "sanity verdict (see oracle note); raw estimates are available "
+        "via approx_distinct_customers and the exact-twin test.",
+)
+def q_profile_orders_columns_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f = _profile_hll_frame(spark, sf_dir)
+    return f.select(
+        "column_name", "n_rows", "n_nonnull", "min_repr", "max_repr",
+        F.col("n_distinct_approx").between(
+            F.lit(1),
+            F.ceil(F.col("n_nonnull") * 1.05).cast("bigint"),
+        ).alias("approx_distinct_sane"),
+    )

@@ -44,6 +44,16 @@ def tune(spark: SparkSession) -> SparkSession:
 def truncate_lineage(df, eager: bool = False):
     """Truncate a DataFrame's lineage inside iterative/fixpoint loops.
 
+    ``eager`` applies ONLY to the localCheckpoint fallback path. On the
+    reliable-checkpoint path (``SPARK_GRAFT_CHECKPOINT_DIR`` set) the
+    frame is ALWAYS materialized immediately, regardless of ``eager``:
+    a lazy reliable checkpoint would double-compute the subtree (the
+    caller's first action + the checkpoint's own job), so that path
+    persists + eagerly checkpoints unconditionally (ADVICE r3 item 2).
+    Callers that need a genuinely deferred computation must not route
+    it through this function when a checkpoint dir is configured
+    (ADVICE r4 item 3: documented, not silently divergent).
+
     With ``SPARK_GRAFT_CHECKPOINT_DIR`` set, uses a RELIABLE
     ``checkpoint()`` into that directory (HDFS/object storage on a real
     cluster): the truncated frame survives executor loss, which is what

@@ -105,14 +105,18 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
 
 
 def test_profile_hll_tracks_exact_profile(spark, sf_dir):
-    """profile_orders_columns_hll has no oracle (HLL estimates are
-    engine-specific); assert against the exact twin instead: identical
-    shape/rows/non-null counts/min-max reprs, and every distinct
-    estimate within ±5% of the exact count."""
+    """profile_orders_columns_hll's RAW HLL estimates are engine-
+    specific, so its registered output exposes them only as a sanity
+    bound (hash-checked by the hybrid oracle since r5); this test keeps
+    the tolerance coverage — identical shape/rows/non-null counts/
+    min-max reprs vs the exact twin, every distinct estimate within
+    ±5% of the exact count (via the raw frame), and the registered
+    sanity verdict all-true."""
     from project2_bigdata_spark.plans import REGISTRY
+    from project2_bigdata_spark.plans.ops import _profile_hll_frame
 
     hll = {r.column_name: r for r in
-           REGISTRY["profile_orders_columns_hll"].fn(spark, sf_dir).collect()}
+           _profile_hll_frame(spark, sf_dir).collect()}
     exact = {r.column_name: r for r in
              REGISTRY["profile_orders_columns"].fn(spark, sf_dir).collect()}
     assert set(hll) == set(exact)
@@ -122,6 +126,9 @@ def test_profile_hll_tracks_exact_profile(spark, sf_dir):
             e.n_rows, e.n_nonnull, e.min_repr, e.max_repr), col
         assert abs(h.n_distinct_approx - e.n_distinct) / max(e.n_distinct, 1) <= 0.05, (
             col, h.n_distinct_approx, e.n_distinct)
+    sane = [r.approx_distinct_sane for r in
+            REGISTRY["profile_orders_columns_hll"].fn(spark, sf_dir).collect()]
+    assert sane and all(sane)
 
 
 def test_random_split_w5(spark, sf_dir):

@@ -272,3 +272,55 @@ def q_unpivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         wide.select("priority", F.expr(stack_expr))
         .filter(F.col("revenue").isNotNull())
     )
+
+
+@register(
+    "salted_join_segment_value",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dsum('e.value', 'total_value')}
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="Skew-hardened fact ⋈ dim equi-join through "
+        "operators/skew.salted_join: per-segment event rollup where the "
+        "user dimension is joined SHUFFLED (shuffle_hash hint — the 100 "
+        "TB case where the dim is billions of users, too big to "
+        "broadcast) and hot user keys (bots / power users — events."
+        "user_id is a long-tail key by construction) are spread across "
+        "16 reducers by a deterministic salt on stable row attributes "
+        "(event_id, not monotonically_increasing_id, so results are "
+        "identical under any partitioning / AQE re-plan). The dim side "
+        "is replicated once per salt value via explode — worth it "
+        "exactly when |dim| × n_salts ≪ the hot key's fact volume. "
+        "Results are salt-invariant (oracle is the plain join); the "
+        "salted ShuffledHashJoin shape is plan-pinned in "
+        "tests/test_plan_shapes.py. This is the manual fallback for "
+        "skew AQE can't split: AQE divides oversized partitions of ONE "
+        "key only post-shuffle per stage; salting prevents the hot "
+        "partition from forming at all and composes with the map-side "
+        "partial aggregate above it.",
+)
+def q_salted_join_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    e = table(spark, sf_dir, "events")
+    c = (
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        # force the shuffled (non-broadcast) strategy the salt exists
+        # for; locally the dim is tiny and would broadcast, which makes
+        # the salt a no-op instead of exercising the scale path
+        .hint("shuffle_hash")
+    )
+    j = salted_join(
+        e, c, "user_id", "c_custkey", salt_cols=["event_id"], n_salts=16
+    )
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment"), "event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )

@@ -269,3 +269,25 @@ def test_results_invariant_under_aqe_toggle(spark, sf_dir):
             assert a.equals(b), f"{n}: AQE toggle changed the result"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", orig)
+
+
+def test_salted_join_is_shuffled_on_salted_key(spark, sf_dir):
+    """salted_join_segment_value must execute the dim join as a
+    SHUFFLED hash join keyed on (join key, _salt) — the whole point is
+    spreading one hot key across n_salts reducers, which a broadcast
+    (locally cheaper: the dim is tiny at test SF) would silently
+    bypass; both join sides must arrive hash-partitioned on the salted
+    compound key."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "salted_join_segment_value")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastHashJoin" not in plan, (
+        "dim side broadcast — the shuffle_hash hint was lost\n" + plan)
+    assert re.search(r"(ShuffledHashJoin|SortMergeJoin)", plan), plan
+    # both sides exchange on the salted compound key
+    salted_exchanges = re.findall(
+        r"hashpartitioning\([^)]*_salt[^)]*\)", plan)
+    assert len(salted_exchanges) >= 2, (
+        f"expected both join inputs partitioned on (key, _salt), "
+        f"found {salted_exchanges}\n{plan}")

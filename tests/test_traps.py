@@ -503,3 +503,32 @@ def test_input_bytes_handles_directory_tables(spark, tmp_path):
     # unreadable path counts as not-small: never add an exchange on
     # uncertain evidence
     assert catalog._input_bytes(str(tmp_path / "missing")) >= catalog._SMALL_INPUT_BYTES
+
+
+def test_approx_percentile_tracks_exact_thresholds(spark, sf_dir):
+    """length_quantile_buckets computes exact percentile_disc thresholds
+    from a value-domain histogram — right when the domain is bounded
+    (integer n_chars). At 100 TB with a CONTINUOUS range key the
+    documented swap is approx_percentile (Greenwald-Khanna: rank error
+    ≤ n/accuracy). Pin the swap's guarantee: each approximate quartile
+    threshold must sit within the GK rank-error band of the exact
+    quantile position, so equi-depth bucketing built on it deviates by
+    at most that band."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+
+    ACC = 10_000  # rank error <= n/ACC
+    docs = table(spark, sf_dir, "documents").select("n_chars")
+    n = docs.count()
+    approx = docs.agg(
+        F.percentile_approx("n_chars", [0.25, 0.50, 0.75], ACC).alias("t")
+    ).collect()[0].t
+    eps = 1.0 / ACC + 1.0 / n  # GK band + discrete-atom slack
+    for q, t in zip((0.25, 0.50, 0.75), approx):
+        rank_at_t = docs.filter(F.col("n_chars") <= t).count() / n
+        rank_below_t = docs.filter(F.col("n_chars") < t).count() / n
+        # the exact quantile position q must fall inside the value t's
+        # cumulative span, widened by the GK error band
+        assert rank_below_t - eps <= q <= rank_at_t + eps, (
+            q, t, rank_below_t, rank_at_t)

@@ -16,6 +16,27 @@ from pyspark.sql import types as T
 
 from ..session import tune
 
+#: Schema-probe memo keyed by (path, mtime, size): the file source
+#: needs an explicit schema, which costs a batch-scan footer read per
+#: call — and two-source queries (stream-stream joins) call
+#: events_stream twice per build. The mtime/size key invalidates on
+#: driver testdata regen; schemas are plain StructTypes, safe to share
+#: across sessions.
+_SCHEMA_MEMO: dict = {}
+
+
+def _probe_schema(spark: SparkSession, path: str):
+    import os as _os
+
+    try:
+        st = _os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (path, None, None)
+    if key not in _SCHEMA_MEMO:
+        _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
+    return _SCHEMA_MEMO[key]
+
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unbounded DataFrame over ``{sf_dir}/events.parquet``.
@@ -29,7 +50,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
 
     path = f"{sf_dir}/events.parquet"
-    raw_schema = spark.read.parquet(path).schema
+    raw_schema = _probe_schema(spark, path)
     if os.path.isdir(path):
         # Spark-written table: events.parquet IS a directory of part
         # files (the amplified scale-stress corpora, and any production

@@ -130,6 +130,104 @@ def q_gap_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "gap_fill_linear",
+    oracle=_DAILY_SQL + """
+    , bounds AS (
+      SELECT product, min(date) AS mn, max(date) AS mx FROM daily GROUP BY 1
+    ), spine AS (
+      SELECT product,
+             CAST(unnest(generate_series(CAST(mn AS TIMESTAMP),
+                                         CAST(mx AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+      FROM bounds
+    ), joined AS (
+      SELECT s.product, s.d, daily.total_revenue AS rev
+      FROM spine s
+      LEFT JOIN daily ON daily.product = s.product AND daily.date = s.d
+    ), anch AS (
+      SELECT product, d, rev,
+        last_value(rev IGNORE NULLS) OVER w_prev AS prev_rev,
+        last_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+          OVER w_prev AS prev_d,
+        first_value(rev IGNORE NULLS) OVER w_next AS next_rev,
+        first_value(CASE WHEN rev IS NOT NULL THEN d END IGNORE NULLS)
+          OVER w_next AS next_d
+      FROM joined
+      WINDOW w_prev AS (PARTITION BY product ORDER BY d
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             w_next AS (PARTITION BY product ORDER BY d
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT product, strftime(d, '%Y-%m-%d') AS date,
+           CASE WHEN rev IS NOT NULL THEN rev
+                ELSE CAST((CAST(ROUND(prev_rev * 100) AS BIGINT)
+                             * ((next_d - prev_d) - (d - prev_d))
+                           + CAST(ROUND(next_rev * 100) AS BIGINT)
+                             * (d - prev_d))
+                          // (next_d - prev_d) AS DOUBLE) / 100.0
+           END AS revenue_interp,
+           CAST(rev IS NULL AS INT) AS is_filled
+    FROM anch
+    """,
+    doc="Dense per-product calendar with gap days LINEARLY interpolated "
+        "between the surrounding observed anchors — the other half of "
+        "pandas resample().interpolate() next to gap_fill_forward's "
+        "ffill; the regularization a value-continuous series (price, "
+        "level, gauge) wants where a flow series wants ffill/zero. Same "
+        "spine-FREE plan as the ffill twin: lead() hands each observed "
+        "day its successor date AND value, explode(sequence) emits the "
+        "gap run, and the interpolation is row-local arithmetic on the "
+        "run offset — one fact aggregation, one per-product window, no "
+        "spine join (the oracle's spine+anchor-window shape would scan "
+        "the fact twice at 100 TB). Float parity: the interpolated "
+        "value is floor-to-cent of the exact rational "
+        "(prev·(n-k) + next·k)/n computed ENTIRELY in BIGINT cents — "
+        "money has no sub-cents, and rounding an ambiguous double at a "
+        "decimal boundary is exactly where Spark (exact-binary "
+        "BigDecimal) and DuckDB (shortest-repr) disagree (observed "
+        "1e-6 flips on the k/n power-of-two midpoints of a round(…,6) "
+        "formulation). The numerator is non-negative so floor = "
+        "truncation and every engine's integer division agrees; the "
+        "final cents/100.0 is one correctly-rounded IEEE op. Observed "
+        "days pass the exact decimal-summed anchor through untouched.",
+)
+def q_gap_fill_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    w = Window.partitionBy("product").orderBy("date")
+    d2 = daily.select(
+        "product", "date", "total_revenue",
+        F.lead("date").over(w).alias("next_d"),
+        F.lead("total_revenue").over(w).alias("next_rev"),
+    )
+    exploded = d2.select(
+        "product", "date", "total_revenue", "next_d", "next_rev",
+        F.explode(
+            F.sequence("date", F.coalesce(F.date_sub("next_d", 1), "date"))
+        ).alias("d"),
+    )
+    k = F.datediff("d", "date").cast("long")
+    n = F.datediff("next_d", "date").cast("long")
+    prev_c = F.round(F.col("total_revenue") * 100).cast("long")
+    next_c = F.round(F.col("next_rev") * 100).cast("long")
+    staged = exploded.select(
+        "product", "date", "total_revenue", "d",
+        (prev_c * (n - k) + next_c * k).alias("num_c"),
+        n.alias("n_days"),
+    )
+    interp = (
+        F.expr("num_c div n_days").cast("double") / F.lit(100.0)
+    )
+    return staged.select(
+        "product",
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.when(F.col("d") == F.col("date"), F.col("total_revenue"))
+        .otherwise(interp)
+        .alias("revenue_interp"),
+        (F.col("d") != F.col("date")).cast("int").alias("is_filled"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Exact rolling median (7-row frame)
 # ---------------------------------------------------------------------------

@@ -196,6 +196,10 @@ MAX_PARQUET_SCANS = {
                                      # to single rule/join columns
     "range_join_grid": 1,            # lineitem only; the 3×-consumed
                                      # rung ladder is materialized
+    "gap_fill_linear": 3,            # lineitem+part+orders ONCE each —
+                                     # the spine-free plan's point: the
+                                     # oracle's spine+anchor shape would
+                                     # embed the fact join twice
 }
 
 

@@ -192,6 +192,32 @@ def _shingle_cache_alive() -> bool:
         return False
 
 
+def _shingled_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted shingle index (doc_id, hs, set_size) — see
+    :func:`minhash_band_pairs` for the cache rationale. Shared by the
+    full self-dedup and the incremental (batch-vs-corpus) variant so
+    both hit the same warm index."""
+    global _SHINGLE_CACHE
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if _SHINGLE_CACHE is not None and (
+        _SHINGLE_CACHE[:2] != key or not _shingle_cache_alive()
+    ):
+        if _shingle_cache_alive():  # stale key but live context: release
+            try:
+                _SHINGLE_CACHE[2].unpersist()
+            except Exception:
+                pass
+        _SHINGLE_CACHE = None  # drops the frame → dead session refs too
+    if _SHINGLE_CACHE is None:
+        from pyspark import StorageLevel
+
+        docs = _with_hashed_shingles(table_parallel(spark, sf_dir, "documents")).select(
+            "doc_id", "hs", F.col("n_shingles").alias("set_size"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SHINGLE_CACHE = (*key, docs)
+    return _SHINGLE_CACHE[2]
+
+
 def minhash_band_pairs(
     spark: SparkSession, sf_dir: str, threshold: float = 0.8
 ) -> DataFrame:
@@ -213,25 +239,29 @@ def minhash_band_pairs(
     corpus path changes; repeat runs over the same immutable snapshot
     (the dedup norm) hit the warm index.
     """
-    global _SHINGLE_CACHE
-    key = (spark.sparkContext.applicationId, sf_dir)
-    if _SHINGLE_CACHE is not None and (
-        _SHINGLE_CACHE[:2] != key or not _shingle_cache_alive()
-    ):
-        if _shingle_cache_alive():  # stale key but live context: release
-            try:
-                _SHINGLE_CACHE[2].unpersist()
-            except Exception:
-                pass
-        _SHINGLE_CACHE = None  # drops the frame → dead session refs too
-    if _SHINGLE_CACHE is None:
-        from pyspark import StorageLevel
+    docs = _shingled_cached(spark, sf_dir)
+    bands = _capped_bands(docs)
 
-        docs = _with_hashed_shingles(table_parallel(spark, sf_dir, "documents")).select(
-            "doc_id", "hs", F.col("n_shingles").alias("set_size"),
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        _SHINGLE_CACHE = (*key, docs)
-    docs = _SHINGLE_CACHE[2]
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return _verify_pairs(docs, cand, "doc_a", "doc_b", threshold)
+
+
+def _capped_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) band table with the MAX_BUCKET cap
+    applied — the shared LSH index shape for both dedup variants."""
     sig = _minhash_signature(docs)
     bands = sig.select(
         "doc_id",
@@ -256,47 +286,95 @@ def minhash_band_pairs(
     from pyspark.sql.window import Window
 
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
-    bands = bands.withColumn("_bn", bucket_n).filter(F.col("_bn") <= MAX_BUCKET).drop("_bn")
+    return bands.withColumn("_bn", bucket_n).filter(
+        F.col("_bn") <= MAX_BUCKET).drop("_bn")
 
-    cand = (
-        bands.alias("x")
-        .join(
-            bands.alias("y"),
-            (F.col("x.band_idx") == F.col("y.band_idx"))
-            & (F.col("x.band_hash") == F.col("y.band_hash"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .select(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+
+def _verify_pairs(
+    docs: DataFrame, cand: DataFrame, left: str, right: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verify of candidate pairs against the shingle index."""
     a = docs.select(
-        F.col("doc_id").alias("doc_a"),
+        F.col("doc_id").alias(left),
         F.col("hs").alias("set_a"),
         F.col("set_size").alias("size_a"),
     )
     b = docs.select(
-        F.col("doc_id").alias("doc_b"),
+        F.col("doc_id").alias(right),
         F.col("hs").alias("set_b"),
         F.col("set_size").alias("size_b"),
     )
     common = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
     union = F.col("size_a") + F.col("size_b") - common
     return (
-        cand.join(a, "doc_a").join(b, "doc_b")
-        .select("doc_a", "doc_b", (common / union).alias("jaccard"))
+        cand.join(a, left).join(b, right)
+        .select(left, right, (common / union).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
 
-def oracle_minhash_near_dup(threshold: float = 0.8) -> str:
-    """Exact DuckDB mirror of :func:`minhash_band_pairs`: same md5-13-hex
-    shingle hashes, same universal-hash minhash signatures (the
-    ``_MH_PARAMS`` constants are embedded below), same band keys, same
-    ``MAX_BUCKET`` cap, same integer-set Jaccard verify — so the driver
-    value-hash CONFIRMS the flagship near-dup path bit-for-bit."""
+#: Incremental-ingest split: docs whose md5("inc:"+doc_id) 2-hex prefix
+#: is >= 'cc' (~20%) are the NEW BATCH; the rest are the standing
+#: corpus. md5-based so the DuckDB oracle reproduces the split exactly
+#: (same convention as hash_split_assign).
+_INC_BATCH_PREFIX = "cc"
+
+
+def minhash_incremental_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8
+) -> DataFrame:
+    """Incremental near-dup check: which NEW-batch docs duplicate the
+    standing corpus — the production ingest shape, where re-running the
+    full self-dedup per batch would redo corpus×corpus work that cannot
+    produce a new drop decision.
+
+    Same shingle index, signatures, band keys and MAX_BUCKET cap as
+    :func:`minhash_band_pairs`; the candidate join is ASYMMETRIC —
+    batch bands ⋈ corpus bands only — so per-batch work is
+    O(|batch| + matched buckets), not O(|corpus|²). Each batch doc
+    reports its BEST corpus match (max exact Jaccard, ties to the
+    smallest corpus doc_id — deterministic under any partitioning).
+    """
+    from pyspark.sql.window import Window
+
+    docs = _shingled_cached(spark, sf_dir)
+    is_batch = (
+        F.substring(
+            F.md5(F.concat(F.lit("inc:"), F.col("doc_id").cast("string"))),
+            1, 2,
+        ) >= _INC_BATCH_PREFIX
+    )
+    bands = _capped_bands(docs)
+    batch_b = bands.filter(is_batch)
+    corpus_b = bands.filter(~is_batch)
+    cand = (
+        batch_b.alias("x")
+        .join(
+            corpus_b.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_new"),
+            F.col("y.doc_id").alias("doc_corpus"),
+        )
+        .distinct()
+    )
+    verified = _verify_pairs(docs, cand, "doc_new", "doc_corpus", threshold)
+    w = Window.partitionBy("doc_new").orderBy(
+        F.desc("jaccard"), F.asc("doc_corpus"))
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _oracle_minhash_cte() -> str:
+    """Shared DuckDB CTE prefix (shingles → hashes → signatures → capped
+    bands), mirroring the Spark pipeline bit-for-bit; both MinHash
+    oracles append their own candidate/verify tail."""
     mh_entries = ",\n             ".join(
         f"list_min(list_transform(hs, h -> ({a}::BIGINT * (h & 4294967295::BIGINT)"
         f" + {b}::BIGINT) % {_MH_PRIME}::BIGINT))"
@@ -340,7 +418,17 @@ def oracle_minhash_near_dup(threshold: float = 0.8) -> str:
         SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bn
         FROM bands
       ) WHERE bn <= {MAX_BUCKET}
-    ), cand AS (
+    )"""
+
+
+def oracle_minhash_near_dup(threshold: float = 0.8) -> str:
+    """Exact DuckDB mirror of :func:`minhash_band_pairs`: same md5-13-hex
+    shingle hashes, same universal-hash minhash signatures (the
+    ``_MH_PARAMS`` constants are embedded), same band keys, same
+    ``MAX_BUCKET`` cap, same integer-set Jaccard verify — so the driver
+    value-hash CONFIRMS the flagship near-dup path bit-for-bit."""
+    return _oracle_minhash_cte() + f"""
+    , cand AS (
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
       FROM capped x JOIN capped y
         ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
@@ -356,6 +444,43 @@ def oracle_minhash_near_dup(threshold: float = 0.8) -> str:
       JOIN hx b ON cand.doc_b = b.doc_id
     )
     SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {threshold}
+    """
+
+
+def oracle_minhash_incremental(threshold: float = 0.8) -> str:
+    """DuckDB mirror of :func:`minhash_incremental_pairs`: same CTE
+    prefix, the md5('inc:'+doc_id) >= '{_INC_BATCH_PREFIX}' batch split,
+    the asymmetric batch ⋈ corpus candidate join, and the best-match
+    window (max Jaccard, ties to smallest corpus doc_id)."""
+    return _oracle_minhash_cte() + f"""
+    , flagged AS (
+      SELECT doc_id,
+             substr(md5(concat('inc:', CAST(doc_id AS VARCHAR))), 1, 2)
+               >= '{_INC_BATCH_PREFIX}' AS is_batch
+      FROM hx
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS doc_new, y.doc_id AS doc_corpus
+      FROM capped x
+      JOIN flagged fx ON x.doc_id = fx.doc_id AND fx.is_batch
+      JOIN capped y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+      JOIN flagged fy ON y.doc_id = fy.doc_id AND NOT fy.is_batch
+    ), verified AS (
+      SELECT doc_new, doc_corpus,
+             len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+               / CAST(a.set_size + b.set_size
+                      - len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+                      AS DOUBLE) AS jaccard
+      FROM cand
+      JOIN hx a ON cand.doc_new = a.doc_id
+      JOIN hx b ON cand.doc_corpus = b.doc_id
+    )
+    SELECT doc_new, doc_corpus, jaccard FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_new ORDER BY jaccard DESC, doc_corpus
+      ) AS rn
+      FROM verified WHERE jaccard >= {threshold}
+    ) WHERE rn = 1
     """
 
 

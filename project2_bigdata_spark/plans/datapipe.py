@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators.dedup import (
     blocked_jaccard_pairs, exact_dedup, minhash_band_pairs,
+    minhash_incremental_pairs, oracle_minhash_incremental,
     oracle_minhash_near_dup, simhash_buckets,
 )
 from ..operators.multimodal import multimodal_features
@@ -189,6 +190,24 @@ def q_dedup_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_pairs(spark, sf_dir, threshold=0.8)
+
+
+@register(
+    "minhash_incremental_dedup",
+    oracle=oracle_minhash_incremental(threshold=0.8),
+    doc="Incremental-ingest near-dup check: a deterministic ~20% batch "
+        "split (md5 prefix — oracle-reproducible) is screened against "
+        "the standing corpus only. Same shingle index, signatures, band "
+        "keys and MAX_BUCKET cap as minhash_near_dup, but the candidate "
+        "join is ASYMMETRIC (batch bands ⋈ corpus bands) — per-batch "
+        "work is O(|batch| + matched buckets) instead of re-running the "
+        "corpus×corpus self-join per ingest, which is what makes "
+        "per-batch dedup affordable on a 100 TB standing corpus. Each "
+        "new doc reports its best corpus match (max exact Jaccard, "
+        "ties to smallest corpus doc_id).",
+)
+def q_minhash_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_incremental_pairs(spark, sf_dir, threshold=0.8)
 
 
 @register(

@@ -295,3 +295,24 @@ def test_salted_join_is_shuffled_on_salted_key(spark, sf_dir):
     assert len(salted_exchanges) >= 2, (
         f"expected both join inputs partitioned on (key, _salt), "
         f"found {salted_exchanges}\n{plan}")
+
+
+def test_minhash_incremental_is_asymmetric_band_join(spark, sf_dir):
+    """The incremental dedup's candidate stage must be an EQUI join on
+    the band key between the batch and corpus band tables — never a
+    cartesian or an all-pairs shape — and the best-match selection a
+    row_number window over doc_new. (The asymmetry itself — batch rows
+    on one side only — is enforced by construction: both join inputs
+    filter the same band table on complementary md5-prefix predicates.)"""
+    import re
+
+    plan = plan_of(spark, sf_dir, "minhash_incremental_dedup")
+    assert "CartesianProduct" not in plan, plan
+    band_joins = [
+        ln for ln in plan.splitlines()
+        if re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)"
+                     r".{0,60}band_hash", ln)
+    ]
+    assert band_joins, f"no band-keyed equi join found\n{plan}"
+    assert re.search(r"row_number.*doc_new|windowspecdefinition\(doc_new",
+                     plan), plan

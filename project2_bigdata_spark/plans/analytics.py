@@ -20,7 +20,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table
-from ..functions.money import dsum, oracle_dsum
+from ..functions.money import (
+    DEC, DEC10, dsum, dsum_as, oracle_dsum, oracle_dsum_as,
+)
 from ..operators.rank import global_ntile
 from ..operators.salesviews import sale_lines
 from ..session import truncate_lineage
@@ -2416,4 +2418,101 @@ def q_concentration_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("hhi"),
         F.round(F.col("top1") / F.col("total"), 6).alias("top1_share"),
         F.round(F.col("top5") / F.col("total"), 6).alias("top5_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point detection (sequential drift, not pointwise outliers)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cusum_changepoints",
+    oracle=_DAILY_SQL + f"""
+    , cum AS (
+      SELECT product, date,
+             CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) OVER w * 100
+                  AS BIGINT) AS cum_c,
+             ROW_NUMBER() OVER w AS t
+      FROM daily
+      WINDOW w AS (PARTITION BY product ORDER BY date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), tot AS (
+      SELECT product, COUNT(*) AS n,
+             CAST(SUM(CAST(total_revenue AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS tot_c,
+             {oracle_dsum('total_revenue', 'sx')},
+             {oracle_dsum_as('total_revenue * total_revenue',
+                             'DECIMAL(28,10)', 'sxx')}
+      FROM daily GROUP BY 1
+    )
+    SELECT c.product, strftime(c.date, '%Y-%m-%d') AS date,
+           CAST(n * cum_c - t * tot_c AS DOUBLE)
+             / (CAST(n AS DOUBLE) * 100.0) AS cusum,
+           CASE WHEN n > 1 AND (sxx - sx * sx / n) > 0 THEN
+             CAST(ABS(CAST(n * cum_c - t * tot_c AS DOUBLE)
+                      / (CAST(n AS DOUBLE) * 100.0))
+                  > 3.0 * SQRT((sxx - sx * sx / n) / (n - 1))
+                        * SQRT(CAST(t AS DOUBLE)) AS INT)
+           ELSE 0 END AS is_drift
+    FROM cum c JOIN tot USING (product)
+    """,
+    doc="CUSUM change-point detection over each product's daily revenue "
+        "— SEQUENTIAL drift (a sustained level shift accumulates in the "
+        "running sum of deviations), complementary to the pointwise "
+        "outlier queries (mad_outliers, seasonal_anomalies) which only "
+        "see individually-extreme days. Exactness: cusum_t = "
+        "Σ_{{s<=t}}(x_s − μ) = (n·prefix_t − t·total)/n is computed as "
+        "EXACT BIGINT cents in the numerator (decimal running sum ×100; "
+        "n·prefix − t·total never touches a float), with ONE double "
+        "division at the end — a windowed float cumsum would make the "
+        "result accumulation-order-dependent and engine-divergent, and "
+        "rounding the quotient would hit cross-engine half-way flips "
+        "(the gap_fill_linear lesson), so the raw correctly-rounded "
+        "quotient IS the output. Drift flag: |cusum| > 3σ√t (the "
+        "random-walk null's envelope), σ from exact decimal moments, "
+        "identical expression tree on both engines. Plan: one "
+        "per-product ordered window over the daily relation + a "
+        "broadcast of per-product totals — the window partitions by "
+        "product, so a 100 TB run parallelizes across products and "
+        "each partition is one product's calendar (bounded).",
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # daily is consumed by TWO subplans (the ordered prefix window and
+    # the per-product totals); materialize once so the 3-table fact
+    # join isn't embedded per consumer (6 parquet scans → 0, pinned)
+    daily = truncate_lineage(_daily(spark, sf_dir))
+    wseq = Window.partitionBy("product").orderBy("date")
+    wcum = wseq.rowsBetween(Window.unboundedPreceding, 0)
+    cum = daily.select(
+        "product", "date",
+        (F.sum(F.col("total_revenue").cast(DEC)).over(wcum) * 100)
+        .cast("bigint").alias("cum_c"),
+        F.row_number().over(wseq).cast("bigint").alias("t"),
+    )
+    tot = daily.groupBy("product").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.col("total_revenue").cast(DEC)) * 100)
+        .cast("bigint").alias("tot_c"),
+        dsum("total_revenue", "sx"),
+        dsum_as("total_revenue * total_revenue", DEC10, "sxx"),
+    )
+    j = cum.join(F.broadcast(tot), "product")
+    num = F.col("n") * F.col("cum_c") - F.col("t") * F.col("tot_c")
+    cusum = num.cast("double") / (F.col("n").cast("double") * F.lit(100.0))
+    var_num = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    sd = F.sqrt(var_num / (F.col("n") - 1))
+    is_drift = (
+        F.when(
+            (F.col("n") > 1) & (var_num > 0),
+            (F.abs(cusum)
+             > F.lit(3.0) * sd * F.sqrt(F.col("t").cast("double")))
+            .cast("int"),
+        ).otherwise(F.lit(0))
+    )
+    return j.select(
+        "product",
+        F.date_format("date", "yyyy-MM-dd").alias("date"),
+        cusum.alias("cusum"),
+        is_drift.alias("is_drift"),
     )

@@ -200,6 +200,9 @@ MAX_PARQUET_SCANS = {
                                      # the spine-free plan's point: the
                                      # oracle's spine+anchor shape would
                                      # embed the fact join twice
+    "cusum_changepoints": 0,         # daily materialized once (was 6:
+                                     # prefix window + totals each
+                                     # embedded the 3-table fact join)
 }
 
 

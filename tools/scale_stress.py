@@ -135,7 +135,11 @@ def main() -> int:
                           "sec": round(time.perf_counter() - t0, 1)}))
     else:
         names = sys.argv[3].split(",")
-        timeout_s = int(sys.argv[4]) if len(sys.argv) > 4 else 600
+        # timeout: positional, or --timeout SEC (both documented forms)
+        rest = sys.argv[4:]
+        if rest and rest[0] == "--timeout":
+            rest = rest[1:]
+        timeout_s = int(rest[0]) if rest else 600
         res = run(spark, k, names, timeout_s)
         print(json.dumps({
             "k": k,

@@ -53,6 +53,8 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from ..catalog import table  # noqa: E402
+from ..functions.datetime_utils import sale_date  # noqa: E402
+from ..functions.money import dsum, oracle_dsum  # noqa: E402
 from ..session import truncate_lineage  # noqa: E402
 
 
@@ -496,4 +498,60 @@ def q_range_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("l_orderkey").cast("bigint").alias("orderkey_checksum"),
         )
         .orderBy("p_partkey")
+    )
+
+
+@register(
+    "ohlc_hourly",
+    oracle=f"""
+    SELECT event_type,
+           strftime(ts, '%Y-%m-%d') AS date,
+           CAST(extract(hour FROM ts) AS INT) AS hour,
+           struct_extract(min({{'t': ts, 'i': event_id, 'v': value}}), 'v')
+             AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           struct_extract(max({{'t': ts, 'i': event_id, 'v': value}}), 'v')
+             AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {oracle_dsum('value', 'volume_value')}
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="OHLC downsampling bars — open/high/low/close of the event "
+        "value per (event_type, hour) bucket plus tick count and exact "
+        "volume: the standard resample primitive for telemetry and "
+        "market series (pandas resample().ohlc()). open/close are "
+        "SELECTIONS via min/max over a (ts, event_id, value) struct — "
+        "lexicographic struct ordering gives first/last-by-time with a "
+        "deterministic event_id tie-break, and both engines order "
+        "structs field-by-field so the oracle mirrors the selection "
+        "exactly. The whole bar is ONE aggregate over ONE scan with "
+        "map-side partial aggregation and a single shuffle on the "
+        "bucket key — no window and no per-bucket time sort (a "
+        "row_number formulation would sort every bucket). Spark plans "
+        "it as SortAggregate (struct/string buffers aren't "
+        "hash-mutable; min_by/max_by and string-encoded min hit the "
+        "same fallback — measured, not assumed), whose sort is on the "
+        "GROUP KEY only and combines partials map-side exactly like "
+        "the hash form. high/low/volume are plain aggregates; volume "
+        "is the exact decimal sum.",
+)
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    tick = F.struct(F.col("ts").alias("t"), F.col("event_id").alias("i"),
+                    F.col("value").alias("v"))
+    return (
+        e.groupBy(
+            "event_type",
+            sale_date("ts").alias("date"),
+            F.hour("ts").alias("hour"),
+        )
+        .agg(
+            F.min(tick)["v"].alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(tick)["v"].alias("close"),
+            F.count("*").cast("bigint").alias("n_events"),
+            dsum("value", "volume_value"),
+        )
     )

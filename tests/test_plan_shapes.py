@@ -203,6 +203,9 @@ MAX_PARQUET_SCANS = {
     "cusum_changepoints": 0,         # daily materialized once (was 6:
                                      # prefix window + totals each
                                      # embedded the 3-table fact join)
+    "ohlc_hourly": 1,                # one events scan, one hash agg —
+                                     # open/close are struct-min/max
+                                     # selections, no per-bucket sort
 }
 
 
@@ -319,3 +322,17 @@ def test_minhash_incremental_is_asymmetric_band_join(spark, sf_dir):
     assert band_joins, f"no band-keyed equi join found\n{plan}"
     assert re.search(r"row_number.*doc_new|windowspecdefinition\(doc_new",
                      plan), plan
+
+
+def test_ohlc_is_single_aggregate_no_window(spark, sf_dir):
+    """OHLC bars must stay ONE aggregate over one scan: open/close come
+    from struct-ordered min/max (map-side combinable selections), never
+    a row_number window — a per-bucket time sort behind a window would
+    add per-bucket sort cost at 100 TB. Spark plans the struct min/max
+    as SortAggregate (sort on the GROUP KEY only); the pin is: no
+    Window, partial (map-side) aggregation present, exactly one
+    exchange."""
+    plan = plan_of(spark, sf_dir, "ohlc_hourly")
+    assert "Window" not in plan, plan
+    assert "partial_min" in plan or "partial(min" in plan, plan
+    assert plan.count("Exchange") == 1, plan

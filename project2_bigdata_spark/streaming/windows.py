@@ -122,6 +122,71 @@ def q_stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_session_dynamic_gap",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, ts, event_id,
+             epoch_us(ts) + CASE WHEN event_type = 'purchase'
+                                 THEN 3600000000 ELSE 1800000000 END
+               AS end_us
+      FROM events
+    ), g AS (
+      SELECT user_id, ts, event_id, end_us,
+             CASE WHEN max(end_us) OVER wprev IS NULL
+                    OR epoch_us(ts) >= max(end_us) OVER wprev
+                  THEN 1 ELSE 0 END AS is_new
+      FROM iv
+      WINDOW wprev AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), s AS (
+      SELECT user_id, ts, end_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS sid
+      FROM g
+    )
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(make_timestamp(max(end_us)), '%Y-%m-%d %H:%M:%S')
+             AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+    doc="Streaming sessionization with a DYNAMIC per-event gap: a "
+        "purchase keeps the session alive 60 minutes, anything else 30 "
+        "— the engagement-weighted timeout real funnels use, and a "
+        "capability fixed-gap sessionize cannot express. Spark: "
+        "session_window(ts, CASE …) — each event contributes the "
+        "interval [ts, ts+its_gap) and overlapping intervals merge in "
+        "the session state store (RocksDB-backed, same replay harness "
+        "as the fixed-gap query). Oracle: the interval-union "
+        "formulation — an event opens a NEW session iff its start is "
+        ">= the running max end of every earlier interval (exact "
+        "integer micros; ties ordered by event_id, which cannot change "
+        "the merged components since equal starts always overlap). "
+        "Session end = max interval end, which for a dynamic gap is "
+        "NOT last_ts + gap(last event) — an earlier long-gap event can "
+        "own the horizon.",
+)
+def q_stream_session_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap = F.when(F.col("event_type") == "purchase", F.lit("60 minutes")) \
+        .otherwise(F.lit("30 minutes"))
+    agg = (
+        events_stream(spark, sf_dir)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return run_to_batch(agg).select(
+        "user_id",
+        F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_start"),
+        F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss")
+        .alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
     "stream_dedup",
     oracle="""
     SELECT event_type, COUNT(DISTINCT event_id) AS n_unique

@@ -18,6 +18,7 @@ from . import datapipe      # noqa: E402,F401  Phase 6: dedup / similarity / tex
 from . import curation      # noqa: E402,F401  round 2: PII / span dedup / sampling / quantize / CDC
 from . import ops           # noqa: E402,F401  round 2: dq gates / anomalies / incremental rollups
 from . import analytics     # noqa: E402,F401  round 2: gap-fill / rolling median / pareto / RFM / fuzzy / BM25
+from . import classics      # noqa: E402,F401  round 5: TPC-H shapes, skyline, Benford, Welch, weighted median
 from ..operators import kmeans as _op_kmeans  # noqa: E402,F401  round 2: Lloyd k-means with unrolled oracle
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5

@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.money import oracle_dsum_as
+from ..functions.money import dsum_as, oracle_dsum_as
+from ..operators.salesviews import sale_lines
 from .registry import register
 
 # ---------------------------------------------------------------------------
@@ -480,4 +481,321 @@ def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("totw").cast("bigint").alias("total_weight"),
         )
         .orderBy(*keys)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: urgent vs non-urgent order totals (rank-sum test)
+# ---------------------------------------------------------------------------
+
+# Shared final expressions over one row of exact integer aggregates:
+# n1/n2/n/ties BIGINT, twou = 2*U1 (BIGINT: sum of 2*avg-ranks is
+# integral even with ties). Every IEEE op below is the SAME string
+# compiled into both engines; all integer inputs are exactly
+# representable as doubles at any realistic scale (n1*n2 < 2^53).
+_MW_SIGMA = ("sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0"
+             " * (CAST(n + 1 AS DOUBLE) - CAST(ties AS DOUBLE)"
+             " / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))))")
+_MW_FINAL = [
+    "n1", "n2",
+    "CAST(twou AS DOUBLE) / 2.0 AS u_stat",
+    "CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0 AS mu_u",
+    f"{_MW_SIGMA} AS sigma_u",
+    f"CAST(twou - n1 * n2 AS DOUBLE) / (2.0 * {_MW_SIGMA}) AS z_stat",
+]
+
+
+@register(
+    "mann_whitney_priority",
+    oracle=f"""
+    WITH hist AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT n_a, n_all,
+             CAST(COALESCE(SUM(n_all) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cb
+      FROM hist
+    ), m AS (
+      SELECT CAST(SUM(n_a * (2 * cb + n_all + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(n_a) AS BIGINT) AS n1,
+             CAST(SUM(n_all) AS BIGINT) AS n,
+             CAST(SUM(n_all * n_all * n_all - n_all) AS BIGINT) AS ties
+      FROM cum
+    ), pre AS (
+      SELECT n1, n - n1 AS n2, n, ties,
+             r2a - n1 * (n1 + 1) AS twou
+      FROM m
+    )
+    SELECT {", ".join(_MW_FINAL)} FROM pre
+    """,
+    doc="Mann-Whitney U rank-sum test of o_totalprice, urgent orders "
+        "vs all others — the nonparametric sibling of "
+        "welch_ttest_segments for when normality is off the table. "
+        "Ranking n rows is the naive trap (a global sort of the fact "
+        "table, then a second pass for tie groups); this plan never "
+        "ranks a row: a grouped aggregate collapses orders to its "
+        "DISTINCT-PRICE histogram (map-side partials), one "
+        "cumulative-count window over that histogram yields every "
+        "tied-average rank in closed form (2*avgrank = 2*cum_before "
+        "+ t + 1, an INTEGER), and the U statistic, tie-corrected "
+        "sigma, and z-score come from four exact integer sums via "
+        "expression strings shared verbatim with the oracle — "
+        "bit-equal doubles, no engine ranks, no float accumulation. "
+        "The window runs over |distinct 2dp prices| rows, not |orders|.",
+)
+def q_mann_whitney_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    hist = (
+        o.groupBy(F.col("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+                  .otherwise(0)).cast("bigint").alias("n_a"),
+            F.count("*").cast("bigint").alias("n_all"),
+        )
+    )
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = hist.select(
+        "n_a", "n_all",
+        F.coalesce(F.sum("n_all").over(w), F.lit(0))
+        .cast("bigint").alias("cb"),
+    )
+    m = cum.agg(
+        F.sum(F.col("n_a") * (F.lit(2) * F.col("cb") + F.col("n_all") + 1))
+        .cast("bigint").alias("r2a"),
+        F.sum("n_a").cast("bigint").alias("n1"),
+        F.sum("n_all").cast("bigint").alias("n"),
+        F.sum(F.col("n_all") * F.col("n_all") * F.col("n_all")
+              - F.col("n_all")).cast("bigint").alias("ties"),
+    )
+    pre = m.select(
+        "n1", (F.col("n") - F.col("n1")).alias("n2"), "n", "ties",
+        (F.col("r2a") - F.col("n1") * (F.col("n1") + 1)).alias("twou"),
+    )
+    return pre.selectExpr(*_MW_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov: urgent vs non-urgent order totals
+# ---------------------------------------------------------------------------
+
+_KS_FINAL = [
+    "n1", "n2",
+    "CAST(maxdiff AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS d_stat",
+    "CAST(CAST(MIN(v) AS VARCHAR) AS DOUBLE) AS d_location",
+    "CAST(maxdiff AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) AS ks_lambda",
+]
+
+_KS_HIST = """
+    WITH hist AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS v,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT v,
+             CAST(SUM(n_a) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS c1,
+             CAST(SUM(n_b) OVER (
+               ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS c2
+      FROM hist
+    ), diffs AS (
+      SELECT v, abs(c1 * (SELECT CAST(SUM(n_b) AS BIGINT) FROM hist)
+                    - c2 * (SELECT CAST(SUM(n_a) AS BIGINT) FROM hist))
+                AS diff
+      FROM cum
+    ), tot AS (
+      SELECT CAST(SUM(n_a) AS BIGINT) AS n1,
+             CAST(SUM(n_b) AS BIGINT) AS n2,
+             (SELECT CAST(MAX(diff) AS BIGINT) FROM diffs) AS maxdiff
+      FROM hist
+    )
+"""
+
+
+@register(
+    "ks_test_totalprice",
+    oracle=_KS_HIST + f"""
+    SELECT {", ".join(_KS_FINAL)}
+    FROM diffs CROSS JOIN tot
+    WHERE diff = maxdiff
+    GROUP BY n1, n2, maxdiff
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test of o_totalprice, urgent vs "
+        "non-urgent orders: the max vertical ECDF gap D, the price at "
+        "which it occurs (min such price — deterministic), and the "
+        "scaled KS lambda. The ECDFs are never built per-row: the same "
+        "distinct-price histogram as mann_whitney_priority carries "
+        "both groups' counts, two cumulative sums over it ARE the "
+        "ECDF numerators, and the sup is found on the INTEGER "
+        "cross-difference |c1*n2 - c2*n1| — no division happens until "
+        "the single final D = maxdiff/(n1*n2), so no float ECDF can "
+        "tie-break differently across engines at the argmax. The "
+        "1-row totals ride back as a broadcast (the allowlisted "
+        "scalar-aggregate BNLJ); everything row-count-ish in the plan "
+        "is |distinct prices|, not |orders|.",
+)
+def q_ks_test_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    hist = (
+        o.groupBy(F.col("o_totalprice").cast("decimal(18,2)").alias("v"))
+        .agg(
+            F.sum(urgent).cast("bigint").alias("n_a"),
+            F.sum(F.lit(1) - urgent).cast("bigint").alias("n_b"),
+        )
+    )
+    wc = (Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = hist.select(
+        "v",
+        F.sum("n_a").over(wc).cast("bigint").alias("c1"),
+        F.sum("n_b").over(wc).cast("bigint").alias("c2"),
+    )
+    tot = hist.agg(
+        F.sum("n_a").cast("bigint").alias("n1"),
+        F.sum("n_b").cast("bigint").alias("n2"),
+    )
+    diffs = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "n1", "n2",
+        F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .alias("diff"),
+    )
+    maxd = diffs.agg(F.max("diff").cast("bigint").alias("maxdiff"))
+    return (
+        diffs.crossJoin(F.broadcast(maxd))
+        .where(F.col("diff") == F.col("maxdiff"))
+        .groupBy("n1", "n2", "maxdiff")
+        .agg(F.min("v").alias("_vmin"))
+        .withColumn("v", F.col("_vmin")).drop("_vmin")
+        .selectExpr(*_KS_FINAL[:3],
+                    "CAST(CAST(v AS STRING) AS DOUBLE) AS d_location",
+                    _KS_FINAL[4])
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function: daily revenue per product, lags 1..7
+# ---------------------------------------------------------------------------
+
+_ACF_MAX_LAG = 7
+_ACF_MIN_PAIRS = 8
+
+# Pearson corr from exact decimal moment sums (n BIGINT; sx,sy,sxx,syy,
+# sxy DOUBLE via the canonical decimal->varchar->double round-trip),
+# shared verbatim with the oracle. Degenerate variance => NULL.
+_ACF_VAR = ("((CAST(n AS DOUBLE) * sxx - sx * sx)"
+            " * (CAST(n AS DOUBLE) * syy - sy * sy))")
+_ACF_FINAL = [
+    "product", "lag", "n AS n_pairs",
+    f"CASE WHEN {_ACF_VAR} <= 0 THEN NULL"
+    f" ELSE (CAST(n AS DOUBLE) * sxy - sx * sy) / sqrt({_ACF_VAR})"
+    f" END AS acf",
+]
+
+
+@register(
+    "acf_daily_revenue",
+    oracle=f"""
+    WITH sale_lines AS (
+      SELECT o_orderdate AS sale_ts, p_name AS product,
+             l_extendedprice AS revenue
+      FROM lineitem
+      JOIN part   ON l_partkey  = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+    ), daily AS (
+      SELECT CAST(sale_ts AS DATE) AS date, product,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS DECIMAL(18,2))
+               AS rev
+      FROM sale_lines GROUP BY 1, 2
+    ), lagged AS (
+      SELECT product, CAST(l.lag AS INT) AS lag,
+             date + CAST(l.lag AS INT) AS date_fwd, rev AS rev_lag
+      FROM daily CROSS JOIN
+           (SELECT unnest(generate_series(1, {_ACF_MAX_LAG})) AS lag) l
+    ), pairs AS (
+      SELECT d.product, g.lag, d.rev, g.rev_lag
+      FROM daily d
+      JOIN lagged g ON g.product = d.product AND g.date_fwd = d.date
+    ), moments AS (
+      SELECT product, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             {oracle_dsum_as("rev", "decimal(38,2)", "sx")},
+             {oracle_dsum_as("rev_lag", "decimal(38,2)", "sy")},
+             {oracle_dsum_as("rev * rev", "decimal(38,4)", "sxx")},
+             {oracle_dsum_as("rev_lag * rev_lag", "decimal(38,4)", "syy")},
+             {oracle_dsum_as("rev * rev_lag", "decimal(38,4)", "sxy")}
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT {", ".join(_ACF_FINAL)}
+    FROM moments WHERE n >= {_ACF_MIN_PAIRS}
+    ORDER BY product, lag
+    """,
+    doc="Autocorrelation function of each product's daily revenue at "
+        "lags 1..7 — the seasonality screen behind every 'weekly "
+        "cycle?' question, and the diagnostic ep3's lag-feature stack "
+        "implicitly assumes. Pairs (x_t, x_(t-L)) are formed over "
+        "observed days only (calendar join on date = date+L, so gaps "
+        "drop out of that lag's sample, matching a calendar-aligned "
+        "pandas autocorr over the sparse series). The plan forms all "
+        "7 lags in ONE self-join: the lag index explodes row-locally "
+        "on the build side (7x one relation, no shuffle per lag), "
+        "both sides hash on (product, date), and the 7 moment sets "
+        "come from a single grouped aggregate of exact decimal sums "
+        "(money 2dp / products 4dp — scales the data hits exactly), "
+        "so corr is bit-equal across engines and partitionings via "
+        "the shared final expression. Everything after the daily "
+        "rollup is |products x days| sized, not |lineitem| sized.",
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        sale_lines(spark, sf_dir)
+        .groupBy(F.col("sale_ts").cast("date").alias("date"), "product")
+        .agg(F.sum(F.col("revenue").cast("decimal(18,2)"))
+             .cast("decimal(18,2)").alias("rev"))
+    )
+    lagged = daily.select(
+        "product",
+        F.explode(F.array(*[F.lit(i) for i in
+                            range(1, _ACF_MAX_LAG + 1)])).alias("lag"),
+        "date", F.col("rev").alias("rev_lag"),
+    ).select(
+        "product", F.col("lag").cast("int").alias("lag"),
+        F.date_add("date", F.col("lag")).alias("date_fwd"), "rev_lag",
+    )
+    d = daily.alias("d")
+    g = lagged.alias("g")
+    pairs = d.join(
+        g,
+        (F.col("d.product") == F.col("g.product"))
+        & (F.col("d.date") == F.col("g.date_fwd")),
+    ).select(F.col("d.product").alias("product"), F.col("g.lag").alias("lag"),
+             F.col("d.rev").alias("rev"), F.col("g.rev_lag").alias("rev_lag"))
+    moments = pairs.groupBy("product", "lag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum_as("rev", "decimal(38,2)", "sx"),
+        dsum_as("rev_lag", "decimal(38,2)", "sy"),
+        dsum_as("rev * rev", "decimal(38,4)", "sxx"),
+        dsum_as("rev_lag * rev_lag", "decimal(38,4)", "syy"),
+        dsum_as("rev * rev_lag", "decimal(38,4)", "sxy"),
+    )
+    return (
+        moments.where(F.col("n") >= _ACF_MIN_PAIRS)
+        .selectExpr(*_ACF_FINAL)
+        .orderBy("product", "lag")
     )

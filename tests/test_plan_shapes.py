@@ -58,6 +58,7 @@ BNLJ_OK = {
                         # range join itself is the cell hash join below
     "benford_first_digit",  # 1-row order-count total broadcast
     "welch_ttest_segments",  # 1-row global-moments broadcast
+    "ks_test_totalprice",  # 1-row (n1, n2) + 1-row maxdiff broadcasts
 }
 
 
@@ -415,4 +416,54 @@ def test_welch_single_scan_exact_moments(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "welch_ttest_segments")
     assert plan.count("FileScan parquet") <= 2, plan  # per-seg agg + its reuse
     assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_mann_whitney_never_ranks_rows(spark, sf_dir):
+    """The U statistic must come from the distinct-price HISTOGRAM, not
+    a global rank of the fact table: a map-side-combinable aggregate
+    keyed on the price, exactly ONE window (the cumulative count over
+    the histogram), no rank/row_number function, no Python, and a
+    single orders scan."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "mann_whitney_priority")
+    # the histogram key is the cast expression (aliased v only in the
+    # output), so pin the map-side PARTIAL aggregate keyed on it
+    assert re.search(
+        r"HashAggregate\(keys=\[[^\]]+\], functions=\[partial_sum\(CASE"
+        r" WHEN \(o_orderpriority", plan), plan
+    assert plan.count("Window") == 1, plan
+    assert "row_number" not in plan and "rank(" not in plan, plan
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_ks_test_is_integer_histogram_ecdf(spark, sf_dir):
+    """KS must find the sup on the integer cross-difference over the
+    distinct-price histogram: histogram aggregate keyed on the price,
+    cumulative windows, scalar 1-row broadcasts (BNLJ allowlisted), no
+    cartesian of two fact relations, no Python, and no division before
+    the final projection (the only '/' ops live in the last Project)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "ks_test_totalprice")
+    assert re.search(
+        r"HashAggregate\(keys=\[[^\]]+\], functions=\[partial_sum\(CASE"
+        r" WHEN \(o_orderpriority", plan), plan
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_acf_single_join_single_aggregate(spark, sf_dir):
+    """All 7 lags must ride ONE equi-join and ONE moment aggregate: the
+    lag index explodes row-locally (Generate), both sides hash on the
+    (product, date) key, no per-lag re-join (at most 2 exchanges feed
+    the pair join), no cartesian, no Python."""
+    plan = plan_of(spark, sf_dir, "acf_daily_revenue")
+    assert "Generate explode" in plan, plan
+    assert "hashpartitioning(product" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

@@ -799,3 +799,244 @@ def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_ACF_FINAL)
         .orderBy("product", "lag")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5: local supplier volume (region-gated 6-relation join graph)
+# ---------------------------------------------------------------------------
+
+_Q5_REGION = "ASIA"
+_Q5_LO = "1996-01-01"
+_Q5_HI = "1997-01-01"
+
+
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name,
+           {oracle_dsum_as(
+               "CAST(l_extendedprice AS DECIMAL(18,2))"
+               " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+               "decimal(38,4)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = '{_Q5_REGION}'
+      AND c_nationkey = s_nationkey
+      AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q5_HI}'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    doc="TPC-H Q5 on the driver's tables: revenue by nation where the "
+        "customer and the line's supplier sit in the SAME nation of one "
+        "region, over one order year. The join GRAPH is the point at "
+        "100 TB: region gates nation gates supplier, and that whole "
+        "dimension chain broadcasts (three BroadcastHashJoins — the "
+        "fact tables never shuffle on a dimension key); the only two "
+        "shuffles are the canonical fact-fact pair — orders x customer "
+        "on the custkey, then that result x (lineitem + broadcast "
+        "supplier) on the orderkey — with the same-nation predicate "
+        "evaluated INSIDE the orderkey join condition, never as a "
+        "post-join filter over a wider intermediate. Both orderdate "
+        "bounds reach the orders parquet scan as pushed filters, so "
+        "six years of orders outside the window are never "
+        "deserialized. Revenue is the exact scale-4 decimal sum, "
+        "doubled once via the canonical string round-trip.",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = table(spark, sf_dir, "region").where(F.col("r_name") == _Q5_REGION)
+    nation = table(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+    supplier = table(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"))
+    lines = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supplier),
+        F.col("l_suppkey") == F.col("s_suppkey"))
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q5_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q5_HI).cast("timestamp")))
+    co = orders.join(
+        table(spark, sf_dir, "customer"),
+        F.col("o_custkey") == F.col("c_custkey"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (
+        lines.join(
+            co,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("string").cast("double")
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape: sole-fault supplier on multi-supplier failed orders
+# ---------------------------------------------------------------------------
+
+_Q21_TOPK = 20
+
+
+@register(
+    "tpch_q21_sole_fault_supplier",
+    oracle=f"""
+    SELECT s_name, n_name,
+           CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders      ON o_orderkey = l1.l_orderkey
+    JOIN nation      ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name, n_name
+    ORDER BY numwait DESC, s_name
+    LIMIT {_Q21_TOPK}
+    """,
+    doc="TPC-H Q21's shape on the available columns (the driver's "
+        "lineitem has no receipt/commit dates, so the fault marker is "
+        "l_returnflag = 'R'): suppliers who were the ONLY supplier "
+        "with a returned line on a finished multi-supplier order, "
+        "ranked by how many such orders they alone spoiled. The "
+        "oracle states it the classic way — EXISTS another supplier, "
+        "NOT EXISTS another faulting supplier — which scans lineitem "
+        "THREE times and correlates per row. The Spark plan scans "
+        "lineitem ONCE and never correlates: a two-level aggregate "
+        "(orderkey x suppkey with a per-supplier fault flag, then "
+        "orderkey alone counting suppliers and faulting suppliers — "
+        "deliberately NOT a multi-distinct aggregate, so no Expand "
+        "row-doubling) reduces every EXISTS to an integer predicate "
+        "n_supp >= 2 AND n_fault = 1; the unique faulting supplier "
+        "falls out of the same pass as max(case). One orderkey "
+        "shuffle against status-filtered orders, a broadcast "
+        "supplier+nation name join, and a TakeOrderedAndProject "
+        "top-20 finish it.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per_supp = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+             .alias("fault"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum("fault").alias("n_fault"),
+            F.max(F.when(F.col("fault") == 1, F.col("l_suppkey")))
+            .alias("fault_supp"),
+        )
+        .where((F.col("n_supp") >= 2) & (F.col("n_fault") == 1))
+    )
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderstatus") == "F").select("o_orderkey")
+    sn = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        per_order.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sn), F.col("fault_supp") == F.col("s_suppkey"))
+        .groupBy("s_name", "n_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(_Q21_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: high-balance customers who never ordered, by nation
+# ---------------------------------------------------------------------------
+
+
+_Q22_CUTOFF = "2000-01-01"
+
+
+@register(
+    "tpch_q22_missed_opportunity",
+    oracle=f"""
+    WITH thresh AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS npos,
+             CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS total
+      FROM customer WHERE c_acctbal > 0.00
+    )
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {oracle_dsum_as("c_acctbal", "decimal(18,2)", "totacctbal")}
+    FROM customer
+    CROSS JOIN thresh
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE CAST(c_acctbal AS DECIMAL(18,2)) * npos > total
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+    doc="TPC-H Q22's shape on the available columns (no c_phone, so "
+        "the grouping key is the customer's nation): count and total "
+        "balance of customers whose balance beats the positive-balance "
+        "average but who have placed NO order since 2000-01-01 — dormant "
+        "high-value accounts per market. Two cross-engine hazards are "
+        "engineered out: the above-average test never divides — "
+        "bal * npos > total is an exact DECIMAL x BIGINT inequality "
+        "(acctbal is exact 2dp money), so no float threshold can "
+        "straddle engines; and dormancy is a LEFT ANTI join on the "
+        "custkey against DATE-FILTERED orders (the cutoff pushes into "
+        "the orders parquet scan, pruning five years of orders before "
+        "the anti shuffle), not a correlated NOT EXISTS probe. The 1-row "
+        "(npos, total) aggregate rides back as the allowlisted "
+        "scalar-broadcast BNLJ; nation broadcasts for the name; the "
+        "only fact shuffle is the anti join's custkey exchange.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    thresh = (
+        cust.where(F.col("c_acctbal") > 0.00)
+        .agg(
+            F.count("*").cast("bigint").alias("npos"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(38,2)").alias("total"),
+        )
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thresh))
+        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("npos")
+               > F.col("total"))
+    )
+    recent = (
+        table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit(_Q22_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
+    never = rich.join(
+        recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (
+        never.join(F.broadcast(table(spark, sf_dir, "nation")),
+                   F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("numcust"),
+            dsum_as("c_acctbal", "decimal(18,2)", "totacctbal"),
+        )
+        .orderBy("n_name")
+    )

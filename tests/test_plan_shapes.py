@@ -59,6 +59,7 @@ BNLJ_OK = {
     "benford_first_digit",  # 1-row order-count total broadcast
     "welch_ttest_segments",  # 1-row global-moments broadcast
     "ks_test_totalprice",  # 1-row (n1, n2) + 1-row maxdiff broadcasts
+    "tpch_q22_missed_opportunity",  # 1-row (npos, total) threshold broadcast
 }
 
 
@@ -466,4 +467,62 @@ def test_acf_single_join_single_aggregate(spark, sf_dir):
     assert "hashpartitioning(product" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tpch_q5_nation_predicate_inside_join_keys(spark, sf_dir):
+    """Q5's 100 TB shape: the region→nation→supplier dimension chain
+    broadcasts (>=3 BroadcastHashJoins — the fact tables never shuffle
+    on a dimension key), the same-nation predicate is INSIDE the
+    fact-fact join keys ([l_orderkey, s_nationkey] vs [o_orderkey,
+    c_nationkey]) rather than a post-join filter, both orderdate
+    bounds are pushed to the orders scan, and nothing degrades to a
+    cartesian/nested-loop."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "tpch_q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert re.search(r"\[l_orderkey#\d+L, s_nationkey#\d+\]", plan), plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q21_single_lineitem_scan_no_expand(spark, sf_dir):
+    """Q21's EXISTS / NOT-EXISTS pair must collapse into ONE lineitem
+    pass: exactly 4 parquet scans total (lineitem + orders + supplier
+    + nation — the oracle scans lineitem three times), the two-level
+    aggregate keyed (l_orderkey, l_suppkey) then (l_orderkey), NO
+    Expand (the rewrite deliberately avoids a multi-distinct
+    aggregate), the status filter pushed to the orders scan, and a
+    TakeOrderedAndProject top-20 (never a global sort)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "tpch_q21_sole_fault_supplier")
+    assert plan.count("FileScan parquet") == 4, plan
+    assert re.search(r"HashAggregate\(keys=\[l_orderkey#\d+L, l_suppkey",
+                     plan), plan
+    assert "Expand" not in plan, plan
+    assert "EqualTo(o_orderstatus,F)" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q22_exact_threshold_anti_join(spark, sf_dir):
+    """Q22's hazards stay engineered out: the above-average test never
+    divides (no avg() anywhere in the plan — the threshold is the
+    exact decimal inequality bal*npos > total against the 1-row
+    allowlisted scalar broadcast), dormancy is a LeftAnti join whose
+    orders side reads ONLY (o_custkey, o_orderdate) with the cutoff
+    pushed into the scan, the positive-balance filter is pushed, and
+    no Python touches the path."""
+    plan = plan_of(spark, sf_dir, "tpch_q22_missed_opportunity")
+    assert "avg(" not in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThan(c_acctbal,0.0)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "ReadSchema: struct<o_custkey:bigint,o_orderdate:timestamp" \
+        in plan, plan
+    assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

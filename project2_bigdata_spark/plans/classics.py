@@ -1040,3 +1040,265 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1: pricing summary report (the canonical single-scan aggregate)
+# ---------------------------------------------------------------------------
+
+_Q1_CUTOFF = "2001-06-01"
+
+# Final expressions over exact per-group sums (doubles via the decimal
+# string round-trip; n BIGINT): the averages divide ONCE here, with the
+# identical IEEE op sequence compiled into both engines.
+_Q1_FINAL = [
+    "l_returnflag", "l_linestatus",
+    "sum_qty", "sum_base_price", "sum_disc_price", "sum_charge",
+    "sum_qty / CAST(count_order AS DOUBLE) AS avg_qty",
+    "sum_base_price / CAST(count_order AS DOUBLE) AS avg_price",
+    "sum_disc / CAST(count_order AS DOUBLE) AS avg_disc",
+    "count_order",
+]
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle=f"""
+    WITH sums AS (
+      SELECT l_returnflag, l_linestatus,
+             {oracle_dsum_as("l_quantity", "decimal(18,2)", "sum_qty")},
+             {oracle_dsum_as("l_extendedprice", "decimal(18,2)",
+                             "sum_base_price")},
+             {oracle_dsum_as(
+                 "CAST(l_extendedprice AS DECIMAL(18,2))"
+                 " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+                 "decimal(38,4)", "sum_disc_price")},
+             {oracle_dsum_as(
+                 "CAST(l_extendedprice AS DECIMAL(18,2))"
+                 " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+                 " * (1 + CAST(l_tax AS DECIMAL(4,2)))",
+                 "decimal(38,6)", "sum_charge")},
+             {oracle_dsum_as("l_discount", "decimal(4,2)", "sum_disc")},
+             CAST(COUNT(*) AS BIGINT) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '{_Q1_CUTOFF}'
+      GROUP BY 1, 2
+    )
+    SELECT {", ".join(_Q1_FINAL)}
+    FROM sums
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1, the canonical single-scan pricing summary: per "
+        "(returnflag, linestatus) quantities, base/discounted/charged "
+        "revenue, averages, and row counts over shipped lineitems. "
+        "The 100 TB story is that there is NO story: one parquet scan "
+        "with the ship-date cutoff pushed into it, one hash aggregate "
+        "whose partials collapse 550 G rows to at most "
+        "|flags x statuses| = 6 groups map-side, zero joins, zero "
+        "windows (plan-pinned). What the pin actually protects is the "
+        "arithmetic: every sum accumulates in DECIMAL at the exact "
+        "scale the data hits (qty/price 2dp, disc*price 4dp, "
+        "charge 6dp) and every average divides ONCE, as a shared "
+        "final-expression string over the round-tripped sums — "
+        "bit-equal across engines, partitionings, and AQE re-plans, "
+        "where the float-sum formulation would be order-dependent.",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(_Q1_CUTOFF).cast("timestamp"))
+    disc_price = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+                  " * (1 - CAST(l_discount AS DECIMAL(4,2)))")
+    sums = li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum_as("l_quantity", "decimal(18,2)", "sum_qty"),
+        dsum_as("l_extendedprice", "decimal(18,2)", "sum_base_price"),
+        dsum_as(disc_price, "decimal(38,4)", "sum_disc_price"),
+        dsum_as(disc_price + " * (1 + CAST(l_tax AS DECIMAL(4,2)))",
+                "decimal(38,6)", "sum_charge"),
+        dsum_as("l_discount", "decimal(4,2)", "sum_disc"),
+        F.count("*").cast("bigint").alias("count_order"),
+    )
+    return (
+        sums.selectExpr(*_Q1_FINAL)
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q4: order-priority checking (EXISTS → left-semi join)
+# ---------------------------------------------------------------------------
+
+_Q4_LO = "1997-07-01"
+_Q4_HI = "1997-10-01"
+
+
+@register(
+    "tpch_q4_order_priority",
+    oracle=f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{_Q4_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q4_HI}'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    doc="TPC-H Q4's shape on the available columns (no commit/receipt "
+        "dates, so the interesting-line predicate is l_returnflag = "
+        "'R'): how many orders per priority band, in one quarter, had "
+        "at least one returned line. The oracle correlates an EXISTS "
+        "probe per order; the Spark plan is the decorrelated LEFT SEMI "
+        "join — lineitem is filtered to returned lines AT THE SCAN "
+        "(the flag predicate pushes into the parquet reader, so ~2/3 "
+        "of lineitem is never deserialized), both orderdate bounds "
+        "push into the orders scan, the semi join emits each "
+        "qualifying order at most once with no payload columns from "
+        "the probe side, and a 5-group aggregate finishes map-side. "
+        "No row is ever duplicated by multiple matching lines — the "
+        "semi join's defining property, and the reason it beats "
+        "join+distinct at 550 G lineitem rows.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp")))
+    returned = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(returned, F.col("o_orderkey") == F.col("l_orderkey"),
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14: promotion revenue share (two exact sums, one division)
+# ---------------------------------------------------------------------------
+
+_Q14_LO = "1998-03-01"
+_Q14_HI = "1998-04-01"
+
+_Q14_FINAL = ["100.0 * promo_rev / total_rev AS promo_revenue_pct",
+              "promo_rev", "total_rev"]
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    WITH sums AS (
+      SELECT {oracle_dsum_as(
+                 "CASE WHEN p_type = 'PROMO' THEN"
+                 " CAST(l_extendedprice AS DECIMAL(18,2))"
+                 " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+                 " ELSE 0 END",
+                 "decimal(38,4)", "promo_rev")},
+             {oracle_dsum_as(
+                 "CAST(l_extendedprice AS DECIMAL(18,2))"
+                 " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+                 "decimal(38,4)", "total_rev")}
+      FROM lineitem
+      JOIN part ON l_partkey = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderdate >= TIMESTAMP '{_Q14_LO}'
+        AND o_orderdate <  TIMESTAMP '{_Q14_HI}'
+    )
+    SELECT {", ".join(_Q14_FINAL)} FROM sums
+    """,
+    doc="TPC-H Q14 on the driver's tables (p_type carries the PROMO "
+        "marker; the driver's lineitem has no shipdate-month filter "
+        "column quirk, so the month window applies to the order "
+        "date): the share of one month's discounted revenue that came "
+        "from promotional parts. Both sums ride ONE aggregate over "
+        "the same conditional expression — never two passes — with "
+        "part joined BROADCAST into lineitem (the fact table never "
+        "shuffles on partkey) and the month bounds pushed into the "
+        "orders scan. The percentage divides once, in a shared "
+        "final-expression string over exact scale-4 decimal sums, so "
+        "the single output row is bit-equal across engines no matter "
+        "how 550 G rows were partitioned.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q14_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q14_HI).cast("timestamp")))
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(table(spark, sf_dir, "part")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+    )
+    disc_price = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+                  " * (1 - CAST(l_discount AS DECIMAL(4,2)))")
+    sums = li.agg(
+        dsum_as(f"CASE WHEN p_type = 'PROMO' THEN {disc_price} ELSE 0 END",
+                "decimal(38,4)", "promo_rev"),
+        dsum_as(disc_price, "decimal(38,4)", "total_rev"),
+    )
+    return sums.selectExpr(*_Q14_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18: large-volume customers (HAVING on a fact rollup + join-back)
+# ---------------------------------------------------------------------------
+
+_Q18_MIN_QTY = 250
+_Q18_TOPK = 100
+
+
+@register(
+    "tpch_q18_large_volume_customers",
+    oracle=f"""
+    SELECT c_name, c_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice,
+           (SELECT CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT)
+            FROM lineitem WHERE l_orderkey = o_orderkey) AS sum_qty
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {_Q18_MIN_QTY}
+    )
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT {_Q18_TOPK}
+    """,
+    doc="TPC-H Q18: the top orders whose total line quantity exceeds "
+        "a threshold, with their customer — the canonical HAVING-on-a-"
+        "fact-rollup + join-back shape. l_quantity is integral in the "
+        "data, so the rollup sums BIGINTs and the threshold is an "
+        "exact integer comparison (no float HAVING straddle). The "
+        "Spark plan rolls lineitem up ONCE (map-side partials on the "
+        "orderkey), keeps only qualifying orders — a relation "
+        "thousands of times smaller than lineitem — and joins THAT "
+        "back to orders and customer, so the expensive side of both "
+        "join-backs is already tiny; the top-100 is a "
+        "TakeOrderedAndProject, never a global sort. The oracle "
+        "states the same thing the classic way (IN subquery + a "
+        "correlated scalar re-sum).",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint"))
+             .cast("bigint").alias("sum_qty"))
+        .where(F.col("sum_qty") > _Q18_MIN_QTY)
+    )
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_name", "c_custkey", "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice", "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(_Q18_TOPK)
+    )

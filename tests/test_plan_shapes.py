@@ -526,3 +526,69 @@ def test_tpch_q22_exact_threshold_anti_join(spark, sf_dir):
         in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tpch_q1_single_scan_exact_sums(spark, sf_dir):
+    """Q1 is ONE pushed-filter scan + ONE 6-group aggregate: no joins,
+    no windows, the ship-date cutoff in the parquet scan, every sum
+    accumulated in decimal (the partial aggregate shows decimal casts,
+    never a double sum), and all three averages divided only in the
+    final Project."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "tpch_q1_pricing_summary")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+    assert "Join" not in plan and "Window" not in plan, plan
+    assert re.search(r"partial_sum\(cast\(l_quantity#\d+ as decimal",
+                     plan), plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tpch_q4_semi_join_pushed_flags(spark, sf_dir):
+    """Q4's EXISTS must decorrelate to a LEFT SEMI join whose probe
+    side is filtered AT THE SCAN (EqualTo(l_returnflag,R) pushed, only
+    the join column read) and whose outer side has both date bounds
+    pushed; no row duplication means no distinct/Expand anywhere."""
+    plan = plan_of(spark, sf_dir, "tpch_q4_order_priority")
+    assert "LeftSemi" in plan, plan
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>" \
+        in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "LessThan(o_orderdate" in plan, plan
+    assert "Expand" not in plan, plan
+
+
+def test_tpch_q14_one_aggregate_broadcast_part(spark, sf_dir):
+    """Q14's promo and total sums ride ONE aggregate (a single pair of
+    partial/final HashAggregates with empty grouping keys — never two
+    passes over the join), part joins broadcast, the month bounds are
+    pushed to the orders scan, and the only division is the final
+    percentage Project."""
+    plan = plan_of(spark, sf_dir, "tpch_q14_promo_revenue")
+    assert plan.count("HashAggregate(keys=[]") == 2, plan  # partial+final
+    assert "BroadcastHashJoin" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_tpch_q18_rollup_before_join_back(spark, sf_dir):
+    """Q18 must roll lineitem up BEFORE any join (the HAVING filter
+    sits directly on the orderkey aggregate, so the join-back's left
+    side is already threshold-filtered), read only (l_orderkey,
+    l_quantity) from lineitem, sum the integral quantities as BIGINT
+    (no decimal/double accumulator needed), and finish with a
+    TakeOrderedAndProject top-100."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "tpch_q18_large_volume_customers")
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" \
+        in plan, plan
+    assert re.search(r"Filter \(isnotnull\(sum_qty#\d+L\) AND "
+                     r"\(sum_qty#\d+L > 250\)\)", plan), plan
+    assert re.search(r"partial_sum\(cast\(l_quantity#\d+ as bigint\)\)",
+                     plan), plan
+    assert "TakeOrderedAndProject(limit=100" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1302,3 +1302,260 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(_Q18_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6: forecasting revenue change (the pure pushed-predicate scan)
+# ---------------------------------------------------------------------------
+
+_Q6_LO = "1997-01-01"
+_Q6_HI = "1998-01-01"
+
+
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum_as(
+               "CAST(l_extendedprice AS DECIMAL(18,2))"
+               " * CAST(l_discount AS DECIMAL(4,2))",
+               "decimal(38,4)", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{_Q6_LO}'
+      AND l_shipdate <  TIMESTAMP '{_Q6_HI}'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6: the revenue that would have been earned had one "
+        "year's mid-range discounts on small-quantity lines not been "
+        "given. The whole query is a predicate-pushdown exercise: all "
+        "FOUR range predicates (two shipdate bounds, the discount "
+        "band, the quantity cap) must reach the parquet reader as "
+        "pushed filters so row groups outside the year or band are "
+        "skipped on min/max statistics alone — at 550 G rows the "
+        "difference between this and a post-scan Filter is the whole "
+        "runtime. One scan, one 1-row aggregate, zero shuffles beyond "
+        "the single-partition gather; the discount literals compare "
+        "against the same IEEE doubles both engines parsed from the "
+        "same source text, and revenue accumulates in exact scale-4 "
+        "decimal. n_lines is included so the oracle hash also pins "
+        "the selected row COUNT, not just the sum.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(_Q6_LO).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(_Q6_HI).cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        dsum_as("CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * CAST(l_discount AS DECIMAL(4,2))",
+                "decimal(38,4)", "revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7: volume shipping between two nations, by direction and year
+# ---------------------------------------------------------------------------
+
+_Q7_NATION_A = "NATION_3"
+_Q7_NATION_B = "NATION_7"
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    oracle=f"""
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           {oracle_dsum_as(
+               "CAST(l_extendedprice AS DECIMAL(18,2))"
+               " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+               "decimal(38,4)", "revenue")}
+    FROM supplier
+    JOIN lineitem ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = '{_Q7_NATION_A}' AND n2.n_name = '{_Q7_NATION_B}')
+        OR (n1.n_name = '{_Q7_NATION_B}' AND n2.n_name = '{_Q7_NATION_A}'))
+    GROUP BY 1, 2, 3
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H Q7: trade volume between two nations, split by shipping "
+        "direction and year — the canonical two-dimension-chains join "
+        "where the interesting predicate is a DISJUNCTION across the "
+        "chains. Each nation filter is pushed into ITS OWN broadcast "
+        "chain (supplier keeps only the two nations before touching "
+        "lineitem, customer likewise before orders), shrinking both "
+        "fact inputs ~12.5x up front; only the cross-chain direction "
+        "disjunction — which genuinely needs both sides — survives to "
+        "the orderkey join, as a residual condition on an EQUI join, "
+        "never a nested loop. The year comes from l_shipdate (the "
+        "one date lineitem carries), grouped as an exact INT; revenue "
+        "is the exact scale-4 decimal sum.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    both = (_Q7_NATION_A, _Q7_NATION_B)
+    nat = table(spark, sf_dir, "nation").where(F.col("n_name").isin(*both))
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nat), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    lines = table(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    co = table(spark, sf_dir, "orders").join(
+        cust, F.col("o_custkey") == F.col("c_custkey"))
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (
+        lines.join(
+            co,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (
+                ((F.col("supp_nation") == _Q7_NATION_A)
+                 & (F.col("cust_nation") == _Q7_NATION_B))
+                | ((F.col("supp_nation") == _Q7_NATION_B)
+                   & (F.col("cust_nation") == _Q7_NATION_A))
+            ),
+        )
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum(rev).cast("decimal(38,4)").cast("string").cast("double")
+             .alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10: returned-item reporting (top lost-revenue customers)
+# ---------------------------------------------------------------------------
+
+_Q10_LO = "1998-01-01"
+_Q10_HI = "1998-04-01"
+_Q10_TOPK = 20
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           {oracle_dsum_as(
+               "CAST(l_extendedprice AS DECIMAL(18,2))"
+               " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+               "decimal(38,4)", "revenue")}
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o_orderdate <  TIMESTAMP '{_Q10_HI}'
+      AND l_returnflag = 'R'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT {_Q10_TOPK}
+    """,
+    doc="TPC-H Q10: which customers returned the most revenue in one "
+        "quarter. Both selective predicates are pushed to their scans "
+        "(the quarter bounds prune orders, the 'R' flag prunes ~2/3 "
+        "of lineitem before deserialization); the flag-filtered "
+        "lineitem joins quarter-filtered orders on the orderkey, the "
+        "per-customer aggregate collapses that result map-side BEFORE "
+        "the custkey join back to the customer table — so the "
+        "customer-side shuffle carries |returned customers this "
+        "quarter| rows, not |lineitem| — and nation broadcasts for "
+        "the name. Top-20 is a TakeOrderedAndProject with the custkey "
+        "tie-break; revenue is the exact scale-4 decimal sum.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(_Q10_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q10_HI).cast("timestamp")))
+    returned = table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R")
+    rev = (F.col("l_extendedprice").cast("decimal(18,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    per_cust = (
+        returned.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).cast("decimal(38,4)").alias("rev_dec"))
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    return (
+        per_cust.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey", "c_name", "c_acctbal", "n_name",
+            F.col("rev_dec").cast("string").cast("double").alias("revenue"),
+        )
+        .orderBy(F.col("revenue").desc(), "c_custkey")
+        .limit(_Q10_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q13: customer order-count distribution (outer join + double agg)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+      FROM customer
+      LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 on the available columns (no order comments, so the "
+        "excluded class is urgent-priority orders): the distribution "
+        "of how many non-urgent orders customers have placed — "
+        "INCLUDING the zero bucket, which is the whole reason the "
+        "join is LEFT OUTER with the priority predicate INSIDE the "
+        "join condition (pushing it to WHERE would silently drop "
+        "never-ordered customers and wrongly count urgent-only "
+        "customers as missing rather than zero). COUNT(o_orderkey) "
+        "counts only matched rows, so unmatched customers land in "
+        "c_count = 0 exactly as the semantics demand. One custkey "
+        "shuffle for the outer join + first aggregate; the second "
+        "aggregate runs over |distinct order counts| rows — trivially "
+        "small at any scale. All values are exact BIGINTs; no float "
+        "enters the query at all.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT").select("o_custkey",
+                                                       "o_orderkey")
+    c_orders = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"),
+                  "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count("*").cast("bigint").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

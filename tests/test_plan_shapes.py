@@ -592,3 +592,75 @@ def test_tpch_q18_rollup_before_join_back(spark, sf_dir):
                      plan), plan
     assert "TakeOrderedAndProject(limit=100" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q6_all_predicates_pushed(spark, sf_dir):
+    """Q6 is nothing BUT pushdown: one scan with all four range
+    predicates in PushedFilters (shipdate bounds, discount band,
+    quantity cap), one 1-row aggregate, no joins, the revenue sum
+    accumulated in decimal. The scan's metadata string elides past 100
+    chars — widen it so the whole PushedFilters list is assertable."""
+    orig = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        plan = plan_of(spark, sf_dir, "tpch_q6_forecast_revenue")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", orig)
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in plan, plan
+    assert "LessThanOrEqual(l_discount,0.07)" in plan, plan
+    assert "LessThan(l_quantity,24.0)" in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_tpch_q7_direction_disjunction_on_equi_join(spark, sf_dir):
+    """Q7's cross-chain direction disjunction must ride the orderkey
+    EQUI join as a residual condition — never a nested loop or
+    cartesian — and each nation filter must already be applied inside
+    its own broadcast chain (supplier and customer each join a 2-row
+    nation relation) before any fact is touched."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "tpch_q7_volume_shipping")
+    assert re.search(
+        r"Join \[l_orderkey#\d+L\], \[o_orderkey#\d+L\], Inner, "
+        r"\(\(\(supp_nation", plan), plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "In(n_name, [NATION_3,NATION_7])" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q10_aggregates_before_customer_join(spark, sf_dir):
+    """Q10 must collapse returned-revenue to per-customer rows BEFORE
+    joining the customer table: the o_custkey HashAggregate sits below
+    the custkey join (so that join moves |returned customers|, not
+    |lineitem|), the 'R' flag and both quarter bounds are pushed to
+    their scans, and the top-20 is a TakeOrderedAndProject."""
+    plan = plan_of(spark, sf_dir, "tpch_q10_returned_items")
+    assert "EqualTo(l_returnflag,R)" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan
+    # the per-customer aggregate must appear before (deeper than) the
+    # customer scan in the string plan — the join-back reads the agg
+    agg_pos = plan.index("hashpartitioning(o_custkey")
+    cust_join_pos = plan.index("customer.parquet")
+    assert agg_pos < cust_join_pos, plan
+    assert "TakeOrderedAndProject(limit=20" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q13_outer_join_keeps_zero_bucket(spark, sf_dir):
+    """Q13's priority predicate must stay INSIDE the outer join (a
+    pre-join filter on the orders side — pushed to the orders scan as
+    Not(EqualTo), with the join itself LeftOuter so never-ordered
+    customers survive into the zero bucket), customer read pruned to
+    the single join column, and the distribution computed by a second
+    aggregate over the first."""
+    plan = plan_of(spark, sf_dir, "tpch_q13_customer_distribution")
+    assert "LeftOuter" in plan, plan
+    assert "Not(EqualTo(o_orderpriority,1-URGENT))" in plan, plan
+    assert "ReadSchema: struct<c_custkey:bigint>" in plan, plan
+    assert "hashpartitioning(c_custkey" in plan, plan
+    assert "hashpartitioning(c_count" in plan, plan
+    assert "CartesianProduct" not in plan, plan

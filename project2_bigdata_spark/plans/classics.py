@@ -1559,3 +1559,303 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8: national market share (the CASE-share over a two-chain graph)
+# ---------------------------------------------------------------------------
+
+_Q8_REGION = "AMERICA"        # customer-side region gate
+_Q8_NATION = "NATION_6"       # supplier nation whose share we measure
+_Q8_TYPE = "ECONOMY"          # part type under study
+_Q8_LO = "1996-01-01"
+_Q8_HI = "1998-01-01"
+
+_Q8_VOL = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+           " * (1 - CAST(l_discount AS DECIMAL(4,2)))")
+_Q8_FINAL = ["o_year",
+             "nation_vol / total_vol AS mkt_share",
+             "nation_vol", "total_vol"]
+
+
+@register(
+    "tpch_q8_market_share",
+    oracle=f"""
+    WITH sums AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             {oracle_dsum_as(
+                 f"CASE WHEN n2.n_name = '{_Q8_NATION}'"
+                 f" THEN {_Q8_VOL} ELSE 0 END",
+                 "decimal(38,4)", "nation_vol")},
+             {oracle_dsum_as(_Q8_VOL, "decimal(38,4)", "total_vol")}
+      FROM part
+      JOIN lineitem ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      JOIN region   ON n1.n_regionkey = r_regionkey
+      WHERE r_name = '{_Q8_REGION}'
+        AND o_orderdate >= TIMESTAMP '{_Q8_LO}'
+        AND o_orderdate <  TIMESTAMP '{_Q8_HI}'
+        AND p_type = '{_Q8_TYPE}'
+      GROUP BY 1
+    )
+    SELECT {", ".join(_Q8_FINAL)} FROM sums ORDER BY o_year
+    """,
+    doc="TPC-H Q8: of all ECONOMY-part revenue sold into one region's "
+        "customers over two years, what share was supplied from one "
+        "nation, per year. Everything dimension-shaped broadcasts: "
+        "the type-filtered part (filter pushed to its scan) and the "
+        "supplier→nation chain shrink lineitem BEFORE the fact-fact "
+        "join, and the region→nation→customer chain gates orders the "
+        "same way — the two date bounds reach the orders scan as "
+        "pushed filters. Numerator and denominator ride ONE aggregate "
+        "as a conditional and an unconditional exact scale-4 decimal "
+        "sum (never two passes, never a self-join of yearly totals), "
+        "and the share divides once per year-row in a shared "
+        "final-expression string over the string-round-tripped "
+        "doubles, so both engines perform the identical IEEE "
+        "division. Both raw sums stay in the output so the hash also "
+        "pins the inputs to the division, not just the ratio.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").where(
+        F.col("p_type") == _Q8_TYPE).select("p_partkey")
+    supp_nat = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    lines = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    region = table(spark, sf_dir, "region").where(
+        F.col("r_name") == _Q8_REGION)
+    cust_gate = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(
+            table(spark, sf_dir, "nation").join(
+                F.broadcast(region),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("n_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    orders = (
+        table(spark, sf_dir, "orders")
+        .where((F.col("o_orderdate") >= F.lit(_Q8_LO).cast("timestamp"))
+               & (F.col("o_orderdate") < F.lit(_Q8_HI).cast("timestamp")))
+        .join(cust_gate, F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
+    sums = (
+        lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            dsum_as(f"CASE WHEN supp_nation = '{_Q8_NATION}'"
+                    f" THEN {_Q8_VOL} ELSE 0 END",
+                    "decimal(38,4)", "nation_vol"),
+            dsum_as(_Q8_VOL, "decimal(38,4)", "total_vol"),
+        )
+    )
+    return sums.selectExpr(*_Q8_FINAL).orderBy("o_year")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9: product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+_Q9_NAME_FRAG = "red"
+
+#: The driver's corpus has no partsupp table, so the classic
+#: ps_supplycost is unavailable; the unit cost proxy is the part's own
+#: retail price (the only cost-shaped column the corpus carries).
+#: Profit per line = discounted revenue - retailprice x quantity, all
+#: in exact decimal so the sum is order-insensitive.
+_Q9_PROFIT = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+              " * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+              " - CAST(p_retailprice AS DECIMAL(18,2))"
+              " * CAST(l_quantity AS DECIMAL(18,2))")
+
+
+@register(
+    "tpch_q9_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {oracle_dsum_as(_Q9_PROFIT, "decimal(38,4)", "sum_profit")}
+    FROM part
+    JOIN lineitem ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%{_Q9_NAME_FRAG}%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 on the available columns (no partsupp table, so "
+        "ps_supplycost is proxied by p_retailprice — the adaptation "
+        "is stated in the module constants): profit on 'red' parts by "
+        "supplier nation and order year. The name fragment is pushed "
+        "to the part scan as a StringContains filter, and the "
+        "~8x-shrunk part (with its retailprice) BROADCASTS into "
+        "lineitem together with the supplier→nation chain — lineitem "
+        "never shuffles on a dimension key; the single fact-fact "
+        "shuffle is the orderkey join against orders pruned to "
+        "(orderkey, orderdate). Profit is computed per line entirely "
+        "in decimal — revenue at scale 4 minus an exact scale-4 cost "
+        "product (quantities are integral, prices 2dp) — so the "
+        "per-(nation, year) sum is exact, order-insensitive under any "
+        "partitioning, and bit-identical across engines after the one "
+        "string round-trip.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part").where(
+        F.col("p_name").contains(_Q9_NAME_FRAG)
+    ).select("p_partkey", "p_retailprice")
+    supp_nat = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(table(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    lines = (
+        table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    orders = table(spark, sf_dir, "orders").select("o_orderkey",
+                                                   "o_orderdate")
+    return (
+        lines.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(dsum_as(_Q9_PROFIT, "decimal(38,4)", "sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q15: top supplier (argmax over an aggregated view, exact ties)
+# ---------------------------------------------------------------------------
+
+_Q15_LO = "1997-01-01"
+_Q15_HI = "1997-04-01"
+_Q15_REV = ("CAST(l_extendedprice AS DECIMAL(18,2))"
+            " * (1 - CAST(l_discount AS DECIMAL(4,2)))")
+
+
+@register(
+    "tpch_q15_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST({_Q15_REV} AS DECIMAL(38,4))) AS rev_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{_Q15_LO}'
+        AND l_shipdate <  TIMESTAMP '{_Q15_HI}'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS total_revenue
+    FROM supplier
+    JOIN revenue ON s_suppkey = supplier_no
+    WHERE rev_dec = (SELECT MAX(rev_dec) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H Q15: the supplier(s) with the maximum revenue in one "
+        "quarter. The classic trap is equality against an aggregate: "
+        "comparing FLOAT revenues straddles (two suppliers whose "
+        "decimal revenues tie can round to different doubles, or two "
+        "different revenues to the same double), so BOTH the per-"
+        "supplier rollup and the scalar max stay in exact decimal(38,4) "
+        "and the tie test is exact decimal equality — the double "
+        "conversion happens once, on output. The Spark plan scans the "
+        "quarter-pruned lineitem ONCE (both shipdate bounds pushed), "
+        "rolls up to ~|suppliers| rows, and takes the max as a "
+        "single-partition WINDOW over that tiny rollup — one scan by "
+        "construction, never the lineitem re-scan a naive scalar-"
+        "subquery translation (or the oracle's correlated form) "
+        "implies — then broadcasts supplier for the name.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    revenue = (
+        table(spark, sf_dir, "lineitem")
+        .where((F.col("l_shipdate") >= F.lit(_Q15_LO).cast("timestamp"))
+               & (F.col("l_shipdate") < F.lit(_Q15_HI).cast("timestamp")))
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.expr(_Q15_REV).cast("decimal(38,4)")).alias("rev_dec"))
+    )
+    best = revenue.withColumn(
+        "max_dec",
+        F.max("rev_dec").over(Window.partitionBy(F.lit(0))))
+    return (
+        best.where(F.col("rev_dec") == F.col("max_dec"))
+        .join(F.broadcast(table(spark, sf_dir, "supplier")),
+              F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name",
+                F.col("rev_dec").cast("string").cast("double")
+                .alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19: discounted revenue under disjunctive brand/size/qty bands
+# ---------------------------------------------------------------------------
+
+#: (brand, max size, qty lo, qty hi) — the driver's part table has no
+#: p_container, so the classic container lists become size bands.
+_Q19_BANDS = (("Brand#12", 5, 1, 11),
+              ("Brand#23", 10, 10, 20),
+              ("Brand#34", 15, 20, 30))
+
+_Q19_COND = " OR ".join(
+    f"(p_brand = '{b}' AND p_size BETWEEN 1 AND {s}"
+    f" AND l_quantity >= {lo} AND l_quantity <= {hi})"
+    for b, s, lo, hi in _Q19_BANDS)
+
+
+@register(
+    "tpch_q19_banded_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum_as(
+               "CAST(l_extendedprice AS DECIMAL(18,2))"
+               " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+               "decimal(38,4)", "revenue")},
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE {_Q19_COND}
+    """,
+    doc="TPC-H Q19's shape on the available columns (no p_container, "
+        "so the container lists become size bands): revenue from "
+        "three (brand x size-band x quantity-band) classes stated as "
+        "a DISJUNCTION OF CONJUNCTIONS mixing both tables' columns. "
+        "The scale hazard is treating the OR as an opaque post-join "
+        "residual: Catalyst must instead derive the per-side "
+        "implications — the brand/size disjunction is pushed into the "
+        "part SCAN (plan-pinned Or(And(EqualTo(p_brand...)))) and the "
+        "quantity disjunction into the lineitem scan — so each side "
+        "is pruned on row-group statistics before the partkey join, "
+        "which stays a broadcast EQUI join carrying only the full "
+        "mixed condition as its residual, never a nested loop. One "
+        "1-row exact-decimal aggregate; n_lines pins the selected "
+        "COUNT like Q6.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    joined = li.join(
+        F.broadcast(part),
+        (F.col("l_partkey") == F.col("p_partkey")) & F.expr(_Q19_COND))
+    return joined.agg(
+        dsum_as("CAST(l_extendedprice AS DECIMAL(18,2))"
+                " * (1 - CAST(l_discount AS DECIMAL(4,2)))",
+                "decimal(38,4)", "revenue"),
+        F.count("*").cast("bigint").alias("n_lines"),
+    )

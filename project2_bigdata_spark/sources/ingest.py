@@ -314,3 +314,47 @@ def q_ingest_extended_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame
          .cast("string").cast("double").alias("total_price"),
         F.col("d.purchaseMethod").alias("purchase_method"),
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    buckets: int,
+    keys: list[str],
+    sort_keys: list[str] | None = None,
+) -> None:
+    """Bucketed co-location sink: hash-cluster rows into a fixed number
+    of buckets on the join key at WRITE time, so every later join or
+    aggregation on that key runs with ZERO shuffle — the single biggest
+    lever for a 100 TB fact-fact workload, where the orderkey join
+    between lineitem and orders otherwise re-shuffles hundreds of
+    terabytes on every query. Two tables bucketed with the same key and
+    bucket count are joined bucket-to-bucket (no Exchange on either
+    side); ``sortBy`` additionally orders rows inside each bucket file
+    so the sort-merge join can skip its per-task sort. Equality
+    predicates on the bucket key prune to a single bucket at planning
+    time (``SelectedBucketsCount: 1 out of N``) — partition-pruning
+    granularity without a partition column. Registered as an EXTERNAL
+    table (data lives at ``path``); ``mode("overwrite")`` keeps the S6
+    drop/recreate semantics.
+
+    Bucket count is a LAYOUT contract, not a parallelism tunable: pick
+    it for the target scale (e.g. 4096 buckets ≈ 25 GB/bucket at
+    100 TB) — Spark splits large buckets across tasks for scans, but
+    the shuffle-free join runs one task per bucket.
+    """
+    writer = (df.write.mode("overwrite")
+              .bucketBy(buckets, keys[0], *keys[1:])
+              .sortBy(*(sort_keys or keys))
+              .option("path", path)
+              .format("parquet"))
+    writer.saveAsTable(name)
+
+
+def read_bucketed_table(spark: SparkSession, name: str) -> DataFrame:
+    """Read back a bucketed table by catalog name. The bucketing
+    metadata lives in the catalog entry (a plain parquet read of the
+    same directory would NOT know the layout and would re-shuffle), so
+    bucketed relations are addressed by table name, not path."""
+    return spark.table(name)

@@ -306,3 +306,4 @@ def test_versioned_snapshots_time_travel(spark, sf_dir):
         assert read_version(spark, f"{d}/t", 1).count() == n1  # unchanged
     finally:
         shutil.rmtree(d, ignore_errors=True)
+

@@ -738,3 +738,22 @@ def test_tpch_q19_disjunction_pushed_to_both_scans(spark, sf_dir):
     assert "BroadcastHashJoin [l_partkey" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_theil_sen_no_self_join(spark, sf_dir):
+    """Theil–Sen must NOT run the oracle's O(months²) self-join: pairs
+    are generated row-locally (Generate/explode over nested
+    higher-order transforms of the per-product month array), so the
+    plan has ZERO join nodes and exactly two aggregate shuffles (the
+    monthly rollup — whose fact-side join inputs don't count — plus
+    the per-product collect); the median comes from windows over the
+    product partitioning."""
+    plan = plan_of(spark, sf_dir, "theil_sen_trend")
+    assert "Generate explode" in plan, plan
+    # the only joins allowed are sale_lines' own fact joins BELOW the
+    # monthly rollup; after the rollup there must be none — assert no
+    # join re-reads the pair/slope relations
+    after_rollup = plan.split("Generate explode", 1)[0]
+    assert "Join" not in after_rollup, plan
+    assert plan.count("Window [") == 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -1979,3 +1979,129 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("s").cast("bigint").alias("sum_s"),
     )
     return agg.selectExpr(*_TS_FINAL).orderBy("product")
+
+
+# ---------------------------------------------------------------------------
+# STL-lite additive seasonal decomposition of monthly revenue
+# ---------------------------------------------------------------------------
+
+#: Shared final expressions. Everything upstream is exact BIGINT cents:
+#: tnum = 24×trend (a centered 2×12 moving average: ½,1,…,1,½ over 13
+#: months = (2·S13 − x[t−6] − x[t+6])/24), detr24 = 24×(x − trend),
+#: ssum/scnt the month-of-year totals of detr24. Divisions happen HERE,
+#: once, in expression strings evaluated identically by both engines —
+#: a windowed float decomposition would be accumulation-order-dependent.
+_SD_FINAL = [
+    "product",
+    "x AS month_idx",
+    "moy",
+    "CAST(rev_c AS DOUBLE) / 100.0 AS revenue",
+    "CAST(tnum AS DOUBLE) / 2400.0 AS trend",
+    "(CAST(ssum AS DOUBLE) / scnt) / 2400.0 AS seasonal",
+    "(CAST(detr24 AS DOUBLE) - CAST(ssum AS DOUBLE) / scnt) / 2400.0"
+    " AS residual",
+]
+
+
+@register(
+    "seasonal_decompose_monthly",
+    oracle=f"""
+    WITH sale_lines AS (
+      SELECT o_orderdate AS sale_ts, p_name AS product,
+             l_extendedprice AS revenue
+      FROM lineitem
+      JOIN part   ON l_partkey  = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+    ), monthly AS (
+      SELECT product,
+             CAST(EXTRACT(year FROM sale_ts) * 12
+                  + EXTRACT(month FROM sale_ts) AS INT) AS x,
+             CAST(SUM(CAST(revenue AS DECIMAL(18,2))) * 100 AS BIGINT)
+               AS rev_c
+      FROM sale_lines GROUP BY 1, 2
+    ), win AS (
+      SELECT product, x, x % 12 AS moy, rev_c,
+             CAST(SUM(rev_c) OVER w13 AS BIGINT) AS s13,
+             COUNT(*) OVER w13 AS cnt13,
+             LAG(rev_c, 6)  OVER w AS lag6c,
+             LEAD(rev_c, 6) OVER w AS lead6c,
+             LAG(x, 6)      OVER w AS lagx,
+             LEAD(x, 6)     OVER w AS leadx
+      FROM monthly
+      WINDOW w   AS (PARTITION BY product ORDER BY x),
+             w13 AS (PARTITION BY product ORDER BY x
+                     ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ), filt AS (
+      SELECT product, x, moy, rev_c,
+             2 * s13 - lag6c - lead6c AS tnum,
+             24 * rev_c - (2 * s13 - lag6c - lead6c) AS detr24
+      FROM win WHERE cnt13 = 13 AND leadx - lagx = 12
+    ), sea AS (
+      SELECT product, x, moy, rev_c, tnum, detr24,
+             CAST(SUM(detr24) OVER (PARTITION BY product, moy) AS BIGINT)
+               AS ssum,
+             COUNT(*) OVER (PARTITION BY product, moy) AS scnt
+      FROM filt
+    )
+    SELECT {", ".join(_SD_FINAL)} FROM sea ORDER BY product, x
+    """,
+    doc="STL-lite ADDITIVE decomposition of each product's monthly "
+        "revenue into trend + month-of-year seasonal + residual — the "
+        "classic retail read (is December big because of growth or "
+        "because it's December?) that the pointwise anomaly queries "
+        "can't give. Trend is the standard centered 2x12 moving "
+        "average (half-weight endpoints), computed WITHOUT a weighted "
+        "window: (2·S13 − lag6 − lead6)/24, where S13 is a plain "
+        "13-row window sum — so the whole trend is exact BIGINT-cents "
+        "arithmetic, and rows whose 13-month neighborhood has a "
+        "calendar gap are excluded by an exact integer check "
+        "(lead6(x) − lag6(x) = 12 ⟺ 13 consecutive months). The "
+        "seasonal index is the month-of-year mean of the exact "
+        "24×detrended cents, taken by a second window — no join back. "
+        "ADDITIVE, not multiplicative, is the exactness decision: "
+        "every division (and the only floats) happen in the shared "
+        "final expressions, once per output row. Scale: both windows "
+        "partition by product (one product's bounded calendar per "
+        "partition — ~100 rows regardless of fact size); the only "
+        "data-sized stage is the monthly rollup's map-side-combined "
+        "shuffle.",
+)
+def q_seasonal_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = (
+        sale_lines(spark, sf_dir)
+        .groupBy(
+            "product",
+            F.expr("year(sale_ts) * 12 + month(sale_ts)")
+            .cast("int").alias("x"))
+        .agg((F.sum(F.col("revenue").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("rev_c"))
+    )
+    w = Window.partitionBy("product").orderBy("x")
+    w13 = w.rowsBetween(-6, 6)
+    win = monthly.select(
+        "product", "x",
+        F.expr("x % 12").alias("moy"),
+        "rev_c",
+        F.sum("rev_c").over(w13).cast("bigint").alias("s13"),
+        F.count("*").over(w13).alias("cnt13"),
+        F.lag("rev_c", 6).over(w).alias("lag6c"),
+        F.lead("rev_c", 6).over(w).alias("lead6c"),
+        F.lag("x", 6).over(w).alias("lagx"),
+        F.lead("x", 6).over(w).alias("leadx"),
+    )
+    filt = (
+        win.where((F.col("cnt13") == 13)
+                  & (F.col("leadx") - F.col("lagx") == 12))
+        .select(
+            "product", "x", "moy", "rev_c",
+            (2 * F.col("s13") - F.col("lag6c") - F.col("lead6c"))
+            .alias("tnum"))
+        .withColumn("detr24", 24 * F.col("rev_c") - F.col("tnum"))
+    )
+    wmoy = Window.partitionBy("product", "moy")
+    sea = filt.select(
+        "product", "x", "moy", "rev_c", "tnum", "detr24",
+        F.sum("detr24").over(wmoy).cast("bigint").alias("ssum"),
+        F.count("*").over(wmoy).alias("scnt"),
+    )
+    return sea.selectExpr(*_SD_FINAL).orderBy("product", "x")

@@ -757,3 +757,19 @@ def test_theil_sen_no_self_join(spark, sf_dir):
     assert "Join" not in after_rollup, plan
     assert plan.count("Window [") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_seasonal_decompose_two_windows_one_partitioning(spark, sf_dir):
+    """The decomposition must be window-only past the monthly rollup —
+    no join-back for the seasonal index — and the month-of-year window
+    must REUSE the product partitioning (clustering on product already
+    co-locates every (product, moy) group): exactly two hash exchanges
+    in the whole plan (rollup + first window), exactly two Window
+    nodes, and the calendar-gap guard as an exact integer filter."""
+    plan = plan_of(spark, sf_dir, "seasonal_decompose_monthly")
+    assert plan.count("Window [") == 2, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    after_rollup = plan.split("HashAggregate", 1)[0]
+    assert "Join" not in after_rollup, plan
+    assert "(leadx" in plan and "= 12)" in plan, plan
+    assert "CartesianProduct" not in plan, plan

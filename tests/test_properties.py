@@ -377,3 +377,58 @@ def test_kcore_internal_consistency(spark, sf_dir):
     for r in rows:
         if r.d1 is not None:
             assert r.d1 <= r.d0
+
+
+@settings(**_SETTINGS)
+@given(st.lists(
+    st.tuples(st.integers(-10**12, 10**12),     # numerator (any sign)
+              st.integers(1, 120)),             # positive month gap
+    min_size=1, max_size=40))
+def test_floor_division_expression_is_exact_floor(spark, pairs):
+    """theil_sen_trend's shared floor-division string — built from
+    C-style truncating % so the SAME text runs on Spark and DuckDB —
+    must equal mathematical floor(num/den) for every sign of the
+    numerator (this is exactly where truncating division and floor
+    division disagree)."""
+    import duckdb
+
+    expr = "CAST((num - (((num % den) + den) % den)) / den AS BIGINT)"
+    pdf = pd.DataFrame(pairs, columns=["num", "den"])
+    want = [n // d for n, d in pairs]
+    got_spark = [
+        r.s for r in spark.createDataFrame(pdf)
+        .selectExpr(f"{expr} AS s").collect()
+    ]
+    assert got_spark == want
+    got_duck = [
+        r[0] for r in duckdb.connect()
+        .execute(f"SELECT {expr} AS s FROM pdf").fetchall()
+    ]
+    assert got_duck == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 200), st.integers(-10**6, 10**6)),
+                min_size=2, max_size=25, unique_by=lambda t: t[0]))
+def test_theil_sen_pair_generation_matches_itertools(spark, points):
+    """The row-local nested-transform pair generator must produce
+    exactly the i<j pairs (by month order) that itertools.combinations
+    produces from the sorted series — no self-pairs, no reversed
+    pairs, no misses — with num/den signs matching b-after-a."""
+    pts = sorted(points)
+    sdf = spark.createDataFrame(
+        [([{"x": x, "q": q} for x, q in pts],)],
+        "pts: array<struct<x: bigint, q: bigint>>")
+    pairs = (
+        sdf.select(F.explode(F.expr(
+            "flatten(transform(pts, (a, i) -> "
+            "transform(slice(pts, i + 2, size(pts)), b -> struct("
+            "(b.q - a.q) * CAST(1000000 AS BIGINT) AS num, "
+            "CAST(b.x - a.x AS BIGINT) AS den))))")).alias("p"))
+        .select("p.num", "p.den").collect()
+    )
+    want = sorted(
+        ((b[1] - a[1]) * 1_000_000, b[0] - a[0])
+        for a, b in itertools.combinations(pts, 2))
+    assert sorted((r.num, r.den) for r in pairs) == want
+    assert all(d > 0 for _, d in want)  # month order ⇒ positive gaps

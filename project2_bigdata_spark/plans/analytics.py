@@ -2516,3 +2516,89 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum"),
         is_drift.alias("is_drift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Discrete-time churn hazard curve (Kaplan–Meier risk sets, exact ints)
+# ---------------------------------------------------------------------------
+
+#: Months of order silence before the observation cutoff that define
+#: churn: a customer whose last order is ≤ (corpus end − 3 months) is
+#: an observed churn event; later last-orders are right-CENSORED (we
+#: know they survived to that tenure, not that they churned there).
+_CH_SILENCE = 3
+
+_CH_FINAL = [
+    "k", "n_at_risk", "n_churned", "n_censored",
+    "CAST(n_churned AS DOUBLE) / n_at_risk AS hazard",
+]
+
+
+@register(
+    "churn_hazard_curve",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(EXTRACT(year FROM o_orderdate) * 12
+                  + EXTRACT(month FROM o_orderdate) AS INT) AS mo
+      FROM orders
+    ), per_cust AS (
+      SELECT o_custkey, MIN(mo) AS f, MAX(mo) AS l FROM m GROUP BY 1
+    ), cutoff AS (
+      SELECT MAX(mo) - {_CH_SILENCE} AS q FROM m
+    ), tenure AS (
+      SELECT l - f AS u,
+             CASE WHEN l <= q THEN 1 ELSE 0 END AS e
+      FROM per_cust CROSS JOIN cutoff
+    ), hist AS (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(SUM(e) AS BIGINT) AS d
+      FROM tenure GROUP BY u
+    ), curve AS (
+      SELECT u AS k,
+             CAST(SUM(w) OVER (ORDER BY u DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_at_risk,
+             d AS n_churned,
+             w - d AS n_censored
+      FROM hist
+    )
+    SELECT {", ".join(_CH_FINAL)} FROM curve ORDER BY k
+    """,
+    doc="Discrete-time churn hazard: for each tenure k (months between "
+        "a customer's first and last order), the Kaplan–Meier risk-set "
+        "estimate h(k) = churned-at-k / at-risk-at-k, with customers "
+        "still ordering near the corpus end right-CENSORED rather than "
+        "counted as churned — the survival-analysis read that naive "
+        "'inactive = churned' funnels get wrong. Everything is exact "
+        "integers until the output: tenures are month-index "
+        "differences, the risk set is a REVERSE cumulative sum over "
+        "the tenure histogram (the registry's distinct-value "
+        "histogram-window trick: the window runs over ≤ ~calendar "
+        "months rows, never per customer), and the single division "
+        "per output row is a shared final expression. Scale: one "
+        "custkey-shuffled aggregate over orders, a 1-row cutoff "
+        "broadcast, then histogram-sized work — the curve costs the "
+        "same at 100 TB as at 1 GB past the rollup.",
+)
+def q_churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mo = F.expr("year(o_orderdate) * 12 + month(o_orderdate)").cast("int")
+    m = table(spark, sf_dir, "orders").select(
+        "o_custkey", mo.alias("mo"))
+    per_cust = m.groupBy("o_custkey").agg(
+        F.min("mo").alias("f"), F.max("mo").alias("l"))
+    cutoff = m.agg((F.max("mo") - _CH_SILENCE).alias("q"))
+    tenure = per_cust.crossJoin(F.broadcast(cutoff)).select(
+        (F.col("l") - F.col("f")).alias("u"),
+        F.when(F.col("l") <= F.col("q"), 1).otherwise(0).alias("e"))
+    hist = tenure.groupBy("u").agg(
+        F.count("*").cast("bigint").alias("w"),
+        F.sum("e").cast("bigint").alias("d"))
+    w_desc = (Window.orderBy(F.col("u").desc())
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    curve = hist.select(
+        F.col("u").alias("k"),
+        F.sum("w").over(w_desc).cast("bigint").alias("n_at_risk"),
+        F.col("d").alias("n_churned"),
+        (F.col("w") - F.col("d")).alias("n_censored"))
+    return curve.selectExpr(*_CH_FINAL).orderBy("k")

@@ -53,6 +53,7 @@ BNLJ_OK = {
     "stickiness_dau_mau",  # same day-span bounds broadcast
     "nb_lang_confusion",  # 5-row language grid + 1-row vocab-size broadcasts
     "sales_trend_ols",  # 1-row global-min-date broadcast
+    "churn_hazard_curve",  # 1-row observation-cutoff broadcast
     "concentration_metrics",  # 1-row product-count broadcast
     "range_join_grid",  # 1-row (lo, hi) domain-stats broadcast; the
                         # range join itself is the cell hash join below
@@ -772,4 +773,20 @@ def test_seasonal_decompose_two_windows_one_partitioning(spark, sf_dir):
     after_rollup = plan.split("HashAggregate", 1)[0]
     assert "Join" not in after_rollup, plan
     assert "(leadx" in plan and "= 12)" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_churn_hazard_histogram_sized_window(spark, sf_dir):
+    """The risk-set window must run over the tenure HISTOGRAM (≤
+    calendar-months rows), never per customer: the reverse cumulative
+    sum sits ABOVE the u-histogram aggregate, the only non-broadcast
+    shuffles are the two custkey/histogram aggregates, and the cutoff
+    rides in as the allowlisted 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "churn_hazard_curve")
+    assert plan.count("Window [") == 1, plan
+    # window input is the histogram aggregate, not the per-customer rows
+    win_pos = plan.index("Window [")
+    hist_pos = plan.index("hashpartitioning(u")
+    assert win_pos < hist_pos, plan
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
     assert "CartesianProduct" not in plan, plan

@@ -555,3 +555,111 @@ def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "volume_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# windowFunnel: max funnel depth within a sliding time window per user
+# ---------------------------------------------------------------------------
+
+#: Sliding window length (24 h) in microseconds — timestamps carry
+#: sub-second precision, so both engines compare exact BIGINT micros
+#: (unix_micros / epoch_us), never truncated seconds.
+_WF_WINDOW_US = 24 * 3600 * 1_000_000
+
+#: Funnel stage codes. At equal-micros ties the (t, code) sort puts the
+#: earlier stage first, matching the oracle's non-strict (>=) chain
+#: semantics — correctness cannot depend on tie luck.
+_WF_CODE = ("CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2"
+            " ELSE 3 END")
+
+
+@register(
+    "window_funnel",
+    oracle=f"""
+    WITH fe AS (
+      SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t,
+             {_WF_CODE} AS c
+      FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ), d3 AS (
+      SELECT DISTINCT v.user_id FROM fe v
+      JOIN fe c ON c.user_id = v.user_id AND c.c = 2
+               AND c.t >= v.t AND c.t <= v.t + {_WF_WINDOW_US}
+      JOIN fe p ON p.user_id = v.user_id AND p.c = 3
+               AND p.t >= c.t AND p.t <= v.t + {_WF_WINDOW_US}
+      WHERE v.c = 1
+    ), d2 AS (
+      SELECT DISTINCT v.user_id FROM fe v
+      JOIN fe c ON c.user_id = v.user_id AND c.c = 2
+               AND c.t >= v.t AND c.t <= v.t + {_WF_WINDOW_US}
+      WHERE v.c = 1
+    ), d1 AS (
+      SELECT DISTINCT user_id FROM fe WHERE c = 1
+    ), depth AS (
+      SELECT u.user_id,
+             CASE WHEN u.user_id IN (SELECT user_id FROM d3) THEN 3
+                  WHEN u.user_id IN (SELECT user_id FROM d2) THEN 2
+                  WHEN u.user_id IN (SELECT user_id FROM d1) THEN 1
+                  ELSE 0 END AS funnel_depth
+      FROM (SELECT DISTINCT user_id FROM fe) u
+    )
+    SELECT funnel_depth, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM depth GROUP BY 1 ORDER BY funnel_depth
+    """,
+    doc="ClickHouse-style windowFunnel: each user's MAXIMUM "
+        "view→click→purchase depth where every step falls inside a "
+        "sliding 24 h window anchored at the chain's view — unlike "
+        "funnel_view_click_purchase's first-touch stages, a user who "
+        "converts months after first browsing counts only if SOME "
+        "window contains the whole chain. The oracle states it as "
+        "EXISTS self-joins (quadratic/cubic per user); the Spark plan "
+        "runs a LINEAR per-user DP instead: events sort once per user "
+        "by (micros, stage), then one array fold carries (latest view "
+        "start s1, latest depth-2 chain start s2, best depth) — a "
+        "later window start strictly dominates, so greatest() state is "
+        "provably lossless vs the EXISTS form, and the two engines "
+        "cross-validate ALGORITHMS, not just arithmetic. Exactness: "
+        "chains compare exact BIGINT microseconds end to end. Scale: "
+        "funnel-type filter at the scan, one user_id shuffle, state "
+        "O(1) per event in the fold; per-user sequences are bounded "
+        "by per-user activity (collect_list of the 3 funnel types "
+        "only), the same bound every sessionization operator here "
+        "already carries.",
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts)").alias("t"),
+            F.expr(_WF_CODE).alias("c"))
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "c"))).alias("seq"))
+    w = _WF_WINDOW_US
+    depth = seqs.select(
+        "user_id",
+        F.expr(f"""
+        aggregate(
+          seq,
+          struct(CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+                 0 AS d),
+          (st, e) -> CASE
+            WHEN e.c = 1 THEN struct(
+              greatest(coalesce(st.s1, e.t), e.t) AS s1, st.s2 AS s2,
+              greatest(st.d, 1) AS d)
+            WHEN e.c = 2 AND st.s1 IS NOT NULL
+                 AND e.t <= st.s1 + {w} THEN struct(
+              st.s1 AS s1, greatest(coalesce(st.s2, st.s1), st.s1) AS s2,
+              greatest(st.d, 2) AS d)
+            WHEN e.c = 3 AND st.s2 IS NOT NULL
+                 AND e.t <= st.s2 + {w} THEN struct(
+              st.s1 AS s1, st.s2 AS s2, 3 AS d)
+            ELSE st END,
+          st -> st.d) AS funnel_depth
+        """))
+    return (
+        depth.groupBy("funnel_depth")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+        .orderBy("funnel_depth")
+    )

@@ -790,3 +790,18 @@ def test_churn_hazard_histogram_sized_window(spark, sf_dir):
     assert win_pos < hist_pos, plan
     assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_window_funnel_linear_dp_no_self_join(spark, sf_dir):
+    """window_funnel must run the linear per-user DP, never the
+    oracle's EXISTS self-joins: one events scan with the funnel-type
+    membership pushed (In(event_type, …)), a single user_id shuffle
+    into the collect, the fold as a JVM higher-order aggregate — zero
+    joins anywhere in the plan."""
+    plan = plan_of(spark, sf_dir, "window_funnel")
+    assert plan.count("FileScan parquet") == 1, plan
+    assert "In(event_type, [click,purchase,view])" in plan, plan
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert "collect_list(struct(t, " in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan

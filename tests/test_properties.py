@@ -432,3 +432,47 @@ def test_theil_sen_pair_generation_matches_itertools(spark, points):
         for a, b in itertools.combinations(pts, 2))
     assert sorted((r.num, r.den) for r in pairs) == want
     assert all(d > 0 for _, d in want)  # month order ⇒ positive gaps
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 3)),
+                min_size=0, max_size=18))
+def test_window_funnel_dp_matches_brute_force(spark, events):
+    """window_funnel's linear DP (latest-window-start state) must equal
+    the brute-force EXISTS semantics — max depth of a view≤click≤
+    purchase chain entirely inside [t_view, t_view + W] — on arbitrary
+    sequences, including equal-timestamp ties (the generator's small
+    time domain forces collisions constantly)."""
+    W = 10
+
+    def brute(evs):
+        vs = [t for t, c in evs if c == 1]
+        cs = [t for t, c in evs if c == 2]
+        ps = [t for t, c in evs if c == 3]
+        if any(v <= c <= p <= v + W for v in vs for c in cs for p in ps):
+            return 3
+        if any(v <= c <= v + W for v in vs for c in cs):
+            return 2
+        return 1 if vs else 0
+
+    sdf = spark.createDataFrame(
+        [(sorted(events),)], "seq: array<struct<t: bigint, c: bigint>>")
+    got = sdf.selectExpr(f"""
+        aggregate(
+          seq,
+          struct(CAST(NULL AS BIGINT) AS s1, CAST(NULL AS BIGINT) AS s2,
+                 0 AS d),
+          (st, e) -> CASE
+            WHEN e.c = 1 THEN struct(
+              greatest(coalesce(st.s1, e.t), e.t) AS s1, st.s2 AS s2,
+              greatest(st.d, 1) AS d)
+            WHEN e.c = 2 AND st.s1 IS NOT NULL
+                 AND e.t <= st.s1 + {W} THEN struct(
+              st.s1 AS s1, greatest(coalesce(st.s2, st.s1), st.s1) AS s2,
+              greatest(st.d, 2) AS d)
+            WHEN e.c = 3 AND st.s2 IS NOT NULL
+                 AND e.t <= st.s2 + {W} THEN struct(
+              st.s1 AS s1, st.s2 AS s2, 3 AS d)
+            ELSE st END,
+          st -> st.d) AS d""").first().d
+    assert got == brute(sorted(events)), (events, got)

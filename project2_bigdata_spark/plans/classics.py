@@ -2105,3 +2105,99 @@ def q_seasonal_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wmoy).alias("scnt"),
     )
     return sea.selectExpr(*_SD_FINAL).orderBy("product", "x")
+
+
+# ---------------------------------------------------------------------------
+# Wald SPRT: sequential probability-ratio monitor over the order stream
+# ---------------------------------------------------------------------------
+
+#: H0/H1 finished-order rates bracketing the corpus truth (~0.329), and
+#: 5%/5% error rates. The log-likelihood increments and decision
+#: boundaries are computed ONCE in Python and injected into BOTH
+#: engines as full-precision literals (repr round-trips the exact
+#: double; both SQL parsers are correctly-rounded) — the Benford
+#: precedent: transcendental constants never computed per-engine.
+_SPRT_P0, _SPRT_P1 = 0.32, 0.34
+
+
+def _dlit(x: float) -> str:
+    """Inject a Python double as a guaranteed-DOUBLE SQL literal. A bare
+    decimal literal parses as DECIMAL in Spark (and recent DuckDB), and
+    decimal arithmetic rounds; the explicit cast makes both engines
+    convert the exact literal digits to the identical nearest double."""
+    return f"CAST({x!r} AS DOUBLE)"
+
+
+_SPRT_L1 = _dlit(math.log(_SPRT_P1 / _SPRT_P0))          # per success
+_SPRT_L0 = _dlit(math.log((1 - _SPRT_P1) / (1 - _SPRT_P0)))  # per failure
+_SPRT_A = _dlit(math.log(0.95 / 0.05))                   # accept H1 ≥ A
+_SPRT_B = _dlit(math.log(0.05 / 0.95))                   # accept H0 ≤ B
+
+_SPRT_FINAL = [
+    "date",
+    "n_trials", "n_success",
+    f"n_success * {_SPRT_L1} + (n_trials - n_success) * {_SPRT_L0}"
+    " AS llr",
+    f"CASE WHEN n_success * {_SPRT_L1}"
+    f"          + (n_trials - n_success) * {_SPRT_L0} >= {_SPRT_A}"
+    "       THEN 'accept_h1'"
+    f"     WHEN n_success * {_SPRT_L1}"
+    f"          + (n_trials - n_success) * {_SPRT_L0} <= {_SPRT_B}"
+    "       THEN 'accept_h0'"
+    "     ELSE 'continue' END AS decision",
+]
+
+
+@register(
+    "sprt_ab_monitor",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(COUNT(*) AS BIGINT) AS w,
+             CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+               AS s
+      FROM orders GROUP BY 1
+    ), cum AS (
+      SELECT strftime(d, '%Y-%m-%d') AS date,
+             CAST(SUM(w) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_trials,
+             CAST(SUM(s) OVER (ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS n_success
+      FROM daily
+    )
+    SELECT {", ".join(_SPRT_FINAL)} FROM cum ORDER BY date
+    """,
+    doc="Wald's sequential probability-ratio test over the order "
+        "stream: after each day, the cumulative log-likelihood ratio "
+        "of H1 (finished-order rate 0.34) vs H0 (0.32) and the "
+        "three-way decision against the 5%/5% Wald boundaries — the "
+        "always-valid sequential monitor that replaces peeking at a "
+        "fixed-horizon test, complementary to cusum_changepoints "
+        "(drift detection) on the same stream. Exactness: the llr is "
+        "a two-term integer-weighted sum s·L1 + (t−s)·L0 where s and "
+        "t are exact BIGINT cumulative counts over the DAILY histogram "
+        "(the registry's histogram-window trick — the window runs over "
+        "|days| rows, never per order) and L1/L0/A/B are Python-"
+        "computed literals injected into both engines, so both sides "
+        "execute the identical two multiplies and one add per row. "
+        "Scale: one date-keyed aggregate with map-side partials, then "
+        "calendar-bounded window work.",
+)
+def q_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg(
+            F.count("*").cast("bigint").alias("w"),
+            F.count(F.when(F.col("o_orderstatus") == "F", 1))
+            .cast("bigint").alias("s"))
+    )
+    wc = (Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = daily.select(
+        F.date_format("d", "yyyy-MM-dd").alias("date"),
+        F.sum("w").over(wc).cast("bigint").alias("n_trials"),
+        F.sum("s").over(wc).cast("bigint").alias("n_success"))
+    return cum.selectExpr(*_SPRT_FINAL).orderBy("date")

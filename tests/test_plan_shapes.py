@@ -805,3 +805,18 @@ def test_window_funnel_linear_dp_no_self_join(spark, sf_dir):
     assert "hashpartitioning(user_id" in plan, plan
     assert "collect_list(struct(t, " in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_sprt_histogram_sized_window(spark, sf_dir):
+    """The SPRT llr must accumulate over the DAILY histogram (the
+    cumulative window's input is the date aggregate — |days| rows,
+    never per order), with the transcendental constants appearing as
+    cast double literals, not per-engine log() calls."""
+    plan = plan_of(spark, sf_dir, "sprt_ab_monitor")
+    assert plan.count("Window [") == 1, plan
+    win_pos = plan.index("Window [")
+    agg_pos = plan.index("hashpartitioning(_groupingexpression")
+    assert win_pos < agg_pos, plan
+    assert "LOG" not in plan.upper().replace("LOGICAL", ""), plan
+    assert "0.06062462181643484" in plan, plan  # injected L1 literal
+    assert "Join" not in plan, plan

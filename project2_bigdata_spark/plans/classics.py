@@ -2201,3 +2201,151 @@ def q_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").over(wc).cast("bigint").alias("n_trials"),
         F.sum("s").over(wc).cast("bigint").alias("n_success"))
     return cum.selectExpr(*_SPRT_FINAL).orderBy("date")
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: distributed CI for the mean order value
+# ---------------------------------------------------------------------------
+
+_BOOT_B = 32
+#: Each md5 digest is 32 hex chars = FOUR independent 32-bit words, so
+#: the 64 per-row uniforms cost 16 digests, not 64: replicate 4j+q
+#: reads word q of md5(j ':' orderkey). The digest is computed in its
+#: own projection between the two explodes so it is evaluated exactly
+#: once per (row, j) — never re-derived per word.
+_BOOT_DIGESTS = _BOOT_B // 4
+#: Truncated-Poisson(1) resampling weights from a 32-bit portable hash:
+#: cumulative pmf thresholds scaled to 2^32, computed ONCE in Python
+#: and injected as exact integer literals (P(w=4) absorbs the 1.9%
+#: tail) — the registry's portable-hash device, so the DuckDB oracle
+#: reproduces every weight bit-for-bit.
+_BOOT_CUM = [math.exp(-1.0) * sum(1.0 / math.factorial(j)
+                                  for j in range(k + 1))
+             for k in range(4)]
+_BOOT_T = [int(c * 2**32) for c in _BOOT_CUM]
+_BOOT_W = (f"CASE WHEN u < {_BOOT_T[0]} THEN 0"
+           f" WHEN u < {_BOOT_T[1]} THEN 1"
+           f" WHEN u < {_BOOT_T[2]} THEN 2"
+           f" WHEN u < {_BOOT_T[3]} THEN 3 ELSE 4 END")
+#: ceil(0.025·B) / floor(0.975·B): the order statistics that bound the
+#: central 95% of the B replicate means.
+_BOOT_LO_RN, _BOOT_HI_RN = 1, 31
+
+_BOOT_MEAN = ("(CAST(s_r AS DOUBLE) / NULLIF(n_r, 0)) / 100.0")
+_BOOT_FINAL = [
+    f"CAST({_BOOT_B} AS BIGINT) AS b",
+    "(CAST(s_all AS DOUBLE) / n_all) / 100.0 AS mean_revenue",
+    "ci_lo", "ci_hi",
+]
+
+
+@register(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH digests AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             j,
+             md5(concat(CAST(j AS VARCHAR), ':',
+                        CAST(o_orderkey AS VARCHAR))) AS h
+      FROM orders
+      CROSS JOIN (SELECT unnest(generate_series(0, {_BOOT_DIGESTS - 1}))
+                  AS j) js
+    ), weighted AS (
+      SELECT 4 * j + q AS rep, cents,
+             {_BOOT_W.replace("u ", "CAST(concat('0x', "
+                 "substr(h, 1 + 8 * q, 8)) AS BIGINT) ")} AS w
+      FROM digests
+      CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS q) qs
+    ), per_rep AS (
+      SELECT rep, CAST(SUM(w) AS BIGINT) AS n_r,
+             CAST(SUM(w * cents) AS BIGINT) AS s_r
+      FROM weighted GROUP BY rep
+    ), means AS (
+      SELECT rep, {_BOOT_MEAN} AS mean_r FROM per_rep
+    ), ranked AS (
+      SELECT mean_r,
+             ROW_NUMBER() OVER (ORDER BY mean_r, rep) AS rn
+      FROM means
+    ), ci AS (
+      SELECT MAX(CASE WHEN rn = {_BOOT_LO_RN} THEN mean_r END) AS ci_lo,
+             MAX(CASE WHEN rn = {_BOOT_HI_RN} THEN mean_r END) AS ci_hi
+      FROM ranked
+    ), full_s AS (
+      SELECT CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                    AS BIGINT)) AS BIGINT) AS s_all,
+             CAST(COUNT(*) AS BIGINT) AS n_all
+      FROM orders
+    )
+    SELECT {", ".join(_BOOT_FINAL)} FROM full_s CROSS JOIN ci
+    """,
+    doc="Poisson bootstrap 95% CI for the mean order value — THE "
+        "resampling scheme for distributed data (Chamandy et al., "
+        "Google 2012): classical multinomial resampling needs the "
+        "global row count per draw, but Poisson(1) weights are "
+        "row-LOCAL, so each of the B=32 replicates is one weighted "
+        "aggregate riding the same scan. Determinism is the whole "
+        "trick here: the per-(row, replicate) weight comes from a "
+        "portable md5-derived 32-bit uniform against Python-computed "
+        "integer thresholds (no engine RNG anywhere), so the DuckDB "
+        "oracle rebuilds every replicate bit-for-bit — a seeded-rand "
+        "formulation would be engine-specific and unverifiable; and "
+        "hashing is the dominant cost, so each digest feeds FOUR "
+        "replicates (its four independent 32-bit words — 8 md5s per "
+        "row for B=32, staged so each digest is computed once). "
+        "Replicate sums are exact BIGINT cents; the 32 replicate "
+        "means divide once each (identical IEEE op both engines) and "
+        "the CI bounds are exact ORDER STATISTICS (row_number with a "
+        "rep tie-break — no interpolated percentile, which would "
+        "re-introduce float blending). Scale: there is NO row "
+        "expansion at all — the replicates ride as 2·B aggregate "
+        "COLUMNS over the single scan (plan-pinned: no Generate), the "
+        "1-row result restacks to B rows driver-side-free, and the "
+        "only shuffle is the single-partition gather of partials; B "
+        "is sized to keep the whole aggregate inside whole-stage "
+        "codegen.",
+)
+def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"))
+    # The B replicates ride as COLUMNS, never as rows: B/4 digests per
+    # row (each named once so it is hashed once), B CASE weights over
+    # their 32-bit words, and 2·B aggregates in ONE pass — zero row
+    # expansion, so the scan cost is the data's, not B× the data's.
+    digests = orders.select(
+        "cents",
+        *[F.expr(f"md5(concat('{j}:', CAST(o_orderkey AS STRING)))")
+          .alias(f"h{j}") for j in range(_BOOT_DIGESTS)])
+    w_cols = []
+    for rep in range(_BOOT_B):
+        j, q = divmod(rep, 4)
+        u = f"CAST(conv(substr(h{j}, {1 + 8 * q}, 8), 16, 10) AS BIGINT)"
+        w_cols.append(
+            F.expr(_BOOT_W.replace("u ", u + " ")).alias(f"w{rep}"))
+    weighted = digests.select("cents", *w_cols)
+    aggs = []
+    for rep in range(_BOOT_B):
+        aggs.append(F.sum(f"w{rep}").cast("bigint").alias(f"n_{rep}"))
+        aggs.append(F.sum(F.col(f"w{rep}") * F.col("cents"))
+                    .cast("bigint").alias(f"s_{rep}"))
+    one_row = weighted.agg(*aggs)
+    stack_args = ", ".join(
+        f"{rep}, n_{rep}, s_{rep}" for rep in range(_BOOT_B))
+    per_rep = one_row.selectExpr(
+        f"stack({_BOOT_B}, {stack_args}) AS (rep, n_r, s_r)")
+    means = per_rep.selectExpr("rep", f"{_BOOT_MEAN} AS mean_r")
+    ranked = means.select(
+        "mean_r",
+        F.row_number().over(
+            Window.orderBy("mean_r", "rep")).alias("rn"))
+    ci = ranked.agg(
+        F.max(F.when(F.col("rn") == _BOOT_LO_RN, F.col("mean_r")))
+        .alias("ci_lo"),
+        F.max(F.when(F.col("rn") == _BOOT_HI_RN, F.col("mean_r")))
+        .alias("ci_hi"))
+    full_s = orders.agg(
+        F.sum("cents").cast("bigint").alias("s_all"),
+        F.count("*").cast("bigint").alias("n_all"))
+    return full_s.crossJoin(F.broadcast(ci)).selectExpr(*_BOOT_FINAL)

@@ -54,6 +54,7 @@ BNLJ_OK = {
     "nb_lang_confusion",  # 5-row language grid + 1-row vocab-size broadcasts
     "sales_trend_ols",  # 1-row global-min-date broadcast
     "churn_hazard_curve",  # 1-row observation-cutoff broadcast
+    "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "concentration_metrics",  # 1-row product-count broadcast
     "range_join_grid",  # 1-row (lo, hi) domain-stats broadcast; the
                         # range join itself is the cell hash join below
@@ -820,3 +821,26 @@ def test_sprt_histogram_sized_window(spark, sf_dir):
     assert "LOG" not in plan.upper().replace("LOGICAL", ""), plan
     assert "0.06062462181643484" in plan, plan  # injected L1 literal
     assert "Join" not in plan, plan
+
+
+def test_poisson_bootstrap_no_row_expansion(spark, sf_dir):
+    """The B replicates must ride as aggregate COLUMNS, never as rows:
+    NO Generate/explode anywhere, the 2·B replicate sums in ONE
+    partial/final aggregate pair over the single heavy scan (the only
+    exchange below it is the SinglePartition gather), weights from the
+    portable md5 hash (no engine RNG — no rand() in the plan), and the
+    CI bounds as exact order statistics over a B-row window."""
+    plan = plan_of(spark, sf_dir, "poisson_bootstrap_ci")
+    # the only Generate allowed is the 1-row stack() reshape; explode
+    # over the data (the B× expansion) must not exist
+    assert "Generate explode" not in plan, plan
+    assert "Generate stack" in plan, plan
+    assert "partial_sum((cast(w0" in plan, plan
+    # the field list elides past 25 entries; the elision marker itself
+    # proves the wide 2·B aggregate is one node, not B passes
+    assert "more fields" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "md5(" in plan, plan
+    assert "rand(" not in plan, plan
+    assert plan.count("Window [") == 1, plan
+    assert "CartesianProduct" not in plan, plan

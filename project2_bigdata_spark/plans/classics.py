@@ -2349,3 +2349,119 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("s_all"),
         F.count("*").cast("bigint").alias("n_all"))
     return full_s.crossJoin(F.broadcast(ci)).selectExpr(*_BOOT_FINAL)
+
+
+# ---------------------------------------------------------------------------
+# Exact two-factor OLS (trend + weekend) via Cramer's rule in decimal
+# ---------------------------------------------------------------------------
+
+_OLS2_EPOCH = "1995-01-01"
+
+
+def _det3(a, b, c, d, e, f, g, h, i) -> str:
+    """3×3 determinant over DECIMAL(38,0)-cast symbols — every product
+    of three moments stays far inside decimal-38 headroom (≤ ~1e31 at
+    a true 100 TB), so the determinant is EXACT in both engines."""
+    t = {k: f"CAST({v} AS DECIMAL(38,0))"
+         for k, v in zip("abcdefghi", (a, b, c, d, e, f, g, h, i))}
+    return (f"({t['a']} * ({t['e']} * {t['i']} - {t['f']} * {t['h']})"
+            f" - {t['b']} * ({t['d']} * {t['i']} - {t['f']} * {t['g']})"
+            f" + {t['c']} * ({t['d']} * {t['h']} - {t['e']} * {t['g']}))")
+
+
+#: Normal-equations determinants. M = [[n,st,sw],[st,stt,stw],
+#: [sw,stw,sww]]; D_k replaces column k with the y-moment vector
+#: (sy, sty, swy). Coefficients b_k = D_k / D divide ONCE, as doubles
+#: obtained from the exact decimals via the canonical string
+#: round-trip (decimal→double direct is 1-ULP engine-divergent).
+_OLS2_D = _det3("n", "st", "sw", "st", "stt", "stw", "sw", "stw", "sww")
+_OLS2_D0 = _det3("sy", "st", "sw", "sty", "stt", "stw", "swy", "stw", "sww")
+_OLS2_D1 = _det3("n", "sy", "sw", "st", "sty", "stw", "sw", "swy", "sww")
+_OLS2_D2 = _det3("n", "st", "sy", "st", "stt", "sty", "sw", "stw", "swy")
+
+def _ols2_final(strtype: str) -> list[str]:
+    """Shared final expressions, rendered with each engine's string
+    type name (STRING in Spark, VARCHAR in DuckDB) — the operation
+    sequence (exact decimal → digits → correctly-rounded double → one
+    division) is identical either way."""
+    def dbl(det: str) -> str:
+        return f"CAST(CAST({det} AS {strtype}) AS DOUBLE)"
+    return [
+        "n",
+        f"{dbl(_OLS2_D)} AS det",
+        f"({dbl(_OLS2_D0)} / {dbl(_OLS2_D)}) / 100.0 AS intercept",
+        f"({dbl(_OLS2_D1)} / {dbl(_OLS2_D)}) / 100.0 AS trend_per_day",
+        f"({dbl(_OLS2_D2)} / {dbl(_OLS2_D)}) / 100.0 AS weekend_lift",
+    ]
+
+
+@register(
+    "ols_weekend_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), xy AS (
+      SELECT CAST(d - DATE '{_OLS2_EPOCH}' AS BIGINT) AS t,
+             CAST(CASE WHEN isodow(d) >= 6 THEN 1 ELSE 0 END AS BIGINT)
+               AS w,
+             y
+      FROM daily
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(t) AS BIGINT) AS st,
+             CAST(SUM(w) AS BIGINT) AS sw,
+             CAST(SUM(t * t) AS BIGINT) AS stt,
+             CAST(SUM(t * w) AS BIGINT) AS stw,
+             CAST(SUM(w) AS BIGINT) AS sww,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(t * y) AS BIGINT) AS sty,
+             CAST(SUM(w * y) AS BIGINT) AS swy
+      FROM xy
+    )
+    SELECT {", ".join(_ols2_final("VARCHAR"))} FROM m
+    """,
+    doc="Exact MULTIPLE regression, closed form: daily revenue on a "
+        "day-index trend and a weekend dummy, solved by Cramer's rule "
+        "over the normal equations — the counterpoint to the "
+        "adjudicated rows-only iterative solvers: a fixed small design "
+        "matrix needs no iteration, so the whole solve is four 3×3 "
+        "determinants over EXACT integer/cents moments (decimal-38 "
+        "products, ≤ ~1e31 at 100 TB — no float enters until the "
+        "final shared expressions), and the coefficients divide once "
+        "each from string-round-tripped doubles. The weekend dummy is "
+        "computed with each engine's own calendar function on the "
+        "SAME dates (isodow ≥ 6 vs dayofweek ∈ {1,7}), so the "
+        "design matrices are provably identical. Scale: one date "
+        "aggregate with map-side partials (|days| rows), one 9-sum "
+        "moment aggregate, one output row — the regression costs one "
+        "scan regardless of data size, and adding factors grows the "
+        "determinant, not the passes.",
+)
+def q_ols_weekend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderdate").cast("date").alias("d"))
+        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("y"))
+    )
+    xy = daily.select(
+        F.datediff(F.col("d"), F.lit(_OLS2_EPOCH).cast("date"))
+        .cast("bigint").alias("t"),
+        F.when(F.dayofweek("d").isin(1, 7), 1).otherwise(0)
+        .cast("bigint").alias("w"),
+        "y")
+    m = xy.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("st"),
+        F.sum("w").cast("bigint").alias("sw"),
+        F.sum(F.col("t") * F.col("t")).cast("bigint").alias("stt"),
+        F.sum(F.col("t") * F.col("w")).cast("bigint").alias("stw"),
+        F.sum("w").cast("bigint").alias("sww"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sty"),
+        F.sum(F.col("w") * F.col("y")).cast("bigint").alias("swy"),
+    )
+    return m.selectExpr(*_ols2_final("STRING"))

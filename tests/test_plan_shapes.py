@@ -844,3 +844,18 @@ def test_poisson_bootstrap_no_row_expansion(spark, sf_dir):
     assert "rand(" not in plan, plan
     assert plan.count("Window [") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ols2_single_moment_pass(spark, sf_dir):
+    """The closed-form regression must be two aggregates and nothing
+    else: the daily rollup, then ONE 9-sum moment aggregate whose
+    result feeds the determinant expressions — no window, no join, no
+    second scan of orders, no float until the final projection (the
+    determinants are decimal(38,0) in the plan)."""
+    plan = plan_of(spark, sf_dir, "ols_weekend_trend")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Window [" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "decimal(38,0)" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "CartesianProduct" not in plan, plan

@@ -2465,3 +2465,163 @@ def q_ols_weekend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("w") * F.col("y")).cast("bigint").alias("swy"),
     )
     return m.selectExpr(*_ols2_final("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns (exact-count MI)
+# ---------------------------------------------------------------------------
+
+#: Per-cell log term, rounded to 6dp and FIXED as an exact decimal
+#: before any further arithmetic — the curation-module rule for
+#: transcendental outputs (ln of an irrational ratio never lands on a
+#: rounding midpoint, so round-6 is cross-engine stable). The ln input
+#: is one identical double expression on both engines.
+_MI_LNR = ("CAST(round(ln((CAST(cnt AS DOUBLE) * n)"
+           " / (CAST(cx AS DOUBLE) * cy)), 6) AS DECIMAL(18,6))")
+
+_MI_FINAL = [
+    "n_orders",
+    "n_cells",
+    "CAST(CAST(mi_sum AS {st}) AS DOUBLE)"
+    " / n_orders AS mi_nats",
+]
+
+
+@register(
+    "mutual_information_priority_status",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderpriority AS priority, o_orderstatus AS status,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1, 2
+    ), marg AS (
+      SELECT priority, status, cnt,
+             CAST(SUM(cnt) OVER (PARTITION BY priority) AS BIGINT) AS cx,
+             CAST(SUM(cnt) OVER (PARTITION BY status) AS BIGINT) AS cy,
+             CAST(SUM(cnt) OVER () AS BIGINT) AS n
+      FROM cells
+    ), terms AS (
+      SELECT n AS n_orders,
+             CAST(cnt AS DECIMAL(20,0)) * {_MI_LNR} AS term
+      FROM marg
+    )
+    SELECT {", ".join(_MI_FINAL).format(st="VARCHAR")}
+    FROM (SELECT MAX(n_orders) AS n_orders,
+                 CAST(COUNT(*) AS BIGINT) AS n_cells,
+                 SUM(term) AS mi_sum
+          FROM terms) t
+    """,
+    doc="Mutual information I(priority; status) in nats — the "
+        "information-theoretic dependence measure that complements "
+        "chisq_priority_segment's significance test (chi² asks 'is "
+        "there dependence', MI asks 'how many bits of one column the "
+        "other carries'). Exactness follows the curation-module rule "
+        "for transcendental outputs: every count and margin is an "
+        "exact BIGINT (margins via windows OVER the 15-cell relation, "
+        "never a second scan), each cell's ln((cnt·n)/(cx·cy)) is one "
+        "identical double expression rounded to 6dp and FROZEN as "
+        "decimal(18,6), the weighted sum Σ cnt·lnr is exact decimal "
+        "arithmetic, and the single division by n happens once "
+        "through the canonical string round-trip. Scale: one "
+        "(priority, status) aggregate with map-side partials — 15 "
+        "cells regardless of order volume — then cell-sized window "
+        "work; MI over a 100 TB fact costs the fact scan, full stop.",
+)
+def q_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"),
+                 F.col("o_orderstatus").alias("status"))
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+    )
+    marg = cells.select(
+        "priority", "status", "cnt",
+        F.sum("cnt").over(Window.partitionBy("priority"))
+        .cast("bigint").alias("cx"),
+        F.sum("cnt").over(Window.partitionBy("status"))
+        .cast("bigint").alias("cy"),
+        F.sum("cnt").over(Window.partitionBy(F.lit(0)))
+        .cast("bigint").alias("n"),
+    )
+    terms = marg.selectExpr(
+        "n AS n_orders",
+        f"CAST(cnt AS DECIMAL(20,0)) * {_MI_LNR} AS term")
+    agg = terms.agg(
+        F.max("n_orders").alias("n_orders"),
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("term").alias("mi_sum"))
+    return agg.selectExpr(
+        *[e.format(st="STRING") for e in _MI_FINAL])
+
+
+# ---------------------------------------------------------------------------
+# Duplicate-submission detector (same user+action pairs in a tight band)
+# ---------------------------------------------------------------------------
+
+_DUP_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
+@register(
+    "duplicate_event_detector",
+    oracle=f"""
+    SELECT a.user_id,
+           a.event_type,
+           a.event_id AS first_event_id,
+           b.event_id AS later_event_id,
+           (CAST(epoch_us(b.ts) AS BIGINT)
+            - CAST(epoch_us(a.ts) AS BIGINT)) // 1000000 AS gap_seconds
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = b.event_type
+     AND (epoch_us(a.ts) < epoch_us(b.ts)
+          OR (epoch_us(a.ts) = epoch_us(b.ts)
+              AND a.event_id < b.event_id))
+    WHERE CAST(epoch_us(b.ts) AS BIGINT)
+          - CAST(epoch_us(a.ts) AS BIGINT) <= {_DUP_WINDOW_US}
+    ORDER BY a.user_id, a.event_type, first_event_id, later_event_id
+    """,
+    doc="Duplicate-submission audit: pairs of events where the SAME "
+        "user fired the SAME action within 10 minutes — the "
+        "double-click / at-least-once-replay sweep every event "
+        "pipeline needs before counting conversions (complementary "
+        "to stream_dedup, which drops exact event_id replays; this "
+        "finds SEMANTIC near-duplicates with distinct ids). The "
+        "oracle states it as an O(n²)-looking self-join; the Spark "
+        "plan never self-joins the fact: events group by the "
+        "compound (user_id, event_type) key and each group's "
+        "time-sorted (micros, event_id) list generates its "
+        "within-band pairs ROW-LOCALLY (the Theil–Sen nested-"
+        "transform device) — one scan, ONE shuffle, pair work "
+        "quadratic only inside a user's single action type, the "
+        "same per-user-activity bound every sessionization operator "
+        "here carries. Timestamps compare as exact BIGINT "
+        "microseconds (sub-second data; epoch seconds would alias), "
+        "ties break on event_id so the pair set is deterministic, "
+        "and the gap floors to whole seconds identically in both "
+        "engines.",
+)
+def q_duplicate_event_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.expr("unix_micros(ts)").alias("t_us"))
+    grouped = ev.groupBy("user_id", "event_type").agg(
+        F.sort_array(F.collect_list(F.struct("t_us", "event_id")))
+        .alias("pts"))
+    pairs = grouped.select(
+        "user_id", "event_type",
+        F.explode(F.expr(
+            "flatten(transform(pts, (a, i) -> "
+            "transform(slice(pts, i + 2, size(pts)), b -> struct("
+            "a.event_id AS id1, b.event_id AS id2, "
+            "b.t_us - a.t_us AS gap_us))))")).alias("p"))
+    return (
+        pairs.where(F.col("p.gap_us") <= _DUP_WINDOW_US)
+        .select(
+            "user_id", "event_type",
+            F.col("p.id1").alias("first_event_id"),
+            F.col("p.id2").alias("later_event_id"),
+            F.expr("p.gap_us div 1000000").alias("gap_seconds"))
+        .orderBy("user_id", "event_type", "first_event_id",
+                 "later_event_id")
+    )

@@ -859,3 +859,29 @@ def test_ols2_single_moment_pass(spark, sf_dir):
     assert "decimal(38,0)" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_mutual_information_cell_sized(spark, sf_dir):
+    """MI must be computed from ONE (priority, status) aggregate: a
+    single orders scan, margins as windows OVER the 15-cell relation
+    (never a second scan or join), the weighted log-term sum in exact
+    decimal, and no join anywhere."""
+    plan = plan_of(spark, sf_dir, "mutual_information_priority_status")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "decimal(18,6)" in plan, plan
+    assert "LOG" in plan.upper() or "ln(" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_duplicate_events_no_self_join(spark, sf_dir):
+    """The duplicate-submission sweep must NOT self-join events: one
+    scan, one shuffle on the compound (user_id, event_type) key, pairs
+    generated row-locally from each group's sorted list (Generate
+    explode) — zero joins in the plan."""
+    plan = plan_of(spark, sf_dir, "duplicate_event_detector")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Generate explode" in plan, plan
+    assert "hashpartitioning(user_id" in plan and "event_type" in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -2209,10 +2209,10 @@ def q_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BOOT_B = 32
 #: Each md5 digest is 32 hex chars = FOUR independent 32-bit words, so
-#: the 64 per-row uniforms cost 16 digests, not 64: replicate 4j+q
-#: reads word q of md5(j ':' orderkey). The digest is computed in its
-#: own projection between the two explodes so it is evaluated exactly
-#: once per (row, j) — never re-derived per word.
+#: the B per-row uniforms cost B/4 digests, not B: replicate 4j+q
+#: reads word q of md5(j ':' orderkey). Each digest is a named column
+#: in its own projection, so it is evaluated exactly once per (row, j)
+#: — never re-derived per word.
 _BOOT_DIGESTS = _BOOT_B // 4
 #: Truncated-Poisson(1) resampling weights from a 32-bit portable hash:
 #: cumulative pmf thresholds scaled to 2^32, computed ONCE in Python

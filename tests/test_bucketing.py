@@ -101,3 +101,19 @@ def test_bucket_pruning_on_equality_literal(spark, sf_dir, bucketed_tables):
     want = (table(spark, sf_dir, "orders")
             .where(F.col("o_orderkey") == some_key).count())
     assert pruned.count() == want
+
+
+def test_bucketed_aggregation_skips_exchange(spark, sf_dir, bucketed_tables):
+    """Bucketing pays off beyond joins: a groupBy on the bucket key
+    reads pre-clustered buckets, so the aggregate needs NO exchange —
+    at 100 TB that's a per-orderkey rollup with zero shuffle."""
+    li = read_bucketed_table(spark, "b_lineitem")
+    agg = li.groupBy("l_orderkey").agg(F.count("*").alias("n_items"))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Bucketed: true" in plan, plan
+    # values match the plain (shuffling) rollup
+    plain = (table(spark, sf_dir, "lineitem")
+             .groupBy("l_orderkey").agg(F.count("*").alias("n_items")))
+    assert sorted(map(tuple, agg.collect())) == \
+        sorted(map(tuple, plain.collect()))

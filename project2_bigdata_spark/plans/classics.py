@@ -2625,3 +2625,108 @@ def q_duplicate_event_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("user_id", "event_type", "first_event_id",
                  "later_event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE apply: upsert/delete a change batch onto a snapshot
+# ---------------------------------------------------------------------------
+
+#: Deterministic change batch synthesized from the corpus (no RNG):
+#: custkeys ≡ 0 (mod 7) receive an UPDATE (+100.00 balance, segment
+#: 'MERGED'), custkeys ≡ 0 (mod 11) a DELETE (delete wins over update
+#: on the overlap, the Delta MERGE convention of the last WHEN clause),
+#: and 50 brand-new keys above the corpus maximum are INSERTs.
+_CDC_NEW_KEYS = 50
+
+
+@register(
+    "cdc_merge_apply",
+    oracle=f"""
+    WITH changes AS (
+      SELECT c_custkey AS k,
+             CASE WHEN c_custkey % 11 = 0 THEN 'D' ELSE 'U' END AS op,
+             CAST(CAST(c_acctbal AS DECIMAL(18,2)) + 100.00
+                  AS DECIMAL(18,2)) AS new_bal,
+             'MERGED' AS new_seg
+      FROM customer
+      WHERE c_custkey % 7 = 0 OR c_custkey % 11 = 0
+      UNION ALL
+      SELECT (SELECT MAX(c_custkey) FROM customer) + seq AS k,
+             'I' AS op,
+             CAST(seq AS DECIMAL(18,2)) AS new_bal,
+             'NEW' AS new_seg
+      FROM (SELECT unnest(generate_series(1, {_CDC_NEW_KEYS})) AS seq) s
+    )
+    SELECT COALESCE(c_custkey, k) AS custkey,
+           CASE WHEN op IN ('U', 'I')
+                THEN CAST(CAST(new_bal AS VARCHAR) AS DOUBLE)
+                ELSE CAST(CAST(CAST(c_acctbal AS DECIMAL(18,2))
+                               AS VARCHAR) AS DOUBLE) END AS acctbal,
+           CASE WHEN op IN ('U', 'I') THEN new_seg
+                ELSE c_mktsegment END AS mktsegment,
+           COALESCE(op, 'K') AS applied_op
+    FROM customer
+    FULL OUTER JOIN changes ON c_custkey = k
+    WHERE op IS DISTINCT FROM 'D'
+    ORDER BY custkey
+    """,
+    doc="CDC MERGE: apply an insert/update/delete change batch onto "
+        "the customer snapshot in ONE pass — the lakehouse upsert "
+        "primitive (Delta/Iceberg MERGE INTO) expressed as a single "
+        "FULL OUTER join + CASE resolution, the inverse of "
+        "snapshot_diff (which derives a change set; this consumes "
+        "one). Semantics pinned by the oracle: updates overwrite "
+        "balance and segment, deletes drop the row (IS DISTINCT FROM "
+        "keeps unmatched base rows, where op is NULL — the classic "
+        "trap: plain <> 'D' silently deletes EVERY unmatched row), "
+        "inserts materialize keys with no base match, untouched rows "
+        "pass through flagged 'K'. The change batch is synthesized "
+        "deterministically from the corpus (mod-arithmetic key "
+        "classes + a generate_series of fresh keys), so both engines "
+        "build the identical batch with no RNG. Balances stay exact "
+        "decimal until the canonical string round-trip. Scale: one "
+        "key-partitioned FULL OUTER shuffle join — the merge costs "
+        "one co-partitioning of snapshot and batch, and with both "
+        "sides bucketed by key (write_bucketed) even that shuffle "
+        "disappears.",
+)
+def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    upd = (
+        cust.where((F.col("c_custkey") % 7 == 0)
+                   | (F.col("c_custkey") % 11 == 0))
+        .select(
+            F.col("c_custkey").alias("k"),
+            F.when(F.col("c_custkey") % 11 == 0, "D").otherwise("U")
+            .alias("op"),
+            (F.col("c_acctbal").cast("decimal(18,2)")
+             + F.lit("100.00").cast("decimal(18,2)"))
+            .cast("decimal(18,2)").alias("new_bal"),
+            F.lit("MERGED").alias("new_seg"))
+    )
+    max_key = cust.agg(F.max("c_custkey").alias("mk"))
+    ins = (
+        spark.range(1, _CDC_NEW_KEYS + 1).toDF("seq")
+        .crossJoin(F.broadcast(max_key))
+        .select(
+            (F.col("mk") + F.col("seq")).alias("k"),
+            F.lit("I").alias("op"),
+            F.col("seq").cast("decimal(18,2)").alias("new_bal"),
+            F.lit("NEW").alias("new_seg"))
+    )
+    changes = upd.unionByName(ins)
+    merged = cust.join(changes, F.col("c_custkey") == F.col("k"),
+                       "full_outer")
+    resolved = merged.where(
+        ~F.col("op").eqNullSafe("D")
+    ).select(
+        F.coalesce("c_custkey", "k").alias("custkey"),
+        F.when(F.col("op").isin("U", "I"),
+               F.col("new_bal").cast("string").cast("double"))
+        .otherwise(F.col("c_acctbal").cast("decimal(18,2)")
+                   .cast("string").cast("double")).alias("acctbal"),
+        F.when(F.col("op").isin("U", "I"), F.col("new_seg"))
+        .otherwise(F.col("c_mktsegment")).alias("mktsegment"),
+        F.coalesce("op", F.lit("K")).alias("applied_op"),
+    )
+    return resolved.orderBy("custkey")

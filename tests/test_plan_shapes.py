@@ -55,6 +55,7 @@ BNLJ_OK = {
     "sales_trend_ols",  # 1-row global-min-date broadcast
     "churn_hazard_curve",  # 1-row observation-cutoff broadcast
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
+    "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
     "range_join_grid",  # 1-row (lo, hi) domain-stats broadcast; the
                         # range join itself is the cell hash join below
@@ -884,4 +885,18 @@ def test_duplicate_events_no_self_join(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Generate explode" in plan, plan
     assert "hashpartitioning(user_id" in plan and "event_type" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cdc_merge_single_outer_join(spark, sf_dir):
+    """The MERGE must resolve in ONE key-partitioned FULL OUTER join —
+    never a per-op-class sequence of joins — with the delete guard as
+    a null-safe predicate (a plain <> would silently delete every
+    unmatched base row) and the change batch unioned before the join."""
+    plan = plan_of(spark, sf_dir, "cdc_merge_apply")
+    assert "FullOuter" in plan, plan
+    assert plan.count("SortMergeJoin") == 1, plan
+    # snapshot + update-batch derivation + 1-row max-key seed
+    assert plan.count("customer.parquet") == 3, plan
+    assert "Union" in plan, plan
     assert "CartesianProduct" not in plan, plan

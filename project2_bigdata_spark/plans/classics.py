@@ -2730,3 +2730,128 @@ def q_cdc_merge_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("op", F.lit("K")).alias("applied_op"),
     )
     return resolved.orderBy("custkey")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction intervals (Mondrian, per product)
+# ---------------------------------------------------------------------------
+
+_CP_CAL_LO = "1995-01-08"   # first date with a 7-day-back anchor
+_CP_SPLIT = "2000-01-01"    # calibration before, test after
+#: Miscoverage α = 0.1: the conformal quantile is the ⌈(n+1)(1−α)⌉-th
+#: smallest calibration score — exact integer arithmetic:
+#: k = ceil(9(n+1)/10) = (9(n+1)+9) div 10, clamped to n (small-n
+#: guard; the clamp can only narrow coverage, never crash).
+_CP_K = "least((9 * (n_cal + 1) + 9) div 10, n_cal)"
+_CP_K_DUCK = "least((9 * (n_cal + 1) + 9) // 10, n_cal)"
+
+
+@register(
+    "conformal_forecast_interval",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p_name AS product, CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS y
+      FROM lineitem
+      JOIN part   ON l_partkey  = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), paired AS (
+      SELECT a.product, a.d, a.y, b.y AS yhat
+      FROM daily a
+      JOIN daily b ON a.product = b.product AND b.d = a.d - 7
+    ), cal AS (
+      SELECT product, abs(y - yhat) AS s
+      FROM paired
+      WHERE d >= DATE '{_CP_CAL_LO}' AND d < DATE '{_CP_SPLIT}'
+    ), ranked AS (
+      SELECT product, s,
+             ROW_NUMBER() OVER (PARTITION BY product ORDER BY s) AS rn,
+             COUNT(*) OVER (PARTITION BY product) AS n_cal
+      FROM cal
+    ), q AS (
+      SELECT product, CAST(MAX(n_cal) AS BIGINT) AS n_cal,
+             CAST(MAX(CASE WHEN rn = {_CP_K_DUCK} THEN s END)
+                  AS BIGINT) AS q_c
+      FROM ranked GROUP BY product
+    )
+    SELECT t.product,
+           strftime(t.d, '%Y-%m-%d') AS date,
+           CAST(t.y AS DOUBLE) / 100.0 AS actual,
+           CAST(t.yhat AS DOUBLE) / 100.0 AS predicted,
+           CAST(t.yhat - q.q_c AS DOUBLE) / 100.0 AS lo,
+           CAST(t.yhat + q.q_c AS DOUBLE) / 100.0 AS hi,
+           CAST(CASE WHEN abs(t.y - t.yhat) <= q.q_c
+                     THEN 1 ELSE 0 END AS INT) AS covered,
+           q.n_cal
+    FROM paired t
+    JOIN q ON t.product = q.product
+    WHERE t.d >= DATE '{_CP_SPLIT}'
+    ORDER BY t.product, t.d
+    """,
+    doc="Split-conformal 90% prediction intervals for daily product "
+        "revenue under a seasonal-naive predictor (same weekday last "
+        "week, matched by an exact DATE join — never a row-offset lag, "
+        "which silently mispredicts across calendar gaps) — "
+        "distribution-free uncertainty quantification with the finite-"
+        "sample coverage guarantee, MONDRIAN per product so each "
+        "product gets group-conditional validity AND the calibration "
+        "windows stay calendar-bounded. Everything is exact: scores "
+        "are |actual − predicted| in BIGINT cents, the conformal "
+        "quantile is the ⌈(n+1)(1−α)⌉-th ORDER STATISTIC picked by an "
+        "integer-arithmetic rank (ties in the score are value-equal, "
+        "so row_number nondeterminism cannot change q), and the "
+        "interval endpoints divide to dollars once in shared final "
+        "form. The covered flag makes the empirical coverage itself "
+        "part of the hash-checked result. Scale: one fact rollup, one "
+        "product-co-partitioned self-join of the |product×days| "
+        "relation, windows bounded by one product's calendar — the "
+        "conformal machinery costs calendar² at worst, constant in "
+        "fact rows.",
+)
+def q_conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        sale_lines(spark, sf_dir)
+        .groupBy("product", F.col("sale_ts").cast("date").alias("d"))
+        .agg((F.sum(F.col("revenue").cast("decimal(18,2)")) * 100)
+             .cast("bigint").alias("y"))
+    )
+    b = daily.select(
+        F.col("product").alias("bp"),
+        F.date_add(F.col("d"), 7).alias("bd"),
+        F.col("y").alias("yhat"))
+    paired = daily.join(
+        b, (F.col("product") == F.col("bp")) & (F.col("d") == F.col("bd"))
+    ).select("product", "d", "y", "yhat")
+    cal = paired.where(
+        (F.col("d") >= F.lit(_CP_CAL_LO).cast("date"))
+        & (F.col("d") < F.lit(_CP_SPLIT).cast("date"))
+    ).select("product", F.abs(F.col("y") - F.col("yhat")).alias("s"))
+    w = Window.partitionBy("product")
+    ranked = cal.select(
+        "product", "s",
+        F.row_number().over(w.orderBy("s")).alias("rn"),
+        F.count("*").over(w).alias("n_cal"))
+    q = ranked.groupBy("product").agg(
+        F.max("n_cal").cast("bigint").alias("n_cal"),
+        F.max(F.when(F.col("rn") == F.expr(_CP_K), F.col("s")))
+        .cast("bigint").alias("q_c"))
+    test = paired.where(F.col("d") >= F.lit(_CP_SPLIT).cast("date"))
+    return (
+        test.join(q, "product")
+        .select(
+            "product",
+            F.date_format("d", "yyyy-MM-dd").alias("date"),
+            (F.col("y").cast("double") / 100.0).alias("actual"),
+            (F.col("yhat").cast("double") / 100.0).alias("predicted"),
+            ((F.col("yhat") - F.col("q_c")).cast("double") / 100.0)
+            .alias("lo"),
+            ((F.col("yhat") + F.col("q_c")).cast("double") / 100.0)
+            .alias("hi"),
+            F.when(F.abs(F.col("y") - F.col("yhat")) <= F.col("q_c"), 1)
+            .otherwise(0).cast("int").alias("covered"),
+            "n_cal",
+        )
+        .orderBy("product", "date")
+    )

@@ -900,3 +900,19 @@ def test_cdc_merge_single_outer_join(spark, sf_dir):
     assert plan.count("customer.parquet") == 3, plan
     assert "Union" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_conformal_calendar_bounded_machinery(spark, sf_dir):
+    """Conformal machinery must stay calendar-bounded: the predictor is
+    an exact DATE equi-join of the daily relation with itself (product-
+    co-partitioned — no row-offset lag across gaps), the calibration
+    quantile windows partition by product, and the only relations past
+    the rollup are |product×days|-sized. No cartesian, no NLJ."""
+    plan = plan_of(spark, sf_dir, "conformal_forecast_interval")
+    assert "date_add(" in plan, plan
+    # row_number (ordered) and count (unbounded) split into two Window
+    # nodes over the same product partitioning
+    assert plan.count("Window [") == 2, plan
+    assert "hashpartitioning(product" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

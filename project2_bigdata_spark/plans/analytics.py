@@ -2602,3 +2602,173 @@ def q_churn_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").alias("n_churned"),
         (F.col("w") - F.col("d")).alias("n_censored"))
     return curve.selectExpr(*_CH_FINAL).orderBy("k")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal-rank fusion of a lexical and a semantic retriever
+# ---------------------------------------------------------------------------
+
+_RRF_K0 = 60        # the standard RRF dampening constant (Cormack'09)
+_RRF_POOL = 100     # per-retriever candidate list depth
+_RRF_TOPN = 20
+_RRF_QVEC = 0       # query = embedding of vec_id 0 (doc_id-aligned)
+
+#: Sequential-fold dot product — same op order as DuckDB's
+#: list_dot_product, so the doubles are bit-identical (the proven
+#: similarity-module device).
+_RRF_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> "
+    "cast(x as double) * cast(y as double)), cast(0.0 as double), "
+    "(acc, v) -> acc + v)"
+)
+
+#: RRF contribution of one (possibly missing) rank — shared text for
+#: both engines: integer operands → identical doubles; a doc absent
+#: from one retriever's pool contributes exactly 0.
+def _rrf_term(rank_col: str) -> str:
+    return (f"COALESCE(CAST(1 AS DOUBLE) / "
+            f"CAST({_RRF_K0} + {rank_col} AS DOUBLE), CAST(0 AS DOUBLE))")
+
+
+@register(
+    "rrf_fusion_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl,
+             {', '.join(
+                 f"CAST(len(list_filter(string_split(lower(text), ' '), "
+                 f"x -> x = '{t}')) AS DOUBLE) AS tf_{t}" for t in _BM25_TERMS)}
+      FROM documents
+    ), stats AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             SUM(dl) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+             {', '.join(
+                 f"CAST(SUM(CAST(tf_{t} > 0 AS INT)) AS DOUBLE) AS df_{t}"
+                 for t in _BM25_TERMS)}
+      FROM tok
+    ), lex AS (
+      SELECT doc_id,
+             row_number() OVER (
+               ORDER BY round({' + '.join(_bm25_score_sql(t) for t in _BM25_TERMS)}, 6) DESC,
+                        doc_id) AS r_lex
+      FROM tok, stats
+    ), q AS (
+      SELECT embedding::DOUBLE[] AS qe FROM embeddings
+      WHERE vec_id = {_RRF_QVEC}
+    ), sem AS (
+      SELECT vec_id AS doc_id,
+             row_number() OVER (
+               ORDER BY round(list_dot_product(qe, embedding::DOUBLE[]) /
+                        (sqrt(list_dot_product(qe, qe)) *
+                         sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[]))), 6) DESC,
+                        vec_id) AS r_sem
+      FROM embeddings, q
+    ), fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             CAST(l.r_lex AS INT) AS r_lex,
+             CAST(s.r_sem AS INT) AS r_sem,
+             {_rrf_term('l.r_lex')} + {_rrf_term('s.r_sem')} AS rrf_score
+      FROM (SELECT * FROM lex WHERE r_lex <= {_RRF_POOL}) l
+      FULL OUTER JOIN (SELECT * FROM sem WHERE r_sem <= {_RRF_POOL}) s
+        ON l.doc_id = s.doc_id
+    )
+    SELECT * FROM (
+      SELECT doc_id, r_lex, r_sem, rrf_score,
+             CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                  AS INT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {_RRF_TOPN} ORDER BY fused_rank
+    """,
+    doc="Reciprocal-rank fusion (Cormack et al., SIGIR'09) of the two "
+        "retrieval modalities the registry already proves separately: "
+        f"the BM25 lexical ranking over {_BM25_TERMS} and the cosine "
+        "semantic ranking against a fixed query embedding — the "
+        "standard hybrid-search combiner (1/(60+rank) summed across "
+        "lists, docs missing from a pool contribute exactly 0 via a "
+        "FULL OUTER join of the two top-100 lists). Engine-portable "
+        "by construction: each retriever's float score is 6dp-rounded "
+        "before its rank (the bm25/similarity device), so the INTEGER "
+        "ranks agree across engines, and the fused score is a shared "
+        "double expression over integer operands — rank ties (doc "
+        "pairs with mirrored ranks sum to the identical double) break "
+        "on doc_id. Scale: each retriever is one corpus scan + one "
+        "per-query rank (partition by query_id in the multi-query "
+        "generalization); the fusion join moves 2×pool rows per "
+        "query — constant in corpus size.",
+)
+def q_rrf_fusion_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("double").alias("dl"),
+        *[
+            F.expr(
+                f"cast(size(filter(split(lower(text), ' '), x -> x = '{t}')) as double)"
+            ).alias(f"tf_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    stats = tok.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl") / F.count("*").cast("double")).alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double").alias(f"df_{t}")
+            for t in _BM25_TERMS
+        ],
+    )
+    score = F.round(
+        F.expr(" + ".join(_bm25_score_sql(t) for t in _BM25_TERMS)), 6
+    )
+    lex = (
+        tok.crossJoin(F.broadcast(stats))
+        .select("doc_id", score.alias("score"))
+        .withColumn(
+            "r_lex",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .where(F.col("r_lex") <= _RRF_POOL)
+        .select("doc_id", "r_lex")
+    )
+    e = table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") == _RRF_QVEC).select(
+        F.col("embedding").alias("qe"))
+    cos = F.round(
+        F.expr(_RRF_DOT.format(a="qe", b="embedding"))
+        / (F.sqrt(F.expr(_RRF_DOT.format(a="qe", b="qe")))
+           * F.sqrt(F.expr(_RRF_DOT.format(a="embedding", b="embedding")))),
+        6,
+    )
+    sem = (
+        e.crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").alias("doc_id"), cos.alias("cos_sim"))
+        .withColumn(
+            "r_sem",
+            F.row_number().over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id"))),
+        )
+        .where(F.col("r_sem") <= _RRF_POOL)
+        .select(F.col("doc_id").alias("sem_doc_id"), "r_sem")
+    )
+    fused = (
+        lex.join(sem, lex.doc_id == sem.sem_doc_id, "full_outer")
+        .select(
+            F.coalesce("doc_id", "sem_doc_id").alias("doc_id"),
+            F.col("r_lex").cast("int").alias("r_lex"),
+            F.col("r_sem").cast("int").alias("r_sem"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.expr(f"{_rrf_term('r_lex')} + {_rrf_term('r_sem')}"),
+        )
+    )
+    return (
+        fused.withColumn(
+            "fused_rank",
+            F.row_number()
+            .over(Window.orderBy(F.desc("rrf_score"), F.asc("doc_id")))
+            .cast("int"),
+        )
+        .where(F.col("fused_rank") <= _RRF_TOPN)
+        .orderBy("fused_rank")
+    )

@@ -2855,3 +2855,194 @@ def q_conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("product", "date")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), g AS (
+      SELECT user_id, d,
+             d - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY d) AS INT) AS grp
+      FROM d
+    ), runs AS (
+      SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS len
+      FROM g GROUP BY 1, 2
+    ), per_user AS (
+      SELECT user_id, MAX(len) AS best_streak,
+             CAST(SUM(len) AS BIGINT) AS active_days
+      FROM runs GROUP BY 1
+    )
+    SELECT CAST(best_streak AS INT) AS best_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(active_days) AS BIGINT) AS sum_active_days,
+           CAST(SUM(active_days) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS avg_active_days
+    FROM per_user GROUP BY 1 ORDER BY 1
+    """,
+    doc="Gaps-and-islands: each user's LONGEST run of consecutive "
+        "active calendar days, rolled into a streak-length histogram "
+        "(n_users + exact/derived active-day stats per bucket). The "
+        "island key is the classic date-minus-row_number constant: "
+        "consecutive days share it, any gap starts a new island — no "
+        "self-join, no recursion. Arithmetic is all-integer until one "
+        "final division of identical bigint operands (IEEE-identical "
+        "on both engines; sum_active_days keeps the exact numerator "
+        "in the result). Scale: ONE user_id shuffle serves the "
+        "distinct, both windows and both per-user aggregates "
+        "(row_number and the island groupBy reuse the same "
+        "partitioning); the histogram regroup moves |streak lengths| "
+        "rows. Calendar-bounded per user, constant in event rows past "
+        "the distinct.",
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    d = ev.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    g = d.withColumn("grp", F.date_sub(F.col("d"), F.row_number().over(w)))
+    runs = g.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    per_user = runs.groupBy("user_id").agg(
+        F.max("len").alias("best_streak"),
+        F.sum("len").alias("active_days"),
+    )
+    return (
+        per_user.groupBy(F.col("best_streak").cast("int").alias("best_streak"))
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("active_days").cast("bigint").alias("sum_active_days"),
+            (F.sum("active_days").cast("double")
+             / F.count("*").cast("double")).alias("avg_active_days"),
+        )
+        .orderBy("best_streak")
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance-reduced A/B readout (experimentation at warehouse scale)
+# ---------------------------------------------------------------------------
+
+_CUPED_SPLIT = "1998-01-01"
+
+
+def _cuped_final(st: str) -> list[str]:
+    """Shared final expressions (Spark selectExpr AND DuckDB SELECT).
+
+    Every operand is a string-round-tripped exact decimal sum, so both
+    engines run the identical IEEE double expression tree; divisions
+    happen once, here, and nowhere upstream. ``st`` is the engine's
+    string type name (STRING / VARCHAR).
+    """
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    n, sx, sy = d("n"), d("sx"), d("sy")
+    sxx, sxy, syy = d("sxx"), d("sxy"), d("syy")
+    na, sxa, sya = d("n_a"), d("sx_a"), d("sy_a")
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    varx = f"({n} * {sxx} - {sx} * {sx})"
+    vary = f"({n} * {syy} - {sy} * {sy})"
+    theta = f"({cov} / {varx})"
+    rho2 = f"({cov} * {cov} / ({varx} * {vary}))"
+    c100 = "CAST(100 AS DOUBLE)"
+    return [
+        "arm",
+        "CAST(n_a AS BIGINT) AS n_units",
+        f"{sxa} / {na} / {c100} AS mean_pre",
+        f"{sya} / {na} / {c100} AS mean_post",
+        f"({sya} / {na} - {theta} * ({sxa} / {na} - {sx} / {n}))"
+        f" / {c100} AS mean_cuped",
+        f"{theta} AS theta",
+        f"{c100} * {rho2} AS var_reduction_pct",
+    ]
+
+
+@register(
+    "cuped_adjusted_ab",
+    oracle=f"""
+    WITH u AS (
+      SELECT o_custkey AS k,
+             CAST(COALESCE(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                      < DATE '{_CUPED_SPLIT}'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                  * 100 AS BIGINT) AS x,
+             CAST(COALESCE(SUM(CASE WHEN CAST(o_orderdate AS DATE)
+                      >= DATE '{_CUPED_SPLIT}'
+                      THEN CAST(o_totalprice AS DECIMAL(18,2)) END), 0)
+                  * 100 AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ), ua AS (
+      SELECT CAST(CAST(('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 AS INT) AS arm,
+             CAST(x AS DECIMAL(18,0)) AS xd,
+             CAST(y AS DECIMAL(18,0)) AS yd
+      FROM u
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(xd) AS sx, SUM(yd) AS sy,
+             SUM(xd * xd) AS sxx, SUM(xd * yd) AS sxy,
+             SUM(yd * yd) AS syy
+      FROM ua
+    ), per_arm AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_a,
+             SUM(xd) AS sx_a, SUM(yd) AS sy_a
+      FROM ua GROUP BY 1
+    )
+    SELECT {", ".join(_cuped_final("VARCHAR"))}
+    FROM per_arm, m ORDER BY arm
+    """,
+    doc="CUPED variance-reduced experiment readout: customers hash "
+        "into two arms (portable md5 parity — both engines build the "
+        "IDENTICAL assignment, no RNG), the pre-period covariate is "
+        "each customer's revenue before the split date, and the "
+        "post-period metric is adjusted by theta = cov(x,y)/var(x) "
+        "pooled over all units — the standard variance-reduction "
+        "device for online experiments (Deng et al., WSDM'13). All "
+        "six moments accumulate EXACTLY (cents-bigint per unit, "
+        "decimal-37 products, decimal-38 sums); theta, the adjusted "
+        "means, and the rho-squared variance-reduction share are one "
+        "shared double expression tree evaluated from string-round-"
+        "tripped operands on both engines. Scale: one custkey "
+        "aggregate with map-side partials, one 6-sum moment pass, a "
+        "2-row per-arm aggregate, and a 1-row broadcast — the CUPED "
+        "machinery costs one scan regardless of corpus size.",
+)
+def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    split = F.lit(_CUPED_SPLIT).cast("date")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    od = F.col("o_orderdate").cast("date")
+    u = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        (F.coalesce(F.sum(F.when(od < split, price)), F.lit(0)) * 100)
+        .cast("bigint").alias("x"),
+        (F.coalesce(F.sum(F.when(od >= split, price)), F.lit(0)) * 100)
+        .cast("bigint").alias("y"),
+    )
+    ua = u.select(
+        (F.expr("conv(substr(md5(cast(k as string)), 1, 8), 16, 10)")
+         .cast("bigint") % 2).cast("int").alias("arm"),
+        F.col("x").cast("decimal(18,0)").alias("xd"),
+        F.col("y").cast("decimal(18,0)").alias("yd"),
+    )
+    m = ua.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("xd").alias("sx"), F.sum("yd").alias("sy"),
+        F.sum(F.col("xd") * F.col("xd")).alias("sxx"),
+        F.sum(F.col("xd") * F.col("yd")).alias("sxy"),
+        F.sum(F.col("yd") * F.col("yd")).alias("syy"),
+    )
+    per_arm = ua.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_a"),
+        F.sum("xd").alias("sx_a"), F.sum("yd").alias("sy_a"),
+    )
+    return (
+        per_arm.crossJoin(F.broadcast(m))
+        .selectExpr(*_cuped_final("STRING"))
+        .orderBy("arm")
+    )

@@ -63,6 +63,8 @@ BNLJ_OK = {
     "welch_ttest_segments",  # 1-row global-moments broadcast
     "ks_test_totalprice",  # 1-row (n1, n2) + 1-row maxdiff broadcasts
     "tpch_q22_missed_opportunity",  # 1-row (npos, total) threshold broadcast
+    "cuped_adjusted_ab",  # 1-row pooled-moments broadcast onto 2 arm rows
+    "rrf_fusion_topk",  # 1-row corpus-stats + 1-row query-vector broadcasts
 }
 
 
@@ -916,3 +918,42 @@ def test_conformal_calendar_bounded_machinery(spark, sf_dir):
     assert "hashpartitioning(product" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_activity_streaks_one_user_shuffle_no_joins(spark, sf_dir):
+    """Gaps-and-islands must stay join-free: the distinct, the island
+    window and the per-user aggregates all reuse ONE user_id
+    partitioning; only |streak lengths| rows move in the final
+    histogram regroup."""
+    plan = plan_of(spark, sf_dir, "activity_streaks")
+    assert "Join" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    # exactly one window pass (the island row_number)
+    assert plan.count("Window [") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_cuped_single_scan_moment_pass(spark, sf_dir):
+    """CUPED must cost one orders scan into a custkey aggregate, one
+    6-sum moment aggregate and a 1-row broadcast — never a per-arm
+    re-scan or a shuffled moments join."""
+    plan = plan_of(spark, sf_dir, "cuped_adjusted_ab")
+    assert plan.count("orders.parquet") == 2, plan  # moments + per-arm branch
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row moments ride in
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_rrf_pools_fused_by_equi_join(spark, sf_dir):
+    """RRF must fuse the two bounded top-100 pools with an EQUI join on
+    doc_id — the corpus-sized relations never join each other; the only
+    nested-loop joins are the two 1-row broadcasts (corpus stats,
+    query vector)."""
+    plan = plan_of(spark, sf_dir, "rrf_fusion_topk")
+    assert "FullOuter" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the fusion join is hash- or sort-merge-based on doc_id, not NLJ
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan
+    # only the two 1-row scalar broadcasts may nested-loop
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan

@@ -3046,3 +3046,112 @@ def q_cuped_adjusted_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_cuped_final("STRING"))
         .orderBy("arm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price elasticity of demand: per-product log-log OLS over daily grain
+# ---------------------------------------------------------------------------
+
+_ELAST_MIN_OBS = 30
+
+
+def _elast_final(st: str) -> list[str]:
+    """Shared per-product final expressions — identical double trees on
+    both engines over string-round-tripped exact decimal(38,12) moment
+    sums of the FROZEN 6dp log observations."""
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    n = "CAST(n_obs AS DOUBLE)"
+    sx, sy = d("sx"), d("sy")
+    sxx, sxy, syy = d("sxx"), d("sxy"), d("syy")
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    varx = f"({n} * {sxx} - {sx} * {sx})"
+    vary = f"({n} * {syy} - {sy} * {sy})"
+    return [
+        "product",
+        "CAST(n_obs AS BIGINT) AS n_obs",
+        f"CASE WHEN {varx} > CAST(0 AS DOUBLE)"
+        f" THEN {cov} / {varx} END AS elasticity",
+        f"CASE WHEN {varx} * {vary} > CAST(0 AS DOUBLE)"
+        f" THEN {cov} * {cov} / ({varx} * {vary}) END AS r2",
+    ]
+
+
+@register(
+    "price_elasticity_loglog",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p_name AS product, CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS rev_c,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) * 100
+                  AS BIGINT) AS qty_c
+      FROM lineitem
+      JOIN part   ON l_partkey  = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1, 2
+    ), obs AS (
+      SELECT product,
+             CAST(round(ln(CAST(rev_c AS DOUBLE) / CAST(qty_c AS DOUBLE)),
+                        6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(qty_c AS DOUBLE)), 6)
+                  AS DECIMAL(18,6)) AS y
+      FROM daily
+    ), m AS (
+      SELECT product, CAST(COUNT(*) AS BIGINT) AS n_obs,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM obs GROUP BY 1
+    )
+    SELECT {", ".join(_elast_final("VARCHAR"))}
+    FROM m WHERE n_obs >= {_ELAST_MIN_OBS} ORDER BY product
+    """,
+    doc="Price elasticity of demand, the retail-econometrics classic: "
+        "per-product OLS slope of ln(quantity) on ln(unit price) over "
+        "the daily grain (unit price = exact-cents revenue/quantity "
+        "ratio). Engine-portable via the frozen-transcendental device "
+        "(mutual_information's rule): each ln observation is one "
+        "identical double expression over exact bigint-cents operands, "
+        "rounded to 6dp and FROZEN as decimal(18,6) — from there every "
+        "moment accumulates exactly (decimal-37 products, decimal-38 "
+        "sums), and slope/r² are one shared double tree from string-"
+        "round-tripped sums; zero-variance groups yield NULL on both "
+        "engines rather than an engine-specific inf. Scale: one fact "
+        "rollup (broadcast dims) + one |product×days| log projection + "
+        "one 6-sum moment aggregate per product — the regression costs "
+        "the daily rollup, constant in fact rows past it; elasticity "
+        "and r² are scale-invariant, so the cents units drop out of "
+        "the slope.",
+)
+def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        sale_lines(spark, sf_dir)
+        .groupBy("product", F.col("sale_ts").cast("date").alias("d"))
+        .agg(
+            (F.sum(F.col("revenue").cast("decimal(18,2)")) * 100)
+            .cast("bigint").alias("rev_c"),
+            (F.sum(F.col("quantity").cast("decimal(18,2)")) * 100)
+            .cast("bigint").alias("qty_c"),
+        )
+    )
+    obs = daily.select(
+        "product",
+        F.round(F.log(F.col("rev_c").cast("double")
+                      / F.col("qty_c").cast("double")), 6)
+        .cast("decimal(18,6)").alias("x"),
+        F.round(F.log(F.col("qty_c").cast("double")), 6)
+        .cast("decimal(18,6)").alias("y"),
+    )
+    m = obs.groupBy("product").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return (
+        m.where(F.col("n_obs") >= _ELAST_MIN_OBS)
+        .selectExpr(*_elast_final("STRING"))
+        .orderBy("product")
+    )

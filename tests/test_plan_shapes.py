@@ -957,3 +957,16 @@ def test_rrf_pools_fused_by_equi_join(spark, sf_dir):
             or "BroadcastHashJoin" in plan), plan
     # only the two 1-row scalar broadcasts may nested-loop
     assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_price_elasticity_single_moment_pass(spark, sf_dir):
+    """The log-log regression must cost the daily rollup + ONE 6-sum
+    moment aggregate on the product partitioning — no window, no
+    self-join, no per-product re-scan; the ln observations are plain
+    projections between the two aggregates."""
+    plan = plan_of(spark, sf_dir, "price_elasticity_loglog")
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "hashpartitioning(product" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan

@@ -3155,3 +3155,93 @@ def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_elast_final("STRING"))
         .orderBy("product")
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA: F-statistic of order value across the 5 priority classes
+# ---------------------------------------------------------------------------
+
+#: The five TPC-H priority classes, pivoted into NAMED moment columns so
+#: the cross-group sums are a FIXED-ORDER expression (g1 + g2 + ... + g5)
+#: on both engines — a SUM over a 5-row group relation would add the
+#: per-group doubles in engine/partition order and could drift a ULP.
+_ANOVA_GROUPS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+def _anova_final(st: str) -> list[str]:
+    """Shared final expressions: SSB/SSW/F/eta² as one double tree over
+    string-round-tripped exact decimal moments, group terms summed in
+    the fixed pivot order."""
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    k = len(_ANOVA_GROUPS)
+    terms = " + ".join(
+        f"({d(f's_{i}')} * {d(f's_{i}')} / CAST(n_{i} AS DOUBLE))"
+        for i in range(k))
+    n, s, ss = "CAST(n AS DOUBLE)", d("s"), d("ss")
+    ssb = f"(({terms}) - {s} * {s} / {n})"
+    ssw = f"({ss} - ({terms}))"
+    sst = f"({ss} - {s} * {s} / {n})"
+    return [
+        "CAST(n AS BIGINT) AS n",
+        f"CAST({k} AS INT) AS k",
+        f"{ssb} AS ssb",
+        f"{ssw} AS ssw",
+        f"({ssb} / CAST({k - 1} AS DOUBLE))"
+        f" / ({ssw} / ({n} - CAST({k} AS DOUBLE))) AS f_stat",
+        f"{ssb} / {sst} AS eta_sq",
+    ]
+
+
+@register(
+    "anova_f_priority",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS DECIMAL(18,0))) AS s,
+             SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                      AS DECIMAL(18,0))
+                 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                        AS DECIMAL(18,0))) AS ss,
+             {', '.join(
+                 f"CAST(SUM(CASE WHEN o_orderpriority = '{g}' THEN 1 "
+                 f"ELSE 0 END) AS BIGINT) AS n_{i}, "
+                 f"SUM(CASE WHEN o_orderpriority = '{g}' THEN "
+                 f"CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 "
+                 f"AS DECIMAL(18,0)) ELSE CAST(0 AS DECIMAL(18,0)) END) AS s_{i}"
+                 for i, g in enumerate(_ANOVA_GROUPS))}
+      FROM orders
+    )
+    SELECT {', '.join(_anova_final('VARCHAR'))} FROM m
+    """,
+    doc="One-way ANOVA of order value across the five priority classes "
+        "— the k-group generalization of welch_ttest_segments: F = "
+        "(SSB/(k−1))/(SSW/(N−k)) plus the eta-squared effect size, "
+        "from ONE scan of exact moments (cents-bigint values, "
+        "decimal-37 squares, decimal-38 sums). The five groups pivot "
+        "into NAMED moment columns (the class labels are a fixed "
+        "domain), so the cross-group term sum is a fixed-order double "
+        "expression — never a 5-row SUM whose accumulation order the "
+        "engine picks. Scale: one aggregate with map-side partials, "
+        "13 sums wide, one output row; adding groups widens the "
+        "pivot, not the passes.",
+)
+def q_anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast(
+        "decimal(18,0)")
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("ss"),
+    ]
+    for i, g in enumerate(_ANOVA_GROUPS):
+        hit = F.col("o_orderpriority") == g
+        aggs.append(
+            F.sum(F.when(hit, 1).otherwise(0)).cast("bigint").alias(f"n_{i}"))
+        aggs.append(
+            F.sum(F.when(hit, cents).otherwise(F.lit(0).cast("decimal(18,0)")))
+            .alias(f"s_{i}"))
+    return o.agg(*aggs).selectExpr(*_anova_final("STRING"))

@@ -970,3 +970,14 @@ def test_price_elasticity_single_moment_pass(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "hashpartitioning(product" in plan, plan
     assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_anova_single_wide_aggregate(spark, sf_dir):
+    """ANOVA must be ONE 13-sum aggregate over one orders scan — no
+    per-group re-scan, no join, no window; the group pivot happens in
+    the aggregate expressions."""
+    plan = plan_of(spark, sf_dir, "anova_f_priority")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

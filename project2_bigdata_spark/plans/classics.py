@@ -3245,3 +3245,208 @@ def q_anova_f_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hit, cents).otherwise(F.lit(0).cast("decimal(18,0)")))
             .alias(f"s_{i}"))
     return o.agg(*aggs).selectExpr(*_anova_final("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Population stability index: order-value drift between two time windows
+# ---------------------------------------------------------------------------
+
+_PSI_SPLIT = "1998-01-01"
+_PSI_BUCKETS = 10
+
+
+@register(
+    "psi_drift_totalprice",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '{_PSI_SPLIT}'
+                  THEN 0 ELSE 1 END AS win
+      FROM orders
+    ), bounds AS (
+      SELECT MIN(cents) AS lo, MAX(cents) AS hi FROM v
+    ), b AS (
+      SELECT CAST(((cents - lo) * {_PSI_BUCKETS})
+                  // (hi - lo + 1) AS INT) AS bucket, win
+      FROM v, bounds
+    ), cells AS (
+      SELECT bucket,
+             CAST(SUM(CASE WHEN win = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ref,
+             CAST(SUM(CASE WHEN win = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_cur
+      FROM b GROUP BY 1
+    ), ct AS (
+      SELECT bucket, n_ref, n_cur,
+             CAST(SUM(n_ref) OVER () AS BIGINT) AS nr,
+             CAST(SUM(n_cur) OVER () AS BIGINT) AS nc
+      FROM cells
+    ), terms AS (
+      SELECT bucket, n_ref, n_cur, nr, nc,
+             CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+               (n_ref * nc - n_cur * nr)
+               * CAST(round(ln((CAST(n_ref AS DOUBLE) * CAST(nc AS DOUBLE))
+                               / (CAST(n_cur AS DOUBLE) * CAST(nr AS DOUBLE))),
+                            6) AS DECIMAL(18,6))
+             ELSE CAST(0 AS DECIMAL(18,6)) END AS num
+      FROM ct
+    )
+    SELECT bucket,
+           n_ref, n_cur,
+           CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE) AS p_ref,
+           CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE) AS p_cur,
+           CAST(CAST(num AS VARCHAR) AS DOUBLE)
+             / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)) AS psi_term,
+           CAST(CAST(SUM(num) OVER () AS VARCHAR) AS DOUBLE)
+             / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)) AS psi_total
+    FROM terms ORDER BY bucket
+    """,
+    doc="Population stability index of the order-value distribution "
+        "between the pre/post split windows — the standard production-"
+        "ML drift monitor (PSI = Σ (p_i − q_i)·ln(p_i/q_i) over "
+        "equal-width value buckets; >0.2 conventionally flags drift). "
+        "Exactness: the bucket id is pure integer arithmetic from a "
+        "1-row (lo, hi) broadcast; each bucket's PSI numerator is the "
+        "EXACT integer cross-difference (n_ref·Nc − n_cur·Nr) times "
+        "the 6dp-FROZEN log-ratio (mutual_information's rule), so the "
+        "total is an exact decimal SUM — accumulation order cannot "
+        "drift a ULP — divided once by Nr·Nc in shared final form; "
+        "empty-on-either-side buckets contribute exactly 0 on both "
+        "engines. Scale: one scan → bucket×window cell counts "
+        "(≤ 2×10 cells with map-side partials), windows "
+        "over the cell relation only. Drift monitoring costs the "
+        "scan, full stop.",
+)
+def q_psi_drift_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    v = o.select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("cents"),
+        F.when(F.col("o_orderdate").cast("date")
+               < F.lit(_PSI_SPLIT).cast("date"), 0).otherwise(1).alias("win"),
+    )
+    bounds = v.agg(F.min("cents").alias("lo"), F.max("cents").alias("hi"))
+    b = v.crossJoin(F.broadcast(bounds)).select(
+        F.expr(f"CAST(((cents - lo) * {_PSI_BUCKETS})"
+               " div (hi - lo + 1) AS INT)").alias("bucket"),
+        "win",
+    )
+    cells = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("win") == 0, 1).otherwise(0)).cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("win") == 1, 1).otherwise(0)).cast("bigint")
+        .alias("n_cur"),
+    )
+    w_all = Window.partitionBy()
+    ct = cells.withColumn(
+        "nr", F.sum("n_ref").over(w_all).cast("bigint")
+    ).withColumn("nc", F.sum("n_cur").over(w_all).cast("bigint"))
+    terms = ct.withColumn(
+        "num",
+        F.expr(
+            "CASE WHEN n_ref > 0 AND n_cur > 0 THEN "
+            "(n_ref * nc - n_cur * nr) * "
+            "CAST(round(ln((CAST(n_ref AS DOUBLE) * CAST(nc AS DOUBLE)) "
+            "/ (CAST(n_cur AS DOUBLE) * CAST(nr AS DOUBLE))), 6) "
+            "AS DECIMAL(18,6)) "
+            "ELSE CAST(0 AS DECIMAL(18,6)) END"),
+    )
+    return (
+        terms.withColumn("psi_num_total",
+                         F.sum("num").over(Window.partitionBy()))
+        .selectExpr(
+            "bucket", "n_ref", "n_cur",
+            "CAST(n_ref AS DOUBLE) / CAST(nr AS DOUBLE) AS p_ref",
+            "CAST(n_cur AS DOUBLE) / CAST(nc AS DOUBLE) AS p_cur",
+            "CAST(CAST(num AS STRING) AS DOUBLE)"
+            " / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)) AS psi_term",
+            "CAST(CAST(psi_num_total AS STRING) AS DOUBLE)"
+            " / (CAST(nr AS DOUBLE) * CAST(nc AS DOUBLE)) AS psi_total",
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe target encoding: out-of-fold category means
+# ---------------------------------------------------------------------------
+
+_TE_FOLDS = 5
+
+
+@register(
+    "target_encode_oof",
+    oracle=f"""
+    WITH r AS (
+      SELECT o_orderkey AS orderkey,
+             o_orderpriority AS category,
+             CAST(CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                                       1, 8)) AS BIGINT)
+                  % {_TE_FOLDS} AS INT) AS fold,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+      FROM orders
+    ), cf AS (
+      SELECT category, fold,
+             CAST(COUNT(*) AS BIGINT) AS n_cf,
+             CAST(SUM(y) AS BIGINT) AS s_cf
+      FROM r GROUP BY 1, 2
+    ), c AS (
+      SELECT category, fold, n_cf, s_cf,
+             CAST(SUM(n_cf) OVER (PARTITION BY category) AS BIGINT) AS n_c,
+             CAST(SUM(s_cf) OVER (PARTITION BY category) AS BIGINT) AS s_c
+      FROM cf
+    )
+    SELECT r.orderkey, r.category, r.fold,
+           CASE WHEN c.n_c - c.n_cf > 0 THEN
+             CAST(c.s_c - c.s_cf AS DOUBLE)
+             / CAST(c.n_c - c.n_cf AS DOUBLE) / CAST(100 AS DOUBLE)
+           END AS oof_mean
+    FROM r JOIN c ON r.category = c.category AND r.fold = c.fold
+    ORDER BY r.orderkey
+    """,
+    doc="Leakage-safe target encoding — the feature-engineering "
+        "workhorse for categorical columns: each row's category is "
+        "replaced by the target mean computed WITHOUT the row's own "
+        "fold ((S_cat − S_cat,fold)/(n_cat − n_cat,fold)), the "
+        "standard K-fold device that keeps the encoded feature from "
+        "memorizing its own label. Deterministic end to end: folds "
+        "are portable md5 hashes of the row key (both engines build "
+        "the identical assignment), sums are exact cents-bigint, and "
+        "the one division per row runs on identical integer operands; "
+        "a category confined to one fold yields NULL on both engines. "
+        "Scale: one (category × fold) aggregate (|cats|·K cells, "
+        "map-side partials), complement sums as windows over that "
+        "cell relation, and ONE broadcast join back onto the fact — "
+        "the fact is scanned twice and never shuffled.",
+)
+def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    r = o.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("category"),
+        (F.expr("conv(substr(md5(cast(o_orderkey as string)), 1, 8), 16, 10)")
+         .cast("bigint") % _TE_FOLDS).cast("int").alias("fold"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("bigint").alias("y"),
+    )
+    cf = r.groupBy("category", "fold").agg(
+        F.count("*").cast("bigint").alias("n_cf"),
+        F.sum("y").cast("bigint").alias("s_cf"),
+    )
+    wc = Window.partitionBy("category")
+    c = cf.select(
+        "category", "fold", "n_cf", "s_cf",
+        F.sum("n_cf").over(wc).cast("bigint").alias("n_c"),
+        F.sum("s_cf").over(wc).cast("bigint").alias("s_c"),
+    )
+    return (
+        r.join(F.broadcast(c), ["category", "fold"])
+        .selectExpr(
+            "orderkey", "category", "fold",
+            "CASE WHEN n_c - n_cf > 0 THEN "
+            "CAST(s_c - s_cf AS DOUBLE) / CAST(n_c - n_cf AS DOUBLE)"
+            " / CAST(100 AS DOUBLE) END AS oof_mean",
+        )
+        .orderBy("orderkey")
+    )

@@ -981,3 +981,27 @@ def test_anova_single_wide_aggregate(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_psi_cell_sized_past_the_scan(spark, sf_dir):
+    """PSI must collapse to bucket×window cells at the scan: one orders
+    read feeds both the (lo, hi) bounds broadcast and the bucket
+    aggregate; the log-ratio terms and the total-PSI window run over
+    the ≤2×10-cell relation, never per order."""
+    plan = plan_of(spark, sf_dir, "psi_drift_totalprice")
+    assert plan.count("orders.parquet") == 2, plan  # bounds + bucket branch
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # the bounds ride
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_target_encode_broadcasts_cells_never_shuffles_fact(spark, sf_dir):
+    """OOF target encoding must join the |cats|×K cell relation back
+    onto the fact as a BROADCAST — the fact is scanned (twice: cell
+    build + probe) but never shuffled; the complement sums are windows
+    over the cell relation only."""
+    plan = plan_of(spark, sf_dir, "target_encode_oof")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("orders.parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan

@@ -3450,3 +3450,202 @@ def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Price-volume-mix: decompose YoY revenue change per product
+# ---------------------------------------------------------------------------
+
+_PVM_Y1 = 1997
+_PVM_Y2 = 1998
+
+
+@register(
+    "price_volume_mix",
+    oracle=f"""
+    WITH m AS (
+      SELECT p_name AS product,
+             CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = {_PVM_Y1}
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) * 100, 0)
+                  AS BIGINT) AS rev1,
+             CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = {_PVM_Y2}
+                  THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) * 100, 0)
+                  AS BIGINT) AS rev2,
+             CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = {_PVM_Y1}
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100, 0)
+                  AS BIGINT) AS qty1,
+             CAST(COALESCE(SUM(CASE WHEN year(o_orderdate) = {_PVM_Y2}
+                  THEN CAST(l_quantity AS DECIMAL(18,2)) END) * 100, 0)
+                  AS BIGINT) AS qty2
+      FROM lineitem
+      JOIN part   ON l_partkey  = p_partkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1
+    )
+    SELECT product,
+           CAST(rev1 AS DOUBLE) / CAST(100 AS DOUBLE) AS rev_y1,
+           CAST(rev2 AS DOUBLE) / CAST(100 AS DOUBLE) AS rev_y2,
+           CAST(rev2 - rev1 AS DOUBLE) / CAST(100 AS DOUBLE) AS delta,
+           (CAST(rev2 AS DOUBLE) - CAST(rev1 AS DOUBLE)
+             * CAST(qty2 AS DOUBLE) / CAST(qty1 AS DOUBLE))
+             / CAST(100 AS DOUBLE) AS price_effect,
+           (CAST(rev1 AS DOUBLE) * (CAST(qty2 AS DOUBLE)
+             - CAST(qty1 AS DOUBLE)) / CAST(qty1 AS DOUBLE))
+             / CAST(100 AS DOUBLE) AS volume_effect
+    FROM m WHERE qty1 > 0 AND qty2 > 0 ORDER BY product
+    """,
+    doc="Price-volume-mix decomposition of the year-over-year revenue "
+        "change per product — the finance-analytics classic: Δrev "
+        "splits EXACTLY (algebraic identity, not approximation) into "
+        "a price effect (p₂−p₁)·q₂ and a volume effect p₁·(q₂−q₁) "
+        "with p = period revenue / period quantity. One conditional "
+        "aggregate per product produces all four exact cents/centi-"
+        "unit moments; the effects are shared double trees over those "
+        "identical integer operands (delta itself stays an exact "
+        "integer difference). Products absent from either year are "
+        "excluded (no division by zero on either engine). Scale: one "
+        "fact scan (broadcast dims) into a |products|-row aggregate "
+        "with map-side partials — the decomposition costs the rollup, "
+        "and adding periods widens the conditional sums, not the "
+        "passes.",
+)
+def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sl = sale_lines(spark, sf_dir)
+    yr = F.year("sale_ts")
+    rev = F.col("revenue").cast("decimal(18,2)")
+    qty = F.col("quantity").cast("decimal(18,2)")
+    m = sl.groupBy("product").agg(
+        (F.coalesce(F.sum(F.when(yr == _PVM_Y1, rev)), F.lit(0)) * 100)
+        .cast("bigint").alias("rev1"),
+        (F.coalesce(F.sum(F.when(yr == _PVM_Y2, rev)), F.lit(0)) * 100)
+        .cast("bigint").alias("rev2"),
+        (F.coalesce(F.sum(F.when(yr == _PVM_Y1, qty)), F.lit(0)) * 100)
+        .cast("bigint").alias("qty1"),
+        (F.coalesce(F.sum(F.when(yr == _PVM_Y2, qty)), F.lit(0)) * 100)
+        .cast("bigint").alias("qty2"),
+    )
+    return (
+        m.where((F.col("qty1") > 0) & (F.col("qty2") > 0))
+        .selectExpr(
+            "product",
+            "CAST(rev1 AS DOUBLE) / CAST(100 AS DOUBLE) AS rev_y1",
+            "CAST(rev2 AS DOUBLE) / CAST(100 AS DOUBLE) AS rev_y2",
+            "CAST(rev2 - rev1 AS DOUBLE) / CAST(100 AS DOUBLE) AS delta",
+            "(CAST(rev2 AS DOUBLE) - CAST(rev1 AS DOUBLE)"
+            " * CAST(qty2 AS DOUBLE) / CAST(qty1 AS DOUBLE))"
+            " / CAST(100 AS DOUBLE) AS price_effect",
+            "(CAST(rev1 AS DOUBLE) * (CAST(qty2 AS DOUBLE)"
+            " - CAST(qty1 AS DOUBLE)) / CAST(qty1 AS DOUBLE))"
+            " / CAST(100 AS DOUBLE) AS volume_effect",
+        )
+        .orderBy("product")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Customer lifecycle states per month: new / retained / reactivated / dormant
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lifecycle_states_monthly",
+    oracle="""
+    WITH am AS (
+      SELECT DISTINCT o_custkey AS custkey,
+             CAST(year(o_orderdate) * 12 + (month(o_orderdate) - 1)
+                  AS INT) AS mi
+      FROM orders
+    ), g AS (
+      SELECT CAST(MAX(mi) AS INT) AS gmax FROM am
+    ), w AS (
+      SELECT custkey, mi,
+             MIN(mi) OVER (PARTITION BY custkey) AS first_mi,
+             lag(mi)  OVER (PARTITION BY custkey ORDER BY mi) AS prev_mi,
+             lead(mi) OVER (PARTITION BY custkey ORDER BY mi) AS next_mi
+      FROM am
+    ), flows AS (
+      SELECT mi AS month_mi,
+             CASE WHEN mi = first_mi THEN 1 ELSE 0 END AS is_new,
+             CASE WHEN prev_mi = mi - 1 THEN 1 ELSE 0 END AS is_retained,
+             CASE WHEN prev_mi IS NOT NULL AND prev_mi < mi - 1
+                  THEN 1 ELSE 0 END AS is_reactivated,
+             0 AS is_dormant
+      FROM w
+      UNION ALL
+      SELECT mi + 1 AS month_mi, 0, 0, 0, 1
+      FROM w, g
+      WHERE (next_mi IS NULL OR next_mi > mi + 1) AND mi + 1 <= gmax
+    )
+    SELECT make_date(month_mi // 12, (month_mi % 12) + 1, 1) AS month,
+           CAST(SUM(is_new) AS BIGINT) AS n_new,
+           CAST(SUM(is_retained) AS BIGINT) AS n_retained,
+           CAST(SUM(is_reactivated) AS BIGINT) AS n_reactivated,
+           CAST(SUM(is_dormant) AS BIGINT) AS n_dormant
+    FROM flows GROUP BY 1 ORDER BY 1
+    """,
+    doc="Customer lifecycle state machine on the monthly grain — the "
+        "growth-analytics classic behind every retention dashboard: "
+        "each active (customer, month) is NEW (first-ever active "
+        "month), RETAINED (also active the month before) or "
+        "REACTIVATED (returning after a gap), and a customer becomes "
+        "DORMANT in the month after their last consecutive active "
+        "month (censored at the corpus edge via a 1-row max-month "
+        "broadcast). Months are exact INTEGER indexes (year·12 + "
+        "month−1), so every adjacency test is integer arithmetic and "
+        "the calendar date is reconstructed once with make_date — no "
+        "interval arithmetic to differ across engines. Scale: one "
+        "custkey-partitioned distinct + three windows on the SAME "
+        "partitioning, a row-local flag union, and a |months|-row "
+        "regroup — linear in active (customer, month) pairs, one "
+        "shuffle.",
+)
+def q_lifecycle_states_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    am = o.select(
+        F.col("o_custkey").alias("custkey"),
+        (F.year("o_orderdate") * 12 + (F.month("o_orderdate") - 1))
+        .cast("int").alias("mi"),
+    ).distinct()
+    g = am.agg(F.max("mi").cast("int").alias("gmax"))
+    wp = Window.partitionBy("custkey")
+    wo = wp.orderBy("mi")
+    w = am.select(
+        "custkey", "mi",
+        F.min("mi").over(wp).alias("first_mi"),
+        F.lag("mi").over(wo).alias("prev_mi"),
+        F.lead("mi").over(wo).alias("next_mi"),
+    )
+    actives = w.select(
+        F.col("mi").alias("month_mi"),
+        F.when(F.col("mi") == F.col("first_mi"), 1).otherwise(0)
+        .alias("is_new"),
+        F.when(F.col("prev_mi") == F.col("mi") - 1, 1).otherwise(0)
+        .alias("is_retained"),
+        F.when(F.col("prev_mi").isNotNull()
+               & (F.col("prev_mi") < F.col("mi") - 1), 1).otherwise(0)
+        .alias("is_reactivated"),
+        F.lit(0).alias("is_dormant"),
+    )
+    dormants = (
+        w.crossJoin(F.broadcast(g))
+        .where((F.col("next_mi").isNull()
+                | (F.col("next_mi") > F.col("mi") + 1))
+               & (F.col("mi") + 1 <= F.col("gmax")))
+        .select(
+            (F.col("mi") + 1).alias("month_mi"),
+            F.lit(0).alias("is_new"), F.lit(0).alias("is_retained"),
+            F.lit(0).alias("is_reactivated"), F.lit(1).alias("is_dormant"),
+        )
+    )
+    return (
+        actives.unionByName(dormants)
+        .groupBy(F.expr("make_date(month_mi div 12, (month_mi % 12) + 1, 1)")
+                 .alias("month"))
+        .agg(
+            F.sum("is_new").cast("bigint").alias("n_new"),
+            F.sum("is_retained").cast("bigint").alias("n_retained"),
+            F.sum("is_reactivated").cast("bigint").alias("n_reactivated"),
+            F.sum("is_dormant").cast("bigint").alias("n_dormant"),
+        )
+        .orderBy("month")
+    )

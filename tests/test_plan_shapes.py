@@ -65,6 +65,8 @@ BNLJ_OK = {
     "tpch_q22_missed_opportunity",  # 1-row (npos, total) threshold broadcast
     "cuped_adjusted_ab",  # 1-row pooled-moments broadcast onto 2 arm rows
     "rrf_fusion_topk",  # 1-row corpus-stats + 1-row query-vector broadcasts
+    "psi_drift_totalprice",  # 1-row (lo, hi) bucket-bounds broadcast
+    "lifecycle_states_monthly",  # 1-row max-month censoring broadcast
 }
 
 
@@ -1005,3 +1007,27 @@ def test_target_encode_broadcasts_cells_never_shuffles_fact(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("orders.parquet") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_price_volume_mix_single_conditional_aggregate(spark, sf_dir):
+    """The decomposition must be ONE per-product conditional aggregate
+    over one fact scan (broadcast dims) — never a per-year branch pair
+    joined back together."""
+    plan = plan_of(spark, sf_dir, "price_volume_mix")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan or "orderkey" in plan, plan
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_lifecycle_states_one_custkey_partitioning(spark, sf_dir):
+    """The state machine must reuse ONE custkey partitioning for the
+    distinct and all three windows; the dormant branch is a row-local
+    flag projection of the same windowed relation (plus the 1-row
+    max-month broadcast), and the only other shuffle is the
+    |months|-row regroup."""
+    plan = plan_of(spark, sf_dir, "lifecycle_states_monthly")
+    assert "hashpartitioning(custkey" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

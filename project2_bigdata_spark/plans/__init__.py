@@ -19,6 +19,7 @@ from . import curation      # noqa: E402,F401  round 2: PII / span dedup / sampl
 from . import ops           # noqa: E402,F401  round 2: dq gates / anomalies / incremental rollups
 from . import analytics     # noqa: E402,F401  round 2: gap-fill / rolling median / pareto / RFM / fuzzy / BM25
 from . import classics      # noqa: E402,F401  round 5: TPC-H shapes, skyline, Benford, Welch, weighted median
+from . import calibration   # noqa: E402,F401  round 5: isotonic (PAVA) fit, quantile normalization
 from ..operators import kmeans as _op_kmeans  # noqa: E402,F401  round 2: Lloyd k-means with unrolled oracle
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5

@@ -1031,3 +1031,29 @@ def test_lifecycle_states_one_custkey_partitioning(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_isotonic_one_scan_bounded_machinery(spark, sf_dir):
+    """PAVA must cost exactly one lineitem scan: everything past the
+    rung groupBy is ONE linear lineage (one-row array, row-local pair
+    explode, two bounded windows, diagonal filter) — never a self-join,
+    so never a second fact derivation."""
+    plan = plan_of(spark, sf_dir, "isotonic_discount_quantity")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Join" not in plan, plan  # join-free by construction
+
+
+def test_quantile_normalize_broadcast_dims_one_fact_scan(spark, sf_dir):
+    """QN must scan orders once, ride the store dim in as a broadcast,
+    rank over the calendar-bounded daily relation, and join the
+    |days|-row reference back by broadcast — no sort-merge join, no
+    cartesian, no second fact scan."""
+    plan = plan_of(spark, sf_dir, "quantile_normalize_store_daily")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan

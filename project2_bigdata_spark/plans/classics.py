@@ -3649,3 +3649,244 @@ def q_lifecycle_states_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: daily revenue vs daily order count per segment
+# ---------------------------------------------------------------------------
+
+#: Average ranks without fractions: for a tie group, avg_rank =
+#: min_rank + (ties-1)/2, so DOUBLED average ranks 2*rank + ties - 1
+#: are exact BIGINTs; Pearson on the doubled ranks IS Spearman's rho
+#: (correlation is shift/scale invariant). Everything up to the final
+#: expression is integer-exact, and all integers are calendar-bounded
+#: (n <= |segment days| ~ 2.5k at ANY corpus size), so the moment
+#: products stay far under 2^53 forever.
+_SPEARMAN_FINAL = (
+    "CAST(num AS DOUBLE) / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))"
+    " AS spearman_rho"
+)
+
+
+@register(
+    "spearman_daily_rev_orders",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT segment,
+             CAST(2 * RANK() OVER (PARTITION BY segment ORDER BY x)
+                  + COUNT(*) OVER (PARTITION BY segment, x) - 1
+                  AS BIGINT) AS rx,
+             CAST(2 * RANK() OVER (PARTITION BY segment ORDER BY y)
+                  + COUNT(*) OVER (PARTITION BY segment, y) - 1
+                  AS BIGINT) AS ry
+      FROM daily
+    ), m AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(rx) AS BIGINT) AS sx, CAST(SUM(ry) AS BIGINT) AS sy,
+             CAST(SUM(rx * rx) AS BIGINT) AS sxx,
+             CAST(SUM(ry * ry) AS BIGINT) AS syy,
+             CAST(SUM(rx * ry) AS BIGINT) AS sxy
+      FROM r GROUP BY 1
+    )
+    SELECT segment, n AS n_days, {_SPEARMAN_FINAL}
+    FROM (SELECT segment, n,
+                 n * sxy - sx * sy AS num,
+                 n * sxx - sx * sx AS dx,
+                 n * syy - sy * sy AS dy
+          FROM m)
+    ORDER BY segment
+    """,
+    doc="Spearman rank correlation between daily revenue and daily "
+        "order count, per market segment — the robust (monotone, "
+        "outlier-proof) counterpart of the Pearson machinery "
+        "(corr_revenue_quantity). Tie handling is textbook average "
+        "ranks, made integer-exact by carrying DOUBLED ranks "
+        "(2*rank + ties - 1); Pearson on those integers IS rho, so "
+        "there is NO quantization anywhere — the only doubles are the "
+        "three final casts of calendar-bounded exact BIGINT moments "
+        "(< 2^53 at any corpus size) feeding one shared expression "
+        "string. Scale: one orders scan + broadcast segment dim -> "
+        "calendar-bounded (segment, day) rollup; ranks, tie counts "
+        "and moments all ride windows/aggregates over that <=|5 x "
+        "days| relation — Spearman costs the scan, full stop.",
+)
+def q_spearman_daily_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("segment",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.sum(F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint").alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+    )
+    wx = Window.partitionBy("segment").orderBy("x")
+    tx = Window.partitionBy("segment", "x")
+    wy = Window.partitionBy("segment").orderBy("y")
+    ty = Window.partitionBy("segment", "y")
+    r = daily.select(
+        "segment",
+        (2 * F.rank().over(wx) + F.count("*").over(tx) - 1)
+        .cast("bigint").alias("rx"),
+        (2 * F.rank().over(wy) + F.count("*").over(ty) - 1)
+        .cast("bigint").alias("ry"),
+    )
+    m = r.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("rx").cast("bigint").alias("sx"),
+        F.sum("ry").cast("bigint").alias("sy"),
+        F.sum(F.col("rx") * F.col("rx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).cast("bigint").alias("syy"),
+        F.sum(F.col("rx") * F.col("ry")).cast("bigint").alias("sxy"),
+    )
+    return (
+        m.select(
+            "segment", "n",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("num"),
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).alias("dx"),
+            (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).alias("dy"),
+        )
+        .selectExpr("segment", "n AS n_days", _SPEARMAN_FINAL)
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Randomization (permutation) test: arm revenue difference under re-hashing
+# ---------------------------------------------------------------------------
+
+_PERM_B = 32  # re-randomizations; replicate columns, zero row expansion
+
+
+def _perm_parity(prefix: str, spark_side: bool) -> str:
+    """Portable md5-parity arm assignment (same device as CUPED).
+
+    ``prefix`` is '' for the observed split, '{b}:' for replicate b.
+    """
+    key = (f"concat('{prefix}', cast(o_orderkey as string))"
+           if prefix else "cast(o_orderkey as string)")
+    if spark_side:
+        return f"CAST(conv(substr(md5({key}), 1, 8), 16, 10) AS BIGINT) % 2"
+    key_d = (f"concat('{prefix}', CAST(o_orderkey AS VARCHAR))"
+             if prefix else "CAST(o_orderkey AS VARCHAR)")
+    return (f"CAST(('0x' || substr(md5({key_d}), 1, 8)) AS BIGINT) % 2")
+
+
+def _perm_t(sa: str, na: str) -> str:
+    """Shared arm-difference expression from exact BIGINT operands."""
+    return (f"((CAST({sa} AS DOUBLE) / CAST({na} AS DOUBLE))"
+            f" - (CAST(s - {sa} AS DOUBLE) / CAST(n - {na} AS DOUBLE)))")
+
+
+def _perm_oracle() -> str:
+    reps = ",\n".join(
+        f"CAST(COALESCE(SUM(CASE WHEN {_perm_parity(f'{b}:', False)} = 0 "
+        f"THEN cents END), 0) AS BIGINT) AS sa{b},\n"
+        f"CAST(SUM(CASE WHEN {_perm_parity(f'{b}:', False)} = 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS na{b}"
+        for b in range(_PERM_B))
+    extreme = " + ".join(
+        f"(CASE WHEN abs({_perm_t(f'sa{b}', f'na{b}')}) >= abs(t_obs) "
+        f"THEN 1 ELSE 0 END)"
+        for b in range(_PERM_B))
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders
+    ), agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(CASE WHEN {_perm_parity('', False)} = 0
+                  THEN cents END), 0) AS BIGINT) AS sa_obs,
+             CAST(SUM(CASE WHEN {_perm_parity('', False)} = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS na_obs,
+             {reps}
+      FROM base
+    ), t AS (
+      SELECT *, {_perm_t('sa_obs', 'na_obs')} AS t_obs FROM agg
+    ), e AS (
+      SELECT n, na_obs, t_obs, CAST({extreme} AS BIGINT) AS n_extreme
+      FROM t
+    )
+    SELECT n AS n_units, na_obs AS n_arm_obs, t_obs, n_extreme,
+           CAST(1 + n_extreme AS DOUBLE) / CAST({_PERM_B + 1} AS DOUBLE) AS p_value
+    FROM e
+    """
+
+
+@register(
+    "permutation_test_arm_revenue",
+    oracle=_perm_oracle(),
+    doc="Randomization (permutation) test for the md5-parity A/B arm "
+        "split: is the observed arm difference in mean order revenue "
+        "consistent with the no-effect null? The null distribution is "
+        "B=32 RE-randomizations, each a fresh portable md5-parity "
+        "re-assignment (salt 'b:' prefixed to the key — both engines "
+        "rebuild every replicate bit-for-bit, no RNG), and each "
+        "replicate rides as a PAIR of aggregate columns over one "
+        "orders scan — zero row expansion, the poisson_bootstrap_ci "
+        "device applied to hypothesis testing; with conformal "
+        "intervals and the bootstrap CI this completes the "
+        "resampling-inference trio. p = (1 + #extreme)/(B+1), the "
+        "standard add-one randomization p-value. All sums are exact "
+        "BIGINT cents; every t statistic is the SAME shared double "
+        "expression over those integers, so the >= comparisons "
+        "resolve identically cross-engine. Scale: ONE aggregate with "
+        "map-side partials (66 sums) -> 1 row; the test costs the "
+        "scan at any corpus size.",
+)
+def q_permutation_test_arm_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .alias("cents"),
+    )
+    rep_cols = []
+    for b in range(_PERM_B):
+        par = _perm_parity(f"{b}:", True)
+        rep_cols.append(
+            F.coalesce(
+                F.sum(F.when(F.expr(par) == 0, F.col("cents"))), F.lit(0))
+            .cast("bigint").alias(f"sa{b}"))
+        rep_cols.append(
+            F.sum(F.when(F.expr(par) == 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint").alias(f"na{b}"))
+    par_obs = _perm_parity("", True)
+    agg = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.coalesce(
+            F.sum(F.when(F.expr(par_obs) == 0, F.col("cents"))), F.lit(0))
+        .cast("bigint").alias("sa_obs"),
+        F.sum(F.when(F.expr(par_obs) == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("na_obs"),
+        *rep_cols,
+    )
+    t = agg.withColumn("t_obs", F.expr(_perm_t("sa_obs", "na_obs")))
+    extreme = " + ".join(
+        f"(CASE WHEN abs({_perm_t(f'sa{b}', f'na{b}')}) >= abs(t_obs) "
+        f"THEN 1 ELSE 0 END)"
+        for b in range(_PERM_B))
+    return (
+        t.withColumn("n_extreme", F.expr(f"CAST({extreme} AS BIGINT)"))
+        .selectExpr(
+            "n AS n_units", "na_obs AS n_arm_obs", "t_obs", "n_extreme",
+            f"CAST(1 + n_extreme AS DOUBLE) / CAST({_PERM_B + 1} AS DOUBLE) AS p_value",
+        )
+    )

@@ -1057,3 +1057,31 @@ def test_quantile_normalize_broadcast_dims_one_fact_scan(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_spearman_one_fact_scan_windows_post_rollup(spark, sf_dir):
+    """Spearman must scan orders once with the segment dim riding in
+    as a broadcast; ranks and tie counts are windows over the
+    calendar-bounded (segment, day) rollup — never a sort-merge join,
+    never a second fact derivation, never a cartesian."""
+    plan = plan_of(spark, sf_dir, "spearman_daily_rev_orders")
+    assert plan.count("orders.parquet") == 1, plan
+    assert plan.count("customer.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_permutation_test_single_aggregate_no_expansion(spark, sf_dir):
+    """All 32 re-randomizations must ride ONE aggregate over ONE orders
+    scan as conditional-sum columns — zero row expansion (no Expand, no
+    Generate), no joins, no windows; the only exchange is the 1-row
+    final-aggregate gather."""
+    plan = plan_of(spark, sf_dir, "permutation_test_arm_revenue")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Expand" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert plan.count("Exchange") == 1, plan

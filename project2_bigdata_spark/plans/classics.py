@@ -3890,3 +3890,220 @@ def q_permutation_test_arm_revenue(spark: SparkSession, sf_dir: str) -> DataFram
             f"CAST(1 + n_extreme AS DOUBLE) / CAST({_PERM_B + 1} AS DOUBLE) AS p_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall rank correlation (tau-b): daily revenue vs order count per segment
+# ---------------------------------------------------------------------------
+
+#: tau-b = (C - D) / sqrt((n0 - n1)(n0 - n2)) from exact BIGINT pair
+#: counts; n0 ~ 3M per segment so the products stay < 2^53 forever
+#: (the pair relation is CALENDAR-bounded, not corpus-bounded).
+_KENDALL_FINAL = (
+    "CAST(c - d AS DOUBLE)"
+    " / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE))"
+    " AS kendall_tau_b"
+)
+
+
+@register(
+    "kendall_daily_rev_orders",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.segment,
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y < b.y)
+                             OR (a.x > b.x AND a.y > b.y)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN (a.x < b.x AND a.y > b.y)
+                             OR (a.x > b.x AND a.y < b.y)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(SUM(CASE WHEN a.x = b.x THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN a.y = b.y THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM daily a JOIN daily b
+        ON a.segment = b.segment AND a.d < b.d
+      GROUP BY 1
+    ), sizes AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST((COUNT(*) * (COUNT(*) - 1)) // 2 AS BIGINT) AS n0
+      FROM daily GROUP BY 1
+    )
+    SELECT s.segment, s.n AS n_days, p.c AS concordant, p.d AS discordant,
+           {_KENDALL_FINAL}
+    FROM sizes s JOIN pairs p ON s.segment = p.segment
+    ORDER BY s.segment
+    """,
+    doc="Kendall rank correlation (tau-b, tie-corrected) between daily "
+        "revenue and daily order count per market segment — with "
+        "spearman_daily_rev_orders this completes the rank-correlation "
+        "pair. C, D and both tie counts come from ONE pair aggregate "
+        "over the (segment, day) rollup; every count is an exact "
+        "BIGINT and the three final casts feed one shared expression, "
+        "so tau-b is bit-identical cross-engine. Scale: the pair "
+        "stage is CALENDAR-bounded — ~3M day-pairs per segment at ANY "
+        "corpus size (the corpus only feeds the daily rollup: one "
+        "orders scan + broadcast segment dim); the rollup is "
+        "lineage-truncated once (~12k rows) and self-paired via a "
+        "broadcast equi-join on segment with the d1 < d2 residual — "
+        "no fact re-scan, no cartesian, no shuffle past the rollup.",
+)
+def q_kendall_daily_rev_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    daily = truncate_lineage(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("segment",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(
+            F.sum(F.expr(
+                "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint").alias("x"),
+            F.count("*").cast("bigint").alias("y"),
+        )
+    )
+    a = daily.select(F.col("segment").alias("seg_a"), F.col("d").alias("da"),
+                     F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = daily.select(F.col("segment").alias("seg_b"), F.col("d").alias("db"),
+                     F.col("x").alias("xb"), F.col("y").alias("yb"))
+    pairs = (
+        a.join(F.broadcast(b),
+               (F.col("seg_a") == F.col("seg_b")) & (F.col("da") < F.col("db")))
+        .groupBy(F.col("seg_a").alias("segment"))
+        .agg(
+            F.sum(F.when(((F.col("xa") < F.col("xb")) & (F.col("ya") < F.col("yb")))
+                         | ((F.col("xa") > F.col("xb")) & (F.col("ya") > F.col("yb"))),
+                         1).otherwise(0)).cast("bigint").alias("c"),
+            F.sum(F.when(((F.col("xa") < F.col("xb")) & (F.col("ya") > F.col("yb")))
+                         | ((F.col("xa") > F.col("xb")) & (F.col("ya") < F.col("yb"))),
+                         1).otherwise(0)).cast("bigint").alias("d"),
+            F.sum(F.when(F.col("xa") == F.col("xb"), 1).otherwise(0))
+            .cast("bigint").alias("n1"),
+            F.sum(F.when(F.col("ya") == F.col("yb"), 1).otherwise(0))
+            .cast("bigint").alias("n2"),
+        )
+    )
+    sizes = daily.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("CAST((COUNT(*) * (COUNT(*) - 1)) DIV 2 AS BIGINT)").alias("n0"),
+    )
+    return (
+        sizes.join(F.broadcast(pairs), "segment")
+        .selectExpr("segment", "n AS n_days", "c AS concordant",
+                    "d AS discordant", _KENDALL_FINAL)
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve: customer tenure with right-censoring
+# ---------------------------------------------------------------------------
+
+#: KM step shared by both engines: an integer recurrence in micro-units
+#: (S6 starts at 1e6). (acc * (n - d)) DIV n with non-negative BIGINTs
+#: truncates identically in Spark (DIV) and DuckDB (//); acc <= 1e6 and
+#: n <= |customers| keep the product < 2^63 up to ~9e12 customers.
+_KM_SURVIVAL = "CAST(s6 AS DOUBLE) / CAST(1000000 AS DOUBLE) AS survival"
+
+
+@register(
+    "kaplan_meier_churn",
+    oracle=f"""
+    WITH RECURSIVE span AS (
+      SELECT o_custkey,
+             CAST((EXTRACT(YEAR FROM MAX(o_orderdate)) * 12
+                   + EXTRACT(MONTH FROM MAX(o_orderdate)))
+                - (EXTRACT(YEAR FROM MIN(o_orderdate)) * 12
+                   + EXTRACT(MONTH FROM MIN(o_orderdate))) AS BIGINT) AS t,
+             MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY 1
+    ), cut AS (
+      SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cutoff FROM orders
+    ), ev AS (
+      SELECT t,
+             CAST(SUM(CASE WHEN last_d < cutoff THEN 1 ELSE 0 END)
+                  AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS ended
+      FROM span, cut GROUP BY 1
+    ), steps AS (
+      SELECT t, d, ended,
+             CAST(SUM(ended) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
+      FROM ev
+    ), km AS (
+      SELECT rn, t, d, ended, n,
+             CAST((1000000 * (n - d)) // n AS BIGINT) AS s6
+      FROM steps WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, s.t, s.d, s.ended, s.n,
+             CAST((km.s6 * (s.n - s.d)) // s.n AS BIGINT)
+      FROM km JOIN steps s ON s.rn = km.rn + 1
+    )
+    SELECT t AS t_months, n AS n_at_risk, d AS d_churned,
+           ended - d AS c_censored, s6 AS survival_micro, {_KM_SURVIVAL}
+    FROM km ORDER BY t
+    """,
+    doc="Kaplan-Meier survival curve over customer tenure (months from "
+        "first to last order), right-censored at the 90-day activity "
+        "cutoff — the product-limit counterpart of churn_hazard_curve's "
+        "raw hazards. The cumulative product NEVER touches floats: "
+        "survival is an integer recurrence in micro-units, "
+        "S6 <- (S6 * (n_i - d_i)) DIV n_i, folded over the sorted step "
+        "array in Spark (aggregate over slice, row-local O(steps^2) on "
+        "a <=~90-row relation) and replayed by a recursive CTE in "
+        "DuckDB — truncating integer division on non-negative BIGINTs "
+        "is identical in both engines, so every step is bit-exact at "
+        "any corpus size; the only double is the final micro-unit "
+        "display division. Scale: one orders scan -> |customers| "
+        "aggregate -> calendar-bounded (<= ~90 rows) step relation; "
+        "the at-risk counts, the fold and the recursion are all "
+        "machinery over that tiny relation. The 1-row observation-"
+        "cutoff broadcast is the churn_hazard_curve device.",
+)
+def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    span = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST((year(MAX(o_orderdate)) * 12 + month(MAX(o_orderdate)))"
+            " - (year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate)))"
+            " AS BIGINT)").alias("t"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    cut = o.agg(F.expr("MAX(o_orderdate) - INTERVAL 90 DAYS").alias("cutoff"))
+    ev = (
+        span.crossJoin(F.broadcast(cut))
+        .groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("last_d") < F.col("cutoff"), 1).otherwise(0))
+            .cast("bigint").alias("d"),
+            F.count("*").cast("bigint").alias("ended"),
+        )
+    )
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    steps = ev.select(
+        "t", "d", "ended", F.sum("ended").over(w).cast("bigint").alias("n"))
+    arr = steps.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "ended", "n")))
+        .alias("steps"))
+    return (
+        arr.select("steps", F.posexplode("steps").alias("i", "s"))
+        .withColumn("s6", F.expr(
+            "aggregate(slice(steps, 1, i + 1), CAST(1000000 AS BIGINT),"
+            " (acc, x) -> (acc * (x.n - x.d)) DIV x.n)"))
+        .selectExpr("s.t AS t_months", "s.n AS n_at_risk",
+                    "s.d AS d_churned", "s.ended - s.d AS c_censored",
+                    "s6 AS survival_micro", _KM_SURVIVAL)
+        .orderBy("t_months")
+    )

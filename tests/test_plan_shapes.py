@@ -54,6 +54,7 @@ BNLJ_OK = {
     "nb_lang_confusion",  # 5-row language grid + 1-row vocab-size broadcasts
     "sales_trend_ols",  # 1-row global-min-date broadcast
     "churn_hazard_curve",  # 1-row observation-cutoff broadcast
+    "kaplan_meier_churn",  # same 1-row observation-cutoff broadcast
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
@@ -1085,3 +1086,30 @@ def test_permutation_test_single_aggregate_no_expansion(spark, sf_dir):
     assert "Expand" not in plan, plan
     assert "Generate" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_kendall_pair_stage_broadcast_no_fact_rescan(spark, sf_dir):
+    """Kendall's pair stage must self-pair the lineage-truncated daily
+    rollup via a broadcast equi-join on segment (d1 < d2 residual) —
+    never a sort-merge join, never a cartesian, and never a re-scan of
+    the fact (the checkpointed rollup replaces the parquet scan)."""
+    plan = plan_of(spark, sf_dir, "kendall_daily_rev_orders")
+    assert plan.count("orders.parquet") == 0, plan  # truncated lineage
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_kaplan_meier_bounded_machinery(spark, sf_dir):
+    """KM must cost one full orders scan + one custkey aggregate;
+    everything past that (at-risk window, step array, per-row fold)
+    rides the calendar-bounded <=~90-row step relation. The only other
+    scan is the 1-row observation-cutoff aggregate, column-pruned to
+    o_orderdate alone; the only BNLJ is that cutoff's broadcast."""
+    plan = plan_of(spark, sf_dir, "kaplan_meier_churn")
+    assert plan.count("orders.parquet") == 2, plan
+    assert "ReadSchema: struct<o_orderdate" in plan, plan  # pruned cutoff scan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

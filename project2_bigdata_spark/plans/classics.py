@@ -4107,3 +4107,225 @@ def q_kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "s6 AS survival_micro", _KM_SURVIVAL)
         .orderBy("t_months")
     )
+
+
+# ---------------------------------------------------------------------------
+# Item-item cosine similarity: top-k co-purchase neighbors per product
+# ---------------------------------------------------------------------------
+
+#: Cosine over basket-membership vectors: both operands of the final
+#: expression are exact BIGINT basket counts; sqrt and division are
+#: IEEE exact-rounded, so the doubles (and hence the rank order) are
+#: bit-identical cross-engine.
+_COSINE_EXPR = (
+    "CAST(n_ij AS DOUBLE)"
+    " / sqrt(CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)) AS cosine"
+)
+
+
+@register(
+    "item_item_cosine_topk",
+    oracle=f"""
+    WITH e AS (
+      SELECT DISTINCT l_orderkey AS ok, p_name AS name
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), cnt AS (
+      SELECT name, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1
+    ), pij AS (
+      SELECT a.name AS i, b.name AS j, CAST(COUNT(*) AS BIGINT) AS n_ij
+      FROM e a JOIN e b ON a.ok = b.ok AND a.name < b.name
+      GROUP BY 1, 2
+    ), sym AS (
+      SELECT i AS item, j AS neighbor, n_ij FROM pij
+      UNION ALL
+      SELECT j, i, n_ij FROM pij
+    ), sim AS (
+      SELECT s.item, s.neighbor, ci.n AS n_i, cj.n AS n_j, s.n_ij,
+             {_COSINE_EXPR}
+      FROM sym s
+      JOIN cnt ci ON s.item = ci.name
+      JOIN cnt cj ON s.neighbor = cj.name
+    )
+    SELECT * FROM (
+      SELECT item, neighbor, n_i, n_j, n_ij, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY item
+                  ORDER BY cosine DESC, neighbor) AS INT) AS rnk
+      FROM sim
+    ) WHERE rnk <= 5
+    ORDER BY item, rnk
+    """,
+    doc="Item-item collaborative filtering: top-5 nearest neighbors per "
+        "product under cosine similarity of basket-membership vectors "
+        "(n_ij / sqrt(n_i*n_j) over DISTINCT per-basket products) — the "
+        "similarity-weighted sequel to top_pairs_per_product's raw "
+        "counts and the classic co-occurrence recommender. All counts "
+        "are exact BIGINTs; cosine is one shared expression whose sqrt/"
+        "division are IEEE exact-rounded, so the similarity ORDER (not "
+        "just the values) is bit-identical cross-engine, with a "
+        "deterministic (cosine desc, neighbor) tie-break. Scale: pairs "
+        "generate ROW-LOCALLY inside each basket (transform+slice — "
+        "never the oracle's O(|basket|^2) self-join of the exploded "
+        "fact); the pair rollup is bounded by |products|^2 and the "
+        "per-item counts ride back as a broadcast dim, so past the one "
+        "basket shuffle every relation is catalog-bounded. The top-k "
+        "window partitions by item — no single-partition sort.",
+)
+def q_item_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("p_name")).alias("names"))
+    )
+    # One exploded relation carries BOTH the (i < j) pairs and the
+    # diagonal (i, i) membership rows, so item counts and pair counts
+    # come out of ONE aggregate over ONE fact pass; the catalog-bounded
+    # result is lineage-truncated once and consumed by all four
+    # downstream readers (sym x2 + the two count dims).
+    pair_expr = """
+    concat(
+      transform(names, x -> struct(x AS i, x AS j)),
+      flatten(
+        transform(names, (x, i) ->
+          transform(slice(names, i + 2, size(names)), y ->
+            struct(x AS i, y AS j)))))
+    """
+    all_counts = truncate_lineage(
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .groupBy(F.col("p.i").alias("i"), F.col("p.j").alias("j"))
+        .agg(F.count("*").cast("bigint").alias("n_ij"))
+    )
+    pij = all_counts.filter(F.col("i") < F.col("j"))
+    cnt = all_counts.filter(F.col("i") == F.col("j")).selectExpr(
+        "i AS name", "n_ij AS n")
+    sym = pij.selectExpr("i AS item", "j AS neighbor", "n_ij").unionAll(
+        pij.selectExpr("j AS item", "i AS neighbor", "n_ij"))
+    sim = (
+        sym
+        .join(F.broadcast(cnt.selectExpr("name AS item", "n AS n_i")), "item")
+        .join(F.broadcast(cnt.selectExpr("name AS neighbor", "n AS n_j")),
+              "neighbor")
+        .selectExpr("item", "neighbor", "n_i", "n_j", "n_ij", _COSINE_EXPR)
+    )
+    w = Window.partitionBy("item").orderBy(F.desc("cosine"), F.asc("neighbor"))
+    return (
+        sim.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("item", "neighbor", "n_i", "n_j", "n_ij", "cosine", "rnk")
+        .orderBy("item", "rnk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest: flat-naive, 6 origins x 2 horizons
+# ---------------------------------------------------------------------------
+
+#: Monday-start integer week index shared by both engines: days since
+#: 1970-01-05 (a Monday) truncating-divided by 7 — both operands are
+#: non-negative for every date in the corpus, so DIV (Spark) and //
+#: (DuckDB) agree.
+_BT_ORIGINS = 6   # evaluation origins (last complete weeks)
+_BT_HORIZONS = 2  # forecast horizons per origin (weeks ahead)
+
+_BT_WAPE = (
+    "CAST(sum_abs_err_q AS DOUBLE) / CAST(sum_actual_q AS DOUBLE) AS wape"
+)
+
+
+@register(
+    "backtest_rolling_origin",
+    oracle=f"""
+    WITH mx AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-05', MAX(l_shipdate)) // 7
+             AS BIGINT) AS maxw
+      FROM lineitem
+    ), weekly AS (
+      SELECT l_partkey AS pk,
+             CAST(date_diff('day', DATE '1970-01-05', l_shipdate) // 7
+                  AS BIGINT) AS w,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS q
+      FROM lineitem, mx
+      WHERE CAST(date_diff('day', DATE '1970-01-05', l_shipdate) // 7
+            AS BIGINT) >= maxw - {_BT_ORIGINS + 1}
+      GROUP BY 1, 2
+    ), scored AS (
+      SELECT t.w - h.h AS origin_week, h.h AS horizon,
+             CAST(COUNT(*) AS BIGINT) AS n_products,
+             CAST(SUM(abs(t.q - o.q)) AS BIGINT) AS sum_abs_err_q,
+             CAST(SUM(t.q) AS BIGINT) AS sum_actual_q
+      FROM weekly t
+      JOIN (SELECT UNNEST(range(1, {_BT_HORIZONS + 1})) AS h) h ON TRUE
+      JOIN weekly o ON o.pk = t.pk AND o.w = t.w - h.h
+      JOIN mx ON TRUE
+      WHERE t.w - h.h BETWEEN maxw - {_BT_ORIGINS + 1} AND maxw - {_BT_HORIZONS}
+        AND t.w <= maxw
+      GROUP BY 1, 2
+    )
+    SELECT origin_week, horizon, n_products, sum_abs_err_q, sum_actual_q,
+           {_BT_WAPE}
+    FROM scored ORDER BY origin_week, horizon
+    """,
+    doc="Rolling-origin forecast backtest — the time-series "
+        "cross-validation harness wape_seasonal_naive's single global "
+        "score cannot express: a flat-naive forecast (yhat(o+h) = y(o)) "
+        "issued at each of the last 6 complete weekly origins is scored "
+        "separately per (origin, horizon) with WAPE over exact BIGINT "
+        "quantity-cents, so horizon degradation and origin stability "
+        "are both visible. Weeks are integer Monday-start indexes "
+        "(days-since-1970-01-05 DIV 7 — truncating division on "
+        "non-negative operands, identical cross-engine); the only "
+        "double is the final shared WAPE division. Scale: the 1-row "
+        "max-week broadcast filters the fact BEFORE the weekly rollup "
+        "shuffle (only the trailing ~8 weeks move); the rollup is "
+        "lineage-truncated once (<= |parts| x 8 rows) and the "
+        "origin-target join + horizon explode ride that bounded "
+        "relation — the backtest costs one pruned fact pass.",
+)
+def q_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    li = table(spark, sf_dir, "lineitem")
+    wk = "CAST(datediff(l_shipdate, DATE '1970-01-05') AS BIGINT) DIV 7"
+    mx = li.agg(F.expr(f"MAX({wk})").alias("maxw"))
+    weekly = truncate_lineage(
+        li.crossJoin(F.broadcast(mx))
+        .filter(F.expr(f"{wk} >= maxw - {_BT_ORIGINS + 1}"))
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.expr(wk).alias("w"),
+            "maxw",
+        )
+        .agg(F.sum(F.expr(
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)"))
+            .cast("bigint").alias("q"))
+    )
+    t = weekly.selectExpr("pk", "w", "q", "maxw")
+    o = weekly.selectExpr("pk AS pk_o", "w AS w_o", "q AS q_o")
+    scored = (
+        t.select("pk", "w", "q", "maxw",
+                 F.explode(F.expr(
+                     f"sequence(1, {_BT_HORIZONS})")).alias("h"))
+        .withColumn("origin_week", F.col("w") - F.col("h"))
+        .filter(
+            (F.col("origin_week") >= F.col("maxw") - (_BT_ORIGINS + 1))
+            & (F.col("origin_week") <= F.col("maxw") - _BT_HORIZONS)
+            & (F.col("w") <= F.col("maxw")))
+        .join(o, (F.col("pk") == F.col("pk_o"))
+              & (F.col("origin_week") == F.col("w_o")))
+        .groupBy("origin_week", F.col("h").alias("horizon"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_products"),
+            F.sum(F.abs(F.col("q") - F.col("q_o"))).cast("bigint")
+            .alias("sum_abs_err_q"),
+            F.sum("q").cast("bigint").alias("sum_actual_q"),
+        )
+    )
+    return (
+        scored.selectExpr("origin_week", "horizon", "n_products",
+                          "sum_abs_err_q", "sum_actual_q", _BT_WAPE)
+        .orderBy("origin_week", "horizon")
+    )

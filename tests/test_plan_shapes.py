@@ -1113,3 +1113,28 @@ def test_kaplan_meier_bounded_machinery(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_item_item_cosine_single_fact_pass(spark, sf_dir):
+    """Item counts AND pair counts must come out of ONE aggregate over
+    ONE fact pass (diagonal rows folded into the pair relation, then
+    lineage-truncated); the two count dims ride back as broadcasts and
+    the top-k window partitions by item — no SMJ, no cartesian, no
+    re-derivation of the basket shuffle."""
+    plan = plan_of(spark, sf_dir, "item_item_cosine_topk")
+    assert plan.count("lineitem.parquet") == 0, plan  # truncated lineage
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_backtest_rolling_origin_bounded_machinery(spark, sf_dir):
+    """The backtest must ride the lineage-truncated trailing-weeks
+    rollup (<= |parts| x 8 rows): horizon explode, origin-target join
+    and per-(origin, horizon) scoring all happen past the checkpoint —
+    never a fact re-scan, never a cartesian."""
+    plan = plan_of(spark, sf_dir, "backtest_rolling_origin")
+    assert plan.count("lineitem.parquet") == 0, plan  # truncated lineage
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

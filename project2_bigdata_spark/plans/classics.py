@@ -4329,3 +4329,185 @@ def q_backtest_rolling_origin(spark: SparkSession, sf_dir: str) -> DataFrame:
                           "sum_abs_err_q", "sum_actual_q", _BT_WAPE)
         .orderBy("origin_week", "horizon")
     )
+
+
+# ---------------------------------------------------------------------------
+# Maximum drawdown of cumulative net revenue per product
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "max_drawdown_product",
+    oracle="""
+    WITH daily AS (
+      SELECT p_brand AS brand,
+             strftime(l_shipdate, '%Y-%m-%d') AS d,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END
+                  * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT)) AS BIGINT) AS net_c
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), curve AS (
+      SELECT brand, d,
+             CAST(SUM(net_c) OVER (PARTITION BY brand ORDER BY d) AS BIGINT)
+               AS cum_c
+      FROM daily
+    ), dd AS (
+      SELECT brand, d, cum_c,
+             CAST(MAX(cum_c) OVER (PARTITION BY brand ORDER BY d)
+                  - cum_c AS BIGINT) AS drawdown_c
+      FROM curve
+    )
+    SELECT brand, d AS trough_date, cum_c AS cum_net_c, drawdown_c
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY brand
+                ORDER BY drawdown_c DESC, d) AS rn
+      FROM dd
+    ) WHERE rn = 1
+    ORDER BY brand
+    """,
+    doc="Maximum drawdown per brand: the deepest decline of cumulative "
+        "NET revenue (returns signed negative via l_returnflag = 'R') "
+        "from its running peak, with the trough date — the classic "
+        "risk/collapse metric cusum_changepoints and seasonal_anomalies "
+        "do not express (those detect level shifts; drawdown measures "
+        "peak-relative loss). Every value is an exact BIGINT cents sum: "
+        "the cumulative curve, the running max and the drawdown are "
+        "all integer windows, and the argmax row is picked with a "
+        "deterministic (drawdown desc, date) tie-break — zero floats "
+        "anywhere. Scale: one fact scan + broadcast part dim -> "
+        "calendar-bounded (brand, day) rollup; all three windows "
+        "partition by brand over that <= |brands x days| relation, so "
+        "the machinery never grows with the corpus.",
+)
+def q_max_drawdown_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"),
+                 F.date_format("l_shipdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.expr(
+            "CASE WHEN l_returnflag = 'R' THEN -1 ELSE 1 END"
+            " * CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT)")).cast("bigint").alias("net_c"))
+    )
+    wcum = Window.partitionBy("brand").orderBy("d").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    curve = daily.select(
+        "brand", "d", F.sum("net_c").over(wcum).cast("bigint").alias("cum_c"))
+    dd = curve.select(
+        "brand", "d", "cum_c",
+        (F.max("cum_c").over(wcum) - F.col("cum_c")).cast("bigint")
+        .alias("drawdown_c"))
+    wpick = Window.partitionBy("brand").orderBy(
+        F.desc("drawdown_c"), F.asc("d"))
+    return (
+        dd.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .selectExpr("brand", "d AS trough_date", "cum_c AS cum_net_c",
+                    "drawdown_c")
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Durbin-Watson: residual autocorrelation of the per-brand revenue trend
+# ---------------------------------------------------------------------------
+
+#: One shared double-expression tree over exact decimal moment sums
+#: (the corr/welch device): b is the OLS slope; the DW numerator
+#: expands Sum((dy - b*dx)^2) and the denominator Sum(e^2) into pure
+#: moment algebra, so both engines execute the IDENTICAL IEEE op
+#: sequence on identical doubles.
+_DW_B = "((n * sxy - sx * sy) / (n * sxx - sx * sx))"
+_DW_FINAL = (
+    f"(sdy2 - 2 * {_DW_B} * sdxdy + {_DW_B} * {_DW_B} * sdx2)"
+    f" / ((syy - sy * sy / n) - 2 * {_DW_B} * (sxy - sx * sy / n)"
+    f" + {_DW_B} * {_DW_B} * (sxx - sx * sx / n)) AS dw"
+)
+
+
+@register(
+    "durbin_watson_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT p_brand AS brand,
+             CAST(date_diff('day', DATE '1970-01-01', l_shipdate)
+                  AS BIGINT) AS x,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT brand, x, y,
+             x - lag(x) OVER (PARTITION BY brand ORDER BY x) AS dx,
+             y - lag(y) OVER (PARTITION BY brand ORDER BY x) AS dy
+      FROM daily
+    ), m AS (
+      SELECT brand,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {oracle_dsum_as('x', 'decimal(38,0)', 'sx')},
+             {oracle_dsum_as('y', 'decimal(38,0)', 'sy')},
+             {oracle_dsum_as('x * x', 'decimal(38,0)', 'sxx')},
+             {oracle_dsum_as('CAST(y AS DECIMAL(38,0)) * y', 'decimal(38,0)', 'syy')},
+             {oracle_dsum_as('CAST(x AS DECIMAL(38,0)) * y', 'decimal(38,0)', 'sxy')},
+             {oracle_dsum_as('COALESCE(CAST(dx AS DECIMAL(38,0)) * dx, 0)', 'decimal(38,0)', 'sdx2')},
+             {oracle_dsum_as('COALESCE(CAST(dy AS DECIMAL(38,0)) * dy, 0)', 'decimal(38,0)', 'sdy2')},
+             {oracle_dsum_as('COALESCE(CAST(dx AS DECIMAL(38,0)) * dy, 0)', 'decimal(38,0)', 'sdxdy')}
+      FROM lagged GROUP BY 1
+    )
+    SELECT brand, CAST(n AS BIGINT) AS n_days, {_DW_B} AS slope,
+           {_DW_FINAL}
+    FROM m ORDER BY brand
+    """,
+    doc="Durbin-Watson statistic of the residuals from each brand's "
+        "daily-revenue-on-time OLS trend — the autocorrelation "
+        "diagnostic that tells you whether sales_trend_ols/"
+        "ols_weekend_trend residuals violate independence (DW ~ 2 "
+        "independent, < 2 positively autocorrelated). NO residual is "
+        "ever materialized: Sum(e_t - e_(t-1))^2 expands to "
+        "Sum((dy - b*dx)^2) and Sum(e^2) to centered-moment algebra, "
+        "so the whole statistic is nine exact decimal moment sums "
+        "(varchar round-trip to double, the corr/welch device) fed to "
+        "ONE shared expression tree — bit-identical cross-engine. "
+        "Scale: one fact scan + broadcast part dim -> calendar-bounded "
+        "(brand, day) rollup; the lag window and the moment aggregate "
+        "both partition by brand over that <= |brands x days| "
+        "relation. DW costs the scan, full stop.",
+)
+def q_durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    daily = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.expr("CAST(datediff(l_shipdate, DATE '1970-01-01') AS BIGINT)")
+            .alias("x"))
+        .agg(F.sum(F.expr(
+            "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("brand").orderBy("x")
+    lagged = daily.select(
+        "brand", "x", "y",
+        (F.col("x") - F.lag("x").over(w)).alias("dx"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    )
+    m = lagged.groupBy("brand").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum_as("x", "decimal(38,0)", "sx"),
+        dsum_as("y", "decimal(38,0)", "sy"),
+        dsum_as("x * x", "decimal(38,0)", "sxx"),
+        dsum_as("CAST(y AS DECIMAL(38,0)) * y", "decimal(38,0)", "syy"),
+        dsum_as("CAST(x AS DECIMAL(38,0)) * y", "decimal(38,0)", "sxy"),
+        dsum_as("COALESCE(CAST(dx AS DECIMAL(38,0)) * dx, 0)", "decimal(38,0)", "sdx2"),
+        dsum_as("COALESCE(CAST(dy AS DECIMAL(38,0)) * dy, 0)", "decimal(38,0)", "sdy2"),
+        dsum_as("COALESCE(CAST(dx AS DECIMAL(38,0)) * dy, 0)", "decimal(38,0)", "sdxdy"),
+    )
+    return (
+        m.selectExpr("brand", "CAST(n AS BIGINT) AS n_days",
+                     f"{_DW_B} AS slope", _DW_FINAL)
+        .orderBy("brand")
+    )

@@ -1138,3 +1138,28 @@ def test_backtest_rolling_origin_bounded_machinery(spark, sf_dir):
     assert plan.count("lineitem.parquet") == 0, plan  # truncated lineage
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_max_drawdown_integer_windows_one_scan(spark, sf_dir):
+    """Drawdown must cost one fact scan + broadcast dim; cumulative
+    curve, running max and argmax pick are all brand-partitioned
+    windows over the calendar-bounded daily rollup — no SMJ, no
+    cartesian, no BNLJ, no second scan."""
+    plan = plan_of(spark, sf_dir, "max_drawdown_product")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_durbin_watson_single_scan_moment_pass(spark, sf_dir):
+    """DW must never materialize a residual: one fact scan, one
+    calendar-bounded rollup, one brand-partitioned lag window, one
+    moment aggregate — no joins past the broadcast dim."""
+    plan = plan_of(spark, sf_dir, "durbin_watson_trend")
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

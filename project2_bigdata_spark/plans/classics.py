@@ -4511,3 +4511,152 @@ def q_durbin_watson_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"{_DW_B} AS slope", _DW_FINAL)
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over per-segment permutation tests
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA100 = 20  # alpha = 0.20, carried as an exact integer percentage
+
+
+def _bh_oracle() -> str:
+    reps = ",\n".join(
+        f"CAST(COALESCE(SUM(CASE WHEN {_perm_parity(f'{b}:', False)} = 0 "
+        f"THEN cents END), 0) AS BIGINT) AS sa{b},\n"
+        f"CAST(SUM(CASE WHEN {_perm_parity(f'{b}:', False)} = 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS na{b}"
+        for b in range(_PERM_B))
+    extreme = " + ".join(
+        f"(CASE WHEN abs({_perm_t(f'sa{b}', f'na{b}')}) >= abs(t_obs) "
+        f"THEN 1 ELSE 0 END)"
+        for b in range(_PERM_B))
+    return f"""
+    WITH base AS (
+      SELECT c_mktsegment AS segment, o_orderkey,
+             CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+               AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ), agg AS (
+      SELECT segment,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s,
+             CAST(COALESCE(SUM(CASE WHEN {_perm_parity('', False)} = 0
+                  THEN cents END), 0) AS BIGINT) AS sa_obs,
+             CAST(SUM(CASE WHEN {_perm_parity('', False)} = 0
+                  THEN 1 ELSE 0 END) AS BIGINT) AS na_obs,
+             {reps}
+      FROM base GROUP BY 1
+    ), t AS (
+      SELECT *, {_perm_t('sa_obs', 'na_obs')} AS t_obs FROM agg
+    ), e AS (
+      SELECT segment, n, na_obs, t_obs,
+             CAST({extreme} AS BIGINT) AS n_extreme
+      FROM t
+    ), ranked AS (
+      SELECT *,
+             CAST(ROW_NUMBER() OVER (ORDER BY n_extreme, segment)
+                  AS BIGINT) AS bh_rank,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM e
+    ), kstar AS (
+      SELECT *,
+             CAST(MAX(CASE WHEN (1 + n_extreme) * m * 100
+                           <= bh_rank * {_BH_ALPHA100} * {_PERM_B + 1}
+                      THEN bh_rank ELSE 0 END) OVER () AS BIGINT) AS k_star
+      FROM ranked
+    )
+    SELECT segment, n AS n_units, na_obs AS n_arm_obs, t_obs, n_extreme,
+           CAST(1 + n_extreme AS DOUBLE) / CAST({_PERM_B + 1} AS DOUBLE)
+             AS p_value,
+           bh_rank, k_star,
+           CAST(CASE WHEN bh_rank <= k_star THEN 1 ELSE 0 END AS INT)
+             AS rejected
+    FROM kstar ORDER BY segment
+    """
+
+
+@register(
+    "bh_fdr_segment_arms",
+    oracle=_bh_oracle(),
+    doc="Benjamini-Hochberg FDR control (alpha = 0.20) over FIVE "
+        "simultaneous per-segment permutation tests of the md5-parity "
+        "arm split — the multiple-testing guardrail an A/B platform "
+        "needs before reading 5 segment-level effects at once. Each "
+        "segment's test is permutation_test_arm_revenue grouped by "
+        "segment (same B=32 salted md5 re-randomizations, same paired "
+        "aggregate columns, zero row expansion); the BH step-up NEVER "
+        "touches float p-values: p_(k) <= k*alpha/m cross-multiplies to "
+        "the BIGINT inequality (1+e_k)*m*100 <= k*20*(B+1), rank and "
+        "k* are windows over the 5-row test relation, and ties rank "
+        "deterministically (n_extreme, segment). The p_value column is "
+        "a display-only shared division. Scale: ONE aggregate with "
+        "map-side partials (5 groups x 66 sums) over one orders scan "
+        "+ broadcast segment dim; everything past it is 5 rows.",
+)
+def q_bh_fdr_segment_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "segment", "o_orderkey",
+            F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .alias("cents"))
+    )
+    rep_cols = []
+    for b in range(_PERM_B):
+        par = _perm_parity(f"{b}:", True)
+        rep_cols.append(
+            F.coalesce(
+                F.sum(F.when(F.expr(par) == 0, F.col("cents"))), F.lit(0))
+            .cast("bigint").alias(f"sa{b}"))
+        rep_cols.append(
+            F.sum(F.when(F.expr(par) == 0, F.lit(1)).otherwise(F.lit(0)))
+            .cast("bigint").alias(f"na{b}"))
+    par_obs = _perm_parity("", True)
+    agg = base.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.coalesce(
+            F.sum(F.when(F.expr(par_obs) == 0, F.col("cents"))), F.lit(0))
+        .cast("bigint").alias("sa_obs"),
+        F.sum(F.when(F.expr(par_obs) == 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("bigint").alias("na_obs"),
+        *rep_cols,
+    )
+    extreme = " + ".join(
+        f"(CASE WHEN abs({_perm_t(f'sa{b}', f'na{b}')}) >= abs(t_obs) "
+        f"THEN 1 ELSE 0 END)"
+        for b in range(_PERM_B))
+    e = (
+        agg.withColumn("t_obs", F.expr(_perm_t("sa_obs", "na_obs")))
+        .withColumn("n_extreme", F.expr(f"CAST({extreme} AS BIGINT)"))
+        .select("segment", "n", "na_obs", "t_obs", "n_extreme")
+    )
+    wrank = Window.orderBy("n_extreme", "segment")
+    wall = Window.partitionBy()
+    ranked = e.select(
+        "*",
+        F.row_number().over(wrank).cast("bigint").alias("bh_rank"),
+        F.count("*").over(wall).cast("bigint").alias("m"),
+    )
+    kstar = ranked.withColumn(
+        "k_star",
+        F.max(F.expr(
+            f"CASE WHEN (1 + n_extreme) * m * 100"
+            f" <= bh_rank * {_BH_ALPHA100} * {_PERM_B + 1}"
+            f" THEN bh_rank ELSE CAST(0 AS BIGINT) END")).over(wall)
+        .cast("bigint"))
+    return (
+        kstar.selectExpr(
+            "segment", "n AS n_units", "na_obs AS n_arm_obs", "t_obs",
+            "n_extreme",
+            f"CAST(1 + n_extreme AS DOUBLE) / CAST({_PERM_B + 1} AS DOUBLE)"
+            " AS p_value",
+            "bh_rank", "k_star",
+            "CAST(CASE WHEN bh_rank <= k_star THEN 1 ELSE 0 END AS INT)"
+            " AS rejected")
+        .orderBy("segment")
+    )

@@ -1163,3 +1163,18 @@ def test_durbin_watson_single_scan_moment_pass(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_bh_fdr_single_grouped_aggregate(spark, sf_dir):
+    """All five segment tests (5 groups x 66 conditional sums) must
+    ride ONE grouped aggregate over one orders scan with the segment
+    dim broadcast in — zero row expansion (no Expand/Generate); the
+    BH step-up windows touch only the 5-row test relation."""
+    plan = plan_of(spark, sf_dir, "bh_fdr_segment_arms")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "Generate" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

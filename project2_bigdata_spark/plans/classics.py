@@ -4660,3 +4660,234 @@ def q_bh_fdr_segment_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS rejected")
         .orderBy("segment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's law fit: log-log OLS over the top of the corpus vocabulary
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 500  # ranks in the Zipf regime; bounded machinery past the rollup
+
+
+def _zipf_final(st: str) -> list[str]:
+    """Shared final expressions over string-round-tripped decimal moments
+    of the frozen 6dp (ln rank, ln freq) observations."""
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    n = "CAST(n_obs AS DOUBLE)"
+    sx, sy = d("sx"), d("sy")
+    sxx, sxy, syy = d("sxx"), d("sxy"), d("syy")
+    cov = f"({n} * {sxy} - {sx} * {sy})"
+    varx = f"({n} * {sxx} - {sx} * {sx})"
+    vary = f"({n} * {syy} - {sy} * {sy})"
+    return [
+        "CAST(n_obs AS BIGINT) AS n_terms",
+        f"{cov} / {varx} AS zipf_slope",
+        f"{cov} * {cov} / ({varx} * {vary}) AS r2",
+    ]
+
+
+@register(
+    "zipf_slope_vocab",
+    oracle=f"""
+    WITH terms AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1
+    ), top AS (
+      SELECT term, tf FROM freq ORDER BY tf DESC, term LIMIT {_ZIPF_TOP}
+    ), obs AS (
+      SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, term)
+                            AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(round(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+      FROM top
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_obs,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM obs
+    )
+    SELECT {", ".join(_zipf_final("VARCHAR"))} FROM m
+    """,
+    doc="Zipf's-law fit over the corpus vocabulary: OLS slope of "
+        "ln(frequency) on ln(rank) for the top-500 terms (the Zipf "
+        "regime), with r2 — the corpus-health diagnostic that tells "
+        "you whether a text source has natural-language frequency "
+        "structure (slope ~ -1) or is template/boilerplate-dominated. "
+        "Portability is the price_elasticity frozen-transcendental "
+        "device: each ln observation is one identical double "
+        "expression rounded to 6dp and FROZEN as decimal(18,6); "
+        "moments accumulate exactly in decimal and the slope/r2 tree "
+        "is shared. The rank itself is deterministic (tf desc, term). "
+        "Scale: one explode + one vocabulary-sized rollup; the top-500 "
+        "cut is a distributed TakeOrdered (per-partition top-K then a "
+        "K-merge — never a global sort), and every relation past it "
+        "is 500 rows.",
+)
+def q_zipf_slope_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    top = freq.orderBy(F.desc("tf"), "term").limit(_ZIPF_TOP)
+    w = Window.orderBy(F.desc("tf"), "term")
+    obs = (
+        top.withColumn("rnk", F.row_number().over(w))
+        .selectExpr(
+            "CAST(round(ln(CAST(rnk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x",
+            "CAST(round(ln(CAST(tf AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y")
+    )
+    m = obs.agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return m.selectExpr(*_zipf_final("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: BUILDING-segment tenure survival vs the rest
+# ---------------------------------------------------------------------------
+
+#: Per-step E1/V contributions, written as the SAME left-associative
+#: IEEE op sequence on both engines (casts before any product so no
+#: integer overflow at any corpus size); the accumulation order is
+#: FIXED (t ascending) by folding a sorted array in Spark and walking
+#: rn order in DuckDB's recursive CTE, so the float sums are
+#:: bit-identical.
+_LR_E1 = ("(CAST({p}d AS DOUBLE) * CAST({p}n1 AS DOUBLE))"
+          " / CAST({p}n AS DOUBLE)")
+_LR_V = ("CASE WHEN {p}n > 1 THEN ((CAST({p}d AS DOUBLE)"
+         " * CAST({p}n1 AS DOUBLE)) / CAST({p}n AS DOUBLE))"
+         " * (CAST({p}n - {p}n1 AS DOUBLE) / CAST({p}n AS DOUBLE))"
+         " * (CAST({p}n - {p}d AS DOUBLE) / CAST({p}n - 1 AS DOUBLE))"
+         " ELSE CAST(0 AS DOUBLE) END")
+_LR_Z = ("(CAST(o1 AS DOUBLE) - e1) / sqrt(v) AS z")
+
+
+@register(
+    "logrank_test_building",
+    oracle=f"""
+    WITH RECURSIVE span AS (
+      SELECT o_custkey,
+             CAST((EXTRACT(YEAR FROM MAX(o_orderdate)) * 12
+                   + EXTRACT(MONTH FROM MAX(o_orderdate)))
+                - (EXTRACT(YEAR FROM MIN(o_orderdate)) * 12
+                   + EXTRACT(MONTH FROM MIN(o_orderdate))) AS BIGINT) AS t,
+             MAX(o_orderdate) AS last_d
+      FROM orders GROUP BY 1
+    ), cut AS (
+      SELECT MAX(o_orderdate) - INTERVAL 90 DAY AS cutoff FROM orders
+    ), unit AS (
+      SELECT t,
+             CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+             CASE WHEN last_d < cutoff THEN 1 ELSE 0 END AS e
+      FROM span JOIN customer ON o_custkey = c_custkey, cut
+    ), ev AS (
+      SELECT t,
+             CAST(SUM(e) AS BIGINT) AS d,
+             CAST(SUM(e * g1) AS BIGINT) AS d1,
+             CAST(COUNT(*) AS BIGINT) AS ended,
+             CAST(SUM(g1) AS BIGINT) AS ended1
+      FROM unit GROUP BY 1
+    ), steps AS (
+      SELECT t, d, d1,
+             CAST(SUM(ended) OVER (ORDER BY t DESC) AS BIGINT) AS n,
+             CAST(SUM(ended1) OVER (ORDER BY t DESC) AS BIGINT) AS n1
+      FROM ev
+    ), es AS (
+      SELECT t, d, d1, n, n1,
+             CAST(ROW_NUMBER() OVER (ORDER BY t) AS BIGINT) AS rn
+      FROM steps WHERE d > 0
+    ), walk AS (
+      SELECT rn, {_LR_E1.format(p='')} AS e1, {_LR_V.format(p='')} AS v
+      FROM es WHERE rn = 1
+      UNION ALL
+      SELECT s.rn, walk.e1 + {_LR_E1.format(p='s.')},
+             walk.v + {_LR_V.format(p='s.')}
+      FROM walk JOIN es s ON s.rn = walk.rn + 1
+    ), tot AS (
+      SELECT CAST(SUM(g1) AS BIGINT) AS n_g1,
+             CAST(COUNT(*) AS BIGINT) AS n_total,
+             CAST(SUM(e * g1) AS BIGINT) AS o1
+      FROM unit
+    ), acc AS (
+      SELECT e1, v FROM walk ORDER BY rn DESC LIMIT 1
+    )
+    SELECT n_g1, n_total, o1, e1, v, {_LR_Z}
+    FROM tot, acc
+    """,
+    doc="Log-rank (Mantel-Cox) test: does the BUILDING segment churn "
+        "on a different tenure-survival curve than everyone else? The "
+        "inferential counterpart of kaplan_meier_churn, sharing its "
+        "span/cutoff machinery. O1 is an exact BIGINT; E1 = sum "
+        "d_i*n1_i/n_i and the hypergeometric variance accumulate in "
+        "FIXED t-ascending order — a sorted-array fold in Spark, the "
+        "recursive CTE walk in DuckDB — with every per-step term the "
+        "same left-associative cast-then-divide sequence (casts happen "
+        "BEFORE any product, so no integer overflow at any corpus "
+        "size), making the float sums bit-identical cross-engine. "
+        "Scale: one full orders scan + one custkey aggregate + "
+        "broadcast segment dim; all test machinery rides the <= ~90-"
+        "row step relation.",
+)
+def q_logrank_test_building(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    span = o.groupBy("o_custkey").agg(
+        F.expr(
+            "CAST((year(MAX(o_orderdate)) * 12 + month(MAX(o_orderdate)))"
+            " - (year(MIN(o_orderdate)) * 12 + month(MIN(o_orderdate)))"
+            " AS BIGINT)").alias("t"),
+        F.max("o_orderdate").alias("last_d"),
+    )
+    cut = o.agg(F.expr("MAX(o_orderdate) - INTERVAL 90 DAYS").alias("cutoff"))
+    unit = (
+        span.join(F.broadcast(c), span.o_custkey == c.c_custkey)
+        .crossJoin(F.broadcast(cut))
+        .selectExpr(
+            "t",
+            "CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1",
+            "CASE WHEN last_d < cutoff THEN 1 ELSE 0 END AS e")
+    )
+    # ev is consumed twice (step fold + totals); truncate the <= ~90-row
+    # relation once so the |customers| aggregate runs a single time.
+    from ..session import truncate_lineage
+
+    ev = truncate_lineage(unit.groupBy("t").agg(
+        F.sum("e").cast("bigint").alias("d"),
+        F.sum(F.expr("e * g1")).cast("bigint").alias("d1"),
+        F.count("*").cast("bigint").alias("ended"),
+        F.sum("g1").cast("bigint").alias("ended1"),
+    ))
+    w = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    steps = ev.select(
+        "t", "d", "d1",
+        F.sum("ended").over(w).cast("bigint").alias("n"),
+        F.sum("ended1").over(w).cast("bigint").alias("n1"),
+    ).filter(F.col("d") > 0)
+    arr = steps.agg(
+        F.sort_array(F.collect_list(F.struct("t", "d", "d1", "n", "n1")))
+        .alias("steps"))
+    ev_fold = arr.selectExpr(
+        "aggregate(steps,"
+        " named_struct('e1', CAST(0 AS DOUBLE), 'v', CAST(0 AS DOUBLE)),"
+        f" (acc, x) -> named_struct("
+        f"'e1', acc.e1 + {_LR_E1.format(p='x.')},"
+        f" 'v', acc.v + {_LR_V.format(p='x.')})) AS ev")
+    tot = ev.agg(
+        F.sum("ended1").cast("bigint").alias("n_g1"),
+        F.sum("ended").cast("bigint").alias("n_total"),
+        F.sum("d1").cast("bigint").alias("o1"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(ev_fold))
+        .selectExpr("n_g1", "n_total", "o1", "ev.e1 AS e1", "ev.v AS v")
+        .selectExpr("n_g1", "n_total", "o1", "e1", "v", _LR_Z)
+    )

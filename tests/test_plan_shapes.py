@@ -55,6 +55,7 @@ BNLJ_OK = {
     "sales_trend_ols",  # 1-row global-min-date broadcast
     "churn_hazard_curve",  # 1-row observation-cutoff broadcast
     "kaplan_meier_churn",  # same 1-row observation-cutoff broadcast
+    "logrank_test_building",  # cutoff + 1-row fold-result broadcasts
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
@@ -1178,3 +1179,25 @@ def test_bh_fdr_single_grouped_aggregate(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_zipf_distributed_topk_no_global_sort(spark, sf_dir):
+    """The top-500 cut must be a distributed TakeOrdered, never a
+    global sort of the vocabulary; everything past it is 500 rows."""
+    plan = plan_of(spark, sf_dir, "zipf_slope_vocab")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_logrank_bounded_machinery(spark, sf_dir):
+    """Log-rank must run the |customers| aggregate exactly once: the
+    <= ~90-row ev relation is lineage-truncated and feeds BOTH the
+    step fold and the totals (the fact scans live inside that single
+    checkpoint build). E1/V accumulate via the sorted-array fold; the
+    only BNLJ in the final plan is the 1-row fold-result broadcast."""
+    plan = plan_of(spark, sf_dir, "logrank_test_building")
+    assert plan.count("orders.parquet") == 0, plan  # truncated lineage
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

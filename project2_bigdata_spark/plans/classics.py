@@ -4891,3 +4891,119 @@ def q_logrank_test_building(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("n_g1", "n_total", "o1", "ev.e1 AS e1", "ev.v AS v")
         .selectExpr("n_g1", "n_total", "o1", "e1", "v", _LR_Z)
     )
+
+
+# ---------------------------------------------------------------------------
+# KS goodness-of-fit: per-user inter-arrival gaps vs a fitted exponential
+# ---------------------------------------------------------------------------
+
+#: F0 at each support point, frozen at 6dp (the mutual_information
+#: transcendental rule) and scaled to exact micro-units so the KS sup
+#: is an INTEGER comparison; lambda itself is one shared division of a
+#: BIGINT count by a string-round-tripped decimal sum.
+_KSE_LAMBDA = "(CAST(n AS DOUBLE) / CAST(CAST(s AS {st}) AS DOUBLE))"
+_KSE_F0U = ("CAST(CAST(round(1 - exp(-{lam} * CAST(gap_s AS DOUBLE)), 6)"
+            " AS DECIMAL(18,6)) * 1000000 AS BIGINT)")
+
+
+@register(
+    "ks_exponential_gaps",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT CAST((epoch_us(ts) - epoch_us(lag(ts) OVER
+                  (PARTITION BY user_id ORDER BY ts, event_id)))
+                  // 1000000 AS BIGINT) AS gap_s
+      FROM events
+    ), g AS (SELECT gap_s FROM gaps WHERE gap_s IS NOT NULL),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(gap_s AS DECIMAL(38,0))) AS s
+      FROM g
+    ), hist AS (
+      SELECT gap_s, CAST(COUNT(*) AS BIGINT) AS cnt FROM g GROUP BY 1
+    ), ecdf AS (
+      SELECT gap_s, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY gap_s) AS BIGINT) AS c
+      FROM hist
+    ), dev AS (
+      SELECT GREATEST(
+               ABS(c * 1000000 - n * {_KSE_F0U.format(lam=_KSE_LAMBDA.format(st='VARCHAR'))}),
+               ABS((c - cnt) * 1000000 - n * {_KSE_F0U.format(lam=_KSE_LAMBDA.format(st='VARCHAR'))})
+             ) AS d_u, n, s
+      FROM ecdf, tot
+    )
+    SELECT n AS n_gaps,
+           {_KSE_LAMBDA.format(st='VARCHAR')} * 3600 AS lambda_per_hour,
+           CAST(MAX(d_u) AS BIGINT) AS d_scaled,
+           CAST(MAX(d_u) AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS ks_d,
+           CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS crit_05,
+           CAST(CASE WHEN CAST(MAX(d_u) AS DOUBLE)
+                / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE))
+                > CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))
+                THEN 1 ELSE 0 END AS INT) AS reject_05
+    FROM dev GROUP BY n, s
+    """,
+    doc="Kolmogorov-Smirnov goodness-of-fit of per-user event "
+        "inter-arrival gaps (whole seconds) against the MLE-fitted "
+        "exponential — the parametric counterpart of "
+        "ks_test_totalprice's two-sample test: is user activity a "
+        "Poisson process, or bursty? lambda-hat = n/sum(gaps) is one "
+        "shared division (count over a string-round-tripped decimal "
+        "sum); F0 at each support point is the frozen-6dp exp device "
+        "scaled to exact micro-units, so the KS sup is a pure BIGINT "
+        "max over |c*1e6 - n*F0u| (both one-sided steps) — no float "
+        "ECDF anywhere. Scale: one events scan, one per-user lag "
+        "window, one histogram rollup; the ECDF window rides the "
+        "distinct-seconds support, which is bounded by the TIME SPAN "
+        "of the corpus, not its row count — more events in the same "
+        "window only shrink gaps. The 1-row (n, s) broadcast is the "
+        "standard scalar device.",
+)
+def q_ks_exponential_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    uw = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            F.expr("(unix_micros(ts) - unix_micros(lag(ts) OVER"
+                   " (PARTITION BY user_id ORDER BY ts, event_id)))"
+                   " DIV 1000000").alias("gap_s"))
+        .filter(F.col("gap_s").isNotNull())
+    )
+    from ..session import truncate_lineage
+
+    # The histogram is the single fact-derived relation (time-span
+    # bounded support); totals fold out of it exactly, so the events
+    # scan runs once and everything downstream is support-sized.
+    hist = truncate_lineage(
+        gaps.groupBy("gap_s").agg(F.count("*").cast("bigint").alias("cnt")))
+    tot = hist.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum(F.expr("CAST(gap_s AS DECIMAL(38,0)) * cnt")).alias("s"),
+    )
+    wc = Window.orderBy("gap_s").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    ecdf = hist.select(
+        "gap_s", "cnt", F.sum("cnt").over(wc).cast("bigint").alias("c"))
+    lam = _KSE_LAMBDA.format(st="STRING")
+    f0u = _KSE_F0U.format(lam=lam)
+    dev = (
+        ecdf.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            f"GREATEST(ABS(c * 1000000 - n * {f0u}),"
+            f" ABS((c - cnt) * 1000000 - n * {f0u})) AS d_u",
+            "n", "s")
+    )
+    return dev.groupBy("n", "s").agg(
+        F.expr("CAST(MAX(d_u) AS BIGINT)").alias("d_scaled"),
+        F.expr(
+            "CAST(MAX(d_u) AS DOUBLE)"
+            " / (CAST(n AS DOUBLE) * CAST(1000000 AS DOUBLE))").alias("ks_d"),
+    ).selectExpr(
+        "n AS n_gaps",
+        f"{lam} * 3600 AS lambda_per_hour",
+        "d_scaled",
+        "ks_d",
+        "CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE)) AS crit_05",
+        "CAST(CASE WHEN ks_d > CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))"
+        " THEN 1 ELSE 0 END AS INT) AS reject_05",
+    )

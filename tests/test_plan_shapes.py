@@ -56,6 +56,7 @@ BNLJ_OK = {
     "churn_hazard_curve",  # 1-row observation-cutoff broadcast
     "kaplan_meier_churn",  # same 1-row observation-cutoff broadcast
     "logrank_test_building",  # cutoff + 1-row fold-result broadcasts
+    "ks_exponential_gaps",  # 1-row (n, s) totals broadcast
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
@@ -1198,6 +1199,18 @@ def test_logrank_bounded_machinery(spark, sf_dir):
     only BNLJ in the final plan is the 1-row fold-result broadcast."""
     plan = plan_of(spark, sf_dir, "logrank_test_building")
     assert plan.count("orders.parquet") == 0, plan  # truncated lineage
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_ks_exponential_bounded_support(spark, sf_dir):
+    """The KS machinery must cost one events scan + one per-user lag
+    window + one histogram rollup; the ECDF window and the deviation
+    scan ride the distinct-seconds support (time-span bounded). The
+    only BNLJ is the 1-row totals broadcast."""
+    plan = plan_of(spark, sf_dir, "ks_exponential_gaps")
+    assert plan.count("events.parquet") == 0, plan  # truncated lineage
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan

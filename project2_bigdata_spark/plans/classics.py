@@ -5007,3 +5007,69 @@ def q_ks_exponential_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(CASE WHEN ks_d > CAST(1.36 AS DOUBLE) / sqrt(CAST(n AS DOUBLE))"
         " THEN 1 ELSE 0 END AS INT) AS reject_05",
     )
+
+
+# ---------------------------------------------------------------------------
+# Readability + lexical diversity per document (row-local, zero shuffle)
+# ---------------------------------------------------------------------------
+
+#: Flesch reading ease from exact per-doc integer counts; the three
+#: constants are injected as guaranteed-DOUBLE literals (_dlit) so
+#: neither engine parses them as DECIMAL and rounds.
+_FLESCH = (
+    f"{_dlit(206.835)} - {_dlit(1.015)}"
+    " * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))"
+    f" - {_dlit(84.6)}"
+    " * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE)) AS flesch"
+)
+_TTR = "CAST(distinct_words AS DOUBLE) / CAST(words AS DOUBLE) AS ttr"
+
+
+@register(
+    "readability_flesch",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]')), 1)
+                  AS BIGINT) AS sentences,
+             CAST(GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')),
+                  1) AS BIGINT) AS syllables,
+             CAST(len(list_distinct(string_split(lower(text), ' ')))
+                  AS BIGINT) AS distinct_words
+      FROM documents
+    )
+    SELECT doc_id, words, sentences, syllables, distinct_words,
+           {_FLESCH}, {_TTR}
+    FROM c ORDER BY doc_id
+    """,
+    doc="Per-document Flesch reading ease + type-token ratio — the "
+        "readability/lexical-diversity curation signals (FineWeb-edu-"
+        "style quality filters) that text_quality's length/punct/"
+        "stopword ratios do not cover. Sentences are terminal-"
+        "punctuation counts, syllables the standard vowel-cluster "
+        "approximation — both via regexp counts whose simple POSIX "
+        "classes behave identically in Java regex and RE2 — and every "
+        "count is an exact per-row BIGINT; the Flesch constants are "
+        "injected as guaranteed-DOUBLE literals (the _dlit device) so "
+        "the score is one shared expression over exact integers. "
+        "Scale: purely ROW-LOCAL — one scan, zero shuffles, zero "
+        "joins; the classic embarrassingly-parallel curation map.",
+)
+def q_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    c = d.selectExpr(
+        "doc_id",
+        "CAST(size(split(text, ' ')) AS BIGINT) AS words",
+        "CAST(GREATEST(regexp_count(text, '[.!?]'), 1) AS BIGINT)"
+        " AS sentences",
+        "CAST(GREATEST(regexp_count(lower(text), '[aeiouy]+'), 1) AS BIGINT)"
+        " AS syllables",
+        "CAST(size(array_distinct(split(lower(text), ' '))) AS BIGINT)"
+        " AS distinct_words",
+    )
+    return (
+        c.selectExpr("doc_id", "words", "sentences", "syllables",
+                     "distinct_words", _FLESCH, _TTR)
+        .orderBy("doc_id")
+    )

@@ -1214,3 +1214,14 @@ def test_ks_exponential_bounded_support(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_readability_row_local_zero_shuffle(spark, sf_dir):
+    """Readability is the embarrassingly-parallel curation map: one
+    documents scan, zero exchanges besides the output sort, zero
+    joins, zero windows, zero aggregates."""
+    plan = plan_of(spark, sf_dir, "readability_flesch")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "HashAggregate" not in plan, plan

@@ -5073,3 +5073,228 @@ def q_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
                      "distinct_words", _FLESCH, _TTR)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test: randomness of daily revenue about its median
+# ---------------------------------------------------------------------------
+
+#: Runs-test moments from exact BIGINT counts, one shared tree: with
+#: m = 2*n1*n2 and n = n1+n2, mu = 1 + m/n and sigma^2 =
+#: m*(m - n) / (n^2 * (n - 1)).
+_RUNS_Z = (
+    "(CAST(r AS DOUBLE) - (CAST(1 AS DOUBLE)"
+    " + CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " / CAST(n1 + n2 AS DOUBLE)))"
+    " / sqrt((CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE))"
+    " * (CAST(2 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    " - CAST(n1 + n2 AS DOUBLE))"
+    " / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+    " * CAST(n1 + n2 - 1 AS DOUBLE))) AS z"
+)
+
+
+@register(
+    "runs_test_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), med AS (
+      SELECT segment, y, d,
+             CAST(2 * SUM(1) OVER (PARTITION BY segment ORDER BY y, d)
+                  - 1 AS BIGINT) AS dr,
+             CAST(COUNT(*) OVER (PARTITION BY segment) AS BIGINT) AS nn
+      FROM daily
+    ), medv AS (
+      SELECT segment, MIN(CASE WHEN dr >= nn THEN y END) AS m
+      FROM med GROUP BY 1
+    ), signs AS (
+      SELECT d1.segment, d1.d,
+             CASE WHEN d1.y > m.m THEN 1 ELSE 0 END AS s
+      FROM daily d1 JOIN medv m ON d1.segment = m.segment
+      WHERE d1.y <> m.m
+    ), runs AS (
+      SELECT segment,
+             CASE WHEN s <> lag(s) OVER (PARTITION BY segment ORDER BY d)
+                  THEN 1 ELSE 0 END AS flip, s
+      FROM signs
+    )
+    SELECT segment,
+           CAST(SUM(s) AS BIGINT) AS n1,
+           CAST(SUM(1 - s) AS BIGINT) AS n2,
+           CAST(1 + SUM(flip) AS BIGINT) AS r,
+           {_RUNS_Z}
+    FROM runs GROUP BY segment ORDER BY segment
+    """,
+    doc="Wald-Wolfowitz runs test per segment: is daily revenue's "
+        "above/below-median sign sequence random in time, or does it "
+        "cluster (regimes, momentum)? The nonparametric randomness "
+        "diagnostic that complements Durbin-Watson's parametric lag-1 "
+        "check. The median is the exact lower-median order statistic "
+        "picked by an integer doubled-rank inequality (2*rank - 1 >= "
+        "n — no float percentile), median-tied days are discarded per "
+        "the textbook procedure, the run count is one lag window over "
+        "the day-ordered sign sequence, and z comes from the exact "
+        "BIGINT (n1, n2, R) triple through one shared tree. Scale: one "
+        "orders scan + broadcast dim -> calendar-bounded (segment, "
+        "day) rollup; every window partitions by segment over that "
+        "relation; the median join-back is a 5-row broadcast.",
+)
+def q_runs_test_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    daily = truncate_lineage(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("segment",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint").alias("y"))
+    )
+    wv = Window.partitionBy("segment").orderBy("y", "d")
+    ws = Window.partitionBy("segment")
+    med = daily.select(
+        "segment", "y",
+        (2 * F.row_number().over(wv) - 1).cast("bigint").alias("dr"),
+        F.count("*").over(ws).cast("bigint").alias("nn"),
+    )
+    medv = med.groupBy("segment").agg(
+        F.min(F.when(F.col("dr") >= F.col("nn"), F.col("y"))).alias("m"))
+    signs = (
+        daily.join(F.broadcast(medv), "segment")
+        .filter(F.col("y") != F.col("m"))
+        .select("segment", "d",
+                F.when(F.col("y") > F.col("m"), 1).otherwise(0).alias("s"))
+    )
+    wd = Window.partitionBy("segment").orderBy("d")
+    runs = signs.select(
+        "segment", "s",
+        F.when(F.col("s") != F.lag("s").over(wd), 1).otherwise(0)
+        .alias("flip"))
+    return (
+        runs.groupBy("segment").agg(
+            F.sum("s").cast("bigint").alias("n1"),
+            F.sum(F.expr("1 - s")).cast("bigint").alias("n2"),
+            (F.lit(1) + F.sum("flip")).cast("bigint").alias("r"),
+        )
+        .selectExpr("segment", "n1", "n2", "r", _RUNS_Z)
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Price indexes: Laspeyres / Paasche / Fisher per month vs the base month
+# ---------------------------------------------------------------------------
+
+#: Final index ratios over string-round-tripped exact decimal sums.
+def _pidx_final(st: str) -> list[str]:
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    lasp = f"({d('l_num')} / {d('l_den')})"
+    paas = f"({d('p_num')} / {d('p_den')})"
+    return [
+        "m AS month_index",
+        "CAST(n_items AS BIGINT) AS n_items",
+        f"{lasp} AS laspeyres",
+        f"{paas} AS paasche",
+        f"sqrt({lasp} * {paas}) AS fisher",
+    ]
+
+
+@register(
+    "price_index_fisher",
+    oracle=f"""
+    WITH monthly AS (
+      SELECT l_partkey AS pk,
+             CAST(EXTRACT(YEAR FROM l_shipdate) * 12
+                  + EXTRACT(MONTH FROM l_shipdate) AS BIGINT) AS m,
+             CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS rev_c,
+             CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS qty_c2
+      FROM lineitem GROUP BY 1, 2
+    ), priced AS (
+      SELECT pk, m,
+             CAST(round(CAST(rev_c AS DOUBLE) * CAST(100 AS DOUBLE)
+                  / CAST(qty_c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS p6,
+             qty_c2
+      FROM monthly
+    ), m0 AS (SELECT MIN(m) AS base_m FROM priced),
+    base AS (
+      SELECT pk, p6 AS p0, qty_c2 AS q0 FROM priced, m0 WHERE m = base_m
+    ), joined AS (
+      SELECT t.m, t.p6, t.qty_c2 AS qt, b.p0, b.q0
+      FROM priced t JOIN base b ON t.pk = b.pk
+    ), sums AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_items,
+             SUM(p6 * q0) AS l_num, SUM(p0 * q0) AS l_den,
+             SUM(p6 * qt) AS p_num, SUM(p0 * qt) AS p_den
+      FROM joined GROUP BY 1
+    )
+    SELECT {", ".join(_pidx_final("VARCHAR"))}
+    FROM sums ORDER BY m
+    """,
+    doc="Index-number economics: monthly Laspeyres (base-basket), "
+        "Paasche (current-basket) and Fisher ideal price indexes "
+        "against the first month's matched basket — how much of "
+        "revenue growth is price vs volume, the macro counterpart of "
+        "price_volume_mix's per-period bridge. Unit prices are frozen "
+        "at 6dp (the transcendental-freeze device applied to a "
+        "division) so every p*q term is an exact DECIMAL product and "
+        "every basket sum is exact; the three indexes are shared "
+        "ratio/sqrt trees over string-round-tripped sums. Matched-"
+        "basket semantics (items present in both months) mirrored by "
+        "the oracle's inner join. Scale: one fact scan -> "
+        "|parts x months| rollup (lineage-truncated once, consumed by "
+        "base + current sides); the base basket is catalog-bounded "
+        "and broadcasts; the only BNLJ is the 1-row base-month "
+        "broadcast.",
+)
+def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    li = table(spark, sf_dir, "lineitem")
+    monthly = (
+        li.groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.expr("CAST(year(l_shipdate) * 12 + month(l_shipdate)"
+                   " AS BIGINT)").alias("m"))
+        .agg(
+            F.sum(F.expr(
+                "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100"
+                " AS BIGINT)")).cast("bigint").alias("rev_c"),
+            F.sum(F.expr(
+                "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100"
+                " AS BIGINT)")).cast("bigint").alias("qty_c2"),
+        )
+    )
+    priced = truncate_lineage(monthly.selectExpr(
+        "pk", "m",
+        "CAST(round(CAST(rev_c AS DOUBLE) * CAST(100 AS DOUBLE)"
+        " / CAST(qty_c2 AS DOUBLE), 6) AS DECIMAL(18,6)) AS p6",
+        "qty_c2"))
+    m0 = priced.agg(F.min("m").alias("base_m"))
+    base = (
+        priced.crossJoin(F.broadcast(m0))
+        .filter(F.col("m") == F.col("base_m"))
+        .selectExpr("pk", "p6 AS p0", "qty_c2 AS q0")
+    )
+    joined = priced.join(F.broadcast(base), "pk").selectExpr(
+        "m", "p6", "qty_c2 AS qt", "p0", "q0")
+    sums = joined.groupBy("m").agg(
+        F.count("*").cast("bigint").alias("n_items"),
+        F.sum(F.expr("p6 * q0")).alias("l_num"),
+        F.sum(F.expr("p0 * q0")).alias("l_den"),
+        F.sum(F.expr("p6 * qt")).alias("p_num"),
+        F.sum(F.expr("p0 * qt")).alias("p_den"),
+    )
+    return sums.selectExpr(*_pidx_final("STRING")).orderBy("month_index")

@@ -1225,3 +1225,30 @@ def test_readability_row_local_zero_shuffle(spark, sf_dir):
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
     assert "HashAggregate" not in plan, plan
+
+
+def test_runs_test_bounded_machinery(spark, sf_dir):
+    """The runs test must derive the calendar-bounded daily rollup ONCE
+    (lineage-truncated, consumed by the median pick and the sign
+    sequence); the median rides back as a 5-row broadcast and every
+    window partitions by segment — no SMJ, no cartesian, no BNLJ."""
+    plan = plan_of(spark, sf_dir, "runs_test_daily_revenue")
+    assert plan.count("orders.parquet") == 0, plan  # truncated lineage
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_price_index_catalog_bounded_joins(spark, sf_dir):
+    """Price indexes must derive the |parts x months| rollup ONCE
+    (lineage-truncated, consumed by base + current sides); the base
+    basket joins back as a broadcast, and Catalyst rewrites even the
+    1-row base-month filter into an equi BHJ — no nested loop at
+    all."""
+    plan = plan_of(spark, sf_dir, "price_index_fisher")
+    assert plan.count("lineitem.parquet") == 0, plan  # truncated lineage
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -5298,3 +5298,105 @@ def q_price_index_fisher(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("p0 * qt")).alias("p_den"),
     )
     return sums.selectExpr(*_pidx_final("STRING")).orderBy("month_index")
+
+
+# ---------------------------------------------------------------------------
+# Peak session concurrency: max simultaneous 30-min-gap sessions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "peak_concurrency_sessions",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS session_id
+      FROM g
+    ), sess AS (
+      SELECT CAST(epoch_us(MIN(ts)) // 60000000 AS BIGINT) AS smin,
+             CAST(epoch_us(MAX(ts)) // 60000000 + 1 AS BIGINT) AS emin
+      FROM s GROUP BY user_id, session_id
+    ), deltas AS (
+      SELECT smin AS minute, CAST(1 AS BIGINT) AS delta FROM sess
+      UNION ALL
+      SELECT emin, CAST(-1 AS BIGINT) FROM sess
+    ), curve AS (
+      SELECT minute, CAST(SUM(delta) AS BIGINT) AS d FROM deltas GROUP BY 1
+    ), conc AS (
+      SELECT minute,
+             CAST(SUM(d) OVER (ORDER BY minute) AS BIGINT) AS concurrency
+      FROM curve
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions FROM sess)
+    SELECT n_sessions, concurrency AS peak_concurrency,
+           minute AS peak_minute
+    FROM (
+      SELECT minute, concurrency,
+             ROW_NUMBER() OVER (ORDER BY concurrency DESC, minute) AS rn
+      FROM conc
+    ), tot WHERE rn = 1
+    """,
+    doc="Peak concurrency: the maximum number of SIMULTANEOUS 30-min-"
+        "gap user sessions, with the minute it happened — the interval-"
+        "overlap capacity metric (load planning, surge detection) the "
+        "as-of/range joins don't express. Sessions become +1/-1 deltas "
+        "at their minute-bucketed endpoints GENERATED ROW-LOCALLY "
+        "(explode of a 2-struct array — never a union that would "
+        "re-derive the session relation); the concurrency curve is one "
+        "running sum over the per-minute delta histogram, whose "
+        "support is bounded by the corpus TIME SPAN, not its row count "
+        "(the KS-gaps argument), and the peak is a deterministic "
+        "(concurrency desc, minute) argmax. Every quantity is an "
+        "exact BIGINT. Scale: one events scan, per-user session "
+        "windows, one session rollup, then time-span-bounded "
+        "machinery.",
+)
+def q_peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id", "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+               > 1800000000), 1).otherwise(0).alias("is_new"))
+    wcum = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    s = g.select("user_id", "ts",
+                 F.sum("is_new").over(wcum).alias("session_id"))
+    sess = truncate_lineage(
+        s.groupBy("user_id", "session_id").agg(
+            F.expr("CAST(unix_micros(MIN(ts)) DIV 60000000 AS BIGINT)")
+            .alias("smin"),
+            F.expr("CAST(unix_micros(MAX(ts)) DIV 60000000 + 1 AS BIGINT)")
+            .alias("emin"),
+        ))
+    deltas = sess.select(F.explode(F.expr(
+        "array(named_struct('minute', smin, 'delta', CAST(1 AS BIGINT)),"
+        " named_struct('minute', emin, 'delta', CAST(-1 AS BIGINT)))"))
+        .alias("x")).select("x.minute", "x.delta")
+    curve = deltas.groupBy("minute").agg(
+        F.sum("delta").cast("bigint").alias("d"))
+    wmin = Window.orderBy("minute").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    conc = curve.select(
+        "minute", F.sum("d").over(wmin).cast("bigint").alias("concurrency"))
+    wpick = Window.orderBy(F.desc("concurrency"), F.asc("minute"))
+    peak = (
+        conc.withColumn("rn", F.row_number().over(wpick))
+        .filter(F.col("rn") == 1)
+        .selectExpr("concurrency AS peak_concurrency", "minute AS peak_minute")
+    )
+    tot = sess.agg(F.count("*").cast("bigint").alias("n_sessions"))
+    return tot.crossJoin(F.broadcast(peak)).select(
+        "n_sessions", "peak_concurrency", "peak_minute")

@@ -57,6 +57,7 @@ BNLJ_OK = {
     "kaplan_meier_churn",  # same 1-row observation-cutoff broadcast
     "logrank_test_building",  # cutoff + 1-row fold-result broadcasts
     "ks_exponential_gaps",  # 1-row (n, s) totals broadcast
+    "peak_concurrency_sessions",  # 1-row peak-argmax broadcast
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
@@ -1252,3 +1253,18 @@ def test_price_index_catalog_bounded_joins(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_peak_concurrency_row_local_deltas(spark, sf_dir):
+    """The +1/-1 endpoint deltas must generate ROW-LOCALLY from the
+    lineage-truncated session relation (one Generate — never a union
+    that re-derives the sessions); the concurrency curve rides the
+    time-span-bounded minute histogram. The only BNLJ is the 1-row
+    peak broadcast."""
+    plan = plan_of(spark, sf_dir, "peak_concurrency_sessions")
+    assert plan.count("events.parquet") == 0, plan  # truncated lineage
+    assert plan.count("Generate") == 1, plan
+    assert "Union" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

@@ -5400,3 +5400,168 @@ def q_peak_concurrency_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = sess.agg(F.count("*").cast("bigint").alias("n_sessions"))
     return tot.crossJoin(F.broadcast(peak)).select(
         "n_sessions", "peak_concurrency", "peak_minute")
+
+
+# ---------------------------------------------------------------------------
+# Empirical-Bayes shrinkage of per-product return rates (beta-binomial MoM)
+# ---------------------------------------------------------------------------
+
+#: Method-of-moments beta prior from the 6dp-frozen per-product rates:
+#: with m1 = mean rate and m2 = variance, prior strength
+#: M = m1*(1 - m1)/m2 - 1, alpha = m1*M. Shared trees over
+#: string-round-tripped decimal sums; every product's shrunk rate is
+#: then one more shared expression over (k, n, alpha, M).
+def _eb_prior(st: str) -> list[str]:
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    np = "CAST(n_products AS DOUBLE)"
+    m1 = f"({d('sr')} / {np})"
+    m2 = f"({d('srr')} / {np} - {m1} * {m1})"
+    mm = f"({m1} * (CAST(1 AS DOUBLE) - {m1}) / {m2} - CAST(1 AS DOUBLE))"
+    return [f"{m1} * {mm} AS alpha", f"{mm} AS m_strength"]
+
+
+_EB_SHRUNK = (
+    "(CAST(k AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + m_strength)"
+    " AS shrunk_rate"
+)
+
+
+@register(
+    "eb_shrunk_return_rates",
+    oracle=f"""
+    WITH per AS (
+      SELECT p_brand AS brand,
+             CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1
+    ), rated AS (
+      SELECT brand, k, n,
+             CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS r6
+      FROM per
+    ), mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_products,
+             SUM(r6) AS sr, SUM(r6 * r6) AS srr
+      FROM rated
+    ), prior AS (
+      SELECT n_products, {", ".join(_eb_prior("VARCHAR"))} FROM mom
+    )
+    SELECT brand, k, n,
+           CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate,
+           {_EB_SHRUNK}
+    FROM rated, prior
+    ORDER BY brand
+    """,
+    doc="Empirical-Bayes (beta-binomial, method-of-moments) shrinkage "
+        "of per-brand return rates — the small-sample smoothing that "
+        "makes rate rankings stable: sparse brands pull toward the "
+        "grand mean, well-observed brands keep their raw rate. The "
+        "prior is fit from the 6dp-FROZEN per-brand rates (the frozen-"
+        "division device), so the moment sums are exact decimals and "
+        "alpha/M are one shared tree over string-round-tripped sums; "
+        "each shrunk rate is then a second shared expression over "
+        "exact (k, n) and those two doubles — bit-identical "
+        "cross-engine. Scale: one fact scan + broadcast part dim -> "
+        "catalog-bounded per-brand aggregate; the prior is a 1-row "
+        "broadcast back onto that tiny relation.",
+)
+def q_eb_shrunk_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rated = truncate_lineage(
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.expr("CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"))
+            .cast("bigint").alias("k"),
+            F.count("*").cast("bigint").alias("n"),
+        )
+        .selectExpr(
+            "brand", "k", "n",
+            "CAST(round(CAST(k AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+            " AS DECIMAL(18,6)) AS r6")
+    )
+    mom = rated.agg(
+        F.count("*").cast("bigint").alias("n_products"),
+        F.sum("r6").alias("sr"),
+        F.sum(F.expr("r6 * r6")).alias("srr"),
+    )
+    prior = mom.selectExpr("n_products", *_eb_prior("STRING"))
+    return (
+        rated.crossJoin(F.broadcast(prior))
+        .selectExpr(
+            "brand", "k", "n",
+            "CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS raw_rate",
+            _EB_SHRUNK)
+        .orderBy("brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index-of-dispersion test: are per-user event counts Poisson?
+# ---------------------------------------------------------------------------
+
+#: Dispersion and the chi-square statistic from exact BIGINT moments:
+#: D = s^2/xbar with s^2 the sample variance; chi2 = (n-1)*D.
+_DISP_FINAL = (
+    "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_events",
+    "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE) AS var_events",
+    "((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+    " / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    " / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS dispersion",
+    "CAST(n - 1 AS DOUBLE) * ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)"
+    " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n - 1 AS DOUBLE))"
+    " / (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS chi2",
+)
+
+
+@register(
+    "dispersion_test_user_events",
+    oracle=f"""
+    WITH per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx
+      FROM per
+    )
+    SELECT n AS n_users,
+           {', '.join(c.replace('CAST(sxx AS DOUBLE)',
+                                'CAST(CAST(sxx AS VARCHAR) AS DOUBLE)')
+                      for c in _DISP_FINAL)}
+    FROM m
+    """,
+    doc="Index-of-dispersion (variance-to-mean) test on per-user event "
+        "counts: D ~ 1 for a Poisson user population, D >> 1 means "
+        "heavy users dominate (overdispersion) — the COUNT-dimension "
+        "companion of ks_exponential_gaps' gap-dimension check; "
+        "chi2 = (n-1)*D is the classic conditional test statistic. "
+        "Moments are exact BIGINT/decimal sums (x^2 pre-widened to "
+        "decimal-38, the durbin_watson lesson) feeding one shared "
+        "tree; the only doubles are the final shared casts. Scale: "
+        "one events scan -> per-user aggregate -> 1-row moment "
+        "aggregate. Costs the scan, full stop.",
+)
+def q_dispersion_test_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id").agg(F.count("*").cast("bigint").alias("x"))
+    m = per.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)").alias("sxx"),
+    )
+    return m.selectExpr(
+        "n AS n_users",
+        *[c.replace("CAST(sxx AS DOUBLE)",
+                    "CAST(CAST(sxx AS STRING) AS DOUBLE)")
+          for c in _DISP_FINAL])

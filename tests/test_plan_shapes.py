@@ -58,6 +58,7 @@ BNLJ_OK = {
     "logrank_test_building",  # cutoff + 1-row fold-result broadcasts
     "ks_exponential_gaps",  # 1-row (n, s) totals broadcast
     "peak_concurrency_sessions",  # 1-row peak-argmax broadcast
+    "eb_shrunk_return_rates",  # 1-row beta-prior broadcast
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
@@ -1268,3 +1269,23 @@ def test_peak_concurrency_row_local_deltas(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_eb_shrinkage_catalog_bounded(spark, sf_dir):
+    """EB shrinkage must derive the per-brand rate relation ONCE
+    (lineage-truncated, consumed by the moment pass and the shrink
+    projection); the beta prior rides back as the 1-row broadcast."""
+    plan = plan_of(spark, sf_dir, "eb_shrunk_return_rates")
+    assert plan.count("lineitem.parquet") == 0, plan  # truncated lineage
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_dispersion_two_aggregates_no_joins(spark, sf_dir):
+    """The dispersion test is two stacked aggregates over one events
+    scan — no joins, no windows anywhere."""
+    plan = plan_of(spark, sf_dir, "dispersion_test_user_events")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan

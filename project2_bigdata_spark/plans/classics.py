@@ -5565,3 +5565,111 @@ def q_dispersion_test_user_events(spark: SparkSession, sf_dir: str) -> DataFrame
         *[c.replace("CAST(sxx AS DOUBLE)",
                     "CAST(CAST(sxx AS STRING) AS DOUBLE)")
           for c in _DISP_FINAL])
+
+
+# ---------------------------------------------------------------------------
+# Dickey-Fuller unit-root test: is daily revenue mean-reverting?
+# ---------------------------------------------------------------------------
+
+#: One shared tree over string-round-tripped exact decimal moments of
+#: (x = y_(t-1), d = y_t - y_(t-1)): gamma is the OLS slope of d on x
+#: with intercept; SE comes from the centered residual SS; the DF t
+#: statistic is gamma/SE.
+def _df_final(st: str) -> list[str]:
+    def dd(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    n = "CAST(n AS DOUBLE)"
+    sx, sd = dd("sx"), dd("sd")
+    sxx, sxd, sdd = dd("sxx"), dd("sxd"), dd("sdd")
+    sxx_c = f"({sxx} - {sx} * {sx} / {n})"
+    sxd_c = f"({sxd} - {sx} * {sd} / {n})"
+    sdd_c = f"({sdd} - {sd} * {sd} / {n})"
+    gamma = f"({sxd_c} / {sxx_c})"
+    se = f"sqrt((({sdd_c} - {gamma} * {sxd_c}) / ({n} - CAST(2 AS DOUBLE))) / {sxx_c})"
+    t = f"({gamma} / {se})"
+    return [
+        "CAST(n AS BIGINT) AS n_obs",
+        f"{gamma} AS gamma",
+        f"{t} AS df_t",
+        f"CAST(CASE WHEN {t} < {_dlit(-2.86)} THEN 1 ELSE 0 END AS INT)"
+        " AS stationary_5pct",
+        f"CAST(round(CASE WHEN {gamma} > {_dlit(-1.0)} AND {gamma} <"
+        f" {_dlit(0.0)} THEN -ln({_dlit(2.0)}) / ln(CAST(1 AS DOUBLE)"
+        f" + {gamma}) END, 6) AS DECIMAL(18,6)) AS half_life_days",
+    ]
+
+
+@register(
+    "adf_unit_root_daily_revenue",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT segment,
+             lag(y) OVER (PARTITION BY segment ORDER BY d) AS x,
+             y - lag(y) OVER (PARTITION BY segment ORDER BY d) AS dy
+      FROM daily
+    ), m AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(dy) AS BIGINT) AS sd,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sxd,
+             CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0)) AS sdd
+      FROM lagged WHERE x IS NOT NULL GROUP BY 1
+    )
+    SELECT segment, {", ".join(c.replace("AS VARCHAR", "AS VARCHAR")
+                               for c in _df_final("VARCHAR"))}
+    FROM m ORDER BY segment
+    """,
+    doc="Dickey-Fuller unit-root test per segment: regress the daily "
+        "revenue CHANGE on the lagged LEVEL — gamma near 0 means a "
+        "random walk (shocks persist), significantly negative means "
+        "mean reversion; the econometric stationarity gate that "
+        "decides whether trend models (sales_trend_ols) are even "
+        "well-posed. The DF t statistic and gamma come from six exact "
+        "BIGINT/decimal moment sums (squares pre-widened to "
+        "decimal-38) through ONE shared tree; the 5% critical value "
+        "-2.86 (constant-only DF) is an injected double literal, and "
+        "the mean-reversion half-life -ln2/ln(1+gamma) is frozen at "
+        "6dp (the transcendental device). Scale: one orders scan + "
+        "broadcast segment dim -> calendar-bounded daily rollup; the "
+        "lag window and moment aggregate partition by segment. The "
+        "test costs the scan, full stop.",
+)
+def q_adf_unit_root_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    daily = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("segment",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint").alias("y"))
+    )
+    w = Window.partitionBy("segment").orderBy("d")
+    lagged = daily.select(
+        "segment",
+        F.lag("y").over(w).alias("x"),
+        (F.col("y") - F.lag("y").over(w)).alias("dy"),
+    ).filter(F.col("x").isNotNull())
+    m = lagged.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sd"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * dy"))
+        .cast("decimal(38,0)").alias("sxd"),
+        F.sum(F.expr("CAST(dy AS DECIMAL(38,0)) * dy"))
+        .cast("decimal(38,0)").alias("sdd"),
+    )
+    return m.selectExpr("segment", *_df_final("STRING")).orderBy("segment")

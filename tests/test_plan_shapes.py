@@ -1289,3 +1289,16 @@ def test_dispersion_two_aggregates_no_joins(spark, sf_dir):
     assert plan.count("events.parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_adf_single_scan_moment_pass(spark, sf_dir):
+    """The DF test must cost one orders scan + broadcast dim: the lag
+    window and the six-moment aggregate both partition by segment over
+    the calendar-bounded daily rollup — no second derivation, no
+    cartesian, no BNLJ."""
+    plan = plan_of(spark, sf_dir, "adf_unit_root_daily_revenue")
+    assert plan.count("orders.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -5673,3 +5673,190 @@ def q_adf_unit_root_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("decimal(38,0)").alias("sdd"),
     )
     return m.selectExpr("segment", *_df_final("STRING")).orderBy("segment")
+
+
+# ---------------------------------------------------------------------------
+# Embedding isotropy: mean-vector energy share and average pairwise dot
+# ---------------------------------------------------------------------------
+
+#: Float components are frozen to integer MICRO-UNITS via
+#: floor(v * 1e6) — floor has no rounding-mode ambiguity (a plain
+#: CAST to DECIMAL(12,6) diverged on the corpus's exact 6dp-midpoint
+#: floats: Spark rounds HALF_UP, DuckDB HALF_EVEN) — so every moment
+#: below is an exact BIGINT/decimal sum and the final expressions
+#: descale by 1e12. isotropy = ||mean||^2 / mean(||x||^2); the average
+#: pairwise dot product is (||sum v||^2 - sum ||v||^2) / (n(n-1)).
+def _iso_final(st: str) -> list[str]:
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    n = "CAST(n AS DOUBLE)"
+    sc = "CAST(1000000000000 AS DOUBLE)"  # micro-unit^2 descale
+    smu2 = d("norm_sq_of_sum")
+    ssq = d("sum_sq_norms")
+    return [
+        "CAST(n AS BIGINT) AS n_vectors",
+        f"{smu2} / ({n} * {n}) / {sc} AS norm_sq_of_mean",
+        f"{ssq} / {n} / {sc} AS mean_sq_norm",
+        f"({smu2} / ({n} * {n})) / ({ssq} / {n}) AS isotropy_defect",
+        f"({smu2} - {ssq}) / ({n} * ({n} - CAST(1 AS DOUBLE))) / {sc}"
+        " AS avg_pairwise_dot",
+    ]
+
+
+@register(
+    "embedding_isotropy",
+    oracle=f"""
+    WITH comp AS (
+      SELECT u.i AS dim,
+             CAST(floor(CAST(u.v AS DOUBLE)
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v6u
+      FROM (SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings) u
+    ), dimsum AS (
+      SELECT dim, CAST(SUM(v6u) AS BIGINT) AS s,
+             CAST(SUM(CAST(v6u AS DECIMAL(38,0)) * v6u)
+                  AS DECIMAL(38,0)) AS sq
+      FROM comp GROUP BY 1
+    ), m AS (
+      SELECT CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0))
+               AS norm_sq_of_sum,
+             CAST(SUM(sq) AS DECIMAL(38,0)) AS sum_sq_norms
+      FROM dimsum
+    ), cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT {", ".join(_iso_final("VARCHAR"))}
+    FROM m, cnt
+    """,
+    doc="Embedding-space isotropy diagnostics: the mean vector's "
+        "energy share (||mean||^2 / mean ||x||^2 — the anisotropy "
+        "'common-direction defect' of representation-learning fame; "
+        "~0 for isotropic spaces, large when all vectors share a "
+        "dominant direction) and the average pairwise RAW dot product "
+        "via the identity sum_{i != j} <vi, vj> = ||sum v||^2 - "
+        "sum ||v||^2 — NO pair join ever happens. Every float "
+        "component is frozen to integer micro-units by floor(v*1e6) — "
+        "floor carries no rounding-mode ambiguity, unlike decimal CAST "
+        "(HALF_UP vs HALF_EVEN on midpoint floats) — so all moments "
+        "are exact integer "
+        "sums and the four outputs are shared trees over string-round-"
+        "tripped values. Scale: one posexplode (linear, row-local) -> "
+        "64-row per-dimension aggregate -> 1-row fold; the pairwise "
+        "quantity costs O(n*d), not O(n^2*d).",
+)
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(F.posexplode("embedding").alias("dim", "v")).selectExpr(
+        "dim",
+        "CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        " AS v6u")
+    dimsum = comp.groupBy("dim").agg(
+        F.sum("v6u").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(v6u AS DECIMAL(38,0)) * v6u"))
+        .cast("decimal(38,0)").alias("sq"),
+    )
+    m = dimsum.agg(
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s"))
+        .cast("decimal(38,0)").alias("norm_sq_of_sum"),
+        F.sum("sq").cast("decimal(38,0)").alias("sum_sq_norms"),
+    )
+    cnt = emb.agg(F.count("*").cast("bigint").alias("n"))
+    return (
+        m.crossJoin(F.broadcast(cnt))
+        .selectExpr(*_iso_final("STRING"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Simpson's paradox detector: pooled vs per-brand discount-quantity slopes
+# ---------------------------------------------------------------------------
+
+_SP_SLOPE = ("((CAST({p}n AS DOUBLE) * CAST({p}sxy AS DOUBLE)"
+             " - CAST({p}sx AS DOUBLE) * CAST({p}sy AS DOUBLE))"
+             " / (CAST({p}n AS DOUBLE) * CAST({p}sxx AS DOUBLE)"
+             " - CAST({p}sx AS DOUBLE) * CAST({p}sx AS DOUBLE)))")
+
+
+@register(
+    "simpsons_paradox_discount",
+    oracle=f"""
+    WITH obs AS (
+      SELECT p_brand AS brand,
+             CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x,
+             CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), bm AS (
+      SELECT brand, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS sxy
+      FROM obs GROUP BY 1
+    ), pooled AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS pn,
+             CAST(SUM(sx) AS BIGINT) AS psx, CAST(SUM(sy) AS BIGINT) AS psy,
+             CAST(SUM(sxx) AS DECIMAL(38,0)) AS psxx,
+             CAST(SUM(sxy) AS DECIMAL(38,0)) AS psxy
+      FROM bm
+    )
+    SELECT brand, n AS n_lines,
+           {_SP_SLOPE.format(p='')} AS brand_slope,
+           {_SP_SLOPE.format(p='p')} AS pooled_slope,
+           CAST(CASE WHEN {_SP_SLOPE.format(p='')}
+                     * {_SP_SLOPE.format(p='p')} < CAST(0 AS DOUBLE)
+                THEN 1 ELSE 0 END AS INT) AS sign_reversed
+    FROM bm, pooled
+    ORDER BY brand
+    """,
+    doc="Simpson's-paradox detector: the pooled OLS slope of quantity "
+        "on discount vs each brand's within-group slope, flagging "
+        "brands whose association REVERSES under aggregation — the "
+        "classic analysis pitfall an analytics engine should surface "
+        "before anyone trusts a pooled trend. The pooled moments are "
+        "the exact SUMS of the per-brand moments (one aggregate, "
+        "re-aggregated — never a second fact scan), every moment is "
+        "exact BIGINT/decimal (squares pre-widened to decimal-38), "
+        "and both slopes plus the sign test ride one shared double "
+        "tree, so the reversal flags are bit-identical cross-engine. "
+        "Scale: one fact scan + broadcast part dim -> 25-row moment "
+        "relation (lineage-truncated, consumed by the per-brand and "
+        "pooled sides); everything past the scan is catalog-sized.",
+)
+def q_simpsons_paradox_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .selectExpr(
+            "p_brand AS brand",
+            "CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS x",
+            "CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS y")
+    )
+    bm = truncate_lineage(obs.groupBy("brand").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y"))
+        .cast("decimal(38,0)").alias("sxy"),
+    ))
+    pooled = bm.agg(
+        F.sum("n").cast("bigint").alias("pn"),
+        F.sum("sx").cast("bigint").alias("psx"),
+        F.sum("sy").cast("bigint").alias("psy"),
+        F.sum("sxx").cast("decimal(38,0)").alias("psxx"),
+        F.sum("sxy").cast("decimal(38,0)").alias("psxy"),
+    )
+    return (
+        bm.crossJoin(F.broadcast(pooled))
+        .selectExpr(
+            "brand", "n AS n_lines",
+            f"{_SP_SLOPE.format(p='')} AS brand_slope",
+            f"{_SP_SLOPE.format(p='p')} AS pooled_slope",
+            f"CAST(CASE WHEN {_SP_SLOPE.format(p='')}"
+            f" * {_SP_SLOPE.format(p='p')} < CAST(0 AS DOUBLE)"
+            " THEN 1 ELSE 0 END AS INT) AS sign_reversed")
+        .orderBy("brand")
+    )

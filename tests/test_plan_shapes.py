@@ -59,6 +59,8 @@ BNLJ_OK = {
     "ks_exponential_gaps",  # 1-row (n, s) totals broadcast
     "peak_concurrency_sessions",  # 1-row peak-argmax broadcast
     "eb_shrunk_return_rates",  # 1-row beta-prior broadcast
+    "embedding_isotropy",  # 1-row vector-count broadcast
+    "simpsons_paradox_discount",  # 1-row pooled-moments broadcast
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
@@ -1302,3 +1304,26 @@ def test_adf_single_scan_moment_pass(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_isotropy_no_pair_join(spark, sf_dir):
+    """Isotropy must use the ||sum v||^2 identity: one posexplode, a
+    64-row per-dimension aggregate, a 1-row fold — never a pair join
+    of the corpus against itself."""
+    plan = plan_of(spark, sf_dir, "embedding_isotropy")
+    assert plan.count("embeddings.parquet") == 2, plan  # moments + count
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert plan.count("Generate") == 1, plan
+
+
+def test_simpsons_one_moment_relation(spark, sf_dir):
+    """Pooled moments must be the re-aggregated per-brand moments
+    (lineage-truncated 25-row relation, consumed by both sides) —
+    never a second fact scan."""
+    plan = plan_of(spark, sf_dir, "simpsons_paradox_discount")
+    assert plan.count("lineitem.parquet") == 0, plan  # truncated lineage
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan

@@ -5860,3 +5860,72 @@ def q_simpsons_paradox_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS INT) AS sign_reversed")
         .orderBy("brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary richness: Chao1 estimator + Good-Turing unseen probability
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chao1_vocab_richness",
+    oracle="""
+    WITH terms AS (
+      SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), freq AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS tf FROM terms GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+             CAST(SUM(tf) AS BIGINT) AS n_tokens,
+             CAST(SUM(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+             CAST(SUM(CASE WHEN tf = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+      FROM freq
+    )
+    SELECT s_obs, n_tokens, f1, f2,
+           CAST(s_obs AS DOUBLE) + CASE WHEN f2 > 0
+             THEN CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                  / (CAST(2 AS DOUBLE) * CAST(f2 AS DOUBLE))
+             ELSE CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE)
+                  - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) END AS chao1,
+           CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+             AS good_turing_unseen_mass
+    FROM m
+    """,
+    doc="Corpus vocabulary richness by capture-recapture: the Chao1 "
+        "lower-bound estimate of TRUE vocabulary size from singleton/"
+        "doubleton counts (S_obs + F1^2/2F2, with the bias-corrected "
+        "F1(F1-1)/2 fallback when F2 = 0) and the Good-Turing unseen "
+        "probability mass F1/N — together they answer 'how much "
+        "vocabulary has this corpus NOT seen yet', the sampling-"
+        "sufficiency signal for corpus curation that zipf_slope_vocab's "
+        "shape diagnostic does not give. All four inputs are exact "
+        "BIGINTs from one vocabulary rollup; both estimators are "
+        "shared double trees over them. Scale: one explode + one "
+        "vocabulary-sized rollup + a 1-row conditional aggregate — "
+        "costs the scan, full stop.",
+)
+def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    m = freq.agg(
+        F.count("*").cast("bigint").alias("s_obs"),
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("tf") == 1, 1).otherwise(0))
+        .cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("tf") == 2, 1).otherwise(0))
+        .cast("bigint").alias("f2"),
+    )
+    return m.selectExpr(
+        "s_obs", "n_tokens", "f1", "f2",
+        "CAST(s_obs AS DOUBLE) + CASE WHEN f2 > 0"
+        " THEN CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)"
+        " / (CAST(2 AS DOUBLE) * CAST(f2 AS DOUBLE))"
+        " ELSE CAST(f1 AS DOUBLE) * (CAST(f1 AS DOUBLE)"
+        " - CAST(1 AS DOUBLE)) / CAST(2 AS DOUBLE) END AS chao1",
+        "CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
+        " AS good_turing_unseen_mass",
+    )

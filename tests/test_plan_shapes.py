@@ -1327,3 +1327,12 @@ def test_simpsons_one_moment_relation(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_chao1_vocab_rollup_only(spark, sf_dir):
+    """Chao1/Good-Turing must cost one explode + one vocabulary-sized
+    rollup + a 1-row conditional aggregate — no joins, no windows."""
+    plan = plan_of(spark, sf_dir, "chao1_vocab_richness")
+    assert plan.count("documents.parquet") == 1, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan

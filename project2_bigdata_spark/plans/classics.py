@@ -5929,3 +5929,127 @@ def q_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)"
         " AS good_turing_unseen_mass",
     )
+
+
+# ---------------------------------------------------------------------------
+# Label separation: within- vs between-label mean dots (no pair join)
+# ---------------------------------------------------------------------------
+
+#: Same floor-frozen micro-unit device as embedding_isotropy; all
+#: pairwise sums come from norm-of-sum identities, so the whole
+#: diagnostic is O(n*d + L*d) with every moment an exact integer.
+def _sep_final(st: str) -> list[str]:
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    sc = "CAST(1000000000000 AS DOUBLE)"
+    nl = "CAST(n_l AS DOUBLE)"
+    within = (f"({d('norm_sq_l')} - {d('sq_l')})"
+              f" / ({nl} * ({nl} - CAST(1 AS DOUBLE))) / {sc}")
+    between = (f"({d('norm_sq_g')} - {d('sum_norm_sq_l')})"
+               f" / (CAST(n_g AS DOUBLE) * CAST(n_g AS DOUBLE)"
+               f" - CAST(sum_nl_sq AS DOUBLE)) / {sc}")
+    return [
+        "label",
+        "CAST(n_l AS BIGINT) AS n_vectors",
+        f"{within} AS avg_within_dot",
+        f"{between} AS avg_between_dot",
+        f"{within} - ({between}) AS separation",
+    ]
+
+
+@register(
+    "label_separation_dots",
+    oracle=f"""
+    WITH comp AS (
+      SELECT label, u.i AS dim,
+             CAST(floor(CAST(u.v AS DOUBLE)
+                  * CAST(1000000 AS DOUBLE)) AS BIGINT) AS v6u
+      FROM embeddings,
+           (SELECT unnest(embedding) AS v,
+                   generate_subscripts(embedding, 1) AS i) u
+    ), pld AS (
+      SELECT label, dim, CAST(SUM(v6u) AS BIGINT) AS s,
+             CAST(SUM(CAST(v6u AS DECIMAL(38,0)) * v6u)
+                  AS DECIMAL(38,0)) AS sq
+      FROM comp GROUP BY 1, 2
+    ), perlab AS (
+      SELECT label,
+             CAST(SUM(CAST(s AS DECIMAL(38,0)) * s) AS DECIMAL(38,0))
+               AS norm_sq_l,
+             CAST(SUM(sq) AS DECIMAL(38,0)) AS sq_l
+      FROM pld GROUP BY 1
+    ), gdim AS (
+      SELECT dim, CAST(SUM(s) AS BIGINT) AS sg FROM pld GROUP BY 1
+    ), gm AS (
+      SELECT CAST(SUM(CAST(sg AS DECIMAL(38,0)) * sg) AS DECIMAL(38,0))
+               AS norm_sq_g
+      FROM gdim
+    ), cnts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_l FROM embeddings
+      GROUP BY 1
+    ), gc AS (
+      SELECT CAST(SUM(n_l) AS BIGINT) AS n_g,
+             CAST(SUM(n_l * n_l) AS BIGINT) AS sum_nl_sq,
+             (SELECT CAST(SUM(norm_sq_l) AS DECIMAL(38,0)) FROM perlab)
+               AS sum_norm_sq_l
+      FROM cnts
+    )
+    SELECT {", ".join(_sep_final("VARCHAR"))}
+    FROM perlab JOIN cnts USING (label), gm, gc
+    ORDER BY label
+    """,
+    doc="Cluster-separation diagnostics for the labeled embeddings: "
+        "mean within-label vs between-label RAW dot product and their "
+        "gap (a pseudo-silhouette) — tells you whether the label "
+        "structure is real in embedding space BEFORE anyone trains on "
+        "it. NO pair join anywhere: within-label pair sums come from "
+        "the per-label norm-of-sum identity, between-label sums from "
+        "the global-minus-labels complement, so the whole diagnostic "
+        "is O(n*d + L*d). Components are floor-frozen to micro-units "
+        "(the embedding_isotropy device — no decimal-CAST midpoint "
+        "hazard) and every moment is an exact BIGINT/decimal with "
+        "types pinned below the precision-38 cap; the three outputs "
+        "are shared trees. Scale: one posexplode, one (label, dim) "
+        "rollup (lineage-truncated, read by the label and global "
+        "sides), then L-row machinery.",
+)
+def q_label_separation_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    emb = table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "v")).selectExpr(
+        "label", "dim",
+        "CAST(floor(CAST(v AS DOUBLE) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+        " AS v6u")
+    pld = truncate_lineage(comp.groupBy("label", "dim").agg(
+        F.sum("v6u").cast("bigint").alias("s"),
+        F.sum(F.expr("CAST(v6u AS DECIMAL(38,0)) * v6u"))
+        .cast("decimal(38,0)").alias("sq"),
+    ))
+    perlab = pld.groupBy("label").agg(
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s"))
+        .cast("decimal(38,0)").alias("norm_sq_l"),
+        F.sum("sq").cast("decimal(38,0)").alias("sq_l"),
+    )
+    gm = (
+        pld.groupBy("dim").agg(F.sum("s").cast("bigint").alias("sg"))
+        .agg(F.sum(F.expr("CAST(sg AS DECIMAL(38,0)) * sg"))
+             .cast("decimal(38,0)").alias("norm_sq_g"))
+    )
+    cnts = emb.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_l"))
+    sums_l = perlab.agg(
+        F.sum("norm_sq_l").cast("decimal(38,0)").alias("sum_norm_sq_l"))
+    gc = cnts.agg(
+        F.sum("n_l").cast("bigint").alias("n_g"),
+        F.sum(F.expr("n_l * n_l")).cast("bigint").alias("sum_nl_sq"),
+    ).crossJoin(F.broadcast(sums_l))
+    return (
+        perlab.join(F.broadcast(cnts), "label")
+        .crossJoin(F.broadcast(gm))
+        .crossJoin(F.broadcast(gc))
+        .selectExpr(*_sep_final("STRING"))
+        .orderBy("label")
+    )

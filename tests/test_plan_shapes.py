@@ -61,6 +61,7 @@ BNLJ_OK = {
     "eb_shrunk_return_rates",  # 1-row beta-prior broadcast
     "embedding_isotropy",  # 1-row vector-count broadcast
     "simpsons_paradox_discount",  # 1-row pooled-moments broadcast
+    "label_separation_dots",  # 1-row global-moment broadcasts
     "poisson_bootstrap_ci",  # 1-row CI-bounds broadcast onto the 1-row total
     "cdc_merge_apply",  # 1-row max-key broadcast seeds the insert batch
     "concentration_metrics",  # 1-row product-count broadcast
@@ -1336,3 +1337,15 @@ def test_chao1_vocab_rollup_only(spark, sf_dir):
     assert plan.count("documents.parquet") == 1, plan
     assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_label_separation_no_pair_join(spark, sf_dir):
+    """Label separation must come from norm-of-sum identities over the
+    lineage-truncated (label, dim) rollup — never a pair join; the
+    only nested loops are the three 1-row global-moment broadcasts
+    (global norm, counts+pair complement, label-norm total)."""
+    plan = plan_of(spark, sf_dir, "label_separation_dots")
+    assert plan.count("Generate") <= 1, plan  # one posexplode inside ckpt
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan

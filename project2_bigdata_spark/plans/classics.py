@@ -6053,3 +6053,217 @@ def q_label_separation_dots(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(*_sep_final("STRING"))
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test: monotone-trend significance per segment
+# ---------------------------------------------------------------------------
+
+#: Tie-corrected normal approximation with continuity correction:
+#: Var(S) = [n(n-1)(2n+5) - Sum t(t-1)(2t+5)] / 18, and
+#: z = sign(S) * (|S| - 1) / sqrt(Var(S)). S and the tie term are
+#: exact BIGINTs; n is calendar-bounded so the cubics stay < 2^53.
+_MK_Z = (
+    "CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - CAST(1 AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)"
+    " * CAST(2 * n + 5 AS DOUBLE) - CAST(tie_term AS DOUBLE))"
+    " / CAST(18 AS DOUBLE))"
+    " WHEN s < 0 THEN (CAST(s AS DOUBLE) + CAST(1 AS DOUBLE))"
+    " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)"
+    " * CAST(2 * n + 5 AS DOUBLE) - CAST(tie_term AS DOUBLE))"
+    " / CAST(18 AS DOUBLE))"
+    " ELSE CAST(0 AS DOUBLE) END AS z"
+)
+
+
+@register(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+      SELECT c_mktsegment AS segment,
+             strftime(o_orderdate, '%Y-%m-%d') AS d,
+             CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                  AS BIGINT)) AS BIGINT) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT a.segment,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END)
+                  AS BIGINT) AS s
+      FROM daily a JOIN daily b
+        ON a.segment = b.segment AND a.d < b.d
+      GROUP BY 1
+    ), ties AS (
+      SELECT segment,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (SELECT segment, CAST(COUNT(*) AS BIGINT) AS t
+            FROM daily GROUP BY segment, y)
+      GROUP BY 1
+    ), sizes AS (
+      SELECT segment, CAST(COUNT(*) AS BIGINT) AS n FROM daily GROUP BY 1
+    )
+    SELECT z.segment, n AS n_days, s AS mk_s, tie_term, {_MK_Z}
+    FROM sizes z JOIN pairs USING (segment) JOIN ties USING (segment)
+    ORDER BY z.segment
+    """,
+    doc="Mann-Kendall monotone-trend test per segment — the "
+        "significance companion theil_sen_trend's slope estimate "
+        "lacks: S counts concordant-minus-discordant (day, revenue) "
+        "pairs, the tie-corrected variance and continuity-corrected z "
+        "follow the textbook formulas, and every input (S, n, the "
+        "tie cubic) is an exact BIGINT feeding one shared tree. "
+        "Scale: identical posture to kendall_daily_rev_orders — the "
+        "pair stage is CALENDAR-bounded (~3M day-pairs per segment at "
+        "ANY corpus size) over the lineage-truncated daily rollup, "
+        "self-paired by a broadcast equi-join on segment with the "
+        "d1 < d2 residual; ties and sizes re-read the same truncated "
+        "relation. No fact re-scan, no SMJ, no cartesian.",
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment"))
+    daily = truncate_lineage(
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("segment",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+        .agg(F.sum(F.expr(
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint").alias("y"))
+    )
+    a = daily.selectExpr("segment AS seg_a", "d AS da", "y AS ya")
+    b = daily.selectExpr("segment AS seg_b", "d AS db", "y AS yb")
+    pairs = (
+        a.join(F.broadcast(b),
+               (F.col("seg_a") == F.col("seg_b")) & (F.col("da") < F.col("db")))
+        .groupBy(F.col("seg_a").alias("segment"))
+        .agg(F.sum(F.when(F.col("yb") > F.col("ya"), 1)
+                   .when(F.col("yb") < F.col("ya"), -1).otherwise(0))
+             .cast("bigint").alias("s"))
+    )
+    ties = (
+        daily.groupBy("segment", "y")
+        .agg(F.count("*").cast("bigint").alias("t"))
+        .groupBy("segment")
+        .agg(F.sum(F.expr("t * (t - 1) * (2 * t + 5)"))
+             .cast("bigint").alias("tie_term"))
+    )
+    sizes = daily.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"))
+    return (
+        sizes.join(F.broadcast(pairs), "segment")
+        .join(F.broadcast(ties), "segment")
+        .selectExpr("segment", "n AS n_days", "s AS mk_s", "tie_term", _MK_Z)
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Burstiness + memory coefficients of inter-event gaps (Goh-Barabasi)
+# ---------------------------------------------------------------------------
+
+#: B = (sigma - mu)/(sigma + mu) from exact decimal moments; M is the
+#: Pearson correlation of consecutive gap pairs — nine more exact
+#: moments through the same shared-tree discipline.
+def _bm_final(st: str) -> list[str]:
+    def d(col: str) -> str:
+        return f"CAST(CAST({col} AS {st}) AS DOUBLE)"
+
+    n = "CAST(n AS DOUBLE)"
+    mu = f"({d('sg')} / {n})"
+    var = f"(({d('sgg')} - {d('sg')} * {d('sg')} / {n}) / {n})"
+    sig = f"sqrt({var})"
+    np_ = "CAST(np AS DOUBLE)"
+    covp = f"({np_} * {d('sxy')} - {d('sxp')} * {d('syp')})"
+    vx = f"({np_} * {d('sxx')} - {d('sxp')} * {d('sxp')})"
+    vy = f"({np_} * {d('syy')} - {d('syp')} * {d('syp')})"
+    return [
+        "event_type",
+        "CAST(n AS BIGINT) AS n_gaps",
+        f"{mu} AS mean_gap_s",
+        f"({sig} - {mu}) / ({sig} + {mu}) AS burstiness",
+        f"{covp} / sqrt({vx} * {vy}) AS memory_coef",
+    ]
+
+
+@register(
+    "burstiness_memory_gaps",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST((epoch_us(ts) - epoch_us(lag(ts) OVER w)) // 1000000
+                  AS BIGINT) AS g,
+             CAST((epoch_us(lead(ts) OVER w) - epoch_us(ts)) // 1000000
+                  AS BIGINT) AS g_next
+      FROM events
+      WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ), g AS (SELECT * FROM gaps WHERE g IS NOT NULL),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(g) AS BIGINT) AS sg,
+             CAST(SUM(CAST(g AS DECIMAL(38,0)) * g) AS DECIMAL(38,0)) AS sgg,
+             CAST(SUM(CASE WHEN g_next IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN g_next IS NOT NULL THEN g END)
+                  AS BIGINT) AS sxp,
+             CAST(SUM(g_next) AS BIGINT) AS syp,
+             CAST(SUM(CASE WHEN g_next IS NOT NULL
+                  THEN CAST(g AS DECIMAL(38,0)) * g END)
+                  AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(CAST(g_next AS DECIMAL(38,0)) * g_next)
+                  AS DECIMAL(38,0)) AS syy,
+             CAST(SUM(CAST(g AS DECIMAL(38,0)) * g_next)
+                  AS DECIMAL(38,0)) AS sxy
+      FROM g GROUP BY 1
+    )
+    SELECT {", ".join(_bm_final("VARCHAR"))}
+    FROM m ORDER BY event_type
+    """,
+    doc="Goh-Barabasi temporal-structure coefficients per event type: "
+        "burstiness B = (sigma - mu)/(sigma + mu) of per-user same-"
+        "type inter-event gaps (-1 regular, 0 Poisson, ->1 bursty) "
+        "and the memory coefficient M (Pearson correlation of "
+        "consecutive gaps) — together they locate the stream on the "
+        "burstiness-memory phase diagram, the temporal fingerprint "
+        "that dispersion_test (counts) and ks_exponential_gaps "
+        "(marginal law) cannot see. One lag + one lead per "
+        "(user, type) sequence produce every gap AND its successor in "
+        "a single pass; all eleven moments are exact BIGINT/decimal "
+        "sums (squares pre-widened to decimal-38) through shared "
+        "trees. Scale: one events scan, per-user-type windows, one "
+        "grouped moment aggregate — costs the scan, full stop.",
+)
+def q_burstiness_memory_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type",
+        F.expr("(unix_micros(ts) - unix_micros(lag(ts) OVER"
+               " (PARTITION BY user_id, event_type ORDER BY ts, event_id)))"
+               " DIV 1000000").alias("g"),
+        F.expr("(unix_micros(lead(ts) OVER"
+               " (PARTITION BY user_id, event_type ORDER BY ts, event_id))"
+               " - unix_micros(ts)) DIV 1000000").alias("g_next"),
+    ).filter(F.col("g").isNotNull())
+    m = gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g"))
+        .cast("decimal(38,0)").alias("sgg"),
+        F.sum(F.expr("CASE WHEN g_next IS NOT NULL THEN 1 ELSE 0 END"))
+        .cast("bigint").alias("np"),
+        F.sum(F.expr("CASE WHEN g_next IS NOT NULL THEN g END"))
+        .cast("bigint").alias("sxp"),
+        F.sum("g_next").cast("bigint").alias("syp"),
+        F.sum(F.expr("CASE WHEN g_next IS NOT NULL"
+                     " THEN CAST(g AS DECIMAL(38,0)) * g END"))
+        .cast("decimal(38,0)").alias("sxx"),
+        F.sum(F.expr("CAST(g_next AS DECIMAL(38,0)) * g_next"))
+        .cast("decimal(38,0)").alias("syy"),
+        F.sum(F.expr("CAST(g AS DECIMAL(38,0)) * g_next"))
+        .cast("decimal(38,0)").alias("sxy"),
+    )
+    return m.selectExpr(*_bm_final("STRING")).orderBy("event_type")

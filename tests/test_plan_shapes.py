@@ -1349,3 +1349,25 @@ def test_label_separation_no_pair_join(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+
+
+def test_mann_kendall_pair_stage_broadcast(spark, sf_dir):
+    """Mann-Kendall shares Kendall's posture: the calendar-bounded
+    daily rollup is lineage-truncated once and self-paired via a
+    broadcast equi-join on segment (d1 < d2 residual); ties and sizes
+    re-read the same truncated relation — no fact re-scan, no SMJ."""
+    plan = plan_of(spark, sf_dir, "mann_kendall_trend")
+    assert plan.count("orders.parquet") == 0, plan  # truncated lineage
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_burstiness_single_scan_moment_pass(spark, sf_dir):
+    """Burstiness/memory must produce every gap AND its successor from
+    one lag+lead window pass over one events scan, then one grouped
+    moment aggregate — no joins anywhere."""
+    plan = plan_of(spark, sf_dir, "burstiness_memory_gaps")
+    assert plan.count("events.parquet") == 1, plan
+    assert "Join" not in plan, plan

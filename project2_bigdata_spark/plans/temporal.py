@@ -57,6 +57,11 @@ from ..functions.datetime_utils import sale_date  # noqa: E402
 from ..functions.money import dsum, oracle_dsum  # noqa: E402
 from ..session import truncate_lineage  # noqa: E402
 
+#: range_join_grid cell-count memo, (id(session), sf_dir) → int: the
+#: adaptive N_CELLS needs one ladder.count() action at plan-construction
+#: time; memoized so repeated builds in one session pay it once.
+_N_CELLS_MEMO: dict = {}
+
 
 @register(
     "funnel_view_click_purchase",
@@ -436,7 +441,16 @@ def q_range_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ladder, not a recompute. Spine/carry windows stay O(n_cells) —
     # linear in ladder size, negligible next to either fact side.
     TARGET_RUNGS_PER_CELL = 64
-    N_CELLS = max(4096, ladder.count() // TARGET_RUNGS_PER_CELL)
+    # the count() is an eager action at plan-construction time; memoize
+    # it per (session, corpus) so repeated builds (schema inspection,
+    # bench re-runs, the oracle harness) trigger it once (ADVICE r5)
+    memo_key = (id(spark), sf_dir)
+    if memo_key not in _N_CELLS_MEMO:
+        if len(_N_CELLS_MEMO) > 64:
+            _N_CELLS_MEMO.clear()
+        _N_CELLS_MEMO[memo_key] = max(
+            4096, ladder.count() // TARGET_RUNGS_PER_CELL)
+    N_CELLS = _N_CELLS_MEMO[memo_key]
 
     def cell_of(c: F.Column) -> F.Column:
         w = F.greatest(

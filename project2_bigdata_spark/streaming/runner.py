@@ -88,6 +88,22 @@ def _spool_root() -> str:
         root = os.path.join(root, "stream_spool")
         os.makedirs(root, exist_ok=True)
         return root
+    if root:
+        # a scheme-bearing checkpoint dir means a REAL cluster: the
+        # local-tmp fallback would have executors spool where the driver
+        # can't read, returning empty/partial frames. Fail loudly
+        # (ADVICE r5): point SPARK_GRAFT_SCRATCH_DIR at the POSIX mount.
+        import warnings
+
+        warnings.warn(
+            f"streaming spool: ignoring scheme-bearing scratch root "
+            f"{root!r} and falling back to the driver-local tmpdir — "
+            f"on a multi-node cluster this loses executor-written "
+            f"spools; set SPARK_GRAFT_SCRATCH_DIR to a shared "
+            f"POSIX-visible mount path",
+            RuntimeWarning,
+            stacklevel=3,
+        )
     return tempfile.gettempdir()
 
 

@@ -16,26 +16,41 @@ from pyspark.sql import types as T
 
 from ..session import tune
 
-#: Schema-probe memo keyed by (path, mtime, size): the file source
-#: needs an explicit schema, which costs a batch-scan footer read per
-#: call — and two-source queries (stream-stream joins) call
-#: events_stream twice per build. The mtime/size key invalidates on
-#: driver testdata regen; schemas are plain StructTypes, safe to share
-#: across sessions.
+#: Schema-probe memo, one entry per path (keyed path → (stamp, schema)):
+#: the file source needs an explicit schema, which costs a batch-scan
+#: footer read per call — and two-source queries (stream-stream joins)
+#: call events_stream twice per build. The stamp invalidates on driver
+#: testdata regen; for a DIRECTORY source it is the max (mtime, size)
+#: over the part files, not the directory inode's own stats — rewriting
+#: a part file in place need not touch the directory mtime (ADVICE r5).
+#: One entry per path keeps the memo bounded across regens.
 _SCHEMA_MEMO: dict = {}
 
 
-def _probe_schema(spark: SparkSession, path: str):
+def _source_stamp(path: str):
     import os as _os
 
     try:
         st = _os.stat(path)
-        key = (path, st.st_mtime_ns, st.st_size)
+        if _os.path.isdir(path):
+            parts = []
+            with _os.scandir(path) as it:
+                for e in it:
+                    if e.is_file():
+                        s = e.stat()
+                        parts.append((e.name, s.st_mtime_ns, s.st_size))
+            return tuple(sorted(parts)) or (st.st_mtime_ns, st.st_size)
+        return (st.st_mtime_ns, st.st_size)
     except OSError:
-        key = (path, None, None)
-    if key not in _SCHEMA_MEMO:
-        _SCHEMA_MEMO[key] = spark.read.parquet(path).schema
-    return _SCHEMA_MEMO[key]
+        return None
+
+
+def _probe_schema(spark: SparkSession, path: str):
+    stamp = _source_stamp(path)
+    hit = _SCHEMA_MEMO.get(path)
+    if hit is None or hit[0] != stamp or stamp is None:
+        _SCHEMA_MEMO[path] = (stamp, spark.read.parquet(path).schema)
+    return _SCHEMA_MEMO[path][1]
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -14,9 +14,6 @@ partition column).
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 import pytest
 
 from pyspark.sql import functions as F
@@ -30,8 +27,10 @@ N_BUCKETS = 8
 
 
 @pytest.fixture()
-def bucketed_tables(spark, sf_dir):
-    d = tempfile.mkdtemp(prefix="bucketed_", dir="/root/repo")
+def bucketed_tables(spark, sf_dir, tmp_path):
+    # tmp_path (not the repo root): survives relocation of the checkout,
+    # and pytest sweeps it even on a hard crash (ADVICE r5)
+    d = str(tmp_path / "bucketed")
     write_bucketed(table(spark, sf_dir, "orders"), "b_orders",
                    f"{d}/b_orders", N_BUCKETS, ["o_orderkey"])
     write_bucketed(table(spark, sf_dir, "lineitem"), "b_lineitem",
@@ -39,7 +38,6 @@ def bucketed_tables(spark, sf_dir):
     yield
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
-    shutil.rmtree(d, ignore_errors=True)
 
 
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, bucketed_tables):

@@ -200,3 +200,76 @@ def test_run_to_batch_spool_lifecycle(spark, sf_dir, monkeypatch, tmp_path):
     removed = runner.sweep_spools(only_dead=True)
     assert spool in removed
     assert not os.path.exists(spool)
+
+
+def test_spool_root_warns_on_scheme_bearing_scratch(monkeypatch, tmp_path):
+    """A scheme-bearing scratch root (hdfs://, s3a://) cannot back the
+    POSIX spool; the fallback to driver-local tmp must WARN so a
+    cluster misconfiguration fails loudly instead of silently returning
+    empty frames (ADVICE r5). A plain path must stay silent."""
+    import tempfile
+    import warnings
+
+    from project2_bigdata_spark.streaming import runner
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", "hdfs://nn:8020/scratch")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        root = runner._spool_root()
+    assert root == tempfile.gettempdir()
+    assert any("scheme-bearing" in str(x.message) for x in w), (
+        "scheme-bearing scratch root must warn on local-tmp fallback")
+
+    monkeypatch.setenv("SPARK_GRAFT_SCRATCH_DIR", str(tmp_path))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        root = runner._spool_root()
+    assert root.startswith(str(tmp_path))
+    assert not w, "plain-path scratch root must not warn"
+
+
+def test_schema_memo_invalidates_on_inplace_part_rewrite(tmp_path):
+    """_probe_schema keyed a DIRECTORY source on the directory inode's
+    own (mtime, size); rewriting a part file in place (same filename,
+    same size) need not touch either, so a stale schema could be served
+    (ADVICE r5). The stamp now folds in the part files' own stats, and
+    the memo keeps one entry per path (bounded across regens). Pure
+    filesystem-level test: the probe itself is faked so the unit under
+    test is exactly the stamp/memo logic."""
+    import os
+
+    from project2_bigdata_spark.streaming import source as src
+
+    d = tmp_path / "events.parquet"
+    d.mkdir()
+    part = d / "part-00000.snappy.parquet"
+    part.write_bytes(b"A" * 64)
+    dir_stat = os.stat(d)
+
+    probes = []
+
+    class _FakeReader:
+        def parquet(self, path):
+            probes.append(path)
+            return type("R", (), {"schema": f"schema#{len(probes)}"})()
+
+    fake_spark = type("S", (), {"read": _FakeReader()})()
+
+    src._SCHEMA_MEMO.clear()
+    assert src._probe_schema(fake_spark, str(d)) == "schema#1"
+    assert src._probe_schema(fake_spark, str(d)) == "schema#1"  # memo hit
+    assert len(probes) == 1
+
+    # in-place rewrite: same filename, same size, new mtime — then pin
+    # the DIRECTORY's own stats back to their original values, so the
+    # old directory-keyed stamp would have served the stale schema
+    part.write_bytes(b"B" * 64)
+    os.utime(part, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns + 10**9))
+    os.utime(d, ns=(dir_stat.st_atime_ns, dir_stat.st_mtime_ns))
+    assert os.stat(d).st_mtime_ns == dir_stat.st_mtime_ns
+
+    assert src._probe_schema(fake_spark, str(d)) == "schema#2", (
+        "stale schema served after in-place part rewrite")
+    # memo stays bounded: one entry per path across regens
+    assert list(src._SCHEMA_MEMO) == [str(d)]
+    src._SCHEMA_MEMO.clear()

@@ -126,6 +126,86 @@ def test_forecast_14d_shape_and_determinism(spark, sf_dir):
         b.sort_values(key).reset_index(drop=True))
 
 
+def _family_fixture_pdf():
+    """Two synthetic products on which the model families GENUINELY
+    disagree (VERDICT r5 item 7 — the selection logic itself, which
+    rows-only checks can't see):
+
+    - ``periodic``: an exact period-7 series. seasonal_naive forecasts
+      it with validation MAPE exactly 0.0; ridge is biased away from the
+      perfect lag_7 coefficient by λ-shrinkage (every grid λ > 0), so
+      its MAPE is > 0. seasonal_naive must win.
+    - ``trend``: a clean linear ramp. seasonal_naive lags it by a
+      constant 7-day offset (MAPE ≈ 21/y), the 7-day moving average by
+      ~12/y, while ridge recovers y = lag_1 + slope almost exactly.
+      ridge must win.
+    """
+    import pandas as pd
+
+    from project2_bigdata_spark.ml.forecast import ML_LAGS, TEST_ROWS
+
+    rows = []
+    n_days = 49  # 7 weeks; leaves 42 usable rows after the lag-7 drop
+    dates = pd.date_range("2024-01-01", periods=n_days, freq="D")
+    series = {
+        "periodic": [float([10, 20, 30, 40, 50, 60, 70][t % 7])
+                     for t in range(n_days)],
+        "trend": [100.0 + 3.0 * t for t in range(n_days)],
+    }
+    for product, y in series.items():
+        for t in range(ML_LAGS, n_days):
+            d = dates[t]
+            dow = (d.dayofweek) % 7
+            rows.append({
+                "product": product,
+                "date": d.date(),
+                "total_quantity": y[t],
+                **{f"lag_{i}": y[t - i] for i in range(1, ML_LAGS + 1)},
+                "month": d.month,
+                "day_of_week": dow,
+                "is_weekend": 1 if dow >= 5 else 0,
+                "is_test": 1 if t >= n_days - TEST_ROWS else 0,
+            })
+    return pd.DataFrame(rows)
+
+
+def test_family_selection_on_disagreeing_products(spark):
+    """The per-product winner table must pick a DIFFERENT family per
+    product when the data demands it — through the same
+    groupBy(product).applyInPandas path production uses."""
+    from project2_bigdata_spark.ml.forecast import _TRAIN_SCHEMA, _fit_group
+
+    pdf = _family_fixture_pdf()
+    sdf = spark.createDataFrame(pdf)
+    out = (
+        sdf.groupBy("product")
+        .applyInPandas(_fit_group, schema=_TRAIN_SCHEMA)
+        .toPandas()
+        .set_index("product")
+    )
+    assert out.loc["periodic", "best_family"] == "seasonal_naive"
+    assert out.loc["periodic", "test_mape"] == 0.0
+    assert len(out.loc["periodic", "coef"]) == 0  # fit-free family contract
+    assert out.loc["trend", "best_family"] == "ridge"
+    assert out.loc["trend", "test_mape"] < 0.01  # near-exact ramp recovery
+    assert len(out.loc["trend", "coef"]) == out.loc["trend", "best_n_lags"] + 4
+    # and the recursive forecaster respects each winner's family
+    from project2_bigdata_spark.ml.forecast import forecast_from_models
+
+    models = sdf.groupBy("product").applyInPandas(
+        _fit_group, schema=_TRAIN_SCHEMA)
+    fc = forecast_from_models(sdf, models).toPandas()
+    per = fc.set_index(["product", "step"])["predicted_quantity"]
+    # periodic winner = seasonal_naive ⇒ the 14-day forecast replays the
+    # exact 7-cycle; trend winner = ridge ⇒ the ramp keeps climbing
+    hist = _family_fixture_pdf()
+    tail = hist[hist["product"] == "periodic"]["total_quantity"].tolist()[-7:]
+    for step in range(1, 15):
+        assert per[("periodic", step)] == tail[(step - 1) % 7]
+    assert per[("trend", 14)] > per[("trend", 1)] > hist[
+        hist["product"] == "trend"]["total_quantity"].max() - 10
+
+
 def test_rf_grid_runs_and_is_deterministic(spark, sf_dir):
     """Seeded RF + seeded TrainValidationSplit: same winner, same scores
     across runs; winning params are actual grid points."""

@@ -87,16 +87,37 @@ def _bucket_expr() -> F.Column:
 
 
 def lsh_ann_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10,
+    multiprobe: bool = False,
 ) -> DataFrame:
-    """ANN top-k: candidates restricted to the query's hyperplane bucket."""
+    """ANN top-k: candidates restricted to the query's hyperplane bucket.
+
+    ``multiprobe=True`` additionally probes every bucket at Hamming
+    distance 1 from the query's (flip each of the N_PLANES sign bits) —
+    the standard multi-probe LSH recall upgrade (Lv et al., VLDB'07):
+    a near neighbor that lands just across ONE hyperplane is recovered
+    without adding plane banks. Candidate volume grows ×(N_PLANES+1)
+    per query but stays an equi-join on bucket — same scale shape, and
+    queries are broadcast so the corpus is still scanned once. The
+    registered ``ann_lsh_topk`` query keeps the single-bucket default
+    (oracle unchanged); the recall delta is quantified in
+    tests/test_ann_recall.py.
+    """
     e = table_parallel(spark, sf_dir, "embeddings").withColumn("bucket", _bucket_expr())
     nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    probe = (
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+              for p in range(N_PLANES)],
+        ))
+        if multiprobe else F.col("bucket")
+    )
     queries = e.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         nrm.alias("qn"),
-        F.col("bucket").alias("qbucket"),
+        probe.alias("qbucket"),
     )
     cand = e.select("vec_id", "label", F.col("embedding").alias("ce"),
                     nrm.alias("cn"), "bucket")
@@ -198,37 +219,82 @@ _CENT_RANKING = (
 )
 
 
+def _kmeans_centroids_row(
+    spark: SparkSession, sf_dir: str, n_iter: int = 2
+) -> DataFrame:
+    """Lloyd-refined centroid row for the IVF pre-pass: N_CENTROIDS
+    seeds (vec_id < N_CENTROIDS) refined by ``n_iter`` spherical k-means
+    iterations (the same assign/update operators the oracle-checked
+    ``kmeans_lloyd_2iter`` query runs, at K=N_CENTROIDS), emitted in the
+    {cents: array<struct<cid, cemb, cnrm>>} shape the cell-assignment
+    expression consumes. Per iteration: broadcast row-local assignment +
+    a (K×dims)-cell aggregation — nothing here grows beyond O(N·K·dim).
+    """
+    from ..session import truncate_lineage
+    from .kmeans import _assign, _update, _vectors
+
+    vecs = _vectors(spark, sf_dir)
+    cents = truncate_lineage(
+        vecs.filter(F.col("vec_id") < N_CENTROIDS)
+        .select(F.struct(
+            F.col("vec_id").cast("int").alias("cid"),
+            F.col("ed").alias("cemb"),
+        ).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
+    )
+    for _ in range(n_iter):
+        cents = truncate_lineage(_update(_assign(vecs, cents)))
+    # decorate with the per-centroid norm the ranking expression expects
+    return cents.select(F.expr(
+        "transform(cents, c -> struct(c.cid as cid, c.cemb as cemb, "
+        "sqrt(aggregate(zip_with(c.cemb, c.cemb, (x, y) -> x * y), "
+        "cast(0.0 as double), (acc, v) -> acc + v)) as cnrm))"
+    ).alias("cents"))
+
+
 def ivf_ann_topk(
-    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10,
+    centroids: str = "seed",
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse quantize the corpus into N_CENTROIDS
     cells (nearest centroid by rounded cosine), probe the query's
     N_PROBE nearest cells, exact-rerank within.
 
-    Centroids are the deterministic seed set (vec_id < N_CENTROIDS) so
-    the DuckDB oracle reproduces them exactly — a k-means refinement
-    would slot in here as an iterative pre-pass without changing any
-    downstream plan. Scale shape: centroid assignment is ROW-LOCAL (the
-    centroid list rides in via a broadcast single-row cross join — no
-    collect, no shuffle); candidates come from an equi-join on cell id,
-    reading ~N_PROBE/N_CENTROIDS of the corpus per query. Real
-    deployments raise N_CENTROIDS to ~sqrt(N) and keep nprobe small.
+    ``centroids`` selects the coarse quantizer:
+
+    - ``"seed"`` (default, the registered/oracle-checked query): the
+      deterministic seed set (vec_id < N_CENTROIDS), which the DuckDB
+      oracle reproduces exactly.
+    - ``"kmeans"`` (the production upgrade, VERDICT r5 item 4): the same
+      seeds refined by two Lloyd iterations via the oracle-checked
+      k-means operators — balanced cells ⇒ better recall at the same
+      nprobe, quantified in tests/test_ann_recall.py. Downstream plan is
+      UNCHANGED: only the broadcast centroid row differs.
+
+    Scale shape: centroid assignment is ROW-LOCAL (the centroid list
+    rides in via a broadcast single-row cross join — no collect, no
+    shuffle); candidates come from an equi-join on cell id, reading
+    ~N_PROBE/N_CENTROIDS of the corpus per query. Real deployments raise
+    N_CENTROIDS to ~sqrt(N) and keep nprobe small.
     """
     e = table_parallel(spark, sf_dir, "embeddings")
-    cents_row = (
-        e.filter(F.col("vec_id") < N_CENTROIDS)
-        .select(
-            F.struct(
-                F.col("vec_id").cast("int").alias("cid"),
-                F.expr("transform(embedding, x -> cast(x as double))").alias("cemb"),
-                F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
-                .alias("cnrm"),
-            ).alias("c")
+    if centroids == "kmeans":
+        cents_row = _kmeans_centroids_row(spark, sf_dir)
+    else:
+        cents_row = (
+            e.filter(F.col("vec_id") < N_CENTROIDS)
+            .select(
+                F.struct(
+                    F.col("vec_id").cast("int").alias("cid"),
+                    F.expr("transform(embedding, x -> cast(x as double))").alias("cemb"),
+                    F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+                    .alias("cnrm"),
+                ).alias("c")
+            )
+            # sort key is cid (first struct field, distinct) — the
+            # trailing cnrm field cannot reorder
+            .agg(F.sort_array(F.collect_list("c")).alias("cents"))
         )
-        # sort key is cid (first struct field, distinct) — the trailing
-        # cnrm field cannot reorder
-        .agg(F.sort_array(F.collect_list("c")).alias("cents"))
-    )
     # The centroid ranking feeds both the cell assignment (all vectors)
     # and the probe list (query vectors). As plain lineage each branch
     # re-embedded the scan + broadcast + O(N × N_CENTROIDS × dim)
@@ -357,7 +423,8 @@ def _oracle_capped_e(bucket_sql: str, cols: str) -> str:
 
 
 def embedding_near_dup(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup-by-embedding
     strategy): candidates = vectors sharing an LSH bucket, verified by
@@ -367,7 +434,13 @@ def embedding_near_dup(
     all-pairs product, work grows with Σ bucket², and buckets over
     MAX_EMB_BUCKET are excluded (mirrored in the oracle) so the sum is
     bounded under skew and corpus growth. Recall is the standard LSH
-    trade-off — tighten with more bands of planes.
+    trade-off — ``multiprobe=True`` additionally pairs vectors whose
+    buckets differ in exactly ONE sign bit (flip-1 probing on the right
+    side of the join), recovering near-dups split by a single
+    hyperplane at ×(N_PLANES+1) candidate volume — still an equi-join,
+    same cap discipline; the recall gain is quantified in
+    tests/test_ann_recall.py. The registered ``dedup_embedding_cosine``
+    query keeps the single-bucket default (oracle unchanged).
 
     Default threshold is 0.4 because the synthetic embeddings contain no
     true near-duplicates (max pairwise cosine ≈ 0.51): the default
@@ -387,10 +460,21 @@ def embedding_near_dup(
         F.col("vec_id").alias("id_a"), F.col("label").alias("label_a"),
         F.col("emb").alias("ea"), F.col("nrm").alias("na"), "bucket",
     )
+    # flip-1 probing: for a fixed (id_a < id_b) pair at Hamming distance
+    # ≤ 1, exactly ONE probe value equals a's bucket, so no pair
+    # duplicates and no DISTINCT pass is needed
+    probe_b = (
+        F.explode(F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p))
+              for p in range(N_PLANES)],
+        ))
+        if multiprobe else F.col("bucket")
+    )
     b = e.select(
         F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"),
         F.col("emb").alias("eb"), F.col("nrm").alias("nb"),
-        F.col("bucket").alias("bucket_b"),
+        probe_b.alias("bucket_b"),
     )
     sim = F.round(
         F.expr(_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb")), 6

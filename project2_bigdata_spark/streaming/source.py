@@ -66,6 +66,13 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = f"{sf_dir}/events.parquet"
     raw_schema = _probe_schema(spark, path)
+    # Replay batch sizing: file-sized micro-batches by default — the
+    # multi-batch replay is what exercises watermark advance, state
+    # eviction and recovery. SPARK_GRAFT_STREAM_MAX_FILES raises it for
+    # bench-only replays over multi-file directories (the runner's
+    # SPARK_GRAFT_STREAM_SHUFFLE companion); unset everywhere that
+    # checks correctness (driver, pytest, K=100 stress).
+    max_files = os.environ.get("SPARK_GRAFT_STREAM_MAX_FILES", "1")
     if os.path.isdir(path):
         # Spark-written table: events.parquet IS a directory of part
         # files (the amplified scale-stress corpora, and any production
@@ -74,7 +81,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # stream: the r3 K=100 streaming stress rows passed on zero
         # input because of exactly that (caught and fixed round 4).
         reader = spark.readStream.schema(raw_schema).option(
-            "maxFilesPerTrigger", "1")
+            "maxFilesPerTrigger", max_files)
         sdf = reader.parquet(path)
     else:
         # driver testdata: events.parquet is a single FILE inside
@@ -82,7 +89,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # sf_dir and glob-select the file within it
         sdf = (
             spark.readStream.schema(raw_schema)
-            .option("maxFilesPerTrigger", "1")
+            .option("maxFilesPerTrigger", max_files)
             .option("pathGlobFilter", "events.parquet")
             .parquet(sf_dir)
         )

@@ -228,6 +228,23 @@ def test_spool_root_warns_on_scheme_bearing_scratch(monkeypatch, tmp_path):
     assert not w, "plain-path scratch root must not warn"
 
 
+def test_stream_shuffle_fast_path_identical_results(
+        spark, sf_dir, monkeypatch):
+    """The bench-only SPARK_GRAFT_STREAM_SHUFFLE replay fast path must
+    not change results — state partition count is semantics-free on a
+    fresh checkpoint — and must restore the session's shuffle-partition
+    conf afterwards (VERDICT r5 item 6)."""
+    from project2_bigdata_spark.plans import REGISTRY
+
+    fn = REGISTRY["stream_tumbling_hourly"].fn
+    base = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_SHUFFLE", "2")
+    fast = sorted(map(tuple, fn(spark, sf_dir).collect()))
+    assert fast == base
+    assert spark.conf.get("spark.sql.shuffle.partitions") == orig
+
+
 def test_schema_memo_invalidates_on_inplace_part_rewrite(tmp_path):
     """_probe_schema keyed a DIRECTORY source on the directory inode's
     own (mtime, size); rewriting a part file in place (same filename,

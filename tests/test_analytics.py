@@ -162,3 +162,46 @@ def test_pagerank_is_a_distribution(spark, sf_dir):
     assert all(r.n_neighbors >= 1 for r in rows)
     # iteration moves mass: some node's rank must actually change
     assert any(abs(r.pr_2 - r.pr_1) > 1e-9 for r in rows)
+
+
+def test_decile_thresholds_match_approx_and_kll(spark, sf_dir):
+    """Quantile-path parity hardening (VERDICT r5 item 8): the exact
+    value-domain-histogram thresholds (percentile_disc semantics,
+    oracle-checked cross-engine) must agree with BOTH approximate
+    quantile paths Spark offers for unbounded value domains —
+    approx_percentile (GK) and the Datasketches KLL sketch — when their
+    accuracy parameter dominates the corpus size (rank error < 1 row ⇒
+    the approximation is exact). This pins the 100 TB fallback story:
+    on a bounded value domain use the histogram (exact at any corpus
+    size); on an unbounded one, approx_percentile/KLL converge to the
+    same thresholds as accuracy grows."""
+    exact = {
+        r.decile: r.threshold
+        for r in run(spark, sf_dir, "length_decile_thresholds").collect()
+    }
+    assert len(exact) == 9
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qs = [d / 10 for d in range(1, 10)]
+
+    approx = docs.agg(
+        F.percentile_approx("n_chars", qs, 1_000_000).alias("t")
+    ).first().t
+    assert {d + 1: int(v) for d, v in enumerate(approx)} == exact
+
+    kll = docs.agg(
+        F.kll_sketch_agg_bigint(F.col("n_chars").cast("bigint"),
+                                F.lit(2048)).alias("sk")
+    ).select(*[
+        F.kll_sketch_get_quantile_bigint(F.col("sk"), F.lit(q)).alias(f"q{i}")
+        for i, q in enumerate(qs, start=1)
+    ]).first()
+    kll_thr = {i: int(kll[f"q{i}"]) for i in range(1, 10)}
+    # KLL with k=2048 is exact while fewer than ~2048 values are
+    # retained (the sf0.001 corpus holds 500 docs); at larger corpora
+    # its thresholds drift by bounded rank error, so compare by VALUE
+    # with a one-distinct-value tolerance beyond the smoke corpus
+    if docs.count() <= 2048:
+        assert kll_thr == exact
+    else:
+        for d in range(1, 10):
+            assert abs(kll_thr[d] - exact[d]) <= 5

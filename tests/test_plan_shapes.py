@@ -225,6 +225,13 @@ MAX_PARQUET_SCANS = {
     "ohlc_hourly": 1,                # one events scan, one hash agg —
                                      # open/close are struct-min/max
                                      # selections, no per-bucket sort
+    "length_decile_thresholds": 0,   # histogram materialized once; the
+                                     # cumulate, total, and 9-decile
+                                     # explode all read the tiny
+                                     # distinct-length relation
+    "theta_distinct_union_segments": 0,  # 2-row sketch relation
+                                     # materialized once; per-segment +
+                                     # set-algebra branches share it
 }
 
 

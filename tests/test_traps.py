@@ -131,6 +131,32 @@ def test_profile_hll_tracks_exact_profile(spark, sf_dir):
     assert sane and all(sane)
 
 
+def test_theta_sketch_set_algebra_identities(spark, sf_dir):
+    """theta_distinct_union_segments: in the exact regime (every set
+    below the 4096-entry nominal capacity — the driver's correctness
+    scale) the sketch estimates must satisfy the set identities exactly:
+    hot = hot_only + intersection, std = std_only + intersection,
+    union = hot + std − intersection, and inclusion bounds. Above
+    capacity the same identities hold only to sketch error — this pins
+    the exact-mode premise the oracle relies on."""
+    from project2_bigdata_spark.plans import REGISTRY
+
+    rows = {r.segment: r for r in
+            REGISTRY["theta_distinct_union_segments"].fn(spark, sf_dir)
+            .collect()}
+    assert set(rows) == {"hot", "std", "union", "intersection",
+                         "hot_only", "std_only"}
+    d = {k: r.distinct_customers for k, r in rows.items()}
+    assert d["hot"] == d["hot_only"] + d["intersection"]
+    assert d["std"] == d["std_only"] + d["intersection"]
+    assert d["union"] == d["hot"] + d["std"] - d["intersection"]
+    assert max(d["hot"], d["std"]) <= d["union"] <= d["hot"] + d["std"]
+    assert 0 <= d["intersection"] <= min(d["hot"], d["std"])
+    # segment rows carry exact order counts; algebra rows don't
+    assert rows["hot"].n_orders > 0 and rows["std"].n_orders > 0
+    assert rows["union"].n_orders is None
+
+
 def test_random_split_w5(spark, sf_dir):
     """W5: randomSplit([0.7,0.2,0.1], seed=42) — reference uses sklearn
     train_test_split(seed 42); RNGs differ, so assert structure not rows

@@ -6,7 +6,11 @@ compares each oracle-bearing query against DuckDB with the exact
 value compare from tests/oracle_harness.py. Rows-only queries get the
 driver's weaker count check.
 
-Usage: python tools/driver_replica.py [limit]
+Usage: python tools/driver_replica.py [limit] [reverse]
+  limit    — check only the first N names (driver order)
+  reverse  — sweep in REVERSED driver order (flake audit: catches
+             queries that only pass because an earlier query warmed
+             some session state)
 """
 
 from __future__ import annotations
@@ -25,7 +29,8 @@ from tests.oracle_harness import compare  # noqa: E402
 
 
 def main() -> int:
-    limit = int(sys.argv[1]) if len(sys.argv) > 1 else None
+    args = [a for a in sys.argv[1:] if a != "reverse"]
+    limit = int(args[0]) if args else None
     sf = "/root/testdata/sf0.01"
     spark = (
         SparkSession.builder.master("local[16]")
@@ -33,6 +38,8 @@ def main() -> int:
         .getOrCreate()
     )
     names = driver_order()[:limit]
+    if "reverse" in sys.argv[1:]:
+        names = names[::-1]
     fails: dict[str, str] = {}
     for i, name in enumerate(names):
         q = REGISTRY[name]

@@ -42,6 +42,7 @@ BNLJ_OK = {
     "train_test_time_split", "ep3_forecast_series", "revenue_checksum",
     "tfidf_top_terms", "unigram_logprob_score",
     "rfm_scores", "length_quantile_buckets", "bm25_scores",
+    "length_decile_thresholds",  # 1-row Σc total broadcast over the histogram
     "decontaminate_ngram", "bigram_logprob_score", "contrastive_negatives",
     "pagerank_2iter",
     "kmeans_lloyd_2iter",  # all K centroids ride in as ONE broadcast row

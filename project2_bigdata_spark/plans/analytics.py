@@ -661,6 +661,66 @@ def q_length_decile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kll_doc_length_quantiles",
+    # Exact-regime parity: a KLL sketch retains EVERY item until its
+    # level-0 buffer (k=2048) fills, so at the driver's correctness
+    # scale (500 documents) the sketch quantiles are exact order
+    # statistics — verified equal to DuckDB's own percentile_disc for
+    # all nine deciles at sf0.01 before registration. Above ~2k rows
+    # the sketch compacts and the thresholds carry bounded rank error
+    # (~1.3% at k=2048) — that regime is exercised perf-only at K=100.
+    oracle="""
+    WITH t AS (
+      SELECT percentile_disc([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])
+               WITHIN GROUP (ORDER BY n_chars) AS ths,
+             COUNT(*) AS n
+      FROM documents
+    )
+    SELECT CAST(i AS INT) AS decile,
+           CAST(ths[i] AS BIGINT) AS threshold,
+           CAST(n AS BIGINT) AS n_docs
+    FROM t, (SELECT unnest(range(1, 10)) AS i)
+    """,
+    doc="Datasketches KLL quantile sketch over document lengths "
+        "(k=2048): the UNBOUNDED-value-domain counterpart of "
+        "length_decile_thresholds — where the histogram device needs a "
+        "bounded distinct-value relation, the KLL sketch is constant "
+        "memory per executor at ANY domain, merges map-side "
+        "(partial aggregation), and re-aggregates like theta (sketch "
+        "tables, incremental maintenance). Completes the Datasketches "
+        "trio: theta (distinct algebra) / KLL (quantiles) / HLL "
+        "(profile estimates). Exact-regime oracle vs DuckDB "
+        "percentile_disc; estimation regime documented + K=100 row.",
+)
+def q_kll_doc_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # the sketch's rank argument must be a FOLDABLE literal: one wide
+    # row of 9 literal-fraction probes, stacked to (decile, threshold)
+    sk = docs.agg(
+        F.kll_sketch_agg_bigint(F.col("n_chars").cast("bigint"),
+                                F.lit(2048)).alias("sk"),
+        F.count("*").alias("n_docs"),
+    )
+    wide = sk.select(
+        "n_docs",
+        *[
+            F.kll_sketch_get_quantile_bigint(F.col("sk"), F.lit(d / 10.0))
+            .cast("bigint").alias(f"t{d}")
+            for d in range(1, 10)
+        ],
+    )
+    pairs = ", ".join(f"{d}, t{d}" for d in range(1, 10))
+    return wide.select(
+        F.expr(f"stack(9, {pairs}) AS (decile, threshold)"),
+        "n_docs",
+    ).select(
+        F.col("decile").cast("int").alias("decile"),
+        "threshold",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Blocked fuzzy matching (edit distance) — record linkage
 # ---------------------------------------------------------------------------

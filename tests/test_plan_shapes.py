@@ -233,6 +233,12 @@ MAX_PARQUET_SCANS = {
     "theta_distinct_union_segments": 0,  # 2-row sketch relation
                                      # materialized once; per-segment +
                                      # set-algebra branches share it
+    "theta_sketch_rollup_daily": 0,  # daily sketch table materialized
+                                     # once; month + all-time grains
+                                     # both re-aggregate it
+    "kll_doc_length_quantiles": 1,   # one corpus scan builds the
+                                     # sketch; 9 probes + stack read
+                                     # the 1-row aggregate
 }
 
 

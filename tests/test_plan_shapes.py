@@ -296,7 +296,10 @@ def test_results_invariant_under_aqe_toggle(spark, sf_dir):
     exactness conventions (decimal sums, deterministic tie-breaks) make
     results bit-identical with AQE on and off."""
     names = ["sales_daily", "kpi_global", "top_pairs_per_product",
-             "tfidf_top_terms", "snapshot_diff"]
+             "tfidf_top_terms", "snapshot_diff",
+             # r6: sketch aggregates must merge identically under AQE
+             # re-plans (theta/KLL partials are order-insensitive)
+             "theta_distinct_union_segments", "kll_doc_length_quantiles"]
     orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
         results = {}

@@ -259,6 +259,97 @@ def minhash_band_pairs(
     return _verify_pairs(docs, cand, "doc_a", "doc_b", threshold)
 
 
+def minhash_accuracy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-candidate-pair MinHash estimator audit: the signature-level
+    Jaccard estimate (fraction of the N_MINHASH positions that agree —
+    the textbook unbiased estimator) side by side with the EXACT
+    hashed-shingle Jaccard, plus the absolute error. The relation an
+    engineer reads to size N_MINHASH/N_BANDS before a 100 TB dedup run
+    (expected |err| ≈ sqrt(J(1-J)/K) ≈ 0.12 at K=16, J≈0.5).
+
+    Fully deterministic cross-engine: the estimate is k/16 (exact
+    binary), the exact Jaccard an integer ratio, and the error their
+    IEEE difference — so the DuckDB oracle hash-CONFIRMS the whole
+    audit, not a tolerance band. Scale shape identical to
+    minhash_band_pairs (capped band equi-join, per-doc fetch joins on
+    the persisted shingle index); signatures are row-local arrays.
+    """
+    docs = _shingled_cached(spark, sf_dir)
+    sig = _minhash_signature(docs)
+    bands = _capped_bands(docs)
+    cand = (
+        bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_idx") == F.col("y.band_idx"))
+            & (F.col("x.band_hash") == F.col("y.band_hash"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # one fetch relation per side carrying BOTH the signature and the
+    # shingle set — two per-doc joins total, not four
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("minhashes").alias("mh_a"),
+                    F.col("hs").alias("set_a"),
+                    F.col("set_size").alias("size_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("minhashes").alias("mh_b"),
+                    F.col("hs").alias("set_b"),
+                    F.col("set_size").alias("size_b"))
+    est = F.expr(
+        f"size(filter(zip_with(mh_a, mh_b, (x, y) -> x = y), v -> v)) "
+        f"/ cast({N_MINHASH} as double)"
+    )
+    common = F.size(F.array_intersect("set_a", "set_b")).cast("bigint")
+    jacc = common / (F.col("size_a") + F.col("size_b") - common)
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            est.alias("est_jaccard"),
+            jacc.alias("jaccard"),
+            (F.greatest(est, jacc) - F.least(est, jacc)).alias("abs_err"),
+        )
+    )
+
+
+def oracle_minhash_accuracy() -> str:
+    """Exact DuckDB mirror of :func:`minhash_accuracy_audit` — same
+    signatures, same band candidates, same k/16 estimator, same integer
+    exact Jaccard, same IEEE error difference."""
+    return _oracle_minhash_cte() + f"""
+    , cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM capped x JOIN capped y
+        ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+       AND x.doc_id < y.doc_id
+    ), audited AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_filter(range(1, {N_MINHASH} + 1),
+                 i -> ma.mh[i] = mb.mh[i])) / CAST({N_MINHASH} AS DOUBLE)
+               AS est_jaccard,
+             len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+               / CAST(a.set_size + b.set_size
+                      - len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+                      AS DOUBLE) AS jaccard
+      FROM cand c
+      JOIN mh ma ON c.doc_a = ma.doc_id
+      JOIN mh mb ON c.doc_b = mb.doc_id
+      JOIN hx a ON c.doc_a = a.doc_id
+      JOIN hx b ON c.doc_b = b.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard, jaccard,
+           greatest(est_jaccard, jaccard) - least(est_jaccard, jaccard)
+             AS abs_err
+    FROM audited
+    """
+
+
 def _capped_bands(docs: DataFrame) -> DataFrame:
     """(doc_id, band_idx, band_hash) band table with the MAX_BUCKET cap
     applied — the shared LSH index shape for both dedup variants."""

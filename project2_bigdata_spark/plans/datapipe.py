@@ -13,7 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import (
-    blocked_jaccard_pairs, exact_dedup, minhash_band_pairs,
+    blocked_jaccard_pairs, exact_dedup, minhash_accuracy_audit,
+    minhash_band_pairs, oracle_minhash_accuracy,
     minhash_incremental_pairs, oracle_minhash_incremental,
     oracle_minhash_near_dup, simhash_buckets,
 )
@@ -190,6 +191,20 @@ def q_dedup_blocked_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_pairs(spark, sf_dir, threshold=0.8)
+
+
+register(
+    "minhash_accuracy_audit",
+    oracle=oracle_minhash_accuracy(),
+    doc="MinHash estimator audit over the LSH candidate pairs: the "
+        "signature-level Jaccard estimate (matching positions / 16) "
+        "side by side with the exact hashed-shingle Jaccard and the "
+        "absolute error — the relation that sizes N_MINHASH/N_BANDS "
+        "before a 100 TB dedup run. Every value is exact cross-engine "
+        "(k/16, an integer ratio, and their IEEE difference), so the "
+        "DuckDB oracle hash-CONFIRMS the audit rather than bounding "
+        "it; same capped band-join scale shape as minhash_near_dup.",
+)(minhash_accuracy_audit)
 
 
 @register(

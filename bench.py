@@ -211,14 +211,20 @@ def main() -> None:
     secondary, secondary_median, secondary_runs = run_set(
         SECONDARY, reps_secondary)
 
-    # Tertiary sweep: every registered query not already timed above,
-    # once per run (1 rep — coverage, not precision), so no query ships
-    # with zero perf evidence. Disable with SPARK_GRAFT_BENCH_TERTIARY=0.
+    # Tertiary sweep: every registered query not already timed above, so
+    # no query ships with zero perf evidence. Best-of-2 (was single-run):
+    # VERDICT r6 — the committed BENCH_r06.json recorded ml_rf_grid at
+    # 29.4s purely because a single tertiary run caught a noisy host
+    # moment (the round's three other runs read 10.1-11.4s). One repeat
+    # is the cheapest protocol that discards one bad observation per
+    # query. Disable with SPARK_GRAFT_BENCH_TERTIARY=0.
     tertiary: dict[str, float] = {}
+    tertiary_runs: dict[str, list[float]] = {}
+    reps_tertiary = int(os.environ.get("SPARK_GRAFT_BENCH_REPS_TERTIARY", "2"))
     if os.environ.get("SPARK_GRAFT_BENCH_TERTIARY", "1") != "0":
         covered = set(HEADLINE) | set(SECONDARY)
         rest = [n for n in REGISTRY if n not in covered]
-        tertiary, _, _ = run_set(rest, 1)
+        tertiary, _, tertiary_runs = run_set(rest, reps_tertiary)
 
     # Testdata fingerprint: the driver regenerates the parquet corpora
     # between rounds (observed: round 2 switched timestamp physical
@@ -263,6 +269,8 @@ def main() -> None:
         "runs_per_secondary": reps_secondary,
         "secondary_total": round(sum(secondary.values()), 3),
         "tertiary": tertiary,
+        "tertiary_runs": tertiary_runs,
+        "runs_per_tertiary": reps_tertiary,
         "tertiary_total": round(sum(tertiary.values()), 3),
         "calibration_50m_agg": calibration,
         "data_fingerprint": data_fp,
@@ -292,14 +300,25 @@ def main() -> None:
         "calibration_50m_agg": calibration,
         "data_fingerprint": data_fp,
     }
+    # Enforce the <~1.2KB budget that keeps the line inside the driver's
+    # ~2KB stdout tail (ADVICE r5) with HARD truncation, not assert:
+    # `assert` is stripped under python -O, and a firing assert would
+    # leave the earlier oversized full-record line as the last stdout
+    # line — reproducing the exact "parsed: null" failure this code
+    # exists to prevent (ADVICE r6). Shed fields progressively; the
+    # final fallback is a minimal {metric,value,unit} line that always
+    # fits. Full detail persists in BENCH_HISTORY.jsonl regardless.
     line = json.dumps(compact)
     if len(line) >= 1200:
-        # enforce (not just comment) the <~1.2KB budget that keeps the
-        # line inside the driver's ~2KB stdout tail (ADVICE r5): shed
-        # the per-query dict first — totals + provenance must survive
         compact["queries"] = {"_dropped": "oversized; see BENCH_HISTORY.jsonl"}
         line = json.dumps(compact)
-    assert len(line) < 1200, f"compact bench line {len(line)}B >= 1200B"
+    if len(line) >= 1200:
+        compact.pop("calibration_50m_agg", None)
+        compact.pop("data_fingerprint", None)
+        line = json.dumps(compact)
+    if len(line) >= 1200:
+        line = json.dumps({"metric": "headline_total", "value": total,
+                           "unit": "sec", "sf": sf})
     print(line, flush=True)
 
 

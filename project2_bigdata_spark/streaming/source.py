@@ -33,12 +33,20 @@ def _source_stamp(path: str):
     try:
         st = _os.stat(path)
         if _os.path.isdir(path):
+            # Walk the WHOLE tree, not just top-level regular files: a
+            # partitioned/nested parquet layout keeps its part files in
+            # subdirectories, and an in-place rewrite there must
+            # invalidate the memo too (ADVICE r6 — same bug class as
+            # the r5 top-level fix, one level deeper). Entries are
+            # keyed by path relative to the source root so a rename is
+            # a stamp change as well.
             parts = []
-            with _os.scandir(path) as it:
-                for e in it:
-                    if e.is_file():
-                        s = e.stat()
-                        parts.append((e.name, s.st_mtime_ns, s.st_size))
+            for root, _dirs, files in _os.walk(path):
+                rel_root = _os.path.relpath(root, path)
+                for fname in files:
+                    s = _os.stat(_os.path.join(root, fname))
+                    parts.append((_os.path.join(rel_root, fname),
+                                  s.st_mtime_ns, s.st_size))
             return tuple(sorted(parts)) or (st.st_mtime_ns, st.st_size)
         return (st.st_mtime_ns, st.st_size)
     except OSError:

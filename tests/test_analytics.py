@@ -164,6 +164,38 @@ def test_pagerank_is_a_distribution(spark, sf_dir):
     assert any(abs(r.pr_2 - r.pr_1) > 1e-9 for r in rows)
 
 
+def test_exact_mode_oracle_premises_hold_at_driver_scale(spark):
+    """Guard the sketch exact-mode premises (ADVICE r6): the theta
+    oracles (theta_distinct_union_segments, theta_sketch_rollup_daily,
+    approx_distinct_customers) are full hash parity ONLY while every
+    sketched set stays below the theta nominal capacity (2^12 = 4096
+    retained hashes), and kll_doc_length_quantiles' oracle only while
+    the corpus holds fewer than k = 2048 values. Verified at the
+    DRIVER's correctness scale (sf0.01) so a future testdata bump fails
+    here with a clear message instead of an opaque hash mismatch."""
+    import os
+
+    import pytest
+
+    drv = "/root/testdata/sf0.01"
+    if not os.path.isdir(drv):
+        pytest.skip("driver-scale corpus absent")
+    orders = spark.read.parquet(f"{drv}/orders.parquet")
+    # the largest theta set anywhere is the all-segment / all-time
+    # union = global distinct customers (per-segment, per-day, and
+    # per-priority sets are subsets of it)
+    n_cust = orders.select("o_custkey").distinct().count()
+    assert n_cust < 4096, (
+        f"{n_cust} distinct customers at sf0.01 >= theta capacity 4096 "
+        "— the exact-mode premise behind the theta oracles no longer "
+        "holds; demote those oracles to sanity bounds or raise lgk")
+    n_docs = spark.read.parquet(f"{drv}/documents.parquet").count()
+    assert n_docs < 2048, (
+        f"{n_docs} documents at sf0.01 >= KLL k=2048 — "
+        "kll_doc_length_quantiles' exact-regime oracle premise no "
+        "longer holds; expect bounded rank error, not hash parity")
+
+
 def test_decile_thresholds_match_approx_and_kll(spark, sf_dir):
     """Quantile-path parity hardening (VERDICT r5 item 8): the exact
     value-domain-histogram thresholds (percentile_disc semantics,

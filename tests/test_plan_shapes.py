@@ -23,6 +23,7 @@ def plan_of(spark, sf_dir, name: str) -> str:
 #: per-product model fit). Everything else must stay JVM-only.
 PYTHON_OK = {
     "simhash_buckets", "multimodal_decode", "multimodal_frames",
+    "multimodal_resize",
     "ml_train_per_product", "ml_forecast_14d", "ml_sparkml_global",
     "ml_rf_grid",
 }

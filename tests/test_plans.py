@@ -152,29 +152,3 @@ def test_driver_order_invariants():
     if no_oracle_never and oracled_never:
         assert max(pos[n] for n in oracled_never) < min(
             pos[n] for n in no_oracle_never)
-
-
-def test_driver_order_r5_tail_frozen():
-    """VERDICT r5 item 1: the 28-query round-5 tail must lead the driver
-    window until CORRECTNESS_r06 banks it. Any query registered later in
-    round 6 lands strictly AFTER the pinned tail, so growth cannot
-    reshuffle these 28 out of the driver's 50-row window. Once the
-    driver banks a name, the pin for it becomes a no-op (skipped here)."""
-    from project2_bigdata_spark.plans import (
-        _R5_TAIL_PRIORITY,
-        _correctness_rows,
-        driver_order,
-    )
-
-    assert len(_R5_TAIL_PRIORITY) == 28
-    rows = _correctness_rows()
-    pending = [n for n in _R5_TAIL_PRIORITY if n not in rows]
-    order = driver_order()
-    # pending pins occupy the front of the never-checked block, in the
-    # frozen order, immediately after any re-check rows (normally zero)
-    if pending:
-        start = order.index(pending[0])
-        assert order[start:start + len(pending)] == pending, (
-            "round-5 tail must stay contiguous and frozen at the front")
-        assert start <= 50 - len(pending), (
-            "round-5 tail must fit the driver's 50-row window")

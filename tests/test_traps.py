@@ -81,27 +81,40 @@ def test_dsum_partition_order_invariance(spark):
 
 
 def test_approx_count_distinct_within_bounds(spark, sf_dir):
-    """approx_distinct_customers has no oracle (approximate by design);
-    assert the HLL++ estimate lands within ±5% of the exact count."""
+    """approx_distinct_customers is theta-backed since r7 (exact-mode
+    regime ⇒ hash-parity oracle). This test keeps the two approximate
+    claims pinned: (a) the theta estimate EQUALS exact at test scale
+    (every per-priority set is below the 4096-entry capacity), and
+    (b) the HLL++ estimation-mode twin lands within ±5% of exact."""
     from pyspark.sql import functions as F
 
     from project2_bigdata_spark.catalog import table
     from project2_bigdata_spark.plans import REGISTRY
 
-    approx = {
+    theta = {
         r.priority: r.approx_customers
         for r in REGISTRY["approx_distinct_customers"].fn(spark, sf_dir).collect()
     }
-    exact = {
-        r.priority: r.n
-        for r in table(spark, sf_dir, "orders")
+    rows = (
+        table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderpriority").alias("priority"))
-        .agg(F.countDistinct("o_custkey").alias("n"))
+        .agg(F.countDistinct("o_custkey").alias("n"),
+             F.approx_count_distinct("o_custkey", 0.02).alias("hll"))
         .collect()
-    }
-    assert set(approx) == set(exact)
-    for k, est in approx.items():
-        assert abs(est - exact[k]) / exact[k] <= 0.05, (k, est, exact[k])
+    )
+    exact = {r.priority: r.n for r in rows}
+    hll = {r.priority: r.hll for r in rows}
+    assert set(theta) == set(exact)
+    for k, n in exact.items():
+        # exact-mode premise guard (ADVICE r6): a testdata bump past
+        # sketch capacity must fail HERE with a clear message, not as
+        # an opaque driver hash mismatch
+        assert n < 4096, (
+            f"priority {k}: {n} distinct customers >= theta capacity "
+            "4096 — approx_distinct_customers' exact-mode oracle "
+            "premise no longer holds at this scale")
+        assert theta[k] == n, (k, theta[k], n)
+        assert abs(hll[k] - n) / n <= 0.05, (k, hll[k], n)
 
 
 def test_profile_hll_tracks_exact_profile(spark, sf_dir):

@@ -377,6 +377,57 @@ def oracle_ivf_ann_topk(n_queries: int = 5, k: int = 10) -> str:
     """
 
 
+def oracle_ivf_ann_kmeans_topk(n_queries: int = 5, k: int = 10) -> str:
+    """Oracle for the kmeans-centroid IVF (VERDICT r6 item 5): the
+    2-iteration Lloyd refinement is unrolled in SQL by the SAME CTE
+    builders the oracle-checked ``kmeans_lloyd_2iter`` uses (at
+    K=N_CENTROIDS instead of 4), then the IVF assignment / probe /
+    rerank runs against the refined centroids exactly as
+    :func:`oracle_ivf_ann_topk` does against the seeds. Refinement
+    assigns on 6dp-rounded vectors (``ed``, matching ``_vectors``);
+    the final cell assignment and rerank use the RAW double embeddings
+    (matching ``ivf_ann_topk``'s ``_CENT_SIM``/rerank expressions)."""
+    from .kmeans import _o_assign, _o_update
+
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS ed
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(vec_id AS INT) AS cid, ed AS cemb
+      FROM e WHERE vec_id < {N_CENTROIDS}
+    ), {_o_assign('e', 'c0', 'ka1')}, {_o_update('ka1', 'kc1')},
+       {_o_assign('e', 'kc1', 'ka2')}, {_o_update('ka2', 'kc2')},
+    assign AS (
+      SELECT e.vec_id, e.label, e.emb, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id ORDER BY
+               {cos.format(a='e.emb', b='c.cemb')} DESC, c.cid) AS rn
+      FROM e CROSS JOIN kc2 c
+    ), cells AS (
+      SELECT vec_id, label, emb, cid AS cell FROM assign WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, emb AS qe, cid AS probe_cell
+      FROM assign WHERE vec_id < {n_queries} AND rn <= {N_PROBE}
+    ), sims AS (
+      SELECT p.query_id, c.vec_id, c.label,
+             {cos.format(a='p.qe', b='c.emb')} AS cos_sim
+      FROM cells c JOIN probes p
+        ON c.cell = p.probe_cell AND c.vec_id <> p.query_id
+    )
+    SELECT * FROM (
+      SELECT query_id, vec_id, label, cos_sim,
+             CAST(row_number() OVER (PARTITION BY query_id
+                  ORDER BY cos_sim DESC, vec_id) AS INT) AS rnk
+      FROM sims
+    ) WHERE rnk <= {k}
+    """
+
+
 #: Buckets bigger than this are excluded from the pairwise stages
 #: (embedding_near_dup, knn_join_topk) — same discipline as
 #: dedup.MAX_BUCKET / analytics.MAX_FUZZY_BLOCK. A FIXED plane count

@@ -582,7 +582,9 @@ register(
 )(winnowing_fingerprints)
 
 
-from ..operators.similarity import ivf_ann_topk, oracle_ivf_ann_topk  # noqa: E402
+from ..operators.similarity import (  # noqa: E402
+    ivf_ann_topk, oracle_ivf_ann_kmeans_topk, oracle_ivf_ann_topk,
+)
 
 register(
     "ivf_ann_topk",
@@ -591,8 +593,30 @@ register(
         "centroid cells (row-local assignment via broadcast centroid "
         "array — no collect, no shuffle), queries probe their 2 nearest "
         "cells, exact cosine rerank within. Same centroids in the DuckDB "
-        "oracle → CONFIRMED; k-means refinement is a drop-in pre-pass",
+        "oracle → CONFIRMED; k-means refinement is a drop-in pre-pass "
+        "(registered separately as ivf_ann_kmeans_topk)",
 )(ivf_ann_topk)
+
+
+@register(
+    "ivf_ann_kmeans_topk",
+    oracle=oracle_ivf_ann_kmeans_topk(n_queries=5, k=10),
+    doc="The PRODUCTION IVF path (VERDICT r6 item 5): the 8 seed "
+        "centroids are refined by two Lloyd iterations via the "
+        "oracle-checked k-means operators before the corpus is "
+        "quantized — balanced cells ⇒ better recall at the same nprobe "
+        "(quantified in tests/test_ann_recall.py). Downstream plan is "
+        "IDENTICAL to ivf_ann_topk (row-local broadcast assignment, "
+        "cell equi-join, exact rerank); only the broadcast centroid row "
+        "differs, and each Lloyd iteration is one broadcast assignment "
+        "+ one (K×dims)-cell aggregation on a lineage-truncated 1-row "
+        "frame. The DuckDB oracle unrolls BOTH Lloyd iterations in SQL "
+        "(the kmeans_lloyd_2iter CTE builders at K=8) and then replays "
+        "the IVF assignment/probe/rerank against the refined centroids "
+        "— full hash parity through the entire training + search path.",
+)
+def q_ivf_ann_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_ann_topk(spark, sf_dir, centroids="kmeans")
 
 
 from ..operators.textstats import lang_id_scores, oracle_lang_id  # noqa: E402

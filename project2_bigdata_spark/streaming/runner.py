@@ -107,7 +107,9 @@ def _spool_root() -> str:
     return tempfile.gettempdir()
 
 
-def run_to_batch(sdf: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_batch(
+    sdf: DataFrame, mode: str = "complete", batch_transform=None
+) -> DataFrame:
     """Replay a bounded stream to completion (AvailableNow) and return
     the final result as a batch DataFrame.
 
@@ -134,6 +136,13 @@ def run_to_batch(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     write_mode = "overwrite" if mode == "complete" else "append"
 
     def _spill(batch_df: DataFrame, _batch_id: int) -> None:
+        # ``batch_transform`` is the sketch-in-foreachBatch hook: a
+        # per-micro-batch BATCH transformation (e.g. collapse the batch
+        # to one bounded sketch row) applied before spilling — the
+        # pattern for incrementally maintaining re-aggregable sketch
+        # tables from a stream without any streaming-aggregation state.
+        if batch_transform is not None:
+            batch_df = batch_transform(batch_df)
         batch_df.write.mode(write_mode).parquet(spool)
 
     # Bench-only replay fast path (VERDICT r4/r5 streaming-tax item):
@@ -169,7 +178,10 @@ def run_to_batch(sdf: DataFrame, mode: str = "complete") -> DataFrame:
     )
     if not has_files:  # zero batches emitted (e.g. all rows late)
         shutil.rmtree(spool, ignore_errors=True)
-        return spark.createDataFrame([], schema=sdf.schema)
+        schema = sdf.schema
+        if batch_transform is not None:  # post-transform shape
+            schema = batch_transform(spark.createDataFrame([], schema)).schema
+        return spark.createDataFrame([], schema=schema)
     _SPOOLS.append((weakref.ref(spark), spool))
     if not _ATEXIT_REGISTERED:
         atexit.register(sweep_spools, only_dead=False)

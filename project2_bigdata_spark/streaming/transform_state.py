@@ -157,10 +157,18 @@ def _profiles_group_state(sdf: DataFrame) -> DataFrame:
     )
 
 
-def user_profiles_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unbounded plan: events → per-user typed-state profile updates."""
+def user_profiles_stream(
+    spark: SparkSession, sf_dir: str, typed: bool | None = None
+) -> DataFrame:
+    """Unbounded plan: events → per-user typed-state profile updates.
+
+    ``typed`` forces a branch (tests compare both where both import);
+    the default follows the environment gate. Forcing ``typed=True``
+    without protobuf fails at execution — callers own that check.
+    """
     sdf = events_stream(spark, sf_dir)
-    return _profiles_typed_state(sdf) if HAVE_TWS else _profiles_group_state(sdf)
+    use_typed = HAVE_TWS if typed is None else typed
+    return _profiles_typed_state(sdf) if use_typed else _profiles_group_state(sdf)
 
 
 @register(

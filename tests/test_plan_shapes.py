@@ -38,6 +38,8 @@ BNLJ_OK = {
     "range_join_tiers", "decontaminate", "similarity_topk",
     "temperature_sample", "hash_split_assign", "key_skew_profile",
     "product_probability_join", "ivf_ann_topk",
+    "ivf_ann_kmeans_topk",  # same 1-row centroid broadcast + Lloyd's
+                            # per-iteration 1-row broadcast assignments
     # (b) 1-row scalar-aggregate cross joins
     "pair_counts", "top_pairs_per_product", "association_rules",
     "train_test_time_split", "ep3_forecast_series", "revenue_checksum",
@@ -199,6 +201,8 @@ MAX_PARQUET_SCANS = {
     "nb_lang_confusion": 2,          # was 7
     "pmi_cooccurrence": 0,           # was 5
     "ivf_ann_topk": 0,               # was 4 embedding scans
+    "ivf_ann_kmeans_topk": 0,        # Lloyd pre-pass + ranking all read
+                                     # truncated 1-row/narrow frames
     "rfm_scores": 0,                 # was 4^3 chained-ntile expansion
     "pagerank_2iter": 0,             # was 28 fact-scan branches
     "unigram_logprob_score": 1,
@@ -240,6 +244,10 @@ MAX_PARQUET_SCANS = {
     "kll_doc_length_quantiles": 1,   # one corpus scan builds the
                                      # sketch; 9 probes + stack read
                                      # the 1-row aggregate
+    "theta_retention_weekly": 0,     # weekly sketch table materialized
+                                     # once; both sides of the w/w+1
+                                     # join read it (fact never
+                                     # re-scanned for another window)
 }
 
 
@@ -300,7 +308,9 @@ def test_results_invariant_under_aqe_toggle(spark, sf_dir):
              "tfidf_top_terms", "snapshot_diff",
              # r6: sketch aggregates must merge identically under AQE
              # re-plans (theta/KLL partials are order-insensitive)
-             "theta_distinct_union_segments", "kll_doc_length_quantiles"]
+             "theta_distinct_union_segments", "kll_doc_length_quantiles",
+             # r7: sketch-join retention + theta-backed distinct
+             "theta_retention_weekly", "approx_distinct_customers"]
     orig = spark.conf.get("spark.sql.adaptive.enabled", "true")
     try:
         results = {}

@@ -170,6 +170,22 @@ def test_theta_sketch_set_algebra_identities(spark, sf_dir):
     assert rows["union"].n_orders is None
 
 
+def test_theta_retention_identities(spark, sf_dir):
+    """theta_retention_weekly: exact-regime sketch algebra must satisfy
+    the cohort identities per week — active = returning + churned,
+    active_next = returning + new_next, returning <= min(active,
+    active_next), and the integer permille definition."""
+    from project2_bigdata_spark.plans import REGISTRY
+
+    rows = REGISTRY["theta_retention_weekly"].fn(spark, sf_dir).collect()
+    assert len(rows) > 10  # consecutive weeks exist in the corpus
+    for r in rows:
+        assert r.active == r.returning + r.churned, r
+        assert r.active_next == r.returning + r.new_next, r
+        assert 0 <= r.returning <= min(r.active, r.active_next), r
+        assert r.retention_permille == 1000 * r.returning // r.active, r
+
+
 def test_random_split_w5(spark, sf_dir):
     """W5: randomSplit([0.7,0.2,0.1], seed=42) — reference uses sklearn
     train_test_split(seed 42); RNGs differ, so assert structure not rows

@@ -16,7 +16,16 @@ dedup caps (MAX_JACCARD_BLOCK / MAX_BUCKET) exist for.
 Usage:
   python tools/scale_stress.py amplify K [dst_dir]
   python tools/scale_stress.py run K "q1,q2,..." [--timeout SEC]
+  python tools/scale_stress.py skew K [--timeout SEC]
   (run uses dst_dir from the same K; SPARK_GRAFT_DRIVER_MEM / CPUS apply)
+
+``skew`` (VERDICT r6 item 6) synthesizes a ZIPF-SKEWED duplicate corpus
+— one giant near-dup family plus a long tail, the shape a real crawl
+has — and measures how the dedup cap discipline (MAX_BUCKET,
+MAX_JACCARD_BLOCK) behaves under it: cap-exclusion rate, near-dup
+recall over cap-eligible families, and wall time. The uniform K×
+amplification above duplicates every doc equally; this mode is the
+opposite extreme.
 """
 
 from __future__ import annotations
@@ -94,6 +103,162 @@ def amplify(spark, k: int) -> str:
     return out
 
 
+#: doc_id layout for the skew corpus: member j of base family b gets
+#: id (b << FAM_SHIFT) | j, so family membership is recoverable as
+#: doc_id >> FAM_SHIFT without a join. 2^20 bounds family size at ~1M.
+FAM_SHIFT = 20
+
+#: Zipf exponent for family sizes (size_rank_i ∝ 1/i^s): s ≈ 1.1
+#: matches the heavy-one-giant-family shape of real crawl duplicates.
+ZIPF_S = 1.1
+
+
+def skew_dir(k: int) -> str:
+    return f"/tmp/sparkgraft_skew{k}"
+
+
+def synth_skew(spark, k: int) -> str:
+    """Synthesize a Zipf-skewed near-dup corpus of ~K x |documents| docs.
+
+    Base docs come from sf0.1 (real text); the base ranked r (by
+    doc_id) spawns a family of max(1, C / r^ZIPF_S) members where C is
+    normalized so the total is ~K x 5000 — rank 1 is the giant family.
+    Member j's text is the base text plus a 3-word member-unique tail
+    (" v{j} k{j%97} zz"), so every same-family pair has exact shingle
+    Jaccard S/(S+6) for S distinct base shingles: a TRUE near-dup when
+    the base is long enough (S >= 24 ⇒ J >= 0.8), with per-family
+    ground truth recoverable analytically (no quadratic truth scan).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    out = skew_dir(k)
+    os.makedirs(out, exist_ok=True)
+    d = spark.read.parquet(f"{SRC}/documents.parquet")
+    n_base = d.count()
+    target = k * n_base
+    c = target / sum(1 / (i ** ZIPF_S) for i in range(1, n_base + 1))
+    fam = (
+        d.withColumn("rank", F.row_number().over(Window.orderBy("doc_id")))
+        .withColumn(
+            "fam_size",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(c) / F.pow(F.col("rank"), F.lit(ZIPF_S))),
+            ).cast("int"),
+        )
+    )
+    members = fam.withColumn(
+        "j", F.explode(F.sequence(F.lit(0), F.col("fam_size") - 1))
+    ).repartition(spark.sparkContext.defaultParallelism * 4)
+    tail = F.concat(
+        F.lit(" v"), F.col("j").cast("string"),
+        F.lit(" k"), (F.col("j") % 97).cast("string"),
+        F.lit(" zz"),
+    )
+    docs = members.select(
+        (F.shiftleft(F.col("doc_id"), FAM_SHIFT) + F.col("j")).alias("doc_id"),
+        F.when(F.col("j") == 0, F.col("text"))
+        .otherwise(F.concat(F.col("text"), tail)).alias("text"),
+        "lang", "source",
+    ).withColumn("n_chars", F.length("text"))
+    docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    return out
+
+
+def skew_metrics(spark, k: int, timeout_s: int) -> dict:
+    """Measure the cap discipline against the skewed corpus:
+
+    - minhash: share of (doc, band) index entries dropped by MAX_BUCKET,
+      share of docs with ALL bands dropped (cap-excluded from candidate
+      generation entirely), near-dup coverage (docs of truly-near-dup
+      families of size >= 2 that appear in >= 1 output pair), and wall.
+    - blocked jaccard: share of docs in (lang, n_words) blocks over
+      MAX_JACCARD_BLOCK (routed to the MinHash tier by design), wall.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from project2_bigdata_spark.operators.dedup import (
+        _SHINGLES, _capped_bands, _shingled_cached,
+        MAX_JACCARD_BLOCK, N_BANDS,
+    )
+    from project2_bigdata_spark.plans import REGISTRY
+
+    sf = skew_dir(k)
+    out: dict[str, object] = {"k": k, "dir": sf}
+
+    docs = _shingled_cached(spark, sf)
+    n_docs = docs.count()
+    out["n_docs"] = n_docs
+
+    # ---- MAX_BUCKET exclusion on the LSH band index -------------------
+    capped = _capped_bands(docs)
+    surv_entries, surv_docs = capped.agg(
+        F.count("*"), F.countDistinct("doc_id")).first()
+    out["minhash_band_entries_total"] = n_docs * N_BANDS
+    out["minhash_band_entries_surviving"] = surv_entries
+    out["minhash_cap_excluded_entry_share"] = round(
+        1 - surv_entries / (n_docs * N_BANDS), 4)
+    out["minhash_docs_fully_cap_excluded"] = n_docs - surv_docs
+    out["minhash_docs_fully_cap_excluded_share"] = round(
+        1 - surv_docs / n_docs, 4)
+
+    # ---- near-dup coverage over the analytically-true families --------
+    # family = doc_id >> FAM_SHIFT; a family is a TRUE near-dup family
+    # when the base doc has S >= 24 distinct shingles (J = S/(S+6) >=
+    # 0.8 for every same-family pair) and size >= 2.
+    base = spark.read.parquet(f"{SRC}/documents.parquet").withColumn(
+        "words", F.split("text", " ")
+    ).withColumn("n_shingles", F.size(F.expr(_SHINGLES)))
+    true_fams = base.filter(F.col("n_shingles") >= 24).select(
+        F.col("doc_id").alias("fam"))
+    eligible = (
+        docs.select("doc_id")
+        .withColumn("fam", F.shiftright("doc_id", FAM_SHIFT))
+        .join(F.broadcast(true_fams), "fam")
+        .withColumn("fn", F.count("*").over(Window.partitionBy("fam")))
+        .filter(F.col("fn") >= 2)
+        .select("doc_id", "fam")
+    )
+    t0 = time.perf_counter()
+    pairs = REGISTRY["minhash_near_dup"].fn(spark, sf)
+    pairs.write.mode("overwrite").format("noop").save()
+    out["minhash_near_dup_wall_sec"] = round(time.perf_counter() - t0, 1)
+    covered = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    n_eligible = eligible.count()
+    n_covered = eligible.join(covered, "doc_id").count()
+    out["near_dup_eligible_docs"] = n_eligible
+    out["near_dup_covered_docs"] = n_covered
+    out["near_dup_recall"] = round(n_covered / max(n_eligible, 1), 4)
+
+    # recall within the cap's design envelope: eligible docs that KEPT
+    # at least one band entry (the cap's contract is "bounded work on
+    # what it keeps", not "find pairs for docs it routed away")
+    kept = eligible.join(capped.select("doc_id").distinct(), "doc_id")
+    n_kept = kept.count()
+    n_kept_cov = kept.join(covered, "doc_id").count()
+    out["near_dup_recall_within_cap"] = round(n_kept_cov / max(n_kept, 1), 4)
+
+    # ---- MAX_JACCARD_BLOCK routing on the (lang, n_words) blocks ------
+    blocks = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_words"))
+        .withColumn("bn", F.count("*").over(Window.partitionBy("lang", "n_words")))
+    )
+    out["jaccard_block_routed_share"] = round(
+        blocks.filter(F.col("bn") > MAX_JACCARD_BLOCK).count() / n_docs, 4)
+    t0 = time.perf_counter()
+    REGISTRY["dedup_blocked_jaccard"].fn(spark, sf).write.mode(
+        "overwrite").format("noop").save()
+    out["blocked_jaccard_wall_sec"] = round(time.perf_counter() - t0, 1)
+    return out
+
+
 def run(spark, k: int, names: list[str], timeout_s: int) -> dict:
     from project2_bigdata_spark.plans import REGISTRY
 
@@ -133,6 +298,17 @@ def main() -> int:
                  for r, _, fs in os.walk(out) for f in fs)
         print(json.dumps({"dst": out, "k": k, "bytes": du,
                           "sec": round(time.perf_counter() - t0, 1)}))
+    elif mode == "skew":
+        rest = sys.argv[3:]
+        if rest and rest[0] == "--timeout":
+            rest = rest[1:]
+        timeout_s = int(rest[0]) if rest else 1200
+        t0 = time.perf_counter()
+        synth_skew(spark, k)
+        synth_sec = round(time.perf_counter() - t0, 1)
+        res = skew_metrics(spark, k, timeout_s)
+        res["synth_sec"] = synth_sec
+        print(json.dumps(res))
     else:
         names = sys.argv[3].split(",")
         # timeout: positional, or --timeout SEC (both documented forms)

@@ -163,6 +163,37 @@ def synth_skew(spark, k: int) -> str:
         "lang", "source",
     ).withColumn("n_chars", F.length("text"))
     docs.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    # Embeddings with the same Zipf family structure (for the
+    # MAX_EMB_BUCKET cap): member j = the base vector with ONE dim
+    # scaled by 1.001 per member — cosine vs any family sibling stays
+    # ~1.0 (a true near-dup family) and no hyperplane sign flips, so
+    # the whole family collapses into one LSH bucket: the adversarial
+    # hot-bucket case the cap exists for.
+    ev = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    n_vec = ev.count()
+    cv = (k * n_vec) / sum(1 / (i ** ZIPF_S) for i in range(1, n_vec + 1))
+    efam = (
+        ev.withColumn("rank", F.row_number().over(Window.orderBy("vec_id")))
+        .withColumn(
+            "fam_size",
+            F.greatest(
+                F.lit(1),
+                F.floor(F.lit(cv) / F.pow(F.col("rank"), F.lit(ZIPF_S))),
+            ).cast("int"),
+        )
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("fam_size") - 1)))
+        .repartition(spark.sparkContext.defaultParallelism * 4)
+    )
+    emb = efam.select(
+        (F.shiftleft(F.col("vec_id"), FAM_SHIFT) + F.col("j")).alias("vec_id"),
+        "label",
+        F.expr(
+            "transform(embedding, (x, i) -> IF(j > 0 AND i = CAST(j % 64 AS INT), "
+            "CAST(x * CAST(1.001 AS DOUBLE) AS FLOAT), x))"
+        ).alias("embedding"),
+    )
+    emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     return out
 
 
@@ -256,6 +287,23 @@ def skew_metrics(spark, k: int, timeout_s: int) -> dict:
     REGISTRY["dedup_blocked_jaccard"].fn(spark, sf).write.mode(
         "overwrite").format("noop").save()
     out["blocked_jaccard_wall_sec"] = round(time.perf_counter() - t0, 1)
+
+    # ---- MAX_EMB_BUCKET exclusion on the hyperplane LSH buckets --------
+    from project2_bigdata_spark.operators.similarity import (
+        MAX_EMB_BUCKET, _bucket_expr,
+    )
+
+    ev = spark.read.parquet(f"{sf}/embeddings.parquet")
+    n_vecs = ev.count()
+    out["n_vecs"] = n_vecs
+    buckets = ev.withColumn("bucket", _bucket_expr()).withColumn(
+        "bn", F.count("*").over(Window.partitionBy("bucket")))
+    out["emb_bucket_cap_excluded_share"] = round(
+        buckets.filter(F.col("bn") > MAX_EMB_BUCKET).count() / n_vecs, 4)
+    t0 = time.perf_counter()
+    REGISTRY["dedup_embedding_cosine"].fn(spark, sf).write.mode(
+        "overwrite").format("noop").save()
+    out["dedup_embedding_cosine_wall_sec"] = round(time.perf_counter() - t0, 1)
     return out
 
 

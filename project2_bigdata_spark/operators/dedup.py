@@ -350,9 +350,12 @@ def oracle_minhash_accuracy() -> str:
     """
 
 
-def _capped_bands(docs: DataFrame) -> DataFrame:
-    """(doc_id, band_idx, band_hash) band table with the MAX_BUCKET cap
-    applied — the shared LSH index shape for both dedup variants."""
+def _band_table(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash, _bn) band table with per-bucket
+    occupancy — the shared LSH index shape; consumers split it at a
+    cap (``_capped_bands`` keeps <= cap for the pair join,
+    ``minhash_hot_bucket_matches`` takes > cap for the linear
+    representative pass)."""
     sig = _minhash_signature(docs)
     bands = sig.select(
         "doc_id",
@@ -377,8 +380,94 @@ def _capped_bands(docs: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
-    return bands.withColumn("_bn", bucket_n).filter(
-        F.col("_bn") <= MAX_BUCKET).drop("_bn")
+    return bands.withColumn("_bn", bucket_n)
+
+
+def _capped_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) band table with the MAX_BUCKET cap
+    applied — the shared LSH index shape for both dedup variants."""
+    return _band_table(docs).filter(F.col("_bn") <= MAX_BUCKET).drop("_bn")
+
+
+def minhash_hot_bucket_matches(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.8,
+    hot_cap: int = MAX_BUCKET,
+) -> DataFrame:
+    """LINEAR representative pass over over-cap LSH buckets — the
+    documented mitigation for the recall the MAX_BUCKET cap trades away
+    under duplicate skew (measured in SCALE.md's Zipf stress: a giant
+    near-dup family shares near-identical signatures, blows past the
+    cap, and is excluded from the quadratic pair join).
+
+    The insight making this cheap: an over-cap bucket is ITSELF strong
+    duplication evidence (its members agree on a whole band of minhash
+    values), so instead of bucket² pairs, verify each member against
+    ONE representative (min doc_id) with exact Jaccard — O(bucket)
+    work, bounded at any family size. Each doc reports its best match
+    (max jaccard, ties to the smallest canonical — deterministic under
+    any partitioning).
+
+    ``hot_cap`` defaults to the production MAX_BUCKET; the registered
+    query lowers it to 1 so the path produces verified rows at the
+    driver's correctness scale (max bucket there is 3-4 — see the
+    bucket-occupancy note on MAX_BUCKET above).
+    """
+    from pyspark.sql.window import Window
+
+    docs = _shingled_cached(spark, sf_dir)
+    hot = _band_table(docs).filter(F.col("_bn") > hot_cap).drop("_bn")
+    rep = F.min("doc_id").over(Window.partitionBy("band_idx", "band_hash"))
+    cand = (
+        hot.withColumn("canonical_doc_id", rep)
+        .filter(F.col("doc_id") != F.col("canonical_doc_id"))
+        .select("doc_id", "canonical_doc_id")
+        .distinct()
+    )
+    verified = _verify_pairs(docs, cand, "doc_id", "canonical_doc_id", threshold)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("jaccard"), F.asc("canonical_doc_id"))
+    return (
+        verified.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def oracle_minhash_hot_bucket(threshold: float = 0.8, hot_cap: int = 1) -> str:
+    """DuckDB mirror of :func:`minhash_hot_bucket_matches`: same band
+    table (the shared minhash CTE prefix), same > hot_cap bucket split,
+    same min-doc_id representative, same exact integer-set Jaccard, same
+    (jaccard desc, canonical asc) best-match tie-break."""
+    return _oracle_minhash_cte() + f"""
+    , hot AS (
+      SELECT doc_id, band_idx, band_hash FROM (
+        SELECT *, COUNT(*) OVER (PARTITION BY band_idx, band_hash) AS bn
+        FROM bands
+      ) WHERE bn > {hot_cap}
+    ), withrep AS (
+      SELECT doc_id,
+             MIN(doc_id) OVER (PARTITION BY band_idx, band_hash)
+               AS canonical_doc_id
+      FROM hot
+    ), cand AS (
+      SELECT DISTINCT doc_id, canonical_doc_id FROM withrep
+      WHERE doc_id <> canonical_doc_id
+    ), verified AS (
+      SELECT c.doc_id, c.canonical_doc_id,
+             len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+               / CAST(a.set_size + b.set_size
+                      - len(list_filter(a.hs, v -> list_contains(b.hs, v)))
+                      AS DOUBLE) AS jaccard
+      FROM cand c
+      JOIN hx a ON c.doc_id = a.doc_id
+      JOIN hx b ON c.canonical_doc_id = b.doc_id
+    )
+    SELECT doc_id, canonical_doc_id, jaccard FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                 ORDER BY jaccard DESC, canonical_doc_id) AS rn
+      FROM verified WHERE jaccard >= {threshold}
+    ) WHERE rn = 1
+    """
 
 
 def _verify_pairs(

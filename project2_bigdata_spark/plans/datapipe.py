@@ -207,6 +207,33 @@ register(
 )(minhash_accuracy_audit)
 
 
+from ..operators.dedup import (  # noqa: E402
+    minhash_hot_bucket_matches, oracle_minhash_hot_bucket,
+)
+
+
+@register(
+    "minhash_hot_bucket_dedup",
+    oracle=oracle_minhash_hot_bucket(threshold=0.8, hot_cap=1),
+    doc="LINEAR representative pass over over-cap LSH buckets — the "
+        "production mitigation for the recall MAX_BUCKET trades away "
+        "under duplicate skew (quantified in SCALE.md's Zipf stress: "
+        "59%% of band entries capped, giant family excluded from the "
+        "pair join). An over-cap bucket is itself duplication evidence "
+        "(members agree on a full minhash band), so each member "
+        "verifies against ONE representative (min doc_id) with exact "
+        "Jaccard — O(bucket) work instead of bucket², bounded at ANY "
+        "family size; per doc the best match wins (jaccard desc, "
+        "canonical asc). Registered with hot_cap=1 so the correctness "
+        "scale (max bucket 3-4) exercises verified rows; production "
+        "composes it with minhash_near_dup at hot_cap=MAX_BUCKET — "
+        "under-cap buckets get the quadratic verified pair join, "
+        "over-cap families get this linear survivorship pass.",
+)
+def q_minhash_hot_bucket_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_hot_bucket_matches(spark, sf_dir, threshold=0.8, hot_cap=1)
+
+
 @register(
     "minhash_incremental_dedup",
     oracle=oracle_minhash_incremental(threshold=0.8),

@@ -275,6 +275,25 @@ def skew_metrics(spark, k: int, timeout_s: int) -> dict:
     n_kept_cov = kept.join(covered, "doc_id").count()
     out["near_dup_recall_within_cap"] = round(n_kept_cov / max(n_kept, 1), 4)
 
+    # ---- recall recovery: linear hot-bucket representative pass -------
+    # the production composition (minhash_hot_bucket_dedup's doc): the
+    # quadratic pair join handles under-cap buckets, the O(bucket)
+    # representative pass handles the cap-excluded hot families.
+    from project2_bigdata_spark.operators.dedup import (
+        minhash_hot_bucket_matches,
+    )
+
+    t0 = time.perf_counter()
+    hot = minhash_hot_bucket_matches(spark, sf, threshold=0.8)
+    hot_docs = hot.select("doc_id").unionByName(
+        hot.select(F.col("canonical_doc_id").alias("doc_id"))).distinct()
+    n_hot_docs = hot_docs.count()
+    out["hot_pass_wall_sec"] = round(time.perf_counter() - t0, 1)
+    out["hot_pass_docs_matched"] = n_hot_docs
+    n_comb = eligible.join(
+        covered.unionByName(hot_docs).distinct(), "doc_id").count()
+    out["near_dup_recall_combined"] = round(n_comb / max(n_eligible, 1), 4)
+
     # ---- MAX_JACCARD_BLOCK routing on the (lang, n_words) blocks ------
     blocks = (
         spark.read.parquet(f"{sf}/documents.parquet")

@@ -539,3 +539,46 @@ def q_stream_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, 10)
         ],
     )
+
+
+@register(
+    "stream_theta_daily_users",
+    # Exact-mode premise (guarded like the other theta oracles): every
+    # per-day user set at driver scale is <=~150 distinct — far below
+    # the 4096-entry theta capacity — so each re-aggregated estimate is
+    # the exact distinct count and DuckDB matches bit-for-bit.
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+    FROM events GROUP BY 1
+    """,
+    doc="INCREMENTAL theta sketch-table maintenance from a stream — the "
+        "streaming twin of theta_sketch_rollup_daily's batch pattern "
+        "and the second sketch-in-foreachBatch instance: each "
+        "micro-batch collapses to per-day (theta sketch, count) rows "
+        "inside foreachBatch (no streaming-aggregation state), the "
+        "appended rows form the standing sketch table, and the final "
+        "grain re-aggregates with theta_union_agg — which is exactly "
+        "how a production distinct-users dashboard ingests: new batches "
+        "append kilobyte sketch rows, history is never re-read, and ANY "
+        "coarser grain (week, month, all-time) merges the same table. "
+        "Exact-mode oracle at driver scale; ~1.6% rsd estimation at "
+        "100 TB is the documented behavior.",
+)
+def q_stream_theta_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sdf = events_stream(spark, sf_dir).select(
+        F.to_date("ts").alias("day"), "user_id")
+
+    def to_sketches(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("day").agg(
+            F.theta_sketch_agg("user_id").alias("sk"),
+            F.count("*").alias("n"),
+        )
+
+    sink = run_to_batch(sdf, mode="append", batch_transform=to_sketches)
+    return sink.groupBy("day").agg(
+        F.sum("n").alias("n_events"),
+        F.round(F.theta_sketch_estimate(F.theta_union_agg("sk")))
+        .cast("bigint").alias("distinct_users"),
+    )

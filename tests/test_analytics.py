@@ -202,6 +202,17 @@ def test_exact_mode_oracle_premises_hold_at_driver_scale(spark):
         f"{_STREAM_KLL_K} — stream_kll_value_quantiles' exact-regime "
         "oracle premise no longer holds; raise the k or demote the "
         "oracle to a rank-error bound")
+    from pyspark.sql import functions as F
+
+    max_day_users = (
+        spark.read.parquet(f"{drv}/events.parquet")
+        .groupBy(F.to_date("ts")).agg(F.countDistinct("user_id").alias("n"))
+        .agg(F.max("n")).first()[0]
+    )
+    assert max_day_users < 4096, (
+        f"{max_day_users} distinct users in one day at sf0.01 >= theta "
+        "capacity 4096 — stream_theta_daily_users' exact-mode oracle "
+        "premise no longer holds")
 
 
 def test_decile_thresholds_match_approx_and_kll(spark, sf_dir):

@@ -308,3 +308,43 @@ def test_embedding_dim_stats_covers_every_dimension(spark, sf_dir):
         assert r.n_vecs == n_vecs
         assert r.dim_min <= r.dim_mean <= r.dim_max
         assert r.dim_std >= 0.0
+
+
+def test_hot_bucket_pass_matches_family_linearly(spark, tmp_path):
+    """minhash_hot_bucket_dedup semantics on a constructed corpus: a
+    near-dup family whose bucket exceeds hot_cap matches every member
+    to the min-doc_id representative with exact Jaccard (the linear
+    recall-recovery pass); unrelated docs and under-cap corpora produce
+    nothing. Pins the operator against Spark upgrades independently of
+    the oracle-parity and skew-stress evidence."""
+    from project2_bigdata_spark.operators.dedup import (
+        minhash_hot_bucket_matches,
+    )
+
+    base = " ".join(f"w{i}" for i in range(40))
+    rows = [(j, f"{base} v{j} zz", "en", "t", 0) for j in range(10)]
+    rows += [
+        (100, " ".join(f"x{i} y{i} q{i}" for i in range(20)), "en", "t", 0),
+        (101, " ".join(f"a{i} b{i} c{i}" for i in range(20)), "en", "t", 0),
+    ]
+    d = str(tmp_path / "hotcorpus")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    got = {
+        r.doc_id: (r.canonical_doc_id, r.jaccard)
+        for r in minhash_hot_bucket_matches(spark, d, threshold=0.8,
+                                            hot_cap=3).collect()
+    }
+    # every family member except the representative matches doc 0 with
+    # the analytic Jaccard S/(S+4) = 38/42 (S = 38 base shingles, each
+    # member adds 2 unique tail shingles)
+    assert set(got) == set(range(1, 10)), got
+    for j in range(1, 10):
+        canon, jac = got[j]
+        assert canon == 0
+        assert abs(jac - 38 / 42) < 1e-9, (j, jac)
+    # production cap: nothing is hot on this tiny corpus → empty
+    assert minhash_hot_bucket_matches(
+        spark, d, threshold=0.8, hot_cap=100).count() == 0

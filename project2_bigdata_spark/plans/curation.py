@@ -859,6 +859,51 @@ def q_bpe_tokenize_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "bpe_fertility_by_lang",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*), 6) AS fertility
+    FROM toks JOIN ({_bpe_encode_oracle(3)}) enc USING (w)
+    GROUP BY 1
+    """,
+    doc="Tokenizer FERTILITY by language (BPE tokens per word) — the "
+        "metric that drives multilingual data budgeting: a language "
+        "whose fertility is 2x pays 2x the context length for the same "
+        "text, so corpus mixture weights and per-language token quotas "
+        "are set from exactly this table. Same scale shape as "
+        "bpe_tokenize_docs (the merge loop never touches the token "
+        "stream): token stream joins the BROADCAST vocabulary-sized "
+        "encode table, then one (lang)-keyed agg — one corpus scan. "
+        "Exact BIGINT sums; the single double is one division, rounded "
+        "identically cross-engine.",
+)
+def q_bpe_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    enc = q_bpe_encode(spark, sf_dir).select("w", "n_tokens")
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("w"))
+    return (
+        toks.join(F.broadcast(enc), "w")
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count("*").alias("n_words"),
+            F.sum("n_tokens").cast("bigint").alias("n_bpe_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count("*"), 6
+            ).alias("fertility"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Unigram LM quality score (CCNet-style perplexity filter stand-in)
 # ---------------------------------------------------------------------------

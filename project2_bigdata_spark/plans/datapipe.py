@@ -141,6 +141,42 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_report",
+    oracle="""
+    WITH g AS (
+      SELECT md5(lower(text)) AS h, COUNT(*) AS n_copies
+      FROM documents GROUP BY 1
+    )
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(n_copies * COUNT(*) AS BIGINT) AS n_docs,
+           CAST((n_copies - 1) * COUNT(*) AS BIGINT) AS n_redundant
+    FROM g GROUP BY n_copies
+    """,
+    doc="Dedup telemetry: the duplicate-cluster SIZE HISTOGRAM every "
+        "curation pipeline reports before committing a drop policy — "
+        "per exact-duplicate multiplicity, how many clusters, how many "
+        "docs they hold, and how many are redundant (droppable). Rides "
+        "the dedup_exact rollup: one more tiny aggregation over the "
+        "fingerprint groups, no extra corpus scan; at 100 TB the "
+        "histogram is the cheap observability layer that decides "
+        "whether the fuzzy tiers are even worth running (all-BIGINT — "
+        "exact cross-engine).",
+)
+def q_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = exact_dedup(spark, sf_dir)
+    return g.groupBy("n_copies").agg(
+        F.count("*").alias("n_groups"),
+    ).select(
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        F.col("n_groups").cast("bigint").alias("n_groups"),
+        (F.col("n_copies") * F.col("n_groups")).cast("bigint").alias("n_docs"),
+        ((F.col("n_copies") - 1) * F.col("n_groups")).cast("bigint")
+        .alias("n_redundant"),
+    )
+
+
+@register(
     "dedup_blocked_jaccard",
     oracle="""
     WITH d AS (

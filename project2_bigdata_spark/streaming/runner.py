@@ -108,7 +108,13 @@ def _spool_root() -> str:
 
 
 def run_to_batch(
-    sdf: DataFrame, mode: str = "complete", batch_transform=None
+    sdf: DataFrame,
+    mode: str = "complete",
+    batch_transform=None,
+    *,
+    checkpoint: str | None = None,
+    spool: str | None = None,
+    post_spill_hook=None,
 ) -> DataFrame:
     """Replay a bounded stream to completion (AvailableNow) and return
     the final result as a batch DataFrame.
@@ -118,11 +124,28 @@ def run_to_batch(
     into driver JVM memory — in complete mode it re-collects the WHOLE
     result table every micro-batch — which OOM'd the driver at the
     K=100 scale-stress replay (10 M events, 32 micro-batches). The
-    spool keeps the driver flat at any replay size: complete mode
-    overwrites the spool per batch (last batch = final table), append
-    mode appends new files per batch; either way the returned frame is
-    exactly what the memory sink would have held. Spool lifecycle: see
-    ``_SPOOLS`` / ``sweep_spools`` above.
+    spool keeps the driver flat at any replay size. Spool lifecycle:
+    see ``_SPOOLS`` / ``sweep_spools`` above.
+
+    IDEMPOTENCE (VERDICT r7 item 1): foreachBatch is at-least-once — a
+    micro-batch whose sink write succeeded but whose checkpoint commit
+    did not is REPLAYED on restart. Both modes are therefore written as
+    per-batch-keyed overwrites so a replay rewrites rather than
+    duplicates: complete mode overwrites the whole spool (last batch =
+    final table, trivially idempotent), append mode writes each batch
+    under ``spool/batch=<id>/`` with overwrite of exactly that
+    directory — a replayed id clobbers its own earlier files and no
+    other batch's. The readback uses ``recursiveFileLookup`` so the
+    ``batch=<id>`` directories are plain file layout, not a partition
+    column. Proven by the kill/resume checkpoint test in
+    ``tests/test_streaming_restart.py``.
+
+    ``checkpoint``/``spool`` make a run RESUMABLE: pass the same pair
+    again after a failure and AvailableNow replays only uncommitted
+    batches (production restart contract). Caller-provided spools are
+    caller-owned — never auto-swept. ``post_spill_hook(batch_id)`` runs
+    after the sink write and before Spark commits the batch — the
+    fault-injection point for crash-between-write-and-commit tests.
     """
     global _ATEXIT_REGISTERED
     spark = sdf.sparkSession
@@ -132,10 +155,13 @@ def run_to_batch(
         pass  # conf locked by the host — run with its provider
     sweep_spools(only_dead=True)  # reclaim stopped sessions' spools
     name = f"stream_sink_{next(_SINK_IDS)}"
-    spool = tempfile.mkdtemp(prefix=f"{name}_", dir=_spool_root())
-    write_mode = "overwrite" if mode == "complete" else "append"
+    caller_spool = spool is not None
+    if caller_spool:
+        os.makedirs(spool, exist_ok=True)
+    else:
+        spool = tempfile.mkdtemp(prefix=f"{name}_", dir=_spool_root())
 
-    def _spill(batch_df: DataFrame, _batch_id: int) -> None:
+    def _spill(batch_df: DataFrame, batch_id: int) -> None:
         # ``batch_transform`` is the sketch-in-foreachBatch hook: a
         # per-micro-batch BATCH transformation (e.g. collapse the batch
         # to one bounded sketch row) applied before spilling — the
@@ -143,7 +169,14 @@ def run_to_batch(
         # tables from a stream without any streaming-aggregation state.
         if batch_transform is not None:
             batch_df = batch_transform(batch_df)
-        batch_df.write.mode(write_mode).parquet(spool)
+        if mode == "complete":
+            batch_df.write.mode("overwrite").parquet(spool)
+        else:
+            # per-batch partition overwrite: replay-safe (see docstring)
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(spool, f"batch={batch_id}"))
+        if post_spill_hook is not None:
+            post_spill_hook(batch_id)
 
     # Bench-only replay fast path (VERDICT r4/r5 streaming-tax item):
     # the sf0.1 replay's wall time is ~95% fixed machinery, dominated by
@@ -162,13 +195,15 @@ def run_to_batch(
         orig_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions", fast_shuffle)
     try:
-        q = (
+        writer = (
             sdf.writeStream.foreachBatch(_spill)
             .queryName(name)
             .outputMode(mode)
             .trigger(availableNow=True)
-            .start()
         )
+        if checkpoint is not None:
+            writer = writer.option("checkpointLocation", checkpoint)
+        q = writer.start()
         q.awaitTermination()
     finally:
         if orig_shuffle is not None:
@@ -177,13 +212,17 @@ def run_to_batch(
         f.endswith(".parquet") for _, _, fs in os.walk(spool) for f in fs
     )
     if not has_files:  # zero batches emitted (e.g. all rows late)
-        shutil.rmtree(spool, ignore_errors=True)
+        if not caller_spool:
+            shutil.rmtree(spool, ignore_errors=True)
         schema = sdf.schema
         if batch_transform is not None:  # post-transform shape
             schema = batch_transform(spark.createDataFrame([], schema)).schema
         return spark.createDataFrame([], schema=schema)
-    _SPOOLS.append((weakref.ref(spark), spool))
+    if not caller_spool:
+        _SPOOLS.append((weakref.ref(spark), spool))
     if not _ATEXIT_REGISTERED:
         atexit.register(sweep_spools, only_dead=False)
         _ATEXIT_REGISTERED = True
-    return spark.read.parquet(spool)
+    # recursiveFileLookup: read the batch=<id> subdirectories as plain
+    # file layout (no partition-column inference) — see idempotence note
+    return spark.read.option("recursiveFileLookup", "true").parquet(spool)

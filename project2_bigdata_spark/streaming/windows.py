@@ -485,8 +485,7 @@ def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_KLL_K = 16384
 
 
-@register(
-    "stream_kll_value_quantiles",
+_STREAM_KLL_REG = dict(
     oracle="""
     SELECT CAST(COUNT(value) AS BIGINT) AS n_events,
            percentile_disc(0.1) WITHIN GROUP (ORDER BY value) AS q1,
@@ -517,7 +516,14 @@ _STREAM_KLL_K = 16384
         "the documented 100 TB behavior. The quantile probes are "
         "FOLDABLE literals (the r6 KLL lesson).",
 )
-def q_stream_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+
+def kll_sketch_sink(spark: SparkSession, sf_dir: str, **runner_kw) -> DataFrame:
+    """The standing KLL sketch table maintained from the stream (one
+    bounded row per micro-batch). ``runner_kw`` passes through to
+    ``run_to_batch`` — the kill/resume checkpoint test drives this with
+    ``checkpoint=``/``spool=``/``post_spill_hook=`` to prove the sink is
+    idempotent under foreachBatch's at-least-once restart contract."""
     sdf = events_stream(spark, sf_dir).select("value")
 
     def to_sketch(batch: DataFrame) -> DataFrame:
@@ -526,7 +532,14 @@ def q_stream_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("value").alias("n"),
         )
 
-    sink = run_to_batch(sdf, mode="append", batch_transform=to_sketch)
+    return run_to_batch(sdf, mode="append", batch_transform=to_sketch,
+                        **runner_kw)
+
+
+def kll_quantiles_from_sink(sink: DataFrame) -> DataFrame:
+    """Merge the sketch table and probe the deciles (shared by the
+    registered query and the restart test so both compare the exact
+    final-table semantics)."""
     merged = sink.filter(F.col("n") > 0).agg(
         F.kll_merge_agg_double("sk").alias("sk"),
         F.sum("n").alias("n_events"),
@@ -539,6 +552,11 @@ def q_stream_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, 10)
         ],
     )
+
+
+@register("stream_kll_value_quantiles", **_STREAM_KLL_REG)
+def q_stream_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kll_quantiles_from_sink(kll_sketch_sink(spark, sf_dir))
 
 
 @register(
@@ -567,6 +585,12 @@ def q_stream_kll_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB is the documented behavior.",
 )
 def q_stream_theta_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return theta_daily_from_sink(theta_sketch_sink(spark, sf_dir))
+
+
+def theta_sketch_sink(spark: SparkSession, sf_dir: str, **runner_kw) -> DataFrame:
+    """The standing per-day theta sketch table (see the restart test —
+    ``runner_kw`` → ``run_to_batch`` exactly as ``kll_sketch_sink``)."""
     sdf = events_stream(spark, sf_dir).select(
         F.to_date("ts").alias("day"), "user_id")
 
@@ -576,7 +600,11 @@ def q_stream_theta_daily_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
 
-    sink = run_to_batch(sdf, mode="append", batch_transform=to_sketches)
+    return run_to_batch(sdf, mode="append", batch_transform=to_sketches,
+                        **runner_kw)
+
+
+def theta_daily_from_sink(sink: DataFrame) -> DataFrame:
     return sink.groupBy("day").agg(
         F.sum("n").alias("n_events"),
         F.round(F.theta_sketch_estimate(F.theta_union_agg("sk")))

@@ -19,6 +19,7 @@ from . import curation      # noqa: E402,F401  round 2: PII / span dedup / sampl
 from . import ops           # noqa: E402,F401  round 2: dq gates / anomalies / incremental rollups
 from . import analytics     # noqa: E402,F401  round 2: gap-fill / rolling median / pareto / RFM / fuzzy / BM25
 from . import classics      # noqa: E402,F401  round 5: TPC-H shapes, skyline, Benford, Welch, weighted median
+from . import partsupp      # noqa: E402,F401  round 8: TPC-H Q2/Q11/Q16/Q20 via derived partsupp, Q12 via derived shipmode
 from . import calibration   # noqa: E402,F401  round 5: isotonic (PAVA) fit, quantile normalization
 from ..operators import kmeans as _op_kmeans  # noqa: E402,F401  round 2: Lloyd k-means with unrolled oracle
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5

@@ -79,6 +79,7 @@ BNLJ_OK = {
     "rrf_fusion_topk",  # 1-row corpus-stats + 1-row query-vector broadcasts
     "psi_drift_totalprice",  # 1-row (lo, hi) bucket-bounds broadcast
     "lifecycle_states_monthly",  # 1-row max-month censoring broadcast
+    "tpch_q11_important_stock",  # 1-row nation-total stock-value broadcast
 }
 
 
@@ -1399,3 +1400,77 @@ def test_burstiness_single_scan_moment_pass(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "burstiness_memory_gaps")
     assert plan.count("events.parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_tpch_q2_part_filter_below_min_broadcast_back(spark, sf_dir):
+    """Q2's decorrelation pins: the part filter (type + size) pushes
+    into the part scan BELOW the per-part min (min is per-key, so
+    filtering partkeys first is semantics-preserving and prunes the
+    grouped aggregate to the surviving parts); the (partkey, min_cost)
+    table joins BACK as a broadcast; the supplier→nation→region chain
+    is a broadcast dimension chain; top-100 is TakeOrderedAndProject;
+    no cartesian/NLJ anywhere."""
+    plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
+    assert "EqualTo(p_type,STANDARD)" in plan, plan
+    assert "LessThanOrEqual(p_size,5)" in plan, plan
+    assert "EqualTo(r_name,EUROPE)" in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q11_scalar_total_broadcast_integer_threshold(spark, sf_dir):
+    """Q11's pins: the nation-filtered supplier set broadcasts into the
+    derived partsupp; the per-part stock value is ONE grouped decimal
+    aggregate on ps_partkey; the global total attaches as the 1-row
+    broadcast scalar (BNLJ by design, never CartesianProduct); the
+    fraction threshold stayed an integer multiply (no float division
+    in the plan)."""
+    plan = plan_of(spark, sf_dir, "tpch_q11_important_stock")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "hashpartitioning(ps_partkey" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q16_anti_join_broadcast_dims(spark, sf_dir):
+    """Q16's pins: the deficit-supplier exclusion is a broadcast LEFT
+    ANTI (NOT IN over a non-null key), the filtered part dimension
+    broadcasts (size IN-list pushed to the part scan), and the distinct
+    supplier count shuffles once on the group key."""
+    plan = plan_of(spark, sf_dir, "tpch_q16_supplier_part_count")
+    assert "LeftAnti, BuildRight" in plan, plan
+    assert "IN (1,4,9,16,25,36,49)" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q20_semi_join_windowed_scan(spark, sf_dir):
+    """Q20's pins: both shipdate bounds reach the lineitem scan
+    (PushedFilters), the correlated quantity subquery exists as ONE
+    grouped aggregate on the (l_partkey, l_suppkey) pair (never a
+    per-row rescan), and the qualifying-supplier set enters the
+    supplier dimension as a broadcast LEFT SEMI."""
+    plan = plan_of(spark, sf_dir, "tpch_q20_excess_stock_suppliers")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan, plan
+    assert "hashpartitioning(l_partkey" in plan, plan  # pair-key agg
+    assert ", l_suppkey" in plan[plan.index("hashpartitioning(l_partkey"):], plan
+    assert "LeftSemi, BuildRight" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_tpch_q12_dates_pushed_rowlocal_mode(spark, sf_dir):
+    """Q12's pins: both shipdate bounds are pushed parquet filters; the
+    derived shipmode is row-local (no extra join or shuffle to compute
+    it — exactly one join in the whole plan, lineitem x orders); the
+    two priority counts are one aggregate pass (no Expand)."""
+    plan = plan_of(spark, sf_dir, "tpch_q12_shipmode_priority")
+    assert "GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "LessThan(l_shipdate" in plan, plan
+    assert "Expand" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -206,8 +206,28 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return round(best, 3)
 
-    calibration = _calibrate()
+    # Contention guard (VERDICT r7 item 5): r7's driver-captured headline
+    # (23.54s) was a contended run — two clean same-HEAD runs read
+    # 19.00/19.04s — because one calibration probe BEFORE the headline
+    # block cannot see load that arrives DURING it. Calibrate before AND
+    # after; if the probes disagree by >20%, the headline numbers are
+    # suspect: re-run the headline set once and keep the per-query min
+    # across both passes (the least-contended observation of each).
+    import statistics
+
+    calibration_pre = _calibrate()
     timings, timings_median, timings_runs = run_set(HEADLINE, reps_headline)
+    calibration_post = _calibrate()
+    contended = (max(calibration_pre, calibration_post)
+                 > 1.2 * min(calibration_pre, calibration_post))
+    if contended:
+        t2, _, r2 = run_set(HEADLINE, reps_headline)
+        for k in t2:
+            timings_runs[k] = timings_runs.get(k, []) + r2[k]
+            timings[k] = min(timings.get(k, t2[k]), t2[k])
+            timings_median[k] = round(statistics.median(timings_runs[k]), 3)
+        calibration_post = _calibrate()
+    calibration = min(calibration_pre, calibration_post)
     secondary, secondary_median, secondary_runs = run_set(
         SECONDARY, reps_secondary)
 
@@ -273,6 +293,9 @@ def main() -> None:
         "runs_per_tertiary": reps_tertiary,
         "tertiary_total": round(sum(tertiary.values()), 3),
         "calibration_50m_agg": calibration,
+        "calibration_pre": calibration_pre,
+        "calibration_post": calibration_post,
+        "contention_rerun": contended,
         "data_fingerprint": data_fp,
         "sf": sf,
     }
@@ -298,6 +321,8 @@ def main() -> None:
         "tertiary_total": result["tertiary_total"],
         "n_queries_timed": len(timings) + len(secondary) + len(tertiary),
         "calibration_50m_agg": calibration,
+        "cal_pre_post": [calibration_pre, calibration_post],
+        "contention_rerun": contended,
         "data_fingerprint": data_fp,
     }
     # Enforce the <~1.2KB budget that keeps the line inside the driver's

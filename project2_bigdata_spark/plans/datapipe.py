@@ -428,8 +428,14 @@ register(
     # doc — the oracle grid stays tiny at correctness scale.
     oracle="""
     WITH d AS (
-      SELECT doc_id, hex(encode(text)) AS hx,
-             octet_length(encode(text)) AS n
+      -- empty-payload guard (ADVICE r7): the kernel pads b'' to b'\\x00'
+      -- (one zero byte, 1x1 raster) — mirror that padding here so a
+      -- future corpus with an empty document still hash-matches instead
+      -- of CAST('0x' AS INT) erroring on the empty hex string
+      SELECT doc_id,
+             CASE WHEN octet_length(encode(text)) = 0 THEN '00'
+                  ELSE hex(encode(text)) END AS hx,
+             GREATEST(octet_length(encode(text)), 1) AS n
       FROM documents
     ), dims AS (
       SELECT doc_id, hx, n,

@@ -220,6 +220,24 @@ def test_resize_kernel_is_true_nearest_neighbor():
     assert set(out3.ravel().tolist()) <= set(b)
 
 
+def test_resize_oracle_matches_kernel_on_empty_payload():
+    """ADVICE r7: the kernel pads b'' to one zero byte (1x1 raster); the
+    DuckDB oracle must mirror that padding instead of erroring on
+    CAST('0x' AS INT) over the empty hex string. Pin the oracle's
+    empty-document row against the kernel directly."""
+    import duckdb
+
+    from project2_bigdata_spark.operators.multimodal import _resize_kernel
+    from project2_bigdata_spark.plans import REGISTRY
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1 AS doc_id, '' AS text")
+    row = con.execute(REGISTRY["multimodal_resize"].oracle).fetchone()
+    src_w, src_h, out = _resize_kernel(b"", 8, 4)
+    psum = int(out.sum())
+    assert row == (1, src_w, src_h, 8, 4, psum, (psum * 1000) // 32)
+
+
 def test_connected_components_fixpoint(spark):
     """Chains force multi-round propagation (diameter > 1); singletons
     keep themselves; min id wins as the canonical label."""

@@ -142,9 +142,16 @@ def synth_skew(spark, k: int) -> str:
         d.withColumn("rank", F.row_number().over(Window.orderBy("doc_id")))
         .withColumn(
             "fam_size",
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(c) / F.pow(F.col("rank"), F.lit(ZIPF_S))),
+            # clamp at 2^FAM_SHIFT (ADVICE r7): member j packs into the
+            # low FAM_SHIFT bits of doc_id — an over-cap rank-1 family
+            # at very large K would overflow j into the family bits and
+            # silently corrupt doc_id >> FAM_SHIFT ground-truth recovery
+            F.least(
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(c) / F.pow(F.col("rank"), F.lit(ZIPF_S))),
+                ),
+                F.lit(1 << FAM_SHIFT),
             ).cast("int"),
         )
     )
@@ -177,9 +184,12 @@ def synth_skew(spark, k: int) -> str:
         ev.withColumn("rank", F.row_number().over(Window.orderBy("vec_id")))
         .withColumn(
             "fam_size",
-            F.greatest(
-                F.lit(1),
-                F.floor(F.lit(cv) / F.pow(F.col("rank"), F.lit(ZIPF_S))),
+            F.least(  # same 2^FAM_SHIFT id-packing clamp as documents
+                F.greatest(
+                    F.lit(1),
+                    F.floor(F.lit(cv) / F.pow(F.col("rank"), F.lit(ZIPF_S))),
+                ),
+                F.lit(1 << FAM_SHIFT),
             ).cast("int"),
         )
         .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("fam_size") - 1)))
@@ -195,6 +205,26 @@ def synth_skew(spark, k: int) -> str:
     )
     emb.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
     return out
+
+
+import contextlib
+
+
+@contextlib.contextmanager
+def _deadline(spark, label: str, timeout_s: int):
+    """Job-group + Timer cancellation around one timed action — the same
+    pattern run() uses, factored out so skew mode's documented --timeout
+    actually binds (ADVICE r7: skew_metrics accepted timeout_s but never
+    used it, so a hung query ran unbounded)."""
+    sc = spark.sparkContext
+    sc.setJobGroup(label, label, interruptOnCancel=True)
+    timer = threading.Timer(timeout_s, lambda: sc.cancelJobGroup(label))
+    timer.start()
+    try:
+        yield
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
 
 
 def skew_metrics(spark, k: int, timeout_s: int) -> dict:
@@ -254,7 +284,8 @@ def skew_metrics(spark, k: int, timeout_s: int) -> dict:
     )
     t0 = time.perf_counter()
     pairs = REGISTRY["minhash_near_dup"].fn(spark, sf)
-    pairs.write.mode("overwrite").format("noop").save()
+    with _deadline(spark, "skew-minhash", timeout_s):
+        pairs.write.mode("overwrite").format("noop").save()
     out["minhash_near_dup_wall_sec"] = round(time.perf_counter() - t0, 1)
     covered = (
         pairs.select(F.col("doc_a").alias("doc_id"))
@@ -287,7 +318,8 @@ def skew_metrics(spark, k: int, timeout_s: int) -> dict:
     hot = minhash_hot_bucket_matches(spark, sf, threshold=0.8)
     hot_docs = hot.select("doc_id").unionByName(
         hot.select(F.col("canonical_doc_id").alias("doc_id"))).distinct()
-    n_hot_docs = hot_docs.count()
+    with _deadline(spark, "skew-hot-pass", timeout_s):
+        n_hot_docs = hot_docs.count()
     out["hot_pass_wall_sec"] = round(time.perf_counter() - t0, 1)
     out["hot_pass_docs_matched"] = n_hot_docs
     n_comb = eligible.join(
@@ -303,8 +335,9 @@ def skew_metrics(spark, k: int, timeout_s: int) -> dict:
     out["jaccard_block_routed_share"] = round(
         blocks.filter(F.col("bn") > MAX_JACCARD_BLOCK).count() / n_docs, 4)
     t0 = time.perf_counter()
-    REGISTRY["dedup_blocked_jaccard"].fn(spark, sf).write.mode(
-        "overwrite").format("noop").save()
+    with _deadline(spark, "skew-blocked-jaccard", timeout_s):
+        REGISTRY["dedup_blocked_jaccard"].fn(spark, sf).write.mode(
+            "overwrite").format("noop").save()
     out["blocked_jaccard_wall_sec"] = round(time.perf_counter() - t0, 1)
 
     # ---- MAX_EMB_BUCKET exclusion on the hyperplane LSH buckets --------
@@ -320,8 +353,9 @@ def skew_metrics(spark, k: int, timeout_s: int) -> dict:
     out["emb_bucket_cap_excluded_share"] = round(
         buckets.filter(F.col("bn") > MAX_EMB_BUCKET).count() / n_vecs, 4)
     t0 = time.perf_counter()
-    REGISTRY["dedup_embedding_cosine"].fn(spark, sf).write.mode(
-        "overwrite").format("noop").save()
+    with _deadline(spark, "skew-emb-cosine", timeout_s):
+        REGISTRY["dedup_embedding_cosine"].fn(spark, sf).write.mode(
+            "overwrite").format("noop").save()
     out["dedup_embedding_cosine_wall_sec"] = round(time.perf_counter() - t0, 1)
     return out
 

@@ -350,12 +350,35 @@ def oracle_minhash_accuracy() -> str:
     """
 
 
-def _band_table(docs: DataFrame) -> DataFrame:
+def _band_table(docs: DataFrame, occupancy: str | None = None) -> DataFrame:
     """(doc_id, band_idx, band_hash, _bn) band table with per-bucket
     occupancy — the shared LSH index shape; consumers split it at a
     cap (``_capped_bands`` keeps <= cap for the pair join,
     ``minhash_hot_bucket_matches`` takes > cap for the linear
-    representative pass)."""
+    representative pass).
+
+    ``occupancy`` picks how the per-bucket count is computed (default
+    ``window``, override via SPARK_GRAFT_BAND_OCCUPANCY or the
+    parameter — the measurement knob for ``tools/scale_stress.py
+    band_occupancy``):
+
+    * ``window`` — ``count(*) OVER (PARTITION BY band_idx, band_hash)``:
+      ONE exchange on the band key that ReuseExchange then feeds to the
+      pair join, at the cost of sorting each bucket inside a single
+      task (AQE cannot skew-split a window partition).
+    * ``groupby`` — groupBy + rejoin: the count collapses map-side (a
+      hot bucket costs one combiner cell, not a task-local sort) and
+      the rejoin is a skew-splittable SortMergeJoin, at the cost of a
+      second exchange.
+
+    MEASURED on the K=100 Zipf skew corpus (386k docs, one ~46k-member
+    near-dup family; SCALE.md §Band-occupancy): window 11.3 s vs
+    groupby 12.5 s for the full minhash_near_dup, 32.4 s vs 33.6 s for
+    the hot-bucket pass — the embedding leg's ReuseExchange argument
+    holds on the minhash leg too (VERDICT r7 item 6), because even the
+    giant family's band entries are capped long before the sort hurts:
+    per-bucket rows are bounded by the band-value agreement itself.
+    ``window`` stays the default with the measurement on record."""
     sig = _minhash_signature(docs)
     bands = sig.select(
         "doc_id",
@@ -377,8 +400,16 @@ def _band_table(docs: DataFrame) -> DataFrame:
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
 
+    import os
+
     from pyspark.sql.window import Window
 
+    occupancy = occupancy or os.environ.get(
+        "SPARK_GRAFT_BAND_OCCUPANCY", "window")
+    if occupancy == "groupby":
+        counts = bands.groupBy("band_idx", "band_hash").agg(
+            F.count("*").alias("_bn"))
+        return bands.join(counts, ["band_idx", "band_hash"])
     bucket_n = F.count("*").over(Window.partitionBy("band_idx", "band_hash"))
     return bands.withColumn("_bn", bucket_n)
 

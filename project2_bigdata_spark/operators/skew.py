@@ -58,3 +58,96 @@ def salted_join(
         how,
     )
     return joined.drop("_salt")
+
+
+#: Broadcast eligibility in ROWS — the deterministic local proxy for the
+#: "dim side ≤ ~10 GB" posture (SCALE.md §Joins). On a real cluster the
+#: same decision reads table statistics in bytes; rows keep the cost
+#: model testable without a metastore.
+BROADCAST_ROWS = 1_000_000
+
+#: A key is HOT when its row share exceeds skew_factor × the average
+#: partition share (1/parallelism) — the same shape as AQE's
+#: skewedPartitionFactor test, applied BEFORE the shuffle exists.
+SKEW_FACTOR = 4
+
+
+def choose_join_strategy(
+    n_left: int,
+    n_right: int,
+    top_share: float,
+    parallelism: int,
+    broadcast_rows: int = BROADCAST_ROWS,
+    skew_factor: int = SKEW_FACTOR,
+    n_salts: int = 16,
+) -> str:
+    """The documented cost model (SCALE.md §Joins) as a pure function —
+    decides ``broadcast`` / ``salt`` / ``plain`` from the stats
+    :func:`adaptive_join` gathers. Rules, in order:
+
+    1. **broadcast** when the right side fits the broadcast budget:
+       never shuffle the fact for a dim-sized build side.
+    2. **salt** when BOTH (a) the left's heaviest key would form a
+       reducer partition ``skew_factor`` × the average — the skew AQE's
+       post-shuffle split handles poorly because the hot partition
+       still materializes first — AND (b) replication is the cheaper
+       evil: |right| × n_salts < |left| (salted_join's own cost bound).
+    3. **plain** otherwise: one shuffle each side, AQE skew-split armed.
+    """
+    if n_right <= broadcast_rows:
+        return "broadcast"
+    if (top_share > skew_factor / max(parallelism, 1)
+            and n_right * n_salts < n_left):
+        return "salt"
+    return "plain"
+
+
+def adaptive_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    salt_cols: list[str],
+    how: str = "inner",
+    n_salts: int = 16,
+    broadcast_rows: int = BROADCAST_ROWS,
+    skew_factor: int = SKEW_FACTOR,
+) -> tuple[DataFrame, str]:
+    """Cost-based join planner hook (VERDICT r7 item 7): consults the
+    key-skew profile and dispatches to broadcast / salted / plain —
+    the manual wiring between ``key_skew_profile`` (the diagnostic) and
+    ``salted_join`` (the remedy), now one call.
+
+    Returns ``(joined_frame, strategy)`` so callers can log the choice.
+    The stats cost two aggregate jobs (right count; left count + top
+    key share in one two-level pass) — planning-time work that runs
+    once per pipeline, exactly where a warehouse would read table
+    statistics; the profile aggregate is map-side combined so it never
+    shuffles fact rows, only the distinct-key relation. Every branch
+    returns the same relation (pinned by tests): strategy changes the
+    shuffle distribution, never the result.
+    """
+    n_right = right.count()
+    prof = (
+        left.groupBy(left_key).agg(F.count("*").alias("_n"))
+        .agg(F.sum("_n").alias("_total"), F.max("_n").alias("_top"))
+        .first()
+    )
+    n_left = prof["_total"] or 0
+    top_share = (prof["_top"] / n_left) if n_left else 0.0
+    strategy = choose_join_strategy(
+        n_left, n_right, top_share,
+        parallelism=left.sparkSession.sparkContext.defaultParallelism,
+        broadcast_rows=broadcast_rows, skew_factor=skew_factor,
+        n_salts=n_salts,
+    )
+    if strategy == "broadcast":
+        out = left.join(
+            F.broadcast(right), left[left_key] == right[right_key], how)
+    elif strategy == "salt":
+        out = salted_join(
+            left, right.hint("shuffle_hash"), left_key, right_key,
+            salt_cols=salt_cols, n_salts=n_salts, how=how)
+    else:
+        out = left.join(right, left[left_key] == right[right_key], how)
+    return out, strategy

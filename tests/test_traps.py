@@ -235,6 +235,76 @@ def test_salted_join_equivalence(spark, sf_dir):
                     salt_cols=["l_orderkey"], how="full_outer")
 
 
+def test_adaptive_join_cost_model_branches():
+    """choose_join_strategy (the pure cost model behind adaptive_join)
+    must pick each branch exactly per SCALE.md §Joins: broadcast for a
+    budget-fitting dim, salt only when the hot key exceeds skew_factor x
+    the average partition share AND replication is cheaper than the hot
+    partition, plain otherwise."""
+    from project2_bigdata_spark.operators.skew import choose_join_strategy
+
+    # (1) dim fits the broadcast budget — regardless of skew
+    assert choose_join_strategy(
+        10**9, 500_000, top_share=0.9, parallelism=32) == "broadcast"
+    # (2) un-broadcastable dim + hot key past 4/32 share + cheap
+    #     replication → salt
+    assert choose_join_strategy(
+        10**9, 2_000_000, top_share=0.5, parallelism=32) == "salt"
+    # (3a) same sizes, uniform keys → plain (AQE handles mild skew)
+    assert choose_join_strategy(
+        10**9, 2_000_000, top_share=0.01, parallelism=32) == "plain"
+    # (3b) hot key but replication NOT worth it (|right|*n_salts >=
+    #      |left|): salting would cost more than the hot partition
+    assert choose_join_strategy(
+        10_000_000, 2_000_000, top_share=0.5, parallelism=32) == "plain"
+
+
+def test_adaptive_join_every_branch_same_relation(spark, sf_dir):
+    """adaptive_join must return the identical relation under every
+    strategy (the branch changes the shuffle distribution, never the
+    rows) and must dispatch on the gathered stats: force each branch by
+    moving the thresholds and compare against the plain join."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.operators.skew import adaptive_join
+
+    e = table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    plain = e.join(c, e.user_id == c.c_custkey).select(
+        "event_id", "c_mktsegment")
+
+    got = {}
+    # broadcast: the dim fits any sane budget at test scale
+    df, got["b"] = adaptive_join(e, c, "user_id", "c_custkey",
+                                 salt_cols=["event_id"])
+    assert got["b"] == "broadcast"
+    assert "BroadcastHashJoin" in df._jdf.queryExecution().executedPlan().toString()
+    assert df.select("event_id", "c_mktsegment").exceptAll(plain).count() == 0
+    assert plain.exceptAll(df.select("event_id", "c_mktsegment")).count() == 0
+
+    # salt: zero broadcast budget + every key "hot" + a dim small enough
+    # that replication passes the |right| x n_salts < |left| bound (the
+    # bound itself is pinned by the cost-model unit test above)
+    csmall = c.where(F.col("c_custkey") < 50)
+    plain_small = e.join(csmall, e.user_id == csmall.c_custkey).select(
+        "event_id", "c_mktsegment")
+    df, got["s"] = adaptive_join(e, csmall, "user_id", "c_custkey",
+                                 salt_cols=["event_id"],
+                                 broadcast_rows=0, skew_factor=0)
+    assert got["s"] == "salt"
+    assert df.select("event_id", "c_mktsegment").exceptAll(plain_small).count() == 0
+    assert plain_small.exceptAll(df.select("event_id", "c_mktsegment")).count() == 0
+
+    # plain: zero budget, impossible skew bar
+    df, got["p"] = adaptive_join(e, c, "user_id", "c_custkey",
+                                 salt_cols=["event_id"],
+                                 broadcast_rows=0, skew_factor=10**9)
+    assert got["p"] == "plain"
+    assert df.select("event_id", "c_mktsegment").exceptAll(plain).count() == 0
+    assert plain.exceptAll(df.select("event_id", "c_mktsegment")).count() == 0
+
+
 def test_bucketed_asof_equals_plain(spark, sf_dir):
     """The bucketed (skew-hardened) as-of join is the same relation as
     the single-window form — tiny 6h buckets force heavy use of the

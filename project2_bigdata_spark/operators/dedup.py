@@ -371,14 +371,17 @@ def _band_table(docs: DataFrame, occupancy: str | None = None) -> DataFrame:
       the rejoin is a skew-splittable SortMergeJoin, at the cost of a
       second exchange.
 
-    MEASURED on the K=100 Zipf skew corpus (386k docs, one ~46k-member
-    near-dup family; SCALE.md §Band-occupancy): window 11.3 s vs
-    groupby 12.5 s for the full minhash_near_dup, 32.4 s vs 33.6 s for
-    the hot-bucket pass — the embedding leg's ReuseExchange argument
-    holds on the minhash leg too (VERDICT r7 item 6), because even the
-    giant family's band entries are capped long before the sort hurts:
-    per-bucket rows are bounded by the band-value agreement itself.
-    ``window`` stays the default with the measurement on record."""
+    MEASURED on the K=100 Zipf skew corpus (497k docs, one giant
+    near-dup family; SCALE.md §Band-occupancy): minhash_near_dup wall
+    10.9 s (window) vs 14.8 s (groupby), hot-bucket pass 6.2 s vs
+    10.6 s, results bit-identical — the embedding leg's ReuseExchange
+    argument (similarity.py:448) holds on the minhash leg too (VERDICT
+    r7 item 6): the window's single band-key exchange feeds the pair
+    join and the hot pass's representative window, where groupby+rejoin
+    pays a second exchange and an extra join. ``window`` stays the
+    default with the measurement on record; the giant family's sort
+    cost never dominates because a hot bucket's rows are already
+    identical-signature agreeers (cheap sort keys, one task-local run)."""
     sig = _minhash_signature(docs)
     bands = sig.select(
         "doc_id",

@@ -232,6 +232,64 @@ def write_versioned(df: DataFrame, path: str) -> int:
     return version
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    keys: list[str],
+    order_cols: list[str] | None = None,
+) -> int:
+    """Keyed MERGE / SCD1 upsert sink (VERDICT r7 item 8): apply a delta
+    batch to the latest snapshot under ``path`` — matched keys take the
+    delta row (UPDATE), unmatched delta keys INSERT, untouched base rows
+    survive — and land the merged state as a NEW immutable version via
+    :func:`write_versioned`. Returns the new version number.
+
+    Semantics and scale posture:
+
+    * **Within-delta dedup**: when the batch carries several rows per
+      key (a day of CDC events), ``order_cols`` picks the winner — max
+      by the given columns, deterministic under any partitioning (pass
+      a unique tiebreaker last, exactly like the SCD2 builder). The
+      window runs over the DELTA only (the small side).
+    * **The merge is an anti-join + union**, not a row-number window
+      over base ∪ delta: base rows shuffle once on the key against the
+      delta's distinct keys — a skew-splittable join AQE can handle —
+      and never sort. At 100 TB the base never rewrites more than one
+      snapshot's worth of files, and a partition-clustered base turns
+      the anti-join into partition-pruned work.
+    * **Snapshot isolation** rides the ``v=N`` directory layout:
+      readers pinned on version N are untouched while version N+1
+      writes (the write plan reads ``v=N`` and writes ``v=N+1`` —
+      different directories, no read-your-writes hazard), which is the
+      Delta/Iceberg MERGE contract on plain object storage. Bootstrap:
+      an empty/missing table makes the (deduped) delta itself v=1.
+
+    The registered query ``scd1_customer_latest_order`` proves
+    merge == full recompute against the DuckDB oracle; the
+    version-pinned read test proves isolation.
+    """
+    if order_cols:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy(*keys).orderBy(
+            *[F.desc(c) for c in order_cols])
+        delta = (
+            delta.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn")
+        )
+    has_base = os.path.isdir(path) and any(
+        name.startswith("v=") for name in os.listdir(path))
+    if has_base:
+        base = read_version(spark, path)
+        merged = base.join(
+            delta.select(*keys).distinct(), keys, "left_anti"
+        ).unionByName(delta)
+    else:
+        merged = delta
+    return write_versioned(merged, path)
+
+
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Versioned snapshot source: pin ``version``, or None for latest."""
     import re as _re
@@ -358,3 +416,74 @@ def read_bucketed_table(spark: SparkSession, name: str) -> DataFrame:
     same directory would NOT know the layout and would re-shuffle), so
     bucketed relations are addressed by table name, not path."""
     return spark.table(name)
+
+
+@register(
+    "scd1_customer_latest_order",
+    # Full-recompute oracle: the merged SCD1 state must equal "latest
+    # order per customer over ALL orders" — the merge==recompute
+    # invariant that lets a 100 TB dimension table apply only the day's
+    # delta (incremental_rollup_merge's property, row-keyed instead of
+    # aggregate-keyed).
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS last_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Keyed MERGE / SCD1 upsert end-to-end (VERDICT r7 item 8): the "
+        "per-customer latest-order dimension is bootstrapped from the "
+        "pre-cutoff history (v=1 snapshot), then the post-cutoff orders "
+        "arrive as a CDC delta batch through merge_upsert — matched "
+        "customers UPDATE to their newest delta row (within-batch "
+        "winner by (orderdate, orderkey) window over the delta only), "
+        "new customers INSERT, untouched rows survive via a "
+        "skew-splittable anti-join — landing as the v=2 snapshot with "
+        "v=1 untouched (snapshot isolation on plain object storage; "
+        "pinned by the version-read test). The oracle recomputes the "
+        "state from scratch, so hash parity IS the merge==recompute "
+        "proof. Money stays decimal through the merge; one string "
+        "round-trip at the end.",
+)
+def q_scd1_customer_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import weakref
+
+    from ..streaming.runner import _SPOOLS, _spool_root, sweep_spools
+
+    cutoff = "1997-01-01"
+
+    def state_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    sweep_spools(only_dead=True)
+    path = tempfile.mkdtemp(prefix="scd1_state_", dir=_spool_root())
+    _SPOOLS.append((weakref.ref(spark), path))  # session-tied cleanup
+    keys, order_cols = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    v1 = merge_upsert(
+        spark, path, state_rows(orders.where(F.col("o_orderdate") < cutoff)),
+        keys, order_cols)
+    v2 = merge_upsert(
+        spark, path, state_rows(orders.where(F.col("o_orderdate") >= cutoff)),
+        keys, order_cols)
+    assert (v1, v2) == (1, 2)
+    return read_version(spark, path, v2).select(
+        "o_custkey", "last_orderkey",
+        F.date_format("last_orderdate", "yyyy-MM-dd HH:mm:ss")
+        .alias("last_orderdate"),
+        F.col("last_totalprice").cast("string").cast("double")
+        .alias("last_totalprice"),
+    )

@@ -307,3 +307,48 @@ def test_versioned_snapshots_time_travel(spark, sf_dir):
     finally:
         shutil.rmtree(d, ignore_errors=True)
 
+
+
+def test_merge_upsert_scd1_semantics_and_isolation(spark, tmp_path):
+    """merge_upsert (VERDICT r7 item 8): matched keys UPDATE, unmatched
+    delta keys INSERT, untouched base rows survive; the within-delta
+    winner follows order_cols with a deterministic tiebreak; each merge
+    lands a NEW version while pinned readers of the prior snapshot see
+    bit-identical state (snapshot isolation)."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    path = str(tmp_path / "dim")
+    base = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, v string, ts long")
+    v1 = merge_upsert(spark, path, base, keys=["k"], order_cols=["ts", "v"])
+    assert v1 == 1  # bootstrap: delta IS the first snapshot
+
+    delta = spark.createDataFrame(
+        [
+            (2, "b2", 21), (2, "b3", 25),   # update key 2: ts=25 wins
+            (4, "d", 40),                    # insert key 4
+            (5, "e1", 50), (5, "e0", 50),    # insert key 5: ts tie →
+                                             # v desc tiebreak → e1
+        ],
+        "k long, v string, ts long")
+    v2 = merge_upsert(spark, path, delta, keys=["k"], order_cols=["ts", "v"])
+    assert v2 == 2
+
+    got = {r.k: (r.v, r.ts) for r in read_version(spark, path, 2).collect()}
+    assert got == {1: ("a", 10), 2: ("b3", 25), 3: ("c", 30),
+                   4: ("d", 40), 5: ("e1", 50)}
+
+    # snapshot isolation: v=1 is untouched by the merge
+    pinned = {r.k: (r.v, r.ts) for r in read_version(spark, path, 1).collect()}
+    assert pinned == {1: ("a", 10), 2: ("b", 20), 3: ("c", 30)}
+
+    # a third delta merges against the LATEST version, not the first
+    v3 = merge_upsert(
+        spark, path,
+        spark.createDataFrame([(4, "d2", 41)], "k long, v string, ts long"),
+        keys=["k"], order_cols=["ts", "v"])
+    assert v3 == 3
+    got3 = {r.k: r.v for r in read_version(spark, path).collect()}
+    assert got3 == {1: "a", 2: "b3", 3: "c", 4: "d2", 5: "e1"}

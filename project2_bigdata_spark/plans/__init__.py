@@ -25,6 +25,7 @@ from ..operators import kmeans as _op_kmeans  # noqa: E402,F401  round 2: Lloyd 
 from ..streaming import windows as _streaming_windows  # noqa: E402,F401  Phase 5
 from ..streaming import stateful as _streaming_stateful  # noqa: E402,F401  Phase 5
 from ..streaming import transform_state as _streaming_transform_state  # noqa: E402,F401  Phase 5 (Spark 4 typed state)
+from ..streaming import upsert as _streaming_upsert  # noqa: E402,F401  round 8: CDC → SCD1 MERGE sink from the stream
 from ..ml import forecast as _ml_forecast  # noqa: E402,F401  Phase 4
 from ..sources import ingest as _sources_ingest  # noqa: E402,F401  S1/S4 sources & sinks
 

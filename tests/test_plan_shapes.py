@@ -1474,3 +1474,18 @@ def test_tpch_q12_dates_pushed_rowlocal_mode(spark, sf_dir):
     assert "Expand" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_scd1_merge_anti_join_no_sort_over_base(spark, sf_dir):
+    """merge_upsert's scale posture: the base-vs-delta merge is a
+    broadcast/shuffled LEFT ANTI on the key (AQE-splittable), never a
+    row-number window over base ∪ delta (which would sort every base
+    row); the within-delta winner window partitions by the key over the
+    DELTA side only. The registered query's final read must also stay
+    free of cartesian/NLJ shapes."""
+    plan = plan_of(spark, sf_dir, "scd1_customer_latest_order")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the returned frame reads the materialized v=2 snapshot: one scan,
+    # no joins left in the read plan (the merge work happened at write)
+    assert "Join" not in plan, plan

@@ -96,6 +96,28 @@ def test_kll_sink_idempotent_on_restart(spark, multi_sf, tmp_path):
     assert len(batch_dirs) == N_FILES
 
 
+def test_stream_scd1_content_idempotent_on_restart(spark, multi_sf, tmp_path):
+    """The CDC → SCD1 MERGE sink's restart contract: a replayed batch
+    re-merges rows the failed attempt already applied — same winners,
+    same anti-join survivors — so the LATEST dimension state is
+    value-identical to an uninterrupted run (content idempotence; the
+    only trace of the replay is a redundant version directory)."""
+    from project2_bigdata_spark.streaming.upsert import run_stream_scd1
+
+    ref = _rows(run_stream_scd1(spark, multi_sf), "user_id")
+
+    ckpt, dim = str(tmp_path / "ckpt"), str(tmp_path / "dim")
+    with pytest.raises((StreamingQueryException, Exception)) as exc:
+        run_stream_scd1(spark, multi_sf, path=dim, checkpoint=ckpt,
+                        post_merge_hook=_crash_after_batch(1))
+    assert "injected crash" in str(exc.value)
+    # batch 1's merge landed (a version exists for it) but its offset
+    # did not commit — the restart MUST replay it
+    assert len(glob.glob(os.path.join(dim, "v=*"))) >= 2
+    resumed = run_stream_scd1(spark, multi_sf, path=dim, checkpoint=ckpt)
+    assert _rows(resumed, "user_id") == ref
+
+
 def test_theta_sink_idempotent_on_restart(spark, multi_sf, tmp_path):
     ref = _rows(theta_daily_from_sink(theta_sketch_sink(spark, multi_sf)),
                 "day")

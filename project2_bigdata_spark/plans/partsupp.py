@@ -139,7 +139,15 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    eligible = (
+    from ..session import truncate_lineage
+
+    # eligible feeds TWO consumers (the per-part min and the join-back);
+    # without truncation each re-derives partsupp from a full lineitem
+    # scan (measured: 2 scans, no ReuseExchange — the aggregate breaks
+    # exchange reuse). The relation is tiny (surviving parts × region
+    # suppliers), so materializing it is the 100 TB move: one fact scan
+    # total, both consumers read the truncated frame.
+    eligible = truncate_lineage(
         partsupp_df(spark, sf_dir)
         .join(F.broadcast(pfilt), F.col("ps_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sn), F.col("ps_suppkey") == F.col("s_suppkey"))

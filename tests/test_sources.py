@@ -352,3 +352,32 @@ def test_merge_upsert_scd1_semantics_and_isolation(spark, tmp_path):
     assert v3 == 3
     got3 = {r.k: r.v for r in read_version(spark, path).collect()}
     assert got3 == {1: "a", 2: "b3", 3: "c", 4: "d2", 5: "e1"}
+
+
+def test_vacuum_versions_retention(spark, tmp_path):
+    """vacuum_versions drops everything outside the retention window,
+    never the latest, and refuses keep<1; surviving pinned reads are
+    untouched."""
+    import pytest
+
+    from project2_bigdata_spark.sources.ingest import (
+        read_version, vacuum_versions, write_versioned,
+    )
+
+    path = str(tmp_path / "dim")
+    import os as _os
+
+    _os.makedirs(path)
+    for i in range(4):
+        write_versioned(
+            spark.createDataFrame([(i,)], "v long"), path)
+    assert vacuum_versions(path, keep=2) == [1, 2]
+    assert {r.v for r in read_version(spark, path, 3).collect()} == {2}
+    assert {r.v for r in read_version(spark, path).collect()} == {3}
+    from pyspark.errors import AnalysisException
+
+    with pytest.raises(AnalysisException):  # PATH_NOT_FOUND
+        spark.read.parquet(f"{path}/v=1").collect()
+    assert vacuum_versions(path, keep=5) == []  # window wider than table
+    with pytest.raises(ValueError):
+        vacuum_versions(path, keep=0)

@@ -1019,6 +1019,121 @@ def q_decontaminate_ngram(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (the semi-join-reduction scale path)
+# ---------------------------------------------------------------------------
+
+_BLOOM_BITS = 1 << 16   # 64 Kbit = 1024 longs ≈ 8 KB broadcast
+_BLOOM_K = 4            # hash functions
+
+
+@register(
+    "decontaminate_bloom",
+    # EXACT oracle — identical truth to decontaminate_ngram: the bloom
+    # is a prefilter, not an approximation of the result (no false
+    # negatives by construction; false positives die in the verify join)
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(w) >= {_DECON_N}
+               THEN list_transform(range(1, len(w) - {_DECON_N} + 2),
+                    i -> array_to_string(w[i:i+{_DECON_N - 1}], ' '))
+               ELSE [] END) AS grams
+      FROM d
+    ), bench AS (
+      SELECT DISTINCT unnest(grams) AS bgram FROM g WHERE doc_id < 3
+    ), hits AS (
+      SELECT doc_id, COUNT(DISTINCT gram) AS n_hit
+      FROM (SELECT doc_id, unnest(grams) AS gram FROM g) cg
+      JOIN bench ON cg.gram = bench.bgram
+      GROUP BY 1
+    )
+    SELECT g.doc_id,
+           CAST(len(g.grams) AS BIGINT) AS n_grams,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit
+    FROM g LEFT JOIN hits h ON g.doc_id = h.doc_id
+    WHERE len(g.grams) > 0
+    """,
+    doc="Decontamination at BENCHMARK-TOO-BIG-TO-BROADCAST-AS-AN-ARRAY "
+        "scale: a hand-built Bloom filter (the runtime-filter semi-join "
+        "reduction Spark applies to joins internally, stated explicitly "
+        f"in pure JVM expressions — {_BLOOM_K} xxhash64 probes into a "
+        f"{_BLOOM_BITS}-bit bitmap built by a bit_or aggregate, "
+        "broadcast as ONE ~8 KB map row) prefilters the exploded corpus "
+        "gram stream, so only grams that MIGHT be benchmark grams enter "
+        "the exact verify equi-join; false positives die there, false "
+        "negatives are impossible (every inserted gram sets its bits). "
+        "Same exact truth as decontaminate_ngram — the bloom changes "
+        "the plan, never the relation (pinned equal in tests). At "
+        "100 TB this is the shape when the benchmark has millions of "
+        "grams: the bitmap stays KBs regardless, the corpus-side "
+        "shuffle carries only prefilter survivors, and the gram "
+        "explode is the one unavoidable cost the array-intersect "
+        "variant already avoided for SMALL benchmarks — the two "
+        "queries are the two regimes of one operator.",
+)
+def q_decontaminate_bloom(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").withColumn("w", F.split("text", " "))
+    grams = F.expr(
+        f"array_distinct(CASE WHEN size(w) >= {_DECON_N} "
+        f"THEN transform(sequence(1, size(w) - {_DECON_N} + 1), "
+        f"i -> array_join(slice(w, i, {_DECON_N}), ' ')) "
+        "ELSE array() END)"
+    )
+    g = d.select("doc_id", grams.alias("grams")).where(F.size("grams") > 0)
+    bench = (
+        g.filter(F.col("doc_id") < 3)
+        .select(F.explode("grams").alias("bgram")).distinct()
+    )
+
+    def positions(col):  # the K bit positions of one gram
+        return [
+            F.pmod(F.xxhash64(F.lit(i), col), F.lit(_BLOOM_BITS))
+            for i in range(_BLOOM_K)
+        ]
+
+    # build: per-gram bit positions → (word_idx, bit) → bit_or per word
+    # → ONE map row (word_idx → 64-bit word), ~8 KB however large the
+    # benchmark is (shiftleft by a COLUMN needs the SQL form — the
+    # Python wrapper only takes a literal bit count)
+    bits = bench.select(
+        F.explode(F.array(*positions(F.col("bgram")))).alias("pos"))
+    bitmap = (
+        bits.groupBy((F.col("pos") / 64).cast("int").alias("wi"))
+        .agg(F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"))
+            .alias("wd"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("wi", "wd")))
+             .alias("bm"))
+    )
+
+    cg = g.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"),
+                  F.explode("grams").alias("gram"))
+    probe = cg.crossJoin(F.broadcast(bitmap)).select(
+        "*", *[p.alias(f"p{i}") for i, p in
+               enumerate(positions(F.col("gram")))])
+    might = " AND ".join(
+        f"(coalesce(element_at(bm, CAST(p{i} / 64 AS INT)), CAST(0 AS BIGINT))"
+        f" & shiftleft(CAST(1 AS BIGINT), CAST(p{i} % 64 AS INT))) != 0"
+        for i in range(_BLOOM_K)
+    )
+    candidates = probe.where(F.expr(might)).select("doc_id", "gram")
+    hits = (
+        candidates.join(F.broadcast(bench),
+                        F.col("gram") == F.col("bgram"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("gram").cast("bigint").alias("n_hit"))
+    )
+    return (
+        g.select("doc_id", F.size("grams").cast("bigint").alias("n_grams"))
+        .join(hits, "doc_id", "left")
+        .select("doc_id", "n_grams",
+                F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("n_hit"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-dimension embedding statistics (normalization / whitening diagnostics)
 # ---------------------------------------------------------------------------
 

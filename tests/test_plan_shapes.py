@@ -1509,3 +1509,15 @@ def test_scd1_merge_anti_join_no_sort_over_base(spark, sf_dir):
     # the returned frame reads the materialized v=2 snapshot: one scan,
     # no joins left in the read plan (the merge work happened at write)
     assert "Join" not in plan, plan
+
+
+def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
+    """The bloom prefilter's pins: the bitmap is built by a bit_or
+    aggregate and attaches as ONE broadcast row (BNLJ by design); the
+    exact verify is a broadcast equi-join on the gram (false positives
+    die there); no cartesian anywhere."""
+    plan = plan_of(spark, sf_dir, "decontaminate_bloom")
+    assert "bit_or" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # bitmap row
+    assert "BroadcastHashJoin" in plan, plan  # exact gram verify
+    assert "CartesianProduct" not in plan, plan

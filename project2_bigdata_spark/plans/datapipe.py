@@ -1134,6 +1134,92 @@ def q_decontaminate_bloom(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Count-min-prefiltered heavy hitters (the huge-vocabulary regime)
+# ---------------------------------------------------------------------------
+
+_CMS_W = 8192        # cells per hash row
+_CMS_D = 4           # hash rows; grid = 32k cells ≈ 256 KB broadcast
+_HH_DENOM = 200      # heavy hitter: count * 200 >= total tokens
+
+
+def _cms_estimate_sql(token_expr: str) -> str:
+    """SQL for the count-min estimate of one token: min over the D row
+    lookups in the broadcast grid map (key = row*W + cell)."""
+    lookups = ", ".join(
+        f"coalesce(element_at(bm, CAST({i} * {_CMS_W} + "
+        f"pmod(xxhash64({i}, {token_expr}), {_CMS_W}) AS INT)), "
+        f"CAST(0 AS BIGINT))"
+        for i in range(_CMS_D)
+    )
+    return f"least({lookups})"
+
+
+@register(
+    "heavy_hitters_cms",
+    # EXACT oracle — the CMS is a prefilter (overestimates only ⇒ every
+    # true heavy hitter survives; impostors die in the exact count).
+    # The threshold is the integer inequality count*200 >= total.
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM tok)
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM tok, tot
+    GROUP BY token, tot.n
+    HAVING COUNT(*) * {_HH_DENOM} >= tot.n
+    """,
+    doc="Exact heavy hitters through a count-min prefilter — the "
+        "HUGE-VOCABULARY regime of frequent-token mining (the bloom "
+        "decontamination's sibling reduction): a hand-built CMS grid "
+        f"({_CMS_D}x{_CMS_W} cells, built by ONE grouped count whose "
+        "shuffle key space is the 32k GRID — bounded however large the "
+        "vocabulary — and broadcast as a ~256 KB map row) is probed "
+        "ROW-LOCALLY inside an array filter over each doc's tokens, so "
+        "only might-be-heavy tokens are ever exploded into the exact "
+        "count; CMS never underestimates, so no true heavy hitter is "
+        "lost, and impostors die in the exact pass. The naive plan "
+        "shuffles |vocab| keys; this plan shuffles 32k grid cells plus "
+        "the tiny candidate stream. Threshold = total/200 as an integer "
+        "inequality (float-free); DuckDB recomputes exactly, so hash "
+        "parity proves the reduction end-to-end.",
+)
+def q_heavy_hitters_cms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks"))
+
+    # grid build: one grouped count over (row*W + cell) — 4 entries per
+    # token occurrence, key space bounded at 32k whatever the vocab is
+    cells = d.select(F.explode("toks").alias("t")).select(
+        F.explode(F.array(*[
+            (F.lit(i * _CMS_W)
+             + F.pmod(F.xxhash64(F.lit(i), F.col("t")), F.lit(_CMS_W)))
+            .cast("int").alias(f"c{i}")
+            for i in range(_CMS_D)
+        ])).alias("cell"))
+    grid = (
+        cells.groupBy("cell").agg(F.count("*").alias("n"))
+        .agg(F.map_from_entries(F.collect_list(F.struct("cell", "n")))
+             .alias("bm"))
+    )
+    total = d.select(F.explode("toks").alias("t")).agg(
+        F.count("*").alias("tot"))
+
+    est = _cms_estimate_sql("t")
+    candidates_per_doc = d.crossJoin(F.broadcast(grid)).crossJoin(
+        F.broadcast(total)).select(
+        F.expr(f"filter(toks, t -> {est} * {_HH_DENOM} >= tot)")
+        .alias("cand"))
+    return (
+        candidates_per_doc.select(F.explode("cand").alias("token"))
+        .groupBy("token").agg(F.count("*").cast("bigint")
+                              .alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * _HH_DENOM >= F.col("tot"))
+        .select("token", "n_occurrences")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Per-dimension embedding statistics (normalization / whitening diagnostics)
 # ---------------------------------------------------------------------------
 

@@ -80,6 +80,8 @@ BNLJ_OK = {
     "psi_drift_totalprice",  # 1-row (lo, hi) bucket-bounds broadcast
     "lifecycle_states_monthly",  # 1-row max-month censoring broadcast
     "tpch_q11_important_stock",  # 1-row nation-total stock-value broadcast
+    "decontaminate_bloom",  # 1-row bloom-bitmap broadcast (runtime filter)
+    "heavy_hitters_cms",  # 1-row CMS-grid + 1-row token-total broadcasts
 }
 
 
@@ -1521,3 +1523,18 @@ def test_decontaminate_bloom_prefilter_shape(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") == 1, plan  # bitmap row
     assert "BroadcastHashJoin" in plan, plan  # exact gram verify
     assert "CartesianProduct" not in plan, plan
+
+
+def test_heavy_hitters_cms_grid_bounded_shuffle(spark, sf_dir):
+    """The CMS reduction's pins: the grid build is a grouped count
+    whose key space is the 32k-cell grid (hashpartitioning on the cell,
+    never the token), the grid and the total attach as 1-row broadcasts
+    (BNLJ by design), the candidate probe is a row-local array filter
+    (no join to test membership), and only candidates reach the exact
+    token aggregate."""
+    plan = plan_of(spark, sf_dir, "heavy_hitters_cms")
+    assert "hashpartitioning(cell" in plan, plan
+    assert "hashpartitioning(token" in plan, plan  # the exact pass
+    assert plan.count("BroadcastNestedLoopJoin") == 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan

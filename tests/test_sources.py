@@ -381,3 +381,37 @@ def test_vacuum_versions_retention(spark, tmp_path):
     assert vacuum_versions(path, keep=5) == []  # window wider than table
     with pytest.raises(ValueError):
         vacuum_versions(path, keep=0)
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """The 100 TB read-path contract the partitioned sink exists for:
+    when the fact is partitioned on the join key and the dimension side
+    carries a selective filter, Spark must inject a runtime
+    dynamicpruningexpression into the fact scan's PartitionFilters —
+    only the dimension-selected partitions' files are ever listed/read.
+    Static pruning (read_pruned) is already pinned; this pins the
+    RUNTIME variant a star join needs when the partition values come
+    from another table."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+
+    path = str(tmp_path / "orders_by_year")
+    (table(spark, sf_dir, "orders")
+     .withColumn("o_year", F.year("o_orderdate"))
+     .write.partitionBy("o_year").parquet(path))
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(y, "pick" if y == 1997 else "skip") for y in range(1995, 2002)],
+        "d_year int, tag string")
+
+    joined = fact.join(
+        dim.where(F.col("tag") == "pick"),
+        fact.o_year == dim.d_year,
+    ).agg(F.count("*").alias("n"))
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan
+
+    # behavioral: identical to the statically-pruned count
+    expected = fact.where(F.col("o_year") == 1997).count()
+    assert joined.collect()[0].n == expected > 0

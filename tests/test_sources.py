@@ -415,3 +415,48 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     # behavioral: identical to the statically-pruned count
     expected = fact.where(F.col("o_year") == 1997).count()
     assert joined.collect()[0].n == expected > 0
+
+
+def test_merge_upsert_latest_wins_out_of_order_delta(spark, tmp_path):
+    """resolve='latest_wins': a LATE (out-of-order) delta must not
+    regress a newer base row, while still updating genuinely-newer keys
+    and inserting unknown ones; 'delta_wins' on the same input shows
+    the contrast (batch authoritative = regression by design)."""
+    import pytest
+
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "new", 100), (2, "cur", 50)], "k long, v string, ts long")
+    late_delta = spark.createDataFrame(
+        [(1, "stale", 10),    # OLDER than base's k=1 → must lose
+         (2, "newer", 60),    # newer → must win
+         (3, "insert", 5)],   # unknown key → insert
+        "k long, v string, ts long")
+
+    p1 = str(tmp_path / "latest")
+    merge_upsert(spark, p1, base, keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, p1, late_delta, keys=["k"], order_cols=["ts"],
+                 resolve="latest_wins")
+    got = {r.k: (r.v, r.ts) for r in read_version(spark, p1).collect()}
+    assert got == {1: ("new", 100), 2: ("newer", 60), 3: ("insert", 5)}
+
+    p2 = str(tmp_path / "deltaw")
+    merge_upsert(spark, p2, base, keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, p2, late_delta, keys=["k"], order_cols=["ts"])
+    got2 = {r.k: r.v for r in read_version(spark, p2).collect()}
+    assert got2[1] == "stale"  # the documented delta-authoritative mode
+
+    # exact order_cols tie → delta wins under latest_wins too
+    tie = spark.createDataFrame([(2, "tie", 60)], "k long, v string, ts long")
+    merge_upsert(spark, p1, tie, keys=["k"], order_cols=["ts"],
+                 resolve="latest_wins")
+    assert {r.k: r.v for r in read_version(spark, p1).collect()}[2] == "tie"
+
+    with pytest.raises(ValueError, match="latest_wins needs order_cols"):
+        merge_upsert(spark, p1, tie, keys=["k"], resolve="latest_wins")
+    with pytest.raises(ValueError, match="delta_wins|latest_wins"):
+        merge_upsert(spark, p1, tie, keys=["k"], order_cols=["ts"],
+                     resolve="nope")

@@ -246,6 +246,15 @@ def main() -> None:
         rest = [n for n in REGISTRY if n not in covered]
         tertiary, _, tertiary_runs = run_set(rest, reps_tertiary)
 
+    # One more probe AFTER the secondary+tertiary blocks: the headline
+    # guard cannot see load arriving during those blocks (r8: the
+    # tertiary best-of-2 captured stream_interval_join_outer at 6.1 s
+    # under contention vs 2.9 s quiet — both reps inside the same noisy
+    # window). Recording the post-tail probe doesn't re-run anything,
+    # but lets the next round's reader tell a contended tail from a
+    # regression before chasing ghosts.
+    calibration_tail = _calibrate()
+
     # Testdata fingerprint: the driver regenerates the parquet corpora
     # between rounds (observed: round 2 switched timestamp physical
     # types and file contents). Timings across different data
@@ -295,6 +304,7 @@ def main() -> None:
         "calibration_50m_agg": calibration,
         "calibration_pre": calibration_pre,
         "calibration_post": calibration_post,
+        "calibration_tail": calibration_tail,
         "contention_rerun": contended,
         "data_fingerprint": data_fp,
         "sf": sf,

@@ -476,3 +476,48 @@ def test_window_funnel_dp_matches_brute_force(spark, events):
             ELSE st END,
           st -> st.d) AS d""").first().d
     assert got == brute(sorted(events)), (events, got)
+
+
+_cdc_batch = st.lists(
+    st.tuples(
+        st.integers(0, 6),        # key
+        st.integers(0, 99),       # ts (the order column)
+        st.integers(0, 999),      # payload
+    ),
+    min_size=0, max_size=6,
+)
+_cdc_stream = st.lists(_cdc_batch, min_size=1, max_size=4)
+
+
+@settings(**_SETTINGS)
+@given(_cdc_stream)
+def test_merge_upsert_latest_wins_equals_recompute(spark, tmp_path_factory, batches):
+    """MERGE invariant (r8): applying CDC batches one at a time through
+    merge_upsert(resolve='latest_wins') must equal a full recompute of
+    latest-per-key over ALL rows — for ANY batch split, including
+    out-of-order batches, duplicate keys within a batch, and empty
+    batches. The Python model is the independent truth."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    path = str(tmp_path_factory.mktemp("cdc") / "dim")
+    n_written = 0
+    for batch in batches:
+        if not batch:
+            continue  # an empty micro-batch merges nothing
+        df = spark.createDataFrame(batch, "k int, ts int, v int")
+        merge_upsert(spark, path, df, keys=["k"], order_cols=["ts", "v"],
+                     resolve="latest_wins")
+        n_written += 1
+    if n_written == 0:
+        return
+
+    # independent model: latest per key by (ts, v) over the flat stream
+    model: dict[int, tuple[int, int]] = {}
+    for batch in batches:
+        for k, ts, v in batch:
+            if k not in model or (ts, v) >= model[k]:
+                model[k] = (ts, v)
+    got = {r.k: (r.ts, r.v) for r in read_version(spark, path).collect()}
+    assert got == model

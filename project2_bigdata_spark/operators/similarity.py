@@ -617,3 +617,143 @@ def oracle_knn_join_topk(k: int = 3) -> str:
       FROM sims
     ) WHERE rnk <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# MMR — maximal marginal relevance diversified retrieval
+
+
+#: MMR trade-off: score = MMR_LAMBDA·rel − (1−λ)·max-sim-to-selected.
+#: Both constants appear as explicit literals on BOTH engines (never
+#: computed as 1−λ: the doubles parse(0.7) and 1−parse(0.3) differ by
+#: 1 ULP, which would break bit-parity of the scores).
+MMR_LAMBDA = 0.7
+MMR_MU = 0.3
+
+
+def mmr_diverse_topk(
+    spark: SparkSession, sf_dir: str, n_cand: int = 20, k: int = 5
+) -> DataFrame:
+    """MMR-diversified top-k retrieval (Carbonell & Goldstein, SIGIR'98):
+    the standard RAG/context-selection step after ANN — pure relevance
+    top-k returns near-duplicates of each other; MMR greedily picks the
+    next result maximizing λ·relevance − (1−λ)·max-similarity-to-
+    already-selected.
+
+    Scale shape: the only corpus-sized stage is candidate generation
+    (one scan + TakeOrdered top-``n_cand`` — the same shape as
+    ``brute_force_topk``; swap in the LSH/IVF candidate path at 100 TB).
+    The greedy loop then operates on the BOUNDED candidate set: each of
+    the ``k`` steps is an anti-join against ≤k selected ids plus a
+    row-local ``array_max(transform(...))`` penalty against a broadcast
+    ≤k-row selected list. Nothing downstream of the scan grows with the
+    corpus, and there is no driver-side collect — the k steps compose
+    one lazy plan. The candidate relation is persisted: every step (and
+    the final union) reuses it, so the corpus scan runs once, not k
+    times.
+
+    Determinism: relevance and each pairwise penalty are rounded to 6dp
+    before any ranking or max (same on the DuckDB oracle), ties break
+    on vec_id, and the combined score is rounded again — so the greedy
+    argmax sequence is engine-independent.
+    """
+    e = table_parallel(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(F.expr(_DOT.format(a="embedding", b="embedding")))
+    q = (
+        e.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("qe"), nrm.alias("qn"))
+    )
+    rel = F.round(
+        F.expr(_DOT.format(a="ce", b="qe")) / (F.col("cn") * F.col("qn")), 6
+    )
+    cand = (
+        e.filter(F.col("vec_id") != 0)
+        .select("vec_id", "label", F.col("embedding").alias("ce"),
+                nrm.alias("cn"))
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "label", "ce", "cn", rel.alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(n_cand)
+        .persist()
+    )
+
+    selected = (
+        cand.orderBy(F.desc("rel"), "vec_id").limit(1)
+        .select(F.lit(1).cast("int").alias("step"),
+                "vec_id", "label", "ce", "cn", "rel",
+                F.col("rel").alias("mmr_score"))
+    )
+    pen = F.round(
+        F.expr(
+            "array_max(transform(sel, s -> "
+            + _DOT.format(a="ce", b="s.se")
+            + " / (cn * s.sn)))"
+        ),
+        6,
+    )
+    for step in range(2, k + 1):
+        sel_row = selected.agg(
+            F.collect_list(
+                F.struct(F.col("ce").alias("se"), F.col("cn").alias("sn"))
+            ).alias("sel")
+        )
+        pick = (
+            cand.join(selected.select("vec_id"), "vec_id", "left_anti")
+            .crossJoin(F.broadcast(sel_row))
+            .select(
+                "vec_id", "label", "ce", "cn", "rel",
+                F.round(
+                    F.lit(MMR_LAMBDA) * F.col("rel")
+                    - F.lit(MMR_MU) * pen, 6
+                ).alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+            .select(F.lit(step).cast("int").alias("step"),
+                    "vec_id", "label", "ce", "cn", "rel", "mmr_score")
+        )
+        selected = selected.unionByName(pick)
+    return selected.select("step", "vec_id", "label", "rel", "mmr_score")
+
+
+def oracle_mmr_diverse_topk(n_cand: int = 20, k: int = 5) -> str:
+    """DuckDB twin of :func:`mmr_diverse_topk`: the greedy loop unrolls
+    into k chained CTEs (s1..sk), each an ORDER BY ... LIMIT 1 argmax
+    over the candidates not yet selected, with the same 6dp round-before-
+    rank discipline at every comparison point."""
+    sim = ("round(list_dot_product(c.emb, s.emb) / (c.nrm * s.nrm), 6)")
+    ctes = [
+        f"""e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM embeddings
+    ), q AS (
+      SELECT emb AS qe, nrm AS qn FROM e WHERE vec_id = 0
+    ), cand AS (
+      SELECT vec_id, label, emb, nrm,
+             round(list_dot_product(emb, qe) / (nrm * qn), 6) AS rel
+      FROM e, q WHERE vec_id <> 0
+      ORDER BY rel DESC, vec_id LIMIT {n_cand}
+    ), s1 AS (
+      SELECT vec_id, label, emb, nrm, rel, rel AS mmr_score
+      FROM cand ORDER BY rel DESC, vec_id LIMIT 1
+    )"""
+    ]
+    for t in range(2, k + 1):
+        prev = " UNION ALL ".join(
+            f"SELECT vec_id, emb, nrm FROM s{i}" for i in range(1, t)
+        )
+        ctes.append(f"""s{t} AS (
+      SELECT c.vec_id, c.label, c.emb, c.nrm, c.rel,
+             round(CAST({MMR_LAMBDA} AS DOUBLE) * c.rel
+                   - CAST({MMR_MU} AS DOUBLE) *
+                     (SELECT max({sim}) FROM ({prev}) s), 6) AS mmr_score
+      FROM cand c
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM ({prev}) p)
+      ORDER BY mmr_score DESC, c.vec_id LIMIT 1
+    )""")
+    finals = " UNION ALL ".join(
+        f"SELECT CAST({t} AS INT) AS step, vec_id, label, rel, mmr_score FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals

@@ -339,6 +339,24 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from ..operators.similarity import (  # noqa: E402
+    mmr_diverse_topk,
+    oracle_mmr_diverse_topk,
+)
+
+register(
+    "mmr_diverse_topk",
+    oracle=oracle_mmr_diverse_topk(n_cand=20, k=5),
+    doc="MMR-diversified retrieval (λ=0.7): relevance top-20 candidates "
+        "from one corpus scan, then a 5-step greedy re-rank penalizing "
+        "similarity to already-selected results — the standard "
+        "RAG-context diversification. Greedy steps are anti-join + "
+        "broadcast penalty over the BOUNDED candidate set (persisted, "
+        "scanned once); oracle unrolls the same greedy argmax into "
+        "chained CTEs with identical 6dp round-before-rank discipline",
+)(mmr_diverse_topk)
+
+
 @register(
     "similarity_topk",
     oracle=oracle_brute_force_topk(n_queries=5, k=10),

@@ -681,3 +681,119 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("bigint").alias("n_users"))
         .orderBy("funnel_depth")
     )
+
+
+from ..operators.timewarp import (  # noqa: E402
+    dtw_seasonal_similarity,
+    oracle_dtw_seasonal,
+)
+
+register(
+    "dtw_seasonal_similarity",
+    oracle=oracle_dtw_seasonal(),
+    doc="Per-product dynamic-time-warping distance between the 1996 and "
+        "1997 monthly revenue curves — shift-tolerant seasonal "
+        "similarity via cogroup().applyInPandas (the genuinely "
+        "non-relational per-key DP; per-key state bounded at 12+12 "
+        "rows). Oracle unrolls the identical 12×12 DP into lateral "
+        "column aliases, so the float64 kernel is value-hash CONFIRMED "
+        "bit-for-bit; pointwise L1 rides along as the no-warp baseline",
+)(dtw_seasonal_similarity)
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend smoothing — the sequential-recurrence-as-fold op
+
+#: Smoothing constants. BOTH complements are explicit literals — never
+#: computed as 1−α — because parse(0.7) and 1−parse(0.3) differ by one
+#: ULP, which would break Spark↔DuckDB bit-parity of the recurrence.
+HOLT_ALPHA = "0.3"
+HOLT_ALPHA_C = "0.7"
+HOLT_BETA = "0.1"
+HOLT_BETA_C = "0.9"
+
+_HOLT_FOLD = f"""
+aggregate(
+  slice(vals, 2, size(vals) - 1),
+  named_struct(
+    'l', element_at(vals, 1),
+    't', element_at(vals, 2) - element_at(vals, 1)),
+  (acc, x) -> named_struct(
+    'l', {HOLT_ALPHA}D * x + {HOLT_ALPHA_C}D * (acc.l + acc.t),
+    't', {HOLT_BETA}D * (({HOLT_ALPHA}D * x + {HOLT_ALPHA_C}D * (acc.l + acc.t)) - acc.l)
+         + {HOLT_BETA_C}D * acc.t)
+)
+"""
+
+_HOLT_ORACLE = f"""
+    WITH RECURSIVE daily AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS rev
+      FROM lineitem WHERE year(l_shipdate) = 1997
+      GROUP BY 1, 2
+    ), arrs AS (
+      SELECT l_partkey, list(rev ORDER BY day) AS vals
+      FROM daily GROUP BY 1 HAVING count(*) >= 2
+    ), s AS (
+      SELECT l_partkey, vals, CAST(len(vals) AS INT) AS n, 1 AS k,
+             vals[1] AS l, vals[2] - vals[1] AS t
+      FROM arrs
+      UNION ALL
+      SELECT l_partkey, vals, n, k + 1,
+             CAST({HOLT_ALPHA} AS DOUBLE) * vals[k + 1]
+               + CAST({HOLT_ALPHA_C} AS DOUBLE) * (l + t),
+             CAST({HOLT_BETA} AS DOUBLE) *
+               ((CAST({HOLT_ALPHA} AS DOUBLE) * vals[k + 1]
+                 + CAST({HOLT_ALPHA_C} AS DOUBLE) * (l + t)) - l)
+               + CAST({HOLT_BETA_C} AS DOUBLE) * t
+      FROM s WHERE k < n
+    )
+    SELECT l_partkey, n AS n_days,
+           round(l, 6) AS level, round(t, 6) AS trend,
+           round(l + t, 6) AS forecast_next
+    FROM s WHERE k = n
+"""
+
+
+@register(
+    "holt_linear_daily",
+    oracle=_HOLT_ORACLE,
+    doc="Holt double-exponential smoothing (α=0.3, β=0.1) over each "
+        "product's 1997 daily revenue: level/trend recurrence as a "
+        "row-local aggregate() fold over the sorted value array — the "
+        "idiomatic Spark shape for a sequential recurrence (state is "
+        "O(1), history collapses into one array per key, NO window-"
+        "over-everything or driver loop). DuckDB oracle runs the same "
+        "recurrence as a recursive CTE; identical literal complements "
+        "keep float64 bit-parity, so the driver hash CONFIRMS every "
+        "smoothing step transitively",
+)
+def q_holt_linear_daily(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import table
+    from ..functions.money import dsum_as
+
+    li = table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    daily = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("day")
+    ).agg(dsum_as("l_extendedprice * (1 - l_discount)",
+                  "decimal(18,4)", "rev"))
+    arrs = (
+        daily.groupBy("l_partkey")
+        .agg(F.array_sort(F.collect_list(F.struct("day", "rev"))).alias("s"))
+        .select("l_partkey", F.expr("transform(s, x -> x.rev)").alias("vals"))
+        .filter(F.size("vals") >= 2)
+    )
+    st = F.expr(_HOLT_FOLD)
+    return arrs.select(
+        "l_partkey",
+        F.size("vals").cast("int").alias("n_days"),
+        st.alias("st"),
+    ).select(
+        "l_partkey", "n_days",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.t"), 6).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_next"),
+    )

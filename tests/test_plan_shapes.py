@@ -26,6 +26,8 @@ PYTHON_OK = {
     "multimodal_resize",
     "ml_train_per_product", "ml_forecast_14d", "ml_sparkml_global",
     "ml_rf_grid",
+    "dtw_seasonal_similarity",  # cogrouped-pandas DP (O(n·m) recurrence
+                                # that no join/window/HOF expresses)
 }
 
 #: Queries that intentionally use a broadcast nested-loop join. Two
@@ -40,6 +42,8 @@ BNLJ_OK = {
     "product_probability_join", "ivf_ann_topk",
     "ivf_ann_kmeans_topk",  # same 1-row centroid broadcast + Lloyd's
                             # per-iteration 1-row broadcast assignments
+    "mmr_diverse_topk",  # 1-row query-vector broadcast + per-step
+                         # 1-row selected-list broadcast (bounded ≤k)
     # (b) 1-row scalar-aggregate cross joins
     "pair_counts", "top_pairs_per_product", "association_rules",
     "train_test_time_split", "ep3_forecast_series", "revenue_checksum",
@@ -152,7 +156,8 @@ def test_no_python_udf_outside_allowlist(spark, sf_dir):
         if name in PYTHON_OK or name.startswith("stream_"):
             continue  # streaming queries build their own bounded replay
         plan = plan_of(spark, sf_dir, name)
-        if "BatchEvalPython" in plan or "ArrowEvalPython" in plan:
+        if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan
+                or "InPandas" in plan):  # FlatMapGroups/CoGroups/MapInPandas
             offenders.append(name)
     assert not offenders, f"Python UDFs leaked into: {offenders}"
 

@@ -1,0 +1,194 @@
+"""Round-8b additions: MMR diversified retrieval, cogrouped DTW,
+Holt linear smoothing — Python recomputes (independent of both the
+Spark plans and the DuckDB oracles) plus plan-shape pins.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from project2_bigdata_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# MMR
+
+
+def _r6(x: float) -> float:
+    """Spark's F.round on doubles: HALF_UP over the shortest decimal
+    repr (BigDecimal.valueOf). Python's builtin round() is half-even
+    and disagrees exactly at .xxxxxx5 boundaries."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+
+def _mmr_python(emb: dict[int, np.ndarray], labels: dict[int, int],
+                n_cand=20, k=5, lam=0.7, mu=0.3):
+    """Greedy MMR recompute with the engine's 6dp round-before-rank
+    discipline, straight from the embedding vectors."""
+    q = emb[0]
+    qn = float(np.sqrt(np.dot(q, q)))
+
+    def cos(a, an, b, bn):
+        return _r6(float(np.dot(a, b)) / (an * bn))
+
+    norms = {i: float(np.sqrt(np.dot(v, v))) for i, v in emb.items()}
+    rel = {i: cos(emb[i], norms[i], q, qn) for i in emb if i != 0}
+    cand = sorted(rel, key=lambda i: (-rel[i], i))[:n_cand]
+    selected, out = [], []
+    for step in range(1, k + 1):
+        best = None
+        for i in cand:
+            if i in selected:
+                continue
+            if not selected:
+                score = rel[i]
+            else:
+                pen = max(cos(emb[i], norms[i], emb[s], norms[s])
+                          for s in selected)
+                score = _r6(lam * rel[i] - mu * pen)
+            key = (-score, i)
+            if best is None or key < best[0]:
+                best = (key, i, score)
+        selected.append(best[1])
+        out.append((step, best[1], labels[best[1]], rel[best[1]], best[2]))
+    return out
+
+
+def test_mmr_matches_python_recompute(spark, sf_dir):
+    rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", "embedding").collect()
+    )
+    emb = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    want = _mmr_python(emb, labels)
+    got = [
+        (r.step, r.vec_id, r.label, r.rel, r.mmr_score)
+        for r in REGISTRY["mmr_diverse_topk"].fn(spark, sf_dir)
+        .orderBy("step").collect()
+    ]
+    assert [g[:3] for g in got] == [w[:3] for w in want]
+    for g, w in zip(got, want):
+        assert g[3] == pytest.approx(w[3], abs=1e-9)
+        assert g[4] == pytest.approx(w[4], abs=1e-9)
+
+
+def test_mmr_plan_candidates_persisted_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "mmr_diverse_topk")
+    # every greedy step re-reads the persisted candidate relation, not
+    # the corpus: the scan cost is paid once regardless of k
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# DTW
+
+
+def test_dtw_never_exceeds_l1(spark, sf_dir):
+    """The diagonal (no-warp) path is one valid DTW alignment, so the
+    optimal warp cost can never exceed pointwise L1 — a theorem, checked
+    on every output row."""
+    rows = REGISTRY["dtw_seasonal_similarity"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.dtw_cost <= r.l1_cost + 1e-6, r
+
+
+def test_dtw_matches_python_recompute(spark, sf_dir):
+    import pandas as pd
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    li["y"] = li["l_shipdate"].dt.year
+    li["m"] = li["l_shipdate"].dt.month
+    li = li[li["y"].isin([1996, 1997])]
+    li["rev"] = (li["l_extendedprice"] * (1 - li["l_discount"])).round(4)
+    monthly = li.groupby(["l_partkey", "y", "m"])["rev"].sum().round(4)
+
+    def series(pk, y):
+        v = np.zeros(12)
+        if (pk, y) in monthly.index.droplevel("m").unique():
+            s = monthly.loc[pk, y]
+            for m, val in s.items():
+                v[m - 1] = val
+        return v
+
+    def dtw(a, b):
+        dp = np.empty((12, 12))
+        dp[0, 0] = abs(a[0] - b[0])
+        for j in range(1, 12):
+            dp[0, j] = dp[0, j - 1] + abs(a[0] - b[j])
+        for i in range(1, 12):
+            dp[i, 0] = dp[i - 1, 0] + abs(a[i] - b[0])
+            for j in range(1, 12):
+                dp[i, j] = abs(a[i] - b[j]) + min(
+                    dp[i - 1, j], dp[i, j - 1], dp[i - 1, j - 1])
+        return dp[-1, -1]
+
+    got = {
+        r.l_partkey: (r.dtw_cost, r.l1_cost)
+        for r in REGISTRY["dtw_seasonal_similarity"].fn(spark, sf_dir).collect()
+    }
+    keys = sorted(li["l_partkey"].unique())
+    assert set(got) == set(keys)
+    for pk in keys[:50]:  # spot-check a prefix; values are approximate
+        a, b = series(pk, 1996), series(pk, 1997)
+        assert got[pk][0] == pytest.approx(dtw(a, b), rel=1e-6)
+        assert got[pk][1] == pytest.approx(float(np.abs(a - b).sum()), rel=1e-6)
+
+
+def test_dtw_plan_is_cogrouped_pandas(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dtw_seasonal_similarity")
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Holt
+
+
+def test_holt_matches_python_recompute(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    li = li[li["l_shipdate"].dt.year == 1997].copy()
+    li["day"] = li["l_shipdate"].dt.date
+    li["rev"] = (li["l_extendedprice"] * (1 - li["l_discount"])).round(4)
+    daily = li.groupby(["l_partkey", "day"])["rev"].sum().round(4)
+
+    got = {
+        r.l_partkey: r
+        for r in REGISTRY["holt_linear_daily"].fn(spark, sf_dir).collect()
+    }
+    n_checked = 0
+    for pk in sorted(daily.index.get_level_values(0).unique()):
+        vals = [float(v) for _, v in sorted(daily.loc[pk].items())]
+        if len(vals) < 2:
+            assert pk not in got
+            continue
+        level, trend = vals[0], vals[1] - vals[0]
+        for x in vals[1:]:
+            nl = 0.3 * x + 0.7 * (level + trend)
+            trend = 0.1 * (nl - level) + 0.9 * trend
+            level = nl
+        r = got[pk]
+        assert r.n_days == len(vals)
+        assert r.level == pytest.approx(level, rel=1e-9)
+        assert r.trend == pytest.approx(trend, rel=1e-6, abs=1e-5)
+        assert r.forecast_next == pytest.approx(level + trend, rel=1e-9)
+        n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_holt_plan_fold_not_window(spark, sf_dir):
+    """The recurrence is an array fold, not a window-over-full-history:
+    no Window operator, no Python worker."""
+    plan = _plan(spark, sf_dir, "holt_linear_daily")
+    assert "Window" not in plan, plan
+    assert "InPandas" not in plan and "EvalPython" not in plan, plan

@@ -164,20 +164,31 @@ def _duck_plane(plane: list[float]) -> str:
     return "[" + ", ".join(str(v) for v in plane) + "]::DOUBLE[]"
 
 
-def oracle_lsh_ann_topk(n_queries: int = 5, k: int = 10) -> str:
+def oracle_lsh_ann_topk(
+    n_queries: int = 5, k: int = 10, multiprobe: bool = False
+) -> str:
     bucket = " + ".join(
         f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_duck_plane(p)}) > 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(PLANES)
     )
+    if multiprobe:
+        # own bucket + every Hamming-1 neighbor, mirroring the Spark
+        # explode: xor masks {0, 1, 2, 4, ..., 2^(N_PLANES-1)}
+        masks = ", ".join(str(v) for v in [0] + [1 << p for p in range(N_PLANES)])
+        q_cte = f"""
+      SELECT vec_id AS query_id, emb AS qe, xor(bucket, pv.v) AS qbucket
+      FROM e, (SELECT unnest([{masks}]) AS v) pv WHERE vec_id < {n_queries}"""
+    else:
+        q_cte = f"""
+      SELECT vec_id AS query_id, emb AS qe, bucket AS qbucket
+      FROM e WHERE vec_id < {n_queries}"""
     return f"""
     WITH e AS (
       SELECT vec_id, label, embedding::DOUBLE[] AS emb,
              CAST({bucket} AS INT) AS bucket
       FROM embeddings
-    ), q AS (
-      SELECT vec_id AS query_id, emb AS qe, bucket AS qbucket
-      FROM e WHERE vec_id < {n_queries}
+    ), q AS ({q_cte}
     ), sims AS (
       SELECT query_id, vec_id, label,
              round(list_dot_product(qe, emb) /
@@ -757,3 +768,119 @@ def oracle_mmr_diverse_topk(n_cand: int = 20, k: int = 5) -> str:
         for t in range(1, k + 1)
     )
     return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-quality evaluation: recall@k + NDCG@k of the ANN path
+
+
+def ann_recall_ndcg(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Evaluate every ANN method against brute-force ground truth, per
+    (method, query): recall@k (overlap fraction) and NDCG@k with graded
+    relevance = the true cosine similarity. This is the eval harness a
+    production ANN index ships with — it quantifies the recall each
+    approximation trades for its candidate-set reduction (single-bucket
+    LSH < multiprobe LSH < 2-probe IVF, by construction), as a
+    first-class query instead of living only in tests.
+
+    Scale shape: all inputs are per-query top-k relations (bounded
+    k·n_queries rows); everything downstream of the corpus scans is
+    constant-size. DCG terms are rounded to 6dp (absorbing libm ln()
+    ULP differences across engines) then summed as exact DECIMAL(28,10)
+    so per-query sums are order-insensitive under any partitioning.
+    """
+    from ..functions.money import dsum10
+
+    brute = brute_force_topk(spark, sf_dir, n_queries, k)
+    idcg = brute.groupBy("query_id").agg(
+        dsum10("round(cos_sim / ln(cast(rnk + 1 as double)), 6)", "idcg")
+    )
+    methods = [
+        ("lsh", lsh_ann_topk(spark, sf_dir, n_queries, k)),
+        ("lsh_multiprobe",
+         lsh_ann_topk(spark, sf_dir, n_queries, k, multiprobe=True)),
+        ("ivf", ivf_ann_topk(spark, sf_dir, n_queries, k)),
+    ]
+    out = None
+    for name, ann in methods:
+        j = (
+            ann.alias("a")
+            .join(
+                brute.alias("b"),
+                (F.col("a.query_id") == F.col("b.query_id"))
+                & (F.col("a.vec_id") == F.col("b.vec_id")),
+                "left",
+            )
+            .select(
+                F.col("a.query_id").alias("query_id"),
+                F.col("a.rnk").alias("rnk_ann"),
+                F.col("b.cos_sim").alias("gain_sim"),
+            )
+        )
+        dcg = j.groupBy("query_id").agg(
+            F.count("gain_sim").cast("int").alias("n_hits"),
+            dsum10(
+                "round(coalesce(gain_sim, cast(0 as double)) / "
+                "ln(cast(rnk_ann + 1 as double)), 6)",
+                "dcg",
+            ),
+        )
+        scored = (
+            dcg.join(idcg, "query_id")
+            .select(
+                F.lit(name).alias("method"),
+                "query_id",
+                "n_hits",
+                F.round(F.col("n_hits").cast("double") / k, 6).alias(
+                    f"recall_at_{k}"
+                ),
+                F.round(F.col("dcg") / F.col("idcg"), 6).alias(
+                    f"ndcg_at_{k}"
+                ),
+            )
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def oracle_ann_recall_ndcg(n_queries: int = 5, k: int = 10) -> str:
+    brute = oracle_brute_force_topk(n_queries, k)
+    blocks = []
+    for name, ann in [
+        ("lsh", oracle_lsh_ann_topk(n_queries, k)),
+        ("lsh_multiprobe",
+         oracle_lsh_ann_topk(n_queries, k, multiprobe=True)),
+        ("ivf", oracle_ivf_ann_topk(n_queries, k)),
+    ]:
+        blocks.append(f"""
+    SELECT '{name}' AS method, d.query_id, d.n_hits,
+           round(CAST(d.n_hits AS DOUBLE) / {k}, 6) AS recall_at_{k},
+           round(d.dcg / i.idcg, 6) AS ndcg_at_{k}
+    FROM (
+      SELECT j.query_id,
+             CAST(count(j.gain_sim) AS INT) AS n_hits,
+             CAST(CAST(SUM(CAST(round(coalesce(j.gain_sim, CAST(0 AS DOUBLE))
+                  / ln(CAST(j.rnk_ann + 1 AS DOUBLE)), 6)
+                  AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS dcg
+      FROM (
+        SELECT a.query_id, a.rnk AS rnk_ann, b.cos_sim AS gain_sim
+        FROM ({ann}) a LEFT JOIN brute b
+          ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+      ) j GROUP BY 1
+    ) d JOIN idcg i USING (query_id)""")
+        # noqa: the per-method ANN relation inlines as a subquery — CTE
+        # names stay unique without cross-method coordination
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    WITH brute AS ({brute}),
+    idcg AS (
+      SELECT query_id,
+             CAST(CAST(SUM(CAST(round(cos_sim
+                  / ln(CAST(rnk + 1 AS DOUBLE)), 6)
+                  AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS idcg
+      FROM brute GROUP BY 1
+    )
+    {union}
+    """

@@ -340,9 +340,26 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.similarity import (  # noqa: E402
+    ann_recall_ndcg,
     mmr_diverse_topk,
+    oracle_ann_recall_ndcg,
     oracle_mmr_diverse_topk,
 )
+
+register(
+    "ann_recall_ndcg",
+    oracle=oracle_ann_recall_ndcg(n_queries=5, k=10),
+    doc="ANN retrieval-quality eval: recall@10 and NDCG@10 (graded "
+        "relevance = true cosine) of each ANN method — single-bucket "
+        "LSH, Hamming-1 multiprobe LSH, 2-probe IVF — against the "
+        "brute-force ground truth, per query. The eval harness every "
+        "production index ships with: it PRICES the recall each "
+        "approximation trades for candidate reduction (on this corpus: "
+        "IVF ≈0.94, multiprobe ≈0.08, single-bucket 0 — random 64-dim "
+        "embeddings are the hyperplane-LSH worst case, which is the "
+        "point of measuring). All eval stages are bounded k·n_queries "
+        "rows; DCG terms round 6dp then sum as exact DECIMAL(28,10)",
+)(ann_recall_ndcg)
 
 register(
     "mmr_diverse_topk",

@@ -192,3 +192,23 @@ def test_holt_plan_fold_not_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "holt_linear_daily")
     assert "Window" not in plan, plan
     assert "InPandas" not in plan and "EvalPython" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# ANN eval
+
+
+def test_ann_eval_multiprobe_dominates_single_bucket(spark, sf_dir):
+    """Multiprobe's candidate set is a superset of the single bucket's,
+    and any candidate outranking a true-top-10 member is itself in the
+    true top-10 — so per-query hits are monotone in the probe set."""
+    rows = REGISTRY["ann_recall_ndcg"].fn(spark, sf_dir).collect()
+    by = {(r.method, r.query_id): r for r in rows}
+    qids = {q for m, q in by if m == "lsh"}
+    assert qids
+    for q in qids:
+        if ("lsh_multiprobe", q) in by:
+            assert by[("lsh_multiprobe", q)].n_hits >= by[("lsh", q)].n_hits
+    for r in rows:
+        assert 0.0 <= r.recall_at_10 <= 1.0
+        assert r.ndcg_at_10 <= 1.0 + 1e-9

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.datetime_utils import sale_date
-from ..functions.money import dsum, oracle_dsum
+from ..functions.money import dsum, dsum_as, oracle_dsum
 from .registry import register
 
 
@@ -340,5 +340,62 @@ def q_salted_join_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").cast("bigint").alias("n_events"),
             dsum("value", "total_value"),
+        )
+    )
+
+
+@register(
+    "bucketed_join_rollup",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY 1
+    """,
+    doc="Fact-fact join through the BUCKETED layout (the single biggest "
+        "shuffle lever at 100 TB): both facts are written bucketBy the "
+        "join key through the production sink (sources.ingest."
+        "write_bucketed), then joined bucket-to-bucket — with two "
+        "same-bucketed sides the join plans with NO Exchange on either "
+        "fact (pinned in tests/test_bucketing.py and the round-8b plan "
+        "pin under a disabled broadcast threshold; at correctness scale "
+        "the executed join may broadcast instead, which changes no "
+        "values). The oracle is the plain shuffling join, so hash "
+        "parity proves layout-invariance: bucketing changes WHERE rows "
+        "sit, never what they join to. Bucket writes land in a "
+        "session-tied spool (same lifecycle as the SCD1 state dirs); "
+        "catalog names are unique per call",
+)
+def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+    import weakref
+
+    from ..sources.ingest import read_bucketed_table, write_bucketed
+    from ..streaming.runner import _SPOOLS, _spool_root, sweep_spools
+
+    sweep_spools(only_dead=True)
+    d = tempfile.mkdtemp(prefix="bucketed_", dir=_spool_root())
+    _SPOOLS.append((weakref.ref(spark), d))
+    tag = os.path.basename(d).replace("bucketed_", "")
+    n_buckets = 8
+    write_bucketed(table(spark, sf_dir, "orders"), f"bt_orders_{tag}",
+                   f"{d}/orders", n_buckets, ["o_orderkey"])
+    write_bucketed(table(spark, sf_dir, "lineitem"), f"bt_lineitem_{tag}",
+                   f"{d}/lineitem", n_buckets, ["l_orderkey"])
+    li = read_bucketed_table(spark, f"bt_lineitem_{tag}")
+    o = read_bucketed_table(spark, f"bt_orders_{tag}")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            # decimal(18,4): money products are exact at 4dp — a 2dp
+            # cast would round per-row, which is engine-ambiguous at
+            # half boundaries (functions.money invariant)
+            dsum_as("l_extendedprice * (1 - l_discount)",
+                    "decimal(18,4)", "revenue"),
         )
     )

@@ -684,6 +684,7 @@ def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.timewarp import (  # noqa: E402
+    dtw_seasonal_cogrouped,
     dtw_seasonal_similarity,
     oracle_dtw_seasonal,
 )
@@ -693,12 +694,25 @@ register(
     oracle=oracle_dtw_seasonal(),
     doc="Per-product dynamic-time-warping distance between the 1996 and "
         "1997 monthly revenue curves — shift-tolerant seasonal "
-        "similarity via cogroup().applyInPandas (the genuinely "
-        "non-relational per-key DP; per-key state bounded at 12+12 "
-        "rows). Oracle unrolls the identical 12×12 DP into lateral "
-        "column aliases, so the float64 kernel is value-hash CONFIRMED "
-        "bit-for-bit; pointwise L1 rides along as the no-warp baseline",
+        "similarity. Registered shape: native dense-array build + one "
+        "key join + mapInPandas DP VECTORIZED across the Arrow batch "
+        "axis (one Python call per ~10k products; the per-key cogroup "
+        "boundary measured 224 s at K=100 vs ~10 s batched). Oracle "
+        "unrolls the identical 12×12 DP one MATERIALIZED CTE per row, "
+        "so the float64 kernel is value-hash CONFIRMED bit-for-bit; "
+        "pointwise L1 rides along as the no-warp baseline",
 )(dtw_seasonal_similarity)
+
+register(
+    "dtw_seasonal_cogrouped",
+    oracle=oracle_dtw_seasonal(),
+    doc="The same DTW relation through cogroup().applyInPandas — the "
+        "grouped-pandas surface for genuinely per-key-pair algorithms, "
+        "correct when series are variable-length/irregular (per-key "
+        "state stays bounded by the key's own data). For the fixed "
+        "12-month case the batched variant is ~20× cheaper at K=100; "
+        "bit-identical output against the same oracle",
+)(dtw_seasonal_cogrouped)
 
 
 # ---------------------------------------------------------------------------
@@ -775,7 +789,12 @@ def q_holt_linear_daily(spark, sf_dir):
     from ..catalog import table
     from ..functions.money import dsum_as
 
-    li = table(spark, sf_dir, "lineitem").filter(F.year("l_shipdate") == 1997)
+    # range predicate (not year()==1997) so the filter reaches the
+    # parquet scan's PushedFilters / row-group stats
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
     daily = li.groupBy(
         "l_partkey", F.to_date("l_shipdate").alias("day")
     ).agg(dsum_as("l_extendedprice * (1 - l_discount)",

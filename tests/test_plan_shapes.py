@@ -26,8 +26,9 @@ PYTHON_OK = {
     "multimodal_resize",
     "ml_train_per_product", "ml_forecast_14d", "ml_sparkml_global",
     "ml_rf_grid",
-    "dtw_seasonal_similarity",  # cogrouped-pandas DP (O(n·m) recurrence
-                                # that no join/window/HOF expresses)
+    "dtw_seasonal_similarity",  # batched mapInPandas DP (O(n·m)
+                                # recurrence no join/window/HOF expresses)
+    "dtw_seasonal_cogrouped",   # same DP through cogroup().applyInPandas
 }
 
 #: Queries that intentionally use a broadcast nested-loop join. Two

@@ -145,10 +145,29 @@ def test_dtw_matches_python_recompute(spark, sf_dir):
         assert got[pk][1] == pytest.approx(float(np.abs(a - b).sum()), rel=1e-6)
 
 
-def test_dtw_plan_is_cogrouped_pandas(spark, sf_dir):
+def test_dtw_plan_is_batched_map_in_pandas(spark, sf_dir):
+    """The registered shape: ONE MapInPandas node (per-batch Python
+    boundary), never a per-key cogroup call."""
     plan = _plan(spark, sf_dir, "dtw_seasonal_similarity")
+    assert "MapInPandas" in plan, plan
+    assert "FlatMapCoGroupsInPandas" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dtw_plan_is_cogrouped_pandas(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dtw_seasonal_cogrouped")
     assert "FlatMapCoGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_dtw_batched_equals_cogrouped(spark, sf_dir):
+    """Both Python boundaries run the same float64 cell order — outputs
+    must be bit-identical, not approximately equal."""
+    a = {r.l_partkey: (r.dtw_cost, r.l1_cost)
+         for r in REGISTRY["dtw_seasonal_similarity"].fn(spark, sf_dir).collect()}
+    b = {r.l_partkey: (r.dtw_cost, r.l1_cost)
+         for r in REGISTRY["dtw_seasonal_cogrouped"].fn(spark, sf_dir).collect()}
+    assert a == b
 
 
 # ---------------------------------------------------------------------------
@@ -212,3 +231,24 @@ def test_ann_eval_multiprobe_dominates_single_bucket(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.recall_at_10 <= 1.0
         assert r.ndcg_at_10 <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Bucketed fact-fact join
+
+
+def test_bucketed_join_rollup_no_exchange_on_fact_keys(spark, sf_dir):
+    """The registered query's join must consume the bucketed layout:
+    with broadcasting disabled (the 100 TB regime — neither fact side
+    fits), the sort-merge join reads co-located buckets with NO
+    Exchange on either join key."""
+    orig = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "bucketed_join_rollup")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", orig)
+    assert "SortMergeJoin" in plan, plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan, plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan, plan
+    assert "Bucketed: true" in plan, plan

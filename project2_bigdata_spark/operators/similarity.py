@@ -677,7 +677,14 @@ def mmr_diverse_topk(
     rel = F.round(
         F.expr(_DOT.format(a="ce", b="qe")) / (F.col("cn") * F.col("qn")), 6
     )
-    cand = (
+    # truncate_lineage, not a bare persist(): every greedy step (and the
+    # final union) reuses the candidate relation, and the checkpoint's
+    # lifecycle is owned by Spark's reference tracker — a raw persist
+    # here leaked one cached relation per invocation for the session
+    # lifetime (r8 self-review item 7)
+    from ..session import truncate_lineage
+
+    cand = truncate_lineage(
         e.filter(F.col("vec_id") != 0)
         .select("vec_id", "label", F.col("embedding").alias("ce"),
                 nrm.alias("cn"))
@@ -685,7 +692,6 @@ def mmr_diverse_topk(
         .select("vec_id", "label", "ce", "cn", rel.alias("rel"))
         .orderBy(F.desc("rel"), "vec_id")
         .limit(n_cand)
-        .persist()
     )
 
     selected = (
@@ -792,8 +798,13 @@ def ann_recall_ndcg(
     so per-query sums are order-insensitive under any partitioning.
     """
     from ..functions.money import dsum10
+    from ..session import truncate_lineage
 
-    brute = brute_force_topk(spark, sf_dir, n_queries, k)
+    # the ground-truth relation feeds FOUR consumers (idcg + one join
+    # per method) — materialize it once (k·n_queries rows) instead of
+    # re-running the corpus-scan ranking per consumer (r8 self-review
+    # item 6; the q_tpch_q2 `eligible` lesson)
+    brute = truncate_lineage(brute_force_topk(spark, sf_dir, n_queries, k))
     idcg = brute.groupBy("query_id").agg(
         dsum10("round(cos_sim / ln(cast(rnk + 1 as double)), 6)", "idcg")
     )

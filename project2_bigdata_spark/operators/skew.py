@@ -72,6 +72,18 @@ BROADCAST_ROWS = 1_000_000
 SKEW_FACTOR = 4
 
 
+#: Join types where Spark can BUILD-BROADCAST the right side. A
+#: full_outer (or right/right_outer) join cannot stream null-extended
+#: right rows from a broadcast build, so Spark silently ignores the
+#: broadcast hint and plans a shuffle join — returning "broadcast"
+#: there would misreport the executed plan AND short-circuit the skew
+#: analysis that actually matters (r8 self-review item 5).
+_BROADCAST_RIGHT_OK = {
+    "inner", "cross", "left", "leftouter", "left_outer",
+    "left_semi", "leftsemi", "left_anti", "leftanti",
+}
+
+
 def choose_join_strategy(
     n_left: int,
     n_right: int,
@@ -80,6 +92,7 @@ def choose_join_strategy(
     broadcast_rows: int = BROADCAST_ROWS,
     skew_factor: int = SKEW_FACTOR,
     n_salts: int = 16,
+    how: str = "inner",
 ) -> str:
     """The documented cost model (SCALE.md §Joins) as a pure function —
     decides ``broadcast`` / ``salt`` / ``plain`` from the stats
@@ -94,10 +107,17 @@ def choose_join_strategy(
        evil: |right| × n_salts < |left| (salted_join's own cost bound).
     3. **plain** otherwise: one shuffle each side, AQE skew-split armed.
     """
-    if n_right <= broadcast_rows:
+    if (n_right <= broadcast_rows
+            and how.lower().replace("_", "") in
+            {h.replace("_", "") for h in _BROADCAST_RIGHT_OK}):
         return "broadcast"
     if (top_share > skew_factor / max(parallelism, 1)
-            and n_right * n_salts < n_left):
+            and n_right * n_salts < n_left
+            and how.lower().replace("_", "") in
+            {"inner", "left", "leftouter"}):
+        # salted_join replicates the right side per salt — legal only
+        # for inner/left (it raises otherwise); full/right outer falls
+        # through to plain + AQE skew-split, the correct remedy there
         return "salt"
     return "plain"
 
@@ -139,7 +159,7 @@ def adaptive_join(
         n_left, n_right, top_share,
         parallelism=left.sparkSession.sparkContext.defaultParallelism,
         broadcast_rows=broadcast_rows, skew_factor=skew_factor,
-        n_salts=n_salts,
+        n_salts=n_salts, how=how,
     )
     if strategy == "broadcast":
         out = left.join(

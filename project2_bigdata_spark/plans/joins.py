@@ -370,15 +370,11 @@ def q_salted_join_segment_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_bucketed_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
-    import weakref
 
     from ..sources.ingest import read_bucketed_table, write_bucketed
-    from ..streaming.runner import _SPOOLS, _spool_root, sweep_spools
+    from ..streaming.runner import session_spool
 
-    sweep_spools(only_dead=True)
-    d = tempfile.mkdtemp(prefix="bucketed_", dir=_spool_root())
-    _SPOOLS.append((weakref.ref(spark), d))
+    d = session_spool(spark, "bucketed_")
     tag = os.path.basename(d).replace("bucketed_", "")
     n_buckets = 8
     write_bucketed(table(spark, sf_dir, "orders"), f"bt_orders_{tag}",

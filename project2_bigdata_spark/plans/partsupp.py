@@ -16,8 +16,9 @@ engines:
   map-side-combinable shuffle of two BIGINT columns; every query below
   then treats the result as the dimension-sized relation it is in real
   TPC-H (|parts| x avg-suppliers-per-part, far smaller than lineitem).
-* ``l_shipmode`` := a 7-way CASE over ``(l_orderkey*7 + l_linenumber)
-  % 7`` — row-local, exact, and identical text on both engines.
+* ``l_shipmode`` := a 7-way CASE over ``(l_orderkey*13 + l_linenumber)
+  % 7`` — row-local, exact, identical text on both engines, and the
+  multiplier coprime to 7 so both key components actually mix.
 
 Cross-engine exactness follows ``functions/money.py``: all money stays
 decimal until one final string→double round-trip; the Q11 HAVING
@@ -367,9 +368,13 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
 # TPC-H Q12: shipmode vs order priority (derived shipmode)
 # ---------------------------------------------------------------------------
 
-#: Row-local derived shipmode — identical text on both engines.
+#: Row-local derived shipmode — identical text on both engines. The
+#: multiplier must be COPRIME to the modulus: (k*7 + ln) % 7 collapses
+#: to ln % 7, a fixed 1:1 function of line number (and MAIL only ever
+#: on rare 7th lines) — caught in the r8 self-review; 13 mixes both
+#: key components like the partsupp cost derivations above.
 _SHIPMODE_EXPR = (
-    "CASE CAST((l_orderkey * 7 + l_linenumber) % 7 AS INT) "
+    "CASE CAST((l_orderkey * 13 + l_linenumber) % 7 AS INT) "
     "WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP' WHEN 2 THEN 'AIR' "
     "WHEN 3 THEN 'RAIL' WHEN 4 THEN 'TRUCK' WHEN 5 THEN 'FOB' "
     "ELSE 'REG AIR' END"

@@ -213,21 +213,41 @@ def write_sorted_parquet(df: DataFrame, path: str, sort_cols: list[str]) -> None
     df.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
-def write_versioned(df: DataFrame, path: str) -> int:
-    """Versioned snapshot sink — time travel on plain object storage:
-    each write lands in ``path/v=N`` (N = 1 + highest existing), never
-    touching prior versions. Readers pin a version for reproducibility
-    (training-data lineage: 'the corpus as of v3') and writers never
-    corrupt a concurrent reader — the immutability contract Delta/
-    Iceberg formalize, here as pure directory layout. Returns N."""
+def _versions(path: str, committed_only: bool) -> list[int]:
+    """Version numbers under the ``v=N`` layout. ``committed_only``
+    keeps only directories carrying Spark's ``_SUCCESS`` job-commit
+    marker: a crash DURING a snapshot write leaves a v=N directory
+    with a subset of part files and no marker (r8 self-review item 2) —
+    readers and merge bases must never treat that torn directory as a
+    snapshot, while the NEXT writer must still count it so the name is
+    never reused (parquet's errorifexists would fail the retry)."""
     import re as _re
 
-    existing = [
-        int(m.group(1))
-        for name in (os.listdir(path) if os.path.isdir(path) else [])
-        if (m := _re.fullmatch(r"v=(\d+)", name))
-    ]
-    version = max(existing, default=0) + 1
+    out = []
+    for name in (os.listdir(path) if os.path.isdir(path) else []):
+        m = _re.fullmatch(r"v=(\d+)", name)
+        if not m:
+            continue
+        if committed_only and not os.path.exists(
+                os.path.join(path, name, "_SUCCESS")):
+            continue
+        out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def write_versioned(df: DataFrame, path: str) -> int:
+    """Versioned snapshot sink — time travel on plain object storage:
+    each write lands in ``path/v=N`` (N = 1 + highest existing,
+    committed or torn), never touching prior versions. A version COUNTS
+    only once Spark's job committer drops ``_SUCCESS`` — the atomic
+    publish point; crash-torn directories are invisible to readers
+    (see :func:`_versions`) and reclaimed by :func:`vacuum_versions`.
+    Readers pin a version for reproducibility (training-data lineage:
+    'the corpus as of v3') and writers never corrupt a concurrent
+    reader — the immutability contract Delta/Iceberg formalize, here
+    as pure directory layout. Returns N."""
+    existing = _versions(path, committed_only=False)
+    version = (existing[-1] if existing else 0) + 1
     df.write.mode("errorifexists").parquet(f"{path}/v={version}")
     return version
 
@@ -290,14 +310,19 @@ def merge_upsert(
         raise ValueError(f"resolve must be delta_wins|latest_wins, got {resolve!r}")
     if resolve == "latest_wins" and not order_cols:
         raise ValueError("latest_wins needs order_cols to compare base vs delta")
-    has_base = os.path.isdir(path) and any(
-        name.startswith("v=") for name in os.listdir(path))
+    has_base = bool(_versions(path, committed_only=True))
     if not has_base:
         merged = delta
     elif resolve == "delta_wins":
         base = read_version(spark, path)
+        # eqNullSafe like the latest_wins join below: a null-unsafe
+        # anti-join never matches NULL keys, so a NULL-keyed base row
+        # would SURVIVE alongside the NULL-keyed delta row — the two
+        # resolve modes would disagree on the same input (r8
+        # self-review item 4)
+        dk = delta.select(*keys).distinct()
         merged = base.join(
-            delta.select(*keys).distinct(), keys, "left_anti"
+            dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
         ).unionByName(delta)
     else:
         # latest_wins: the CDC consumer that may receive OUT-OF-ORDER
@@ -307,15 +332,20 @@ def merge_upsert(
         # base stays sort-free and the join is AQE-skew-splittable).
         base = read_version(spark, path)
         cols = base.columns
-        b, d = base.alias("_b"), delta.alias("_d")
+        # explicit presence markers, NOT key-isNotNull probes: a
+        # NULL-keyed row is a PRESENT row whose key happens to be null
+        # (eqNullSafe matches it), and key-nullity probes misread it as
+        # an absent join side (r8 self-review follow-up — caught by
+        # test_merge_upsert_null_key_modes_agree)
+        b = base.withColumn("_b_present", F.lit(True)).alias("_b")
+        d = delta.withColumn("_d_present", F.lit(True)).alias("_d")
         joined = b.join(d, [F.col(f"_b.{k}").eqNullSafe(F.col(f"_d.{k}"))
                             for k in keys], "full_outer")
-        base_missing = F.col(f"_b.{order_cols[0]}").isNull() & F.col(
-            f"_b.{keys[0]}").isNull()
+        base_missing = F.col("_b._b_present").isNull()
         delta_newer = F.struct(*[F.col(f"_d.{c}") for c in order_cols]) \
             >= F.struct(*[F.col(f"_b.{c}") for c in order_cols])
         take_delta = base_missing | (
-            F.col(f"_d.{keys[0]}").isNotNull() & delta_newer)
+            F.col("_d._d_present").isNotNull() & delta_newer)
         merged = joined.select(*[
             F.when(take_delta, F.col(f"_d.{c}")).otherwise(F.col(f"_b.{c}"))
             .alias(c)
@@ -332,35 +362,38 @@ def vacuum_versions(path: str, keep: int = 2) -> list[int]:
     version numbers. Readers pin versions explicitly, so the retention
     window IS the time-travel contract — exactly Delta/Iceberg VACUUM.
     ``keep`` must be >= 1: the latest snapshot is never dropped."""
-    import re as _re
     import shutil as _shutil
 
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
-    versions = sorted(
-        int(m.group(1))
-        for name in (os.listdir(path) if os.path.isdir(path) else [])
-        if (m := _re.fullmatch(r"v=(\d+)", name))
-    )
-    dropped = versions[:-keep] if len(versions) > keep else []
-    for v in dropped:
+    committed = _versions(path, committed_only=True)
+    dropped = committed[:-keep] if len(committed) > keep else []
+    if committed:
+        # crash-torn (uncommitted) directories BELOW the latest
+        # committed snapshot are dead garbage — no reader can serve
+        # them and no writer will reuse the name; an uncommitted dir
+        # ABOVE it may be a write in progress, so leave it alone
+        dropped += [
+            v for v in _versions(path, committed_only=False)
+            if v < committed[-1] and v not in committed
+        ]
+    for v in sorted(dropped):
         _shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
-    return dropped
+    return sorted(dropped)
 
 
 def read_version(spark: SparkSession, path: str, version: int | None = None) -> DataFrame:
-    """Versioned snapshot source: pin ``version``, or None for latest."""
-    import re as _re
-
+    """Versioned snapshot source: pin ``version``, or None for the
+    latest COMMITTED snapshot (a crash-torn directory without
+    ``_SUCCESS`` is never served — see :func:`_versions`)."""
     if version is None:
-        versions = [
-            int(m.group(1))
-            for name in os.listdir(path)
-            if (m := _re.fullmatch(r"v=(\d+)", name))
-        ]
+        versions = _versions(path, committed_only=True)
         if not versions:
-            raise FileNotFoundError(f"no versions under {path}")
-        version = max(versions)
+            raise FileNotFoundError(f"no committed versions under {path}")
+        version = versions[-1]
+    elif not os.path.exists(os.path.join(path, f"v={version}", "_SUCCESS")):
+        raise FileNotFoundError(
+            f"version {version} under {path} is missing or uncommitted")
     return spark.read.parquet(f"{path}/v={version}")
 
 
@@ -510,10 +543,7 @@ def read_bucketed_table(spark: SparkSession, name: str) -> DataFrame:
         "round-trip at the end.",
 )
 def q_scd1_customer_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import weakref
-
-    from ..streaming.runner import _SPOOLS, _spool_root, sweep_spools
+    from ..streaming.runner import session_spool
 
     cutoff = "1997-01-01"
 
@@ -527,9 +557,7 @@ def q_scd1_customer_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     orders = table(spark, sf_dir, "orders")
-    sweep_spools(only_dead=True)
-    path = tempfile.mkdtemp(prefix="scd1_state_", dir=_spool_root())
-    _SPOOLS.append((weakref.ref(spark), path))  # session-tied cleanup
+    path = session_spool(spark, "scd1_state_")  # session-tied cleanup
     keys, order_cols = ["o_custkey"], ["last_orderdate", "last_orderkey"]
     v1 = merge_upsert(
         spark, path, state_rows(orders.where(F.col("o_orderdate") < cutoff)),

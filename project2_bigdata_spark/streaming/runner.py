@@ -69,6 +69,20 @@ def sweep_spools(only_dead: bool = True) -> list[str]:
     return removed
 
 
+def session_spool(spark, prefix: str) -> str:
+    """One-call session-tied scratch dir: sweep dead spools, mkdtemp
+    under the spool root, register for cleanup when the owning session
+    dies. The three lifecycle steps live HERE so call sites (SCD1
+    state dirs, bucketed-layout writes, streaming dimension paths)
+    cannot drift apart (r8 self-review item 8)."""
+    import tempfile
+
+    sweep_spools(only_dead=True)
+    path = tempfile.mkdtemp(prefix=prefix, dir=_spool_root())
+    _SPOOLS.append((weakref.ref(spark), path))
+    return path
+
+
 def _spool_root() -> str:
     """Directory spools are created under.
 

@@ -19,14 +19,12 @@ pattern forbids — exactly the contract every SCD1 CDC consumer has.
 
 from __future__ import annotations
 
-import tempfile
-import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..plans.registry import register
-from .runner import _ROCKSDB, _SPOOLS, _spool_root, sweep_spools
+from .runner import _ROCKSDB, session_spool
 from .source import events_stream
 
 
@@ -37,6 +35,7 @@ def stream_upsert_to_dimension(
     order_cols: list[str],
     checkpoint: str | None = None,
     post_merge_hook=None,
+    resolve: str = "latest_wins",
 ) -> None:
     """Replay the bounded stream (AvailableNow), MERGE-upserting each
     micro-batch into the versioned dimension at ``path``.
@@ -52,8 +51,17 @@ def stream_upsert_to_dimension(
         pass
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        # latest_wins, NOT delta_wins (r8 self-review item 1): a
+        # multi-file source replays as multiple micro-batches in FILE
+        # order, not event-time order — delta_wins would make "last
+        # batch containing the key" win instead of "latest event",
+        # breaking merge==recompute whenever the corpus is a directory
+        # (the K=100 amplified data, the restart test's 4-file fixture,
+        # any production feed). latest_wins also makes a replayed old
+        # batch a no-op, strengthening restart idempotence from
+        # content-idempotent to order-independent.
         merge_upsert(batch_df.sparkSession, path, batch_df,
-                     keys=keys, order_cols=order_cols)
+                     keys=keys, order_cols=order_cols, resolve=resolve)
         if post_merge_hook is not None:
             post_merge_hook(batch_id)
 
@@ -90,9 +98,7 @@ def run_stream_scd1(
 
     caller_path = path is not None
     if not caller_path:
-        sweep_spools(only_dead=True)
-        path = tempfile.mkdtemp(prefix="stream_scd1_", dir=_spool_root())
-        _SPOOLS.append((weakref.ref(spark), path))
+        path = session_spool(spark, "stream_scd1_")
     stream_upsert_to_dimension(
         user_state_stream(spark, sf_dir), path,
         keys=["user_id"], order_cols=["last_ts", "last_event_id"],

@@ -677,3 +677,44 @@ def q_theta_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(1000 * returning DIV active AS BIGINT)"),
         )
     )
+
+
+@register(
+    "file_provenance_audit",
+    # The driver's oracle runs against pre-registered VIEWS, which
+    # carry no filename pseudo-column — but the driver corpus stores
+    # each table as ONE parquet file (premise pinned in
+    # tests/test_round8b.py), so the literal basename below both
+    # supplies the join key AND asserts Spark's input_file_name()
+    # basename extraction. Multi-file behavior is pinned by a unit
+    # test over a 3-file write and exercised at K=100.
+    oracle="""
+    SELECT 'lineitem.parquet' AS file,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_orderkey,
+           CAST(max(l_orderkey) AS BIGINT) AS max_orderkey,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+    FROM lineitem
+    """,
+    doc="Row provenance at FILE grain: per input parquet file of the "
+        "lineitem fact — row count, orderkey span, distinct parts. The "
+        "100 TB debugging primitive (which file carried the bad batch; "
+        "which files a compaction should rewrite; is the ingest "
+        "clustered by key). input_file_name() evaluates in the scan "
+        "stage (zero extra I/O); the audit is one map-side-combinable "
+        "aggregate at file grain",
+)
+def q_file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.withColumn(
+            "file",
+            F.regexp_extract(F.input_file_name(), "[^/]+$", 0))
+        .groupBy("file")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("l_orderkey").alias("min_orderkey"),
+            F.max("l_orderkey").alias("max_orderkey"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+    )

@@ -380,3 +380,45 @@ def test_merge_latest_wins_out_of_order_batches(spark, tmp_path):
                  resolve="latest_wins")
     got = {r.k: (r.ts, r.v) for r in read_version(spark, p).collect()}
     assert got == {1: (20, "new"), 2: (20, "new"), 3: (10, "old3")}
+
+
+# ---------------------------------------------------------------------------
+# File provenance
+
+
+def test_driver_tables_are_single_files(sf_dir):
+    """Premise of file_provenance_audit's oracle (the driver's DuckDB
+    views carry no filename column, so the oracle pins the literal
+    basename): every driver table is ONE regular parquet file."""
+    import os
+
+    from project2_bigdata_spark.catalog import TABLES
+
+    for sf in (sf_dir, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+        for t in TABLES:
+            p = f"{sf}/{t}.parquet"
+            assert os.path.isfile(p), f"{p} is not a single file"
+
+
+def test_file_provenance_multi_file(spark, tmp_path):
+    """On a real multi-file table the audit reports one row per part
+    file with disjoint-union row counts."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "multi")
+    spark.range(0, 3000, 1, 3).withColumn(
+        "k", F.col("id") % 7).write.parquet(p)
+    audit = (
+        spark.read.parquet(p)
+        .withColumn("file",
+                    F.regexp_extract(F.input_file_name(), "[^/]+$", 0))
+        .groupBy("file")
+        .agg(F.count("*").alias("n_rows"), F.min("id").alias("lo"),
+             F.max("id").alias("hi"))
+        .collect()
+    )
+    assert len(audit) == 3
+    assert sum(r.n_rows for r in audit) == 3000
+    spans = sorted((r.lo, r.hi) for r in audit)
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # range-partitioned write => disjoint spans

@@ -187,3 +187,55 @@ def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
     """)
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    WITH j AS (
+      SELECT concat('{"p": ', props, ', "t": "', event_type, '"}') AS s
+      FROM events
+    )
+    SELECT json_extract_string(s, '$.t') AS event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(s, '$.p.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           CAST(MIN(CAST(json_extract_string(s, '$.p.k') AS BIGINT))
+                AS BIGINT) AS min_k,
+           CAST(MAX(CAST(json_extract_string(s, '$.p.k') AS BIGINT))
+                AS BIGINT) AS max_k,
+           CAST(count(json_extract_string(s, '$.p.zzz')) AS BIGINT)
+             AS n_missing_path
+    FROM j GROUP BY 1
+    """,
+    doc="Semi-structured VARIANT surface (Spark 4): the payload is "
+        "parse_json'd ONCE into the binary VARIANT encoding, then typed "
+        "fields come out via variant_get path extraction — nested path "
+        "($.p.k), string leaf ($.t), and try_variant_get null semantics "
+        "on a missing path. VARIANT is the lakehouse answer to "
+        "schema-on-read: at 100 TB the one-time parse beats re-parsing "
+        "the JSON string per path (json_props_extract is the string-"
+        "path twin for comparison), and the binary encoding pushes "
+        "through shuffles untouched. The nested document is built "
+        "row-locally from props + event_type so the extraction "
+        "exercises real structure, not a single-field object",
+)
+def q_variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.concat(
+        F.lit('{"p": '), "props", F.lit(', "t": "'), "event_type",
+        F.lit('"}')))
+    withv = e.select(v.alias("v"))
+    k = F.variant_get("v", "$.p.k", "bigint")
+    return (
+        withv.groupBy(
+            F.variant_get("v", "$.t", "string").alias("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(F.try_variant_get("v", "$.p.zzz", "bigint"))
+            .alias("n_missing_path"),
+        )
+    )

@@ -423,15 +423,13 @@ def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame
         "— the oracle reads the plain table, so parity proves the "
         "serialize→repair loop is lossless on both clean and dirty rows",
 )
-def q_ingest_extended_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # The serialize→parse round trip is row-local compute pipelined into
-    # the scan — spread a small single-file input (catalog.table_parallel
-    # rule) so it doesn't serialize on one task.
-    from ..catalog import table_parallel
-
-    o = table_parallel(spark, sf_dir, "orders")
+def extended_json_doc() -> F.Column:
+    """Mongo extended-JSON serialization of an orders row (shared by the
+    round-trip query below and the Python-DataSource export writer):
+    odd keys get a dirty bare-ISO saleDate, even keys the $date wrapper;
+    money rides as $numberDecimal text."""
     iso = F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss'Z'")
-    doc = F.to_json(F.struct(
+    return F.to_json(F.struct(
         F.struct(F.col("o_orderkey").cast("string").alias("$oid")).alias("_id"),
         # dirty on odd keys: bare JSON string; clean on even: {"$date": iso}
         # (ISO text needs no JSON escaping, so quote it directly —
@@ -443,6 +441,16 @@ def q_ingest_extended_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame
          .alias("price"),
         F.col("o_orderpriority").alias("purchaseMethod"),
     ))
+
+
+def q_ingest_extended_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The serialize→parse round trip is row-local compute pipelined into
+    # the scan — spread a small single-file input (catalog.table_parallel
+    # rule) so it doesn't serialize on one task.
+    from ..catalog import table_parallel
+
+    o = table_parallel(spark, sf_dir, "orders")
+    doc = extended_json_doc()
     parse_schema = T.StructType([
         T.StructField("_id", T.StructType([T.StructField("$oid", T.StringType())])),
         T.StructField("saleDateRaw", T.StringType()),
@@ -573,3 +581,45 @@ def q_scd1_customer_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last_totalprice").cast("string").cast("double")
         .alias("last_totalprice"),
     )
+
+
+@register(
+    "pyds_mongoexport_scan",
+    # same relation (and oracle) as ingest_extended_json_repair: the
+    # export file is the serialized orders table, so parity proves the
+    # connector's split planning + per-line repair are lossless
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    """,
+    doc="Custom connector through the Spark 4 Python Data Source API "
+        "(sources/pyds.py): the orders table is exported to a "
+        "mongoexport extended-JSON file (the reference's native "
+        "interchange format), then read back through a registered "
+        "format ('p2bd_jsonl') whose reader plans BYTE-RANGE splits "
+        "without reading the file and repairs dirty/clean saleDate "
+        "variants per line — the one place a Python row boundary is "
+        "idiomatic (no JVM connector exists for the format). Split "
+        "ownership is the Hadoop text discipline (a line belongs to "
+        "the range holding its first byte), pinned split-invariant by "
+        "test; 8-way here, 1000-way at a 1 TB export, same code",
+)
+def q_pyds_mongoexport_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..streaming.runner import session_spool
+    from .pyds import read_jsonl_sales
+
+    d = session_spool(spark, "mongoexport_")
+    out = f"{d}/sales_jsonl"
+    # coalesce(1): mongoexport writes ONE file; the connector's byte
+    # ranges supply the read parallelism the single file lacks
+    (table(spark, sf_dir, "orders")
+     .select(extended_json_doc().alias("value"))
+     .coalesce(1).write.mode("overwrite").text(out))
+    part = glob.glob(f"{out}/part-*.txt") + glob.glob(f"{out}/part-*")
+    return read_jsonl_sales(spark, part[0], num_partitions=8)

@@ -29,6 +29,9 @@ PYTHON_OK = {
     "dtw_seasonal_similarity",  # batched mapInPandas DP (O(n·m)
                                 # recurrence no join/window/HOF expresses)
     "dtw_seasonal_cogrouped",   # same DP through cogroup().applyInPandas
+    "pyds_mongoexport_scan",    # Python Data Source connector — the
+                                # format has no JVM reader, which is the
+                                # API's charter
 }
 
 #: Queries that intentionally use a broadcast nested-loop join. Two
@@ -159,7 +162,8 @@ def test_no_python_udf_outside_allowlist(spark, sf_dir):
             continue  # streaming queries build their own bounded replay
         plan = plan_of(spark, sf_dir, name)
         if ("BatchEvalPython" in plan or "ArrowEvalPython" in plan
-                or "InPandas" in plan):  # FlatMapGroups/CoGroups/MapInPandas
+                or "InPandas" in plan       # FlatMapGroups/CoGroups/Map
+                or "] (Python)" in plan):   # Python Data Source scans
             offenders.append(name)
     assert not offenders, f"Python UDFs leaked into: {offenders}"
 

@@ -422,3 +422,49 @@ def test_file_provenance_multi_file(spark, tmp_path):
     spans = sorted((r.lo, r.hi) for r in audit)
     for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
         assert hi1 < lo2  # range-partitioned write => disjoint spans
+
+
+# ---------------------------------------------------------------------------
+# Python Data Source connector
+
+
+def test_pyds_split_invariance(spark, sf_dir, tmp_path):
+    """The byte-range split discipline: any partition count yields the
+    same relation (every line owned by exactly one range)."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import extended_json_doc
+    from project2_bigdata_spark.sources.pyds import read_jsonl_sales
+
+    import glob
+
+    out = str(tmp_path / "jsonl")
+    (table(spark, sf_dir, "orders")
+     .select(extended_json_doc().alias("value"))
+     .coalesce(1).write.mode("overwrite").text(out))
+    part = glob.glob(f"{out}/part-*")[0]
+
+    def rows(n):
+        return sorted(map(tuple, read_jsonl_sales(spark, part, n).collect()))
+
+    one = rows(1)
+    assert len(one) > 0
+    assert rows(8) == one
+    assert rows(37) == one  # more ranges than lines per range is fine
+
+
+def test_pyds_partitions_cover_file_exactly(tmp_path):
+    """partitions() plans disjoint byte ranges covering [0, size)."""
+    from project2_bigdata_spark.sources.pyds import JsonlSaleReader
+
+    p = tmp_path / "f.jsonl"
+    p.write_bytes(b'{"x": 1}\n' * 100)
+    size = p.stat().st_size
+    for n in (1, 3, 8, 1000):
+        parts = JsonlSaleReader(
+            {"path": str(p), "num_partitions": str(n)}).partitions()
+        spans = sorted((q.start, q.end) for q in parts)
+        assert spans[0][0] == 0 and spans[-1][1] == size
+        for (s1, e1), (s2, _) in zip(spans, spans[1:]):
+            assert e1 == s2  # contiguous, disjoint

@@ -623,3 +623,77 @@ def q_pyds_mongoexport_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
      .coalesce(1).write.mode("overwrite").text(out))
     part = glob.glob(f"{out}/part-*.txt") + glob.glob(f"{out}/part-*")
     return read_jsonl_sales(spark, part[0], num_partitions=8)
+
+
+@register(
+    "pyds_mongoexport_stream",
+    # same full-relation oracle as the batch connector: the bounded
+    # replay must reconstruct the export losslessly however the
+    # micro-batch boundaries fall
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    """,
+    doc="STREAMING custom connector (Spark 4 Python Data Source, "
+        "simpleStreamReader): the mongoexport file replays in "
+        "4000-line micro-batches with line-number offsets checkpointed "
+        "by Spark's offset log. The bounded replay is driven as "
+        "repeated AvailableNow runs against ONE checkpoint — each run "
+        "resumes from the committed offset (the restart contract "
+        "demonstrated as the drive loop itself, not just a test); the "
+        "sink is the per-batch-overwrite parquet spool (idempotent "
+        "under at-least-once replay, runner.py's discipline). "
+        "Offsets advance by LINES CONSUMED, blank lines included, so "
+        "window boundaries never desync from parsed-row counts",
+)
+def q_pyds_mongoexport_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..streaming.runner import session_spool
+    from .pyds import stream_jsonl_sales
+
+    d = session_spool(spark, "mongoexport_stream_")
+    out = f"{d}/sales_jsonl"
+    orders = table(spark, sf_dir, "orders")
+    n_total = orders.count()
+    (orders.select(extended_json_doc().alias("value"))
+     .coalesce(1).write.mode("overwrite").text(out))
+    part = glob.glob(f"{out}/part-*")[0]
+
+    spool, ck = f"{d}/spool", f"{d}/ck"
+    os.makedirs(spool, exist_ok=True)
+    seen = {"rows": 0}
+
+    def _spill(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n:
+            batch_df.write.mode("overwrite").parquet(
+                f"{spool}/batch={batch_id}")
+            seen["rows"] += n
+
+    # repeated AvailableNow runs over one checkpoint: with the simple
+    # stream reader each run takes the next prefetched window and
+    # commits its offset, so the loop IS a sequence of restarts; if an
+    # implementation drains everything in one run, the loop exits after
+    # it. A zero-progress run with data still missing is a hard error,
+    # not an infinite loop.
+    for _ in range(10_000):
+        if seen["rows"] >= n_total:
+            break
+        before = seen["rows"]
+        q = (
+            stream_jsonl_sales(spark, part)
+            .writeStream.foreachBatch(_spill)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.awaitTermination()
+        if seen["rows"] == before:
+            raise RuntimeError(
+                f"stream made no progress at {before}/{n_total} rows")
+    return spark.read.option("recursiveFileLookup", "true").parquet(spool)

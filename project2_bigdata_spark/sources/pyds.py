@@ -111,6 +111,9 @@ class JsonlSaleDataSource(DataSource):
     def reader(self, schema):
         return JsonlSaleReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return _make_stream_reader(self.options)
+
 
 def register_jsonl_source(spark) -> None:
     """Idempotent format registration (latest registration wins)."""
@@ -123,5 +126,88 @@ def read_jsonl_sales(spark, path: str, num_partitions: int = 8):
         spark.read.format(FORMAT_NAME)
         .option("path", path)
         .option("num_partitions", str(num_partitions))
+        .load()
+    )
+
+
+class JsonlSaleStreamReader:
+    """Streaming half of the connector (``SimpleDataSourceStreamReader``):
+    the export file replayed in ``batch_lines``-sized micro-batches with
+    LINE-NUMBER offsets. ``read(start)`` serves the next window and
+    advances the offset; ``readBetweenOffsets`` replays a committed
+    window deterministically (the at-least-once recovery path Spark
+    calls after a restart); a caught-up source returns an empty batch
+    with an unchanged offset. Offsets are plain dicts, so the
+    checkpoint's offset log is human-readable JSON."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.batch_lines = int(options.get("batch_lines", "4000"))
+
+    def initialOffset(self):
+        return {"line": 0}
+
+    def _parse(self, line: bytes):
+        import json
+
+        d = json.loads(line)
+        raw = d["saleDateRaw"].strip()
+        if raw.startswith("{"):
+            iso = json.loads(raw)["$date"]
+        else:
+            iso = raw.strip('"')
+        return (
+            d["_id"]["$oid"],
+            iso.replace("T", " ").rstrip("Z"),
+            float(d["price"]["$numberDecimal"]),
+            d["purchaseMethod"],
+        )
+
+    def _window(self, start_line: int, max_lines: int | None):
+        # offsets count FILE LINES (blank ones included), not parsed
+        # rows — len(out) as the offset delta would desync on any blank
+        # line and replay/skip a window boundary
+        out, consumed = [], 0
+        with open(self.path, "rb") as fh:
+            for i, line in enumerate(fh):
+                if i < start_line:
+                    continue
+                if max_lines is not None and consumed >= max_lines:
+                    break
+                consumed += 1
+                if line.strip():
+                    out.append(self._parse(line))
+        return out, consumed
+
+    def read(self, start):
+        rows, consumed = self._window(start["line"], self.batch_lines)
+        return iter(rows), {"line": start["line"] + consumed}
+
+    def readBetweenOffsets(self, start, end):
+        rows, _ = self._window(start["line"], end["line"] - start["line"])
+        return iter(rows)
+
+    def commit(self, end):
+        pass  # the file is immutable; nothing to release
+
+
+def _make_stream_reader(options):
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+    # JsonlSaleStreamReader FIRST: the pyspark base class ships stub
+    # methods that raise NotImplementedError, so it must lose the MRO
+    class _Reader(JsonlSaleStreamReader, SimpleDataSourceStreamReader):
+        def __init__(self):
+            JsonlSaleStreamReader.__init__(self, options)
+
+    return _Reader()
+
+
+def stream_jsonl_sales(spark, path: str, batch_lines: int = 4000):
+    register_jsonl_source(spark)
+    return (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("batch_lines", str(batch_lines))
         .load()
     )

@@ -468,3 +468,25 @@ def test_pyds_partitions_cover_file_exactly(tmp_path):
         assert spans[0][0] == 0 and spans[-1][1] == size
         for (s1, e1), (s2, _) in zip(spans, spans[1:]):
             assert e1 == s2  # contiguous, disjoint
+
+
+def test_pyds_stream_offsets_skip_blank_lines_without_desync(tmp_path):
+    """Offsets advance by lines CONSUMED (blanks included) so window
+    boundaries stay aligned with the file however rows fall."""
+    from project2_bigdata_spark.sources.pyds import JsonlSaleStreamReader
+
+    doc = ('{"_id": {"$oid": "%d"}, "saleDateRaw": "\\"2000-01-0%dT00:00:00Z\\"", '
+           '"price": {"$numberDecimal": "1.50"}, "purchaseMethod": "Online"}')
+    p = tmp_path / "s.jsonl"
+    p.write_text(doc % (1, 1) + "\n\n" + doc % (2, 2) + "\n" + doc % (3, 3) + "\n")
+    r = JsonlSaleStreamReader({"path": str(p), "batch_lines": "2"})
+    rows1, end1 = r.read({"line": 0})
+    rows1 = list(rows1)
+    assert [x[0] for x in rows1] == ["1"] and end1 == {"line": 2}
+    rows2, end2 = r.read(end1)
+    rows2 = list(rows2)
+    assert [x[0] for x in rows2] == ["2", "3"] and end2 == {"line": 4}
+    rows3, end3 = r.read(end2)
+    assert list(rows3) == [] and end3 == end2  # caught up: no movement
+    # replay path returns the identical committed window
+    assert [x[0] for x in r.readBetweenOffsets({"line": 0}, {"line": 2})] == ["1"]

@@ -666,6 +666,10 @@ def q_pyds_mongoexport_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spool, ck = f"{d}/spool", f"{d}/ck"
     os.makedirs(spool, exist_ok=True)
+    # window size scales with the export so the replay is ALWAYS a
+    # handful of micro-batches (≤8 + the empty tail): a fixed window
+    # would mean thousands of drive-loop runs on a K=100 export
+    batch_lines = max(4000, n_total // 8 + 1)
     seen = {"rows": 0}
 
     def _spill(batch_df: DataFrame, batch_id: int) -> None:
@@ -686,7 +690,7 @@ def q_pyds_mongoexport_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         before = seen["rows"]
         q = (
-            stream_jsonl_sales(spark, part)
+            stream_jsonl_sales(spark, part, batch_lines=batch_lines)
             .writeStream.foreachBatch(_spill)
             .trigger(availableNow=True)
             .option("checkpointLocation", ck)

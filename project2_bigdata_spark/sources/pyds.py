@@ -145,7 +145,12 @@ class JsonlSaleStreamReader:
         self.batch_lines = int(options.get("batch_lines", "4000"))
 
     def initialOffset(self):
-        return {"line": 0}
+        # `line` is the human-readable progress marker; `byte` is the
+        # seek position the next window starts from — without it every
+        # read() re-scans the file from line 0 to skip to its window,
+        # which is quadratic across a replay (measured: the K=100
+        # export spent most of its 240 s in that skip loop)
+        return {"line": 0, "byte": 0}
 
     def _parse(self, line: bytes):
         import json
@@ -163,28 +168,34 @@ class JsonlSaleStreamReader:
             d["purchaseMethod"],
         )
 
-    def _window(self, start_line: int, max_lines: int | None):
-        # offsets count FILE LINES (blank ones included), not parsed
-        # rows — len(out) as the offset delta would desync on any blank
-        # line and replay/skip a window boundary
+    def _window(self, start_byte: int, max_lines: int | None,
+                end_byte: int | None = None):
+        # progress counts FILE LINES (blank ones included), not parsed
+        # rows — a parsed-row delta would desync window boundaries on
+        # any blank line; the byte position makes each window O(window)
         out, consumed = [], 0
         with open(self.path, "rb") as fh:
-            for i, line in enumerate(fh):
-                if i < start_line:
-                    continue
+            fh.seek(start_byte)
+            while True:
                 if max_lines is not None and consumed >= max_lines:
+                    break
+                if end_byte is not None and fh.tell() >= end_byte:
+                    break
+                line = fh.readline()
+                if not line:
                     break
                 consumed += 1
                 if line.strip():
                     out.append(self._parse(line))
-        return out, consumed
+            return out, consumed, fh.tell()
 
     def read(self, start):
-        rows, consumed = self._window(start["line"], self.batch_lines)
-        return iter(rows), {"line": start["line"] + consumed}
+        rows, consumed, pos = self._window(start["byte"], self.batch_lines)
+        return iter(rows), {"line": start["line"] + consumed, "byte": pos}
 
     def readBetweenOffsets(self, start, end):
-        rows, _ = self._window(start["line"], end["line"] - start["line"])
+        rows, _, _ = self._window(start["byte"], None,
+                                  end_byte=end["byte"])
         return iter(rows)
 
     def commit(self, end):

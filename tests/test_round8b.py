@@ -480,13 +480,15 @@ def test_pyds_stream_offsets_skip_blank_lines_without_desync(tmp_path):
     p = tmp_path / "s.jsonl"
     p.write_text(doc % (1, 1) + "\n\n" + doc % (2, 2) + "\n" + doc % (3, 3) + "\n")
     r = JsonlSaleStreamReader({"path": str(p), "batch_lines": "2"})
-    rows1, end1 = r.read({"line": 0})
+    start = r.initialOffset()
+    rows1, end1 = r.read(start)
     rows1 = list(rows1)
-    assert [x[0] for x in rows1] == ["1"] and end1 == {"line": 2}
+    assert [x[0] for x in rows1] == ["1"] and end1["line"] == 2
     rows2, end2 = r.read(end1)
     rows2 = list(rows2)
-    assert [x[0] for x in rows2] == ["2", "3"] and end2 == {"line": 4}
+    assert [x[0] for x in rows2] == ["2", "3"] and end2["line"] == 4
     rows3, end3 = r.read(end2)
     assert list(rows3) == [] and end3 == end2  # caught up: no movement
-    # replay path returns the identical committed window
-    assert [x[0] for x in r.readBetweenOffsets({"line": 0}, {"line": 2})] == ["1"]
+    # replay path returns the identical committed windows
+    assert [x[0] for x in r.readBetweenOffsets(start, end1)] == ["1"]
+    assert [x[0] for x in r.readBetweenOffsets(end1, end2)] == ["2", "3"]

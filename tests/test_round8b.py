@@ -470,25 +470,51 @@ def test_pyds_partitions_cover_file_exactly(tmp_path):
             assert e1 == s2  # contiguous, disjoint
 
 
-def test_pyds_stream_offsets_skip_blank_lines_without_desync(tmp_path):
-    """Offsets advance by lines CONSUMED (blanks included) so window
-    boundaries stay aligned with the file however rows fall."""
+_DOC = ('{"_id": {"$oid": "%d"}, "saleDateRaw": "\\"2000-01-0%dT00:00:00Z\\"", '
+        '"price": {"$numberDecimal": "1.50"}, "purchaseMethod": "Online"}')
+
+
+def test_pyds_stream_window_partitions_own_each_line_once(tmp_path):
+    """Split ownership inside a micro-batch window: however the window
+    splits into sub-ranges, every line parses exactly once, and the
+    window's first sub-range keeps its first line (the window start is
+    a line boundary — only interior starts skip a partial line)."""
     from project2_bigdata_spark.sources.pyds import JsonlSaleStreamReader
 
-    doc = ('{"_id": {"$oid": "%d"}, "saleDateRaw": "\\"2000-01-0%dT00:00:00Z\\"", '
-           '"price": {"$numberDecimal": "1.50"}, "purchaseMethod": "Online"}')
     p = tmp_path / "s.jsonl"
-    p.write_text(doc % (1, 1) + "\n\n" + doc % (2, 2) + "\n" + doc % (3, 3) + "\n")
-    r = JsonlSaleStreamReader({"path": str(p), "batch_lines": "2"})
-    start = r.initialOffset()
-    rows1, end1 = r.read(start)
-    rows1 = list(rows1)
-    assert [x[0] for x in rows1] == ["1"] and end1["line"] == 2
-    rows2, end2 = r.read(end1)
-    rows2 = list(rows2)
-    assert [x[0] for x in rows2] == ["2", "3"] and end2["line"] == 4
-    rows3, end3 = r.read(end2)
-    assert list(rows3) == [] and end3 == end2  # caught up: no movement
-    # replay path returns the identical committed windows
-    assert [x[0] for x in r.readBetweenOffsets(start, end1)] == ["1"]
-    assert [x[0] for x in r.readBetweenOffsets(end1, end2)] == ["2", "3"]
+    p.write_text("".join(_DOC % (i, (i % 8) + 1) + "\n" for i in range(1, 30)))
+    size = p.stat().st_size
+    for n in (1, 3, 7, 64):
+        r = JsonlSaleStreamReader({"path": str(p), "num_partitions": str(n)})
+        parts = r.partitions({"byte": 0}, {"byte": size})
+        got = [row[0] for part in parts for row in r.read(part)]
+        assert sorted(got, key=int) == [str(i) for i in range(1, 30)], n
+
+
+def test_pyds_stream_growing_source_incremental_batch(spark, tmp_path):
+    """The growing-source contract: a second AvailableNow run against
+    the SAME checkpoint picks up exactly the bytes appended since the
+    first run committed — nothing replayed, nothing missed."""
+    from project2_bigdata_spark.sources.pyds import stream_jsonl_sales
+
+    p = tmp_path / "grow.jsonl"
+    p.write_text("".join(_DOC % (i, (i % 8) + 1) + "\n" for i in range(1, 6)))
+    ck = str(tmp_path / "ck")
+    batches = []
+
+    def run_once():
+        q = (stream_jsonl_sales(spark, str(p))
+             .writeStream.foreachBatch(
+                 lambda df, bid: batches.append(sorted(
+                     r.sale_id for r in df.collect())))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination()
+
+    run_once()
+    with open(p, "a") as fh:
+        fh.write("".join(_DOC % (i, (i % 8) + 1) + "\n" for i in range(6, 9)))
+    run_once()
+    non_empty = [b for b in batches if b]
+    assert non_empty[0] == [str(i) for i in range(1, 6)]
+    assert non_empty[1] == [str(i) for i in range(6, 9)]  # the delta only

@@ -407,22 +407,6 @@ def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame
     return df
 
 
-@register(
-    "ingest_extended_json_repair",
-    oracle="""
-    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
-           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
-           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
-             AS total_price,
-           o_orderpriority AS purchase_method
-    FROM orders
-    """,
-    doc="S1 round-trip proof: orders rows serialized INTO Mongo extended "
-        "JSON (odd keys get a dirty bare-ISO saleDate, even keys the "
-        "$date wrapper), then parsed back through the declarative repair "
-        "— the oracle reads the plain table, so parity proves the "
-        "serialize→repair loop is lossless on both clean and dirty rows",
-)
 def extended_json_doc() -> F.Column:
     """Mongo extended-JSON serialization of an orders row (shared by the
     round-trip query below and the Python-DataSource export writer):
@@ -443,6 +427,22 @@ def extended_json_doc() -> F.Column:
     ))
 
 
+@register(
+    "ingest_extended_json_repair",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    """,
+    doc="S1 round-trip proof: orders rows serialized INTO Mongo extended "
+        "JSON (odd keys get a dirty bare-ISO saleDate, even keys the "
+        "$date wrapper), then parsed back through the declarative repair "
+        "— the oracle reads the plain table, so parity proves the "
+        "serialize→repair loop is lossless on both clean and dirty rows",
+)
 def q_ingest_extended_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The serialize→parse round trip is row-local compute pipelined into
     # the scan — spread a small single-file input (catalog.table_parallel

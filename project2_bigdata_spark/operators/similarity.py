@@ -895,3 +895,78 @@ def oracle_ann_recall_ndcg(n_queries: int = 5, k: int = 10) -> str:
     )
     {union}
     """
+
+
+def ann_mrr(
+    spark: SparkSession, sf_dir: str, n_queries: int = 5, k: int = 10
+) -> DataFrame:
+    """Mean reciprocal rank — the third metric of the retrieval-eval
+    trio (recall@k and NDCG@k live in :func:`ann_recall_ndcg`): per
+    method, the mean over queries of 1/rank-of-first-relevant-result
+    (relevant = member of the brute-force top-k; a query with no hit
+    contributes 0). Same bounded eval shape; per-query reciprocals
+    round to 6dp then sum as exact DECIMAL(28,10), so the mean is
+    order-insensitive."""
+    from ..functions.money import dsum10
+    from ..session import truncate_lineage
+
+    brute = truncate_lineage(brute_force_topk(spark, sf_dir, n_queries, k))
+    nq = brute.select("query_id").distinct().count()
+    methods = [
+        ("lsh", lsh_ann_topk(spark, sf_dir, n_queries, k)),
+        ("lsh_multiprobe",
+         lsh_ann_topk(spark, sf_dir, n_queries, k, multiprobe=True)),
+        ("ivf", ivf_ann_topk(spark, sf_dir, n_queries, k)),
+    ]
+    out = None
+    for name, ann in methods:
+        per_q = (
+            ann.alias("a")
+            .join(
+                brute.alias("b"),
+                (F.col("a.query_id") == F.col("b.query_id"))
+                & (F.col("a.vec_id") == F.col("b.vec_id")),
+                "inner",
+            )
+            .groupBy(F.col("a.query_id").alias("query_id"))
+            .agg(F.min("a.rnk").alias("first_hit"))
+            .select(F.round(F.lit(1.0) / F.col("first_hit"), 6).alias("rr"))
+        )
+        scored = per_q.agg(
+            dsum10("rr", "rr_sum")
+        ).select(
+            F.lit(name).alias("method"),
+            F.lit(nq).cast("bigint").alias("n_queries"),
+            F.round(F.coalesce(F.col("rr_sum"), F.lit(0.0))
+                    / nq, 6).alias(f"mrr_at_{k}"),
+        )
+        out = scored if out is None else out.unionByName(scored)
+    return out
+
+
+def oracle_ann_mrr(n_queries: int = 5, k: int = 10) -> str:
+    brute = oracle_brute_force_topk(n_queries, k)
+    blocks = []
+    for name, ann in [
+        ("lsh", oracle_lsh_ann_topk(n_queries, k)),
+        ("lsh_multiprobe",
+         oracle_lsh_ann_topk(n_queries, k, multiprobe=True)),
+        ("ivf", oracle_ivf_ann_topk(n_queries, k)),
+    ]:
+        blocks.append(f"""
+    SELECT '{name}' AS method,
+           (SELECT count(DISTINCT query_id) FROM brute) AS n_queries,
+           round(coalesce((
+             SELECT CAST(CAST(SUM(CAST(round(CAST(1.0 AS DOUBLE) / first_hit, 6)
+                    AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+             FROM (
+               SELECT a.query_id, min(a.rnk) AS first_hit
+               FROM ({ann}) a JOIN brute b
+                 ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+               GROUP BY 1
+             )
+           ), CAST(0 AS DOUBLE))
+           / (SELECT count(DISTINCT query_id) FROM brute), 6)
+             AS mrr_at_{k}""")
+    union = "\n    UNION ALL\n".join(blocks)
+    return f"WITH brute AS ({brute})\n    {union}"

@@ -340,11 +340,23 @@ def q_simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..operators.similarity import (  # noqa: E402
+    ann_mrr,
     ann_recall_ndcg,
     mmr_diverse_topk,
+    oracle_ann_mrr,
     oracle_ann_recall_ndcg,
     oracle_mmr_diverse_topk,
 )
+
+register(
+    "ann_mrr",
+    oracle=oracle_ann_mrr(n_queries=5, k=10),
+    doc="Mean reciprocal rank per ANN method vs brute-force relevance — "
+        "completes the retrieval-eval trio with ann_recall_ndcg "
+        "(recall, NDCG, MRR). Per-query reciprocals round 6dp then sum "
+        "as exact DECIMAL(28,10); a hitless query contributes 0; "
+        "ground truth materialized once for the three method joins",
+)(ann_mrr)
 
 register(
     "ann_recall_ndcg",

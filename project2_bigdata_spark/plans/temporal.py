@@ -816,3 +816,147 @@ def q_holt_linear_daily(spark, sf_dir):
         F.round(F.col("st.t"), 6).alias("trend"),
         F.round(F.col("st.l") + F.col("st.t"), 6).alias("forecast_next"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt-Winters additive triple smoothing — level + trend + weekly season
+
+HW_A, HW_AC = "0.2", "0.8"    # level α / complement (explicit literals:
+HW_B, HW_BC = "0.1", "0.9"    # 1−parse(α) differs from parse(1−α) by a
+HW_G, HW_GC = "0.3", "0.7"    # ULP and would break float64 bit-parity
+HW_M = 7                       # weekly season
+HW_DAYS = 365                  # dense 1997 grid
+
+
+def _hw_chain(acc: str, lo: int, hi: int) -> str:
+    """Left-assoc sum chain — both engines parse `a + b + c` the same."""
+    return " + ".join(acc.format(i=i) for i in range(lo, hi + 1))
+
+
+def _hw_spark_fold() -> str:
+    el = "element_at(vals, {i})"
+    m1 = f"(({_hw_chain(el, 1, 7)}) / cast(7 as double))"
+    m2 = f"(({_hw_chain(el, 8, 14)}) / cast(7 as double))"
+    lnew = (f"{HW_A}D * (x - element_at(acc.s, 1)) "
+            f"+ {HW_AC}D * (acc.l + acc.t)")
+    return f"""
+    aggregate(
+      slice(vals, {HW_M + 1}, {HW_DAYS - HW_M}),
+      named_struct(
+        'l', {m1},
+        't', ({m2} - {m1}) / cast(7 as double),
+        's', transform(slice(vals, 1, {HW_M}), x -> x - {m1})),
+      (acc, x) -> named_struct(
+        'l', {lnew},
+        't', {HW_B}D * (({lnew}) - acc.l) + {HW_BC}D * acc.t,
+        's', concat(slice(acc.s, 2, {HW_M - 1}),
+                    array({HW_G}D * (x - ({lnew}))
+                          + {HW_GC}D * element_at(acc.s, 1))))
+    )
+    """
+
+
+def _hw_oracle() -> str:
+    el = "arr[{i}]"
+    m1 = f"(({_hw_chain(el, 1, 7)}) / CAST(7 AS DOUBLE))"
+    m2 = f"(({_hw_chain(el, 8, 14)}) / CAST(7 AS DOUBLE))"
+    s0 = ", ".join(f"arr[{i}] - {m1}" for i in range(1, HW_M + 1))
+    return f"""
+    WITH RECURSIVE daily AS (
+      SELECT l_partkey, CAST(l_shipdate AS DATE) AS day,
+             CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate <  TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), keys AS (
+      SELECT DISTINCT l_partkey FROM daily
+    ), grid AS (
+      SELECT k.l_partkey, gs.day, coalesce(d.rev, CAST(0 AS DOUBLE)) AS rev
+      FROM keys k
+      CROSS JOIN (SELECT CAST(unnest(generate_series(
+           DATE '1997-01-01', DATE '1997-12-31', INTERVAL 1 DAY)) AS DATE)
+           AS day) gs
+      LEFT JOIN daily d ON d.l_partkey = k.l_partkey AND d.day = gs.day
+    ), arrs AS (
+      SELECT l_partkey, list(rev ORDER BY day) AS arr
+      FROM grid GROUP BY 1
+    ), rec AS (
+      SELECT l_partkey, arr, {HW_M} AS k,
+             {m1} AS l,
+             ({m2} - {m1}) / CAST(7 AS DOUBLE) AS t,
+             [{s0}]::DOUBLE[] AS s
+      FROM arrs
+      UNION ALL
+      SELECT l_partkey, arr, k + 1, lnew,
+             CAST({HW_B} AS DOUBLE) * (lnew - l)
+               + CAST({HW_BC} AS DOUBLE) * t,
+             list_append(s[2:{HW_M}],
+                 CAST({HW_G} AS DOUBLE) * (x - lnew)
+                   + CAST({HW_GC} AS DOUBLE) * s1)
+      FROM (
+        SELECT l_partkey, arr, k, l, t, s, s[1] AS s1, arr[k + 1] AS x,
+               CAST({HW_A} AS DOUBLE) * (arr[k + 1] - s[1])
+                 + CAST({HW_AC} AS DOUBLE) * (l + t) AS lnew
+        FROM rec
+      ) WHERE k < {HW_DAYS}
+    )
+    SELECT l_partkey,
+           round(l, 6) AS level,
+           round(t, 6) AS trend,
+           round(s[1], 6) AS season_next,
+           round(l + t + s[1], 6) AS forecast_next
+    FROM rec WHERE k = {HW_DAYS}
+    """
+
+
+@register(
+    "holt_winters_daily",
+    oracle=_hw_oracle(),
+    doc="Holt-Winters ADDITIVE triple smoothing (α=0.2, β=0.1, γ=0.3, "
+        "weekly season m=7) over each product's dense zero-filled 1997 "
+        "daily revenue: level + trend + a 7-slot sliding seasonal "
+        "vector maintained inside ONE row-local aggregate() fold "
+        "(state is O(m) per key; no window-over-history, no driver "
+        "loop). Season init = first-week deviations from the "
+        "first-week mean, trend init = week-over-week mean delta / 7 "
+        "— the textbook bootstrap. The DuckDB oracle runs the "
+        "identical recurrence as a recursive CTE carrying the same "
+        "7-slot list, with every complement an explicit literal, so "
+        "all 358 smoothing steps are float64 bit-confirmed by the "
+        "driver hash",
+)
+def q_holt_winters_daily(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ..catalog import table
+    from ..functions.money import dsum_as
+
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    daily = li.groupBy(
+        "l_partkey", F.to_date("l_shipdate").alias("day")
+    ).agg(dsum_as("l_extendedprice * (1 - l_discount)",
+                  "decimal(18,4)", "rev"))
+    dense = (
+        "transform(sequence(to_date('1997-01-01'), to_date('1997-12-31')), "
+        "d -> coalesce(element_at(mp, d), cast(0.0 as double)))"
+    )
+    arrs = (
+        daily.groupBy("l_partkey")
+        .agg(F.map_from_entries(
+            F.collect_list(F.struct("day", "rev"))).alias("mp"))
+        .select("l_partkey", F.expr(dense).alias("vals"))
+    )
+    st = F.expr(_hw_spark_fold())
+    return arrs.select("l_partkey", st.alias("st")).select(
+        "l_partkey",
+        F.round(F.col("st.l"), 6).alias("level"),
+        F.round(F.col("st.t"), 6).alias("trend"),
+        F.round(F.expr("element_at(st.s, 1)"), 6).alias("season_next"),
+        F.round(F.col("st.l") + F.col("st.t")
+                + F.expr("element_at(st.s, 1)"), 6).alias("forecast_next"),
+    )

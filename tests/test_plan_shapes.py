@@ -49,6 +49,7 @@ BNLJ_OK = {
     "mmr_diverse_topk",  # 1-row query-vector broadcast + per-step
                          # 1-row selected-list broadcast (bounded ≤k)
     "ann_recall_ndcg",  # composes brute/LSH/IVF probe broadcasts above
+    "ann_mrr",          # same eval composition, MRR metric
     # (b) 1-row scalar-aggregate cross joins
     "pair_counts", "top_pairs_per_product", "association_rules",
     "train_test_time_split", "ep3_forecast_series", "revenue_checksum",

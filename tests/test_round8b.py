@@ -518,3 +518,50 @@ def test_pyds_stream_growing_source_incremental_batch(spark, tmp_path):
     non_empty = [b for b in batches if b]
     assert non_empty[0] == [str(i) for i in range(1, 6)]
     assert non_empty[1] == [str(i) for i in range(6, 9)]  # the delta only
+
+
+def test_ann_mrr_bounds_and_ivf_dominance(spark, sf_dir):
+    rows = {r.method: r for r in REGISTRY["ann_mrr"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf"}
+    for r in rows.values():
+        assert 0.0 <= r.mrr_at_10 <= 1.0 + 1e-9
+    # the multiprobe candidate set contains the single-bucket set, and
+    # extra candidates can only surface an EARLIER relevant hit
+    assert rows["lsh_multiprobe"].mrr_at_10 >= rows["lsh"].mrr_at_10 - 1e-9
+
+
+def test_holt_winters_matches_python_recompute(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    li = li[(li["l_shipdate"] >= "1997-01-01")
+            & (li["l_shipdate"] < "1998-01-01")].copy()
+    li["day"] = li["l_shipdate"].dt.date
+    li["rev"] = (li["l_extendedprice"] * (1 - li["l_discount"])).round(4)
+    daily = li.groupby(["l_partkey", "day"])["rev"].sum().round(4)
+    days = pd.date_range("1997-01-01", "1997-12-31").date
+
+    got = {r.l_partkey: r
+           for r in REGISTRY["holt_winters_daily"].fn(spark, sf_dir).collect()}
+    pks = sorted(daily.index.get_level_values(0).unique())
+    assert set(got) == set(pks)
+    for pk in pks[:40]:
+        s = daily.loc[pk]
+        v = np.array([float(s.get(d, 0.0)) for d in days])
+        m1 = sum(v[0:7]) / 7.0
+        m2 = sum(v[7:14]) / 7.0
+        lv, tr = m1, (m2 - m1) / 7.0
+        sea = [v[i] - m1 for i in range(7)]
+        for k in range(7, 365):
+            x = v[k]
+            ln = 0.2 * (x - sea[0]) + 0.8 * (lv + tr)
+            tr = 0.1 * (ln - lv) + 0.9 * tr
+            sea = sea[1:] + [0.3 * (x - ln) + 0.7 * sea[0]]
+            lv = ln
+        r = got[pk]
+        assert r.level == pytest.approx(lv, rel=1e-6, abs=1e-4)
+        assert r.trend == pytest.approx(tr, rel=1e-6, abs=1e-4)
+        assert r.season_next == pytest.approx(sea[0], rel=1e-6, abs=1e-4)
+        assert r.forecast_next == pytest.approx(
+            lv + tr + sea[0], rel=1e-6, abs=1e-4)

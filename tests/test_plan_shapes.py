@@ -32,6 +32,9 @@ PYTHON_OK = {
     "pyds_mongoexport_scan",    # Python Data Source connector — the
                                 # format has no JVM reader, which is the
                                 # API's charter
+    "holt_winters_daily",       # dense 365-step recurrence: batched
+                                # numpy beats interpreted HOF lambdas
+                                # 280s→~25s at K=100 (the DTW lesson)
 }
 
 #: Queries that intentionally use a broadcast nested-loop join. Two

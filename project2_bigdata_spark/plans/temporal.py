@@ -921,15 +921,20 @@ def q_holt_winters_daily(spark, sf_dir):
         "l_partkey", F.to_date("l_shipdate").alias("day")
     ).agg(dsum_as("l_extendedprice * (1 - l_discount)",
                   "decimal(18,4)", "rev"))
-    dense = (
-        "transform(sequence(to_date('1997-01-01'), to_date('1997-12-31')), "
-        "d -> coalesce(element_at(mp, d), cast(0.0 as double)))"
-    )
+    # the dense grid materializes INSIDE the numpy kernel as a scatter:
+    # building it JVM-side with element_at(map, day) costs an O(|map|)
+    # linear probe per lookup (ArrayBasedMapData has no hash index) —
+    # 365 × O(365) per key was the actual 280 s at K=100, not the fold
     arrs = (
-        daily.groupBy("l_partkey")
-        .agg(F.map_from_entries(
-            F.collect_list(F.struct("day", "rev"))).alias("mp"))
-        .select("l_partkey", F.expr(dense).alias("vals"))
+        daily.select(
+            "l_partkey",
+            F.datediff(F.col("day"),
+                       F.lit("1997-01-01").cast("date")).cast("int")
+            .alias("idx"),
+            "rev",
+        )
+        .groupBy("l_partkey")
+        .agg(F.collect_list(F.struct("idx", "rev")).alias("pairs"))
     )
 
     def hw_batches(batches):
@@ -939,7 +944,10 @@ def q_holt_winters_daily(spark, sf_dir):
         for pdf in batches:
             if not len(pdf):
                 continue
-            v = np.array(list(pdf["vals"]), dtype=np.float64)
+            v = np.zeros((len(pdf), HW_DAYS), dtype=np.float64)
+            for row_i, pairs in enumerate(pdf["pairs"]):
+                for p in pairs:
+                    v[row_i, p["idx"]] = p["rev"]
             m1 = v[:, 0].copy()  # left-assoc chain, the oracle's order
             for i in range(1, HW_M):
                 m1 = m1 + v[:, i]

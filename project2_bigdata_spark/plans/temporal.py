@@ -895,12 +895,17 @@ def _hw_oracle() -> str:
         "weekly season m=7) over each product's dense zero-filled 1997 "
         "daily revenue — the DENSE fixed-length recurrence, so the "
         "Python boundary follows the DTW lesson: mapInPandas with the "
-        "365-step loop VECTORIZED ACROSS KEYS per Arrow batch. The "
-        "native aggregate() fold (holt_linear_daily's correct shape "
-        "for SPARSE series) measured 280 s at K=100 here: HOF lambdas "
-        "evaluate on the interpreted expression path, and 2M keys × "
-        "358 steps × ~30 expression nodes is interpretation overhead, "
-        "not arithmetic. Season init = first-week deviations from the "
+        "365-step loop VECTORIZED ACROSS KEYS per Arrow batch, and "
+        "the dense grid scattered from sparse (idx, rev) pairs INSIDE "
+        "the kernel (26 s at K=100). Two measured dead ends document "
+        "why: the native aggregate() fold read 280 s (HOF lambdas "
+        "evaluate on the interpreted expression path — 716M steps × "
+        "~30 nodes is interpretation overhead, not arithmetic; the "
+        "SPARSE-series holt_linear_daily keeps the fold, correctly), "
+        "and a JVM map-lookup densify ALSO read 280 s "
+        "(element_at(map) is an O(n) linear probe on "
+        "ArrayBasedMapData — 365 × O(365) per key). Season init = "
+        "first-week deviations from the "
         "first-week mean, trend init = week-over-week mean delta / 7. "
         "The DuckDB oracle runs the identical recurrence as a "
         "recursive CTE carrying the same 7-slot seasonal list, every "

@@ -252,6 +252,41 @@ def write_versioned(df: DataFrame, path: str) -> int:
     return version
 
 
+class ConcurrentWriteError(RuntimeError):
+    """A merge could not commit within its retry budget because other
+    writers kept winning the version race."""
+
+
+def commit_version(df: DataFrame, path: str, version: int) -> bool:
+    """Atomic OPTIMISTIC commit of ``df`` as exactly ``path/v=version``.
+
+    The Delta/Iceberg commit primitive on a POSIX filesystem: the
+    snapshot is fully written (with its ``_SUCCESS`` marker) into a
+    hidden staging directory, then published with one ``os.rename`` —
+    atomic, and it FAILS if the destination name already exists
+    (ENOTEMPTY), so of any number of racing writers targeting the same
+    version exactly one wins. Returns False when the race is lost (the
+    staged copy is cleaned up); the caller re-reads the new base and
+    retries. Unlike :func:`write_versioned`, a crash can never leave a
+    torn ``v=N`` directory — an unpublished staging dir is the only
+    debris, invisible to readers and reclaimed by
+    :func:`vacuum_versions`."""
+    import shutil
+    import uuid
+
+    target = os.path.join(path, f"v={version}")
+    if os.path.exists(target):
+        return False  # lost before writing a byte
+    staging = os.path.join(path, f".staged-v{version}-{uuid.uuid4().hex}")
+    df.write.mode("errorifexists").parquet(staging)
+    try:
+        os.rename(staging, target)
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        return False
+    return True
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -259,6 +294,8 @@ def merge_upsert(
     keys: list[str],
     order_cols: list[str] | None = None,
     resolve: str = "delta_wins",
+    max_retries: int = 5,
+    pre_commit_hook=None,
 ) -> int:
     """Keyed MERGE / SCD1 upsert sink (VERDICT r7 item 8): apply a delta
     batch to the latest snapshot under ``path`` — matched keys take the
@@ -292,10 +329,28 @@ def merge_upsert(
       different directories, no read-your-writes hazard), which is the
       Delta/Iceberg MERGE contract on plain object storage. Bootstrap:
       an empty/missing table makes the (deduped) delta itself v=1.
+    * **Optimistic concurrency** (VERDICT r8 item 1): the merge records
+      the committed base version it read and commits at EXACTLY
+      ``base+1`` through :func:`commit_version`'s atomic rename — if a
+      concurrent writer landed ``base+1`` first, the commit FAILS and
+      the whole merge re-runs against the new latest snapshot (bounded
+      by ``max_retries``, then :class:`ConcurrentWriteError`). Two
+      racing writers can therefore never lose an update: the loser's
+      retry re-reads the winner's rows before merging its own — the
+      Delta/Iceberg optimistic-commit loop on plain directories.
+      ``pre_commit_hook(attempt, target_version)`` is the deterministic
+      race-injection seam the racing-writers tests use. Contract
+      boundary: concurrent writers must all be ``merge_upsert`` (whose
+      staging-dir commits never leave torn ``v=N`` debris); the plain
+      :func:`write_versioned` snapshot API stays single-writer. A
+      crash-torn legacy directory squatting on the successor name is
+      quarantined (atomically renamed aside) rather than silently
+      skipped, since skipping it would break the exactly-base+1 check.
 
     The registered query ``scd1_customer_latest_order`` proves
     merge == full recompute against the DuckDB oracle; the
-    version-pinned read test proves isolation.
+    version-pinned read test proves isolation; the racing-writers
+    tests prove no lost updates under interleaving.
     """
     if order_cols:
         from pyspark.sql.window import Window
@@ -310,27 +365,27 @@ def merge_upsert(
         raise ValueError(f"resolve must be delta_wins|latest_wins, got {resolve!r}")
     if resolve == "latest_wins" and not order_cols:
         raise ValueError("latest_wins needs order_cols to compare base vs delta")
-    has_base = bool(_versions(path, committed_only=True))
-    if not has_base:
-        merged = delta
-    elif resolve == "delta_wins":
-        base = read_version(spark, path)
-        # eqNullSafe like the latest_wins join below: a null-unsafe
-        # anti-join never matches NULL keys, so a NULL-keyed base row
-        # would SURVIVE alongside the NULL-keyed delta row — the two
-        # resolve modes would disagree on the same input (r8
-        # self-review item 4)
-        dk = delta.select(*keys).distinct()
-        merged = base.join(
-            dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
-        ).unionByName(delta)
-    else:
+
+    def _merged(base_version: int | None) -> DataFrame:
+        if base_version is None:
+            return delta
+        if resolve == "delta_wins":
+            base = read_version(spark, path, base_version)
+            # eqNullSafe like the latest_wins join below: a null-unsafe
+            # anti-join never matches NULL keys, so a NULL-keyed base
+            # row would SURVIVE alongside the NULL-keyed delta row —
+            # the two resolve modes would disagree on the same input
+            # (r8 self-review item 4)
+            dk = delta.select(*keys).distinct()
+            return base.join(
+                dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
+            ).unionByName(delta)
         # latest_wins: the CDC consumer that may receive OUT-OF-ORDER
         # deltas — a matched key keeps whichever of (base row, delta
         # winner) is newest by order_cols, compared ROW-LOCALLY after
         # one full-outer key join (never a window over base ∪ delta:
         # base stays sort-free and the join is AQE-skew-splittable).
-        base = read_version(spark, path)
+        base = read_version(spark, path, base_version)
         cols = base.columns
         # explicit presence markers, NOT key-isNotNull probes: a
         # NULL-keyed row is a PRESENT row whose key happens to be null
@@ -346,12 +401,39 @@ def merge_upsert(
             >= F.struct(*[F.col(f"_b.{c}") for c in order_cols])
         take_delta = base_missing | (
             F.col("_d._d_present").isNotNull() & delta_newer)
-        merged = joined.select(*[
+        return joined.select(*[
             F.when(take_delta, F.col(f"_d.{c}")).otherwise(F.col(f"_b.{c}"))
             .alias(c)
             for c in cols
         ])
-    return write_versioned(merged, path)
+
+    import uuid as _uuid
+
+    for attempt in range(max_retries + 1):
+        committed = _versions(path, committed_only=True)
+        base_v = committed[-1] if committed else None
+        target = (base_v or 0) + 1
+        # a crash-torn LEGACY write_versioned dir squatting on the
+        # successor name would wedge the exactly-base+1 commit forever;
+        # quarantine it with an atomic rename-aside (merge_upsert's own
+        # staging commits never leave torn v=N dirs, so under the
+        # documented all-writers-are-merge_upsert contract this dir is
+        # dead debris, not an in-flight commit)
+        tdir = os.path.join(path, f"v={target}")
+        if os.path.isdir(tdir) and not os.path.exists(
+                os.path.join(tdir, "_SUCCESS")):
+            try:
+                os.rename(tdir, os.path.join(
+                    path, f".torn-v{target}-{_uuid.uuid4().hex}"))
+            except OSError:
+                pass  # a racer quarantined it first
+        merged = _merged(base_v)
+        if pre_commit_hook is not None:
+            pre_commit_hook(attempt, target)
+        if commit_version(merged, path, target):
+            return target
+    raise ConcurrentWriteError(
+        f"merge at {path} lost the version race {max_retries + 1} times")
 
 
 def vacuum_versions(path: str, keep: int = 2) -> list[int]:
@@ -361,7 +443,11 @@ def vacuum_versions(path: str, keep: int = 2) -> list[int]:
     Deletes all but the newest ``keep`` versions and returns the dropped
     version numbers. Readers pin versions explicitly, so the retention
     window IS the time-travel contract — exactly Delta/Iceberg VACUUM.
-    ``keep`` must be >= 1: the latest snapshot is never dropped."""
+    ``keep`` must be >= 1: the latest snapshot is never dropped.
+    Also reclaims optimistic-commit debris (``.staged-*`` staging dirs,
+    ``.torn-*`` quarantined legacy dirs); like Delta's VACUUM, run it
+    when no write is in flight — an in-flight merge's staging dir is
+    indistinguishable from a crashed one."""
     import shutil as _shutil
 
     if keep < 1:
@@ -379,6 +465,12 @@ def vacuum_versions(path: str, keep: int = 2) -> list[int]:
         ]
     for v in sorted(dropped):
         _shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
+    # reclaim optimistic-commit debris: unpublished staging dirs and
+    # quarantined torn dirs (both hidden dot-names — never readable as
+    # versions, so deleting them cannot affect any reader or writer)
+    for name in (os.listdir(path) if os.path.isdir(path) else []):
+        if name.startswith((".staged-", ".torn-")):
+            _shutil.rmtree(os.path.join(path, name), ignore_errors=True)
     return sorted(dropped)
 
 

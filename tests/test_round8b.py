@@ -288,9 +288,10 @@ def test_choose_join_strategy_respects_join_type():
 
 def test_versioned_layout_ignores_torn_writes(spark, tmp_path):
     """A crash DURING a snapshot write leaves v=N without _SUCCESS: it
-    must be invisible to readers and merge bases, must not be reused as
-    a version number, and vacuum must reclaim it once a later committed
-    snapshot exists."""
+    must be invisible to readers and merge bases. Since r9's optimistic
+    protocol, the next merge QUARANTINES the torn dir (rename-aside)
+    and commits at exactly base+1 — never reads it, never skips the
+    version number — and vacuum reclaims the quarantined debris."""
     import os
 
     from project2_bigdata_spark.sources.ingest import (
@@ -309,16 +310,18 @@ def test_versioned_layout_ignores_torn_writes(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(FileNotFoundError):
         read_version(spark, p, version=2)
-    # the merge base is v1, and the new snapshot skips the torn name
+    # the merge base is v1; the torn squatter is quarantined aside and
+    # the merge commits at exactly base+1 (the optimistic-CC invariant)
     v = merge_upsert(spark, p, spark.createDataFrame(
         [(2, "b")], "k int, v string"), keys=["k"])
-    assert v == 3
+    assert v == 2
     assert sorted(read_version(spark, p).collect()) == [(1, "a"), (2, "b")]
-    # vacuum reclaims the torn dir (below latest committed), keeps both
-    # committed snapshots
-    assert vacuum_versions(p, keep=2) == [2]
-    assert not os.path.exists(f"{p}/v=2")
+    assert any(n.startswith(".torn-v2-") for n in os.listdir(p))
+    # vacuum keeps both committed snapshots and reclaims the quarantine
+    assert vacuum_versions(p, keep=2) == []
     assert os.path.exists(f"{p}/v=1/_SUCCESS")
+    assert os.path.exists(f"{p}/v=2/_SUCCESS")
+    assert not any(n.startswith(".torn-") for n in os.listdir(p))
 
 
 def test_merge_upsert_null_key_modes_agree(spark, tmp_path):

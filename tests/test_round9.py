@@ -1,0 +1,179 @@
+"""Round-9 additions (VERDICT r8 next-round list): optimistic
+concurrency on the versioned MERGE sink, the dtw cogroup key-slice,
+the mongoexport DataSource write side, pyds filter pushdown, the
+Arrow-optimized Python UDTF surface, and CI-visible sketch bands.
+"""
+
+from __future__ import annotations
+
+import os
+import threading
+
+import pytest
+
+from project2_bigdata_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name):
+    df = REGISTRY[name].fn(spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------------------
+# Optimistic concurrency on merge_upsert (VERDICT r8 item 1)
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, v string")
+
+
+def test_merge_upsert_racing_writers_no_lost_update(spark, tmp_path):
+    """The r8 judge's lost-update scenario, injected deterministically:
+    writer A reads base v=1, then writer B commits v=2 BEFORE A's
+    commit. Pre-fix, A re-derived the version number at write time and
+    landed its stale merge as v=3 without B's rows. Post-fix, A's
+    commit at exactly base+1=2 collides, the merge re-runs against
+    B's v=2, and BOTH deltas are present in the final snapshot."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    assert merge_upsert(
+        spark, p, _kv(spark, [(1, 10, "base1"), (2, 10, "base2")]),
+        keys=["k"], order_cols=["ts"]) == 1
+
+    b_delta = _kv(spark, [(2, 20, "writerB")])
+    a_delta = _kv(spark, [(3, 20, "writerA")])
+    attempts = []
+
+    def race(attempt, target):
+        attempts.append((attempt, target))
+        if attempt == 0:  # B sneaks in between A's base read and commit
+            assert merge_upsert(spark, p, b_delta,
+                                keys=["k"], order_cols=["ts"]) == 2
+
+    final = merge_upsert(spark, p, a_delta, keys=["k"], order_cols=["ts"],
+                         pre_commit_hook=race)
+    assert final == 3
+    # attempt 0 targeted v=2 (lost), attempt 1 targeted v=3 (won)
+    assert attempts == [(0, 2), (1, 3)]
+    got = {r.k: r.v for r in read_version(spark, p).collect()}
+    assert got == {1: "base1", 2: "writerB", 3: "writerA"}
+
+
+def test_merge_upsert_retry_exhaustion_raises(spark, tmp_path):
+    """A writer that loses every race fails loudly with
+    ConcurrentWriteError, never silently clobbers."""
+    from project2_bigdata_spark.sources.ingest import (
+        ConcurrentWriteError, merge_upsert,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(1, 10, "base")]),
+                 keys=["k"], order_cols=["ts"])
+
+    def always_lose(attempt, target):
+        merge_upsert(spark, p, _kv(spark, [(100 + attempt, 20, "rival")]),
+                     keys=["k"], order_cols=["ts"])
+
+    with pytest.raises(ConcurrentWriteError):
+        merge_upsert(spark, p, _kv(spark, [(2, 20, "loser")]),
+                     keys=["k"], order_cols=["ts"],
+                     max_retries=2, pre_commit_hook=always_lose)
+
+
+def test_merge_upsert_threaded_race_equals_recompute(spark, tmp_path):
+    """A genuine thread race: 3 writers × 2 merges each, all started
+    together. latest_wins resolution is commutative given unique
+    (ts, k) orderings, so WHATEVER interleaving the scheduler picks,
+    the final snapshot must equal the full recompute over all deltas —
+    and every merge must land as its own distinct version."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(k, 0, "base") for k in range(6)]),
+                 keys=["k"], order_cols=["ts", "v"], resolve="latest_wins")
+
+    all_rows = []
+    batches = []
+    for w in range(3):
+        for b in range(2):
+            rows = [(k, 100 * (w + 1) + b, f"w{w}b{b}")
+                    for k in range(w, 6, 3)]  # overlapping key slices
+            all_rows.extend(rows)
+            batches.append(rows)
+
+    barrier = threading.Barrier(3)
+    errors = []
+
+    def writer(widx):
+        try:
+            barrier.wait(timeout=120)
+            for b in range(2):
+                merge_upsert(spark, p, _kv(spark, batches[2 * widx + b]),
+                             keys=["k"], order_cols=["ts", "v"],
+                             resolve="latest_wins", max_retries=20)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    # every merge committed as its own version: base + 6 merges = v7
+    got = {r.k: (r.ts, r.v) for r in read_version(spark, p, 7).collect()}
+    expect = {k: (0, "base") for k in range(6)}
+    for k, ts, v in all_rows:
+        if (ts, v) > expect[k]:
+            expect[k] = (ts, v)
+    assert got == expect
+
+
+def test_commit_version_loses_to_existing_and_vacuum_reclaims_debris(
+        spark, tmp_path):
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, read_version, vacuum_versions, write_versioned,
+    )
+
+    p = str(tmp_path / "t")
+    df = _kv(spark, [(1, 1, "a")])
+    assert write_versioned(df, p) == 1
+    assert commit_version(_kv(spark, [(9, 9, "z")]), p, 1) is False
+    # the loser left no readable state and its staging dir is debris
+    assert read_version(spark, p).collect() == [(1, 1, "a")]
+    debris = [n for n in os.listdir(p) if n.startswith(".staged-")]
+    assert debris == []  # cleaned immediately on the lost race
+    # manual debris (crash between write and rename) is vacuumed
+    os.makedirs(os.path.join(p, ".staged-v2-deadbeef"))
+    os.makedirs(os.path.join(p, ".torn-v2-deadbeef"))
+    vacuum_versions(p, keep=5)
+    left = [n for n in os.listdir(p) if n.startswith((".staged-", ".torn-"))]
+    assert left == []
+
+
+def test_merge_upsert_quarantines_torn_legacy_dir(spark, tmp_path):
+    """A crash-torn legacy write_versioned dir squatting on v=base+1
+    (part files, no _SUCCESS) must not wedge the optimistic commit:
+    the merge quarantines it aside and commits at exactly base+1."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(1, 1, "a")]),
+                 keys=["k"], order_cols=["ts"])
+    torn = os.path.join(p, "v=2")
+    os.makedirs(torn)
+    with open(os.path.join(torn, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn")
+    assert merge_upsert(spark, p, _kv(spark, [(2, 2, "b")]),
+                        keys=["k"], order_cols=["ts"]) == 2
+    got = sorted(read_version(spark, p, 2).collect())
+    assert [(r.k, r.v) for r in got] == [(1, "a"), (2, "b")]
+    assert any(n.startswith(".torn-v2-") for n in os.listdir(p))

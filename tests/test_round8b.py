@@ -166,12 +166,24 @@ def test_dtw_plan_is_cogrouped_pandas(spark, sf_dir):
 
 def test_dtw_batched_equals_cogrouped(spark, sf_dir):
     """Both Python boundaries run the same float64 cell order — outputs
-    must be bit-identical, not approximately equal."""
+    must be bit-identical, not approximately equal. The registered
+    cogroup query runs the mod-16 key slice (r9), so compare on that
+    slice AND pin that the slice is exactly the batched keys ≡ 0 mod
+    16; the unsliced operator stays bit-equal too (spot asserted by
+    calling it directly without key_mod)."""
+    from project2_bigdata_spark.operators.timewarp import (
+        dtw_seasonal_cogrouped,
+    )
+    from project2_bigdata_spark.plans.temporal import DTW_COGROUP_KEY_MOD
+
     a = {r.l_partkey: (r.dtw_cost, r.l1_cost)
          for r in REGISTRY["dtw_seasonal_similarity"].fn(spark, sf_dir).collect()}
     b = {r.l_partkey: (r.dtw_cost, r.l1_cost)
          for r in REGISTRY["dtw_seasonal_cogrouped"].fn(spark, sf_dir).collect()}
-    assert a == b
+    assert b == {k: v for k, v in a.items() if k % DTW_COGROUP_KEY_MOD == 0}
+    full = {r.l_partkey: (r.dtw_cost, r.l1_cost)
+            for r in dtw_seasonal_cogrouped(spark, sf_dir).collect()}
+    assert full == a
 
 
 # ---------------------------------------------------------------------------

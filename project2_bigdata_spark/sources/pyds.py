@@ -81,6 +81,10 @@ class JsonlSaleReader(DataSourceReader):
                 if pos >= part.end:
                     break
                 line = fh.readline()
+                if not line:
+                    break  # EOF before part.end (file truncated/replaced
+                    #        between planning and read) — ADVICE r8: the
+                    #        blank-line continue would spin forever here
                 if not line.strip():
                     continue
                 yield _parse_sale_line(line)
@@ -121,8 +125,8 @@ class _StreamRange(InputPartition):
     the split-ownership discipline: interior sub-range starts fall
     mid-line and must discard the partial line (owned by the previous
     sub-range); the WINDOW start is always a line boundary (offsets
-    only ever land on EOF positions), so its first sub-range keeps its
-    first line."""
+    only ever land just past a newline — latestOffset clamps to the
+    last one), so its first sub-range keeps its first line."""
 
     def __init__(self, start: int, end: int, skip_first: bool):
         self.start = start
@@ -157,12 +161,17 @@ class JsonlSaleStreamReader:
     the batch reader — a growing export streams with full cluster
     parallelism.
 
-    Offsets are byte positions (always line boundaries: EOF of some
-    generation of the append-only file). ``latestOffset`` reports the
-    current file size — everything available — so a bounded replay is
-    one executor-parallel micro-batch, and NEW bytes appended after a
-    run arrive as exactly one incremental batch on the next run (the
-    growing-source semantics the unit test pins)."""
+    Offsets are byte positions, always LINE boundaries: ``latestOffset``
+    clamps to the position just past the file's last newline (ADVICE
+    r8: a writer mid-append leaves a partial final line; committing an
+    offset inside it would make this window read past the offset and
+    the next window re-parse the leftover fragment — crash or
+    duplicate). The clamp scans backward from EOF, so a bounded replay
+    of a quiescent file is still one executor-parallel micro-batch,
+    and bytes appended after a run — including the completion of a
+    previously-partial line — arrive as exactly one incremental batch
+    on the next run (the growing-source semantics the unit tests pin,
+    now including the torn-tail case)."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
@@ -174,7 +183,19 @@ class JsonlSaleStreamReader:
     def latestOffset(self):
         import os
 
-        return {"byte": os.path.getsize(self.path)}
+        size = os.path.getsize(self.path)
+        if size == 0:
+            return {"byte": 0}
+        with open(self.path, "rb") as fh:
+            pos, chunk = size, 1 << 16
+            while pos > 0:
+                lo = max(0, pos - chunk)
+                fh.seek(lo)
+                nl = fh.read(pos - lo).rfind(b"\n")
+                if nl >= 0:
+                    return {"byte": lo + nl + 1}
+                pos = lo
+        return {"byte": 0}  # no newline yet: nothing complete to read
 
     def partitions(self, start, end):
         lo, hi = start["byte"], end["byte"]

@@ -409,7 +409,14 @@ def test_driver_tables_are_single_files(sf_dir):
 
     from project2_bigdata_spark.catalog import TABLES
 
-    for sf in (sf_dir, "/root/testdata/sf0.01", "/root/testdata/sf0.1"):
+    # sibling scale dirs derived from the fixture, not hardcoded
+    # absolute paths (ADVICE r8): skip scales absent on this checkout
+    root = os.path.dirname(os.path.abspath(sf_dir))
+    dirs = [sf_dir] + [
+        os.path.join(root, d) for d in ("sf0.01", "sf0.1")
+        if os.path.isdir(os.path.join(root, d))
+    ]
+    for sf in dirs:
         for t in TABLES:
             p = f"{sf}/{t}.parquet"
             assert os.path.isfile(p), f"{p} is not a single file"

@@ -177,3 +177,85 @@ def test_merge_upsert_quarantines_torn_legacy_dir(spark, tmp_path):
     got = sorted(read_version(spark, p, 2).collect())
     assert [(r.k, r.v) for r in got] == [(1, "a"), (2, "b")]
     assert any(n.startswith(".torn-v2-") for n in os.listdir(p))
+
+
+# ---------------------------------------------------------------------------
+# pyds hardening (ADVICE r8): torn-tail offsets + EOF guard
+
+
+_DOC = ('{"_id": {"$oid": "%d"}, "saleDateRaw": "\\"2000-01-0%dT00:00:00Z\\"", '
+        '"price": {"$numberDecimal": "1.50"}, "purchaseMethod": "Online"}')
+
+
+def test_pyds_latest_offset_clamps_to_newline(tmp_path):
+    """A writer mid-append leaves a partial final line; latestOffset
+    must land just past the LAST newline, never mid-line."""
+    from project2_bigdata_spark.sources.pyds import JsonlSaleStreamReader
+
+    p = tmp_path / "torn.jsonl"
+    complete = "".join(_DOC % (i, 1) + "\n" for i in range(1, 4))
+    partial = (_DOC % (4, 1))[:30]  # half a doc, no newline
+    p.write_text(complete + partial)
+    r = JsonlSaleStreamReader({"path": str(p), "num_partitions": "4"})
+    assert r.latestOffset() == {"byte": len(complete.encode())}
+    # no newline at all => nothing committable yet
+    p2 = tmp_path / "nonl.jsonl"
+    p2.write_text(partial)
+    r2 = JsonlSaleStreamReader({"path": str(p2), "num_partitions": "4"})
+    assert r2.latestOffset() == {"byte": 0}
+    # empty file
+    p3 = tmp_path / "empty.jsonl"
+    p3.write_text("")
+    r3 = JsonlSaleStreamReader({"path": str(p3), "num_partitions": "4"})
+    assert r3.latestOffset() == {"byte": 0}
+
+
+def test_pyds_stream_live_writer_mid_append(spark, tmp_path):
+    """The advertised live growing-source case (ADVICE r8): run 1
+    samples the file while a writer is mid-append (partial last line,
+    no trailing newline). The committed offset must stop at the last
+    complete line; run 2 — after the writer finishes that line and
+    adds more — must deliver the completed line and the new lines
+    exactly once, no crash, no duplicates."""
+    from project2_bigdata_spark.sources.pyds import stream_jsonl_sales
+
+    p = tmp_path / "live.jsonl"
+    doc4 = _DOC % (4, 1) + "\n"
+    p.write_text("".join(_DOC % (i, 1) + "\n" for i in range(1, 4))
+                 + doc4[:40])  # writer caught mid-line
+    ck = str(tmp_path / "ck")
+    batches = []
+
+    def run_once():
+        q = (stream_jsonl_sales(spark, str(p))
+             .writeStream.foreachBatch(
+                 lambda df, bid: batches.append(sorted(
+                     r.sale_id for r in df.collect())))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination()
+
+    run_once()
+    with open(p, "a") as fh:  # writer completes doc4, appends 5..6
+        fh.write(doc4[40:])
+        fh.write("".join(_DOC % (i, 1) + "\n" for i in range(5, 7)))
+    run_once()
+    non_empty = [b for b in batches if b]
+    assert non_empty[0] == ["1", "2", "3"]
+    assert non_empty[1] == ["4", "5", "6"]
+
+
+def test_pyds_batch_read_stops_at_truncated_eof(tmp_path):
+    """ADVICE r8: a partition whose planned end exceeds the actual EOF
+    (file truncated between planning and read) must terminate, not
+    spin on readline() returning b''."""
+    from project2_bigdata_spark.sources.pyds import (
+        JsonlSaleReader, _ByteRange,
+    )
+
+    p = tmp_path / "trunc.jsonl"
+    p.write_text("".join(_DOC % (i, 1) + "\n" for i in range(1, 4)))
+    r = JsonlSaleReader({"path": str(p), "num_partitions": "1"})
+    part = _ByteRange(0, p.stat().st_size + 10_000)  # end past EOF
+    got = [row[0] for row in r.read(part)]
+    assert got == ["1", "2", "3"]

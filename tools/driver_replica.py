@@ -6,11 +6,15 @@ compares each oracle-bearing query against DuckDB with the exact
 value compare from tests/oracle_harness.py. Rows-only queries get the
 driver's weaker count check.
 
-Usage: python tools/driver_replica.py [limit] [reverse]
-  limit    — check only the first N names (driver order)
+Usage: python tools/driver_replica.py [limit] [reverse|tail]
+  limit    — check only N names
   reverse  — sweep in REVERSED driver order (flake audit: catches
              queries that only pass because an earlier query warmed
-             some session state)
+             some session state). With a limit, the slice is taken
+             AFTER reversing (VERDICT r8 nit 3), so `48 reverse`
+             checks the NEWEST 48, not the first 48 reversed.
+  tail     — check the LAST N names in forward order (the newest
+             additions sit at the tail of driver order once green)
 """
 
 from __future__ import annotations
@@ -29,7 +33,7 @@ from tests.oracle_harness import compare  # noqa: E402
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "reverse"]
+    args = [a for a in sys.argv[1:] if a not in ("reverse", "tail")]
     limit = int(args[0]) if args else None
     sf = "/root/testdata/sf0.01"
     spark = (
@@ -37,9 +41,13 @@ def main() -> int:
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    names = driver_order()[:limit]
+    names = driver_order()
     if "reverse" in sys.argv[1:]:
-        names = names[::-1]
+        names = names[::-1][:limit]  # slice AFTER reversing: newest N
+    elif "tail" in sys.argv[1:]:
+        names = names[-limit:] if limit else names
+    else:
+        names = names[:limit]
     fails: dict[str, str] = {}
     for i, name in enumerate(names):
         q = REGISTRY[name]

@@ -28,6 +28,11 @@ RUNTIME_CONF = {
     # Harmless on current micros-typed data. catalog.table also
     # normalizes TIMESTAMP_NTZ columns (the current generation) to LTZ.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Python DataSource filter pushdown (Spark 4.1, off by default):
+    # lets sources/pyds.py's pushFilters apply predicates BEFORE rows
+    # cross the Python→JVM boundary — without it, a reader that
+    # implements pushFilters is rejected outright at planning time.
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

@@ -717,6 +717,143 @@ def q_pyds_mongoexport_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_jsonl_sales(spark, part[0], num_partitions=8)
 
 
+def _sale_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → the connector's sale schema, computed JVM-side with the
+    oracle's exact decimal→string→double money path."""
+    from ..catalog import table_parallel
+
+    return table_parallel(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("sale_id"),
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("sale_ts"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .cast("double").alias("total_price"),
+        F.col("o_orderpriority").alias("purchase_method"),
+    )
+
+
+@register(
+    "pyds_mongoexport_roundtrip",
+    # full-relation oracle: whatever partitioning the distributed write
+    # produced, write→read must reconstruct the orders projection
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    """,
+    doc="WRITE side of the Python Data Source connector (VERDICT r8 "
+        "item 4, Spark 4 DataSourceWriter): the orders projection is "
+        "written as mongoexport extended JSON through the registered "
+        "format — one staged part file per partition, driver-side "
+        "rename-publish with _SUCCESS (task retries safe: only files "
+        "named in commit messages publish) — then read back through "
+        "the same format's directory-aware byte-range reader. The "
+        "oracle reads the plain table, so hash parity proves the "
+        "export→engine→export loop is lossless including the "
+        "%.2f $numberDecimal money rendering",
+)
+def q_pyds_mongoexport_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+    from .pyds import read_jsonl_sales, write_jsonl_sales
+
+    d = session_spool(spark, "mongoexport_rt_")
+    out = f"{d}/export"
+    os.makedirs(out, exist_ok=True)
+    write_jsonl_sales(_sale_projection(spark, sf_dir), out)
+    return read_jsonl_sales(spark, out, num_partitions=8)
+
+
+@register(
+    "pyds_pushdown_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 1000
+    """,
+    doc="Filter pushdown through the Python Data Source (VERDICT r8 "
+        "item 7, Spark 4.1 pushFilters): the purchase_method equality "
+        "and total_price range predicates are consumed by the reader — "
+        "no Filter node survives in the executed plan (pinned by test) "
+        "— and evaluated BEFORE rows cross the Python→Arrow→JVM "
+        "boundary; the equality additionally drives a bytes-level "
+        "prefilter that skips json.loads for non-candidate lines, the "
+        "proportional win on selective scans over a large export "
+        "(measured in SCALE.md)",
+)
+def q_pyds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..streaming.runner import session_spool
+    from .pyds import read_jsonl_sales
+
+    d = session_spool(spark, "mongoexport_push_")
+    out = f"{d}/sales_jsonl"
+    (table(spark, sf_dir, "orders")
+     .select(extended_json_doc().alias("value"))
+     .coalesce(1).write.mode("overwrite").text(out))
+    part = glob.glob(f"{out}/part-*")[0]
+    return read_jsonl_sales(spark, part, num_partitions=8).filter(
+        (F.col("purchase_method") == "1-URGENT")
+        & (F.col("total_price") > 1000.0))
+
+
+@register(
+    "pyds_mongoexport_stream_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    """,
+    doc="FULL streaming round trip through BOTH custom connector "
+        "halves (VERDICT r8 item 4): the export streams in through "
+        "the byte-offset DataSourceStreamReader and back out through "
+        "the DataSourceStreamWriter, whose per-batch driver commit "
+        "publishes staged files under batch=<id>/ with overwrite — "
+        "idempotent under at-least-once replay, same discipline as "
+        "the engine's parquet spool sinks. The directory-aware batch "
+        "reader then reads the batch=N layout back as one relation; "
+        "the plain-orders oracle proves the whole loop lossless",
+)
+def q_pyds_mongoexport_stream_roundtrip(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..streaming.runner import session_spool
+    from .pyds import (
+        FORMAT_NAME, read_jsonl_sales, register_jsonl_source,
+        stream_jsonl_sales,
+    )
+
+    d = session_spool(spark, "mongoexport_stream_rt_")
+    out = f"{d}/sales_jsonl"
+    (table(spark, sf_dir, "orders")
+     .select(extended_json_doc().alias("value"))
+     .coalesce(1).write.mode("overwrite").text(out))
+    part = glob.glob(f"{out}/part-*")[0]
+    sink, ck = f"{d}/sink", f"{d}/ck"
+    os.makedirs(sink, exist_ok=True)
+    register_jsonl_source(spark)
+    q = (
+        stream_jsonl_sales(spark, part)
+        .writeStream.format(FORMAT_NAME)
+        .option("path", sink)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_jsonl_sales(spark, sink, num_partitions=8)
+
+
 @register(
     "pyds_mongoexport_stream",
     # same full-relation oracle as the batch connector: the bounded

@@ -25,14 +25,44 @@ carries ``saleDateRaw`` as either a bare ISO string (dirty) or a
 ``{"$date": iso}`` wrapper (clean); money arrives as
 ``{"$numberDecimal": "<2dp string>"}`` and parses via ``float(<str>)``
 (correctly rounded — identical to the oracle's VARCHAR→DOUBLE cast).
+
+Round 9 closes the connector's surface (VERDICT r8 items 4 and 7):
+
+* **Write side** — ``DataSourceWriter`` (batch) and
+  ``DataSourceStreamWriter`` (per-batch-overwrite ``batch=<id>/``
+  layout) emit extended-JSON lines with task-side staging and
+  driver-side rename-publish, so export→engine→export round-trips
+  losslessly (registered queries ``pyds_mongoexport_roundtrip`` and
+  ``pyds_mongoexport_stream_roundtrip``).
+* **Filter pushdown** — ``pushFilters`` accepts simple predicates on
+  the flat columns, evaluated before rows cross the Python→JVM
+  boundary; purchase_method equality additionally drives a bytes-level
+  prefilter that skips ``json.loads`` for non-candidate lines
+  (measured in SCALE.md §pyds-pushdown).
+* The batch reader resolves a DIRECTORY path to its part files
+  recursively, planning byte ranges per file — the writer's sharded
+  output reads back with the same split discipline as a single file.
 """
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
     InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+    StringStartsWith,
+    WriterCommitMessage,
 )
 
 FORMAT_NAME = "p2bd_jsonl"
@@ -42,9 +72,35 @@ FORMAT_NAME = "p2bd_jsonl"
 SCHEMA = ("sale_id string, sale_ts string, total_price double, "
           "purchase_method string")
 
+#: column name -> tuple position in the parsed row (pushdown predicates
+#: evaluate positionally against _parse_sale_line's output)
+_COL_IDX = {"sale_id": 0, "sale_ts": 1, "total_price": 2,
+            "purchase_method": 3}
+
+
+def _data_files(path: str) -> list[str]:
+    """Resolve ``path`` to its data files: a plain file is itself; a
+    directory (a distributed write from this connector's writer, a
+    Spark text sink, or the stream writer's ``batch=N`` layout) yields
+    every non-hidden data file recursively — ``_SUCCESS`` markers and
+    dot-named staging/checkpoint dirs are skipped."""
+    import os
+
+    if not os.path.isdir(path):
+        return [path]
+    out: list[str] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+        out.extend(
+            os.path.join(root, f) for f in files
+            if not f.startswith((".", "_"))
+        )
+    return sorted(out)
+
 
 class _ByteRange(InputPartition):
-    def __init__(self, start: int, end: int):
+    def __init__(self, path: str, start: int, end: int):
+        self.path = path
         self.start = start
         self.end = end
 
@@ -53,32 +109,122 @@ class JsonlSaleReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.n = int(options.get("num_partitions", "8"))
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Spark 4 filter pushdown (VERDICT r8 item 7): accept simple
+        comparison/membership predicates on the connector's flat
+        columns; everything else is yielded back for Spark to apply.
+        Accepted filters are evaluated inside ``read()`` BEFORE rows
+        cross the Python→Arrow→JVM boundary, and equality on
+        purchase_method additionally drives a bytes-level prefilter
+        that skips ``json.loads`` entirely for non-matching lines —
+        the proportional-win path on selective scans."""
+        for f in filters:
+            if (isinstance(f, (EqualTo, In, GreaterThan,
+                               GreaterThanOrEqual, LessThan,
+                               LessThanOrEqual, StringStartsWith,
+                               IsNotNull))
+                    and len(f.attribute) == 1
+                    and f.attribute[0] in _COL_IDX):
+                self.pushed.append(f)
+            else:
+                yield f
+
+    def _predicate(self):
+        """Compile the pushed filters into one row predicate (tuple in,
+        bool out). None when nothing was pushed."""
+        if not self.pushed:
+            return None
+        checks = []
+        for f in self.pushed:
+            i = _COL_IDX[f.attribute[0]]
+            if isinstance(f, EqualTo):
+                checks.append(lambda r, i=i, v=f.value: r[i] == v)
+            elif isinstance(f, In):
+                checks.append(lambda r, i=i, v=tuple(f.value): r[i] in v)
+            elif isinstance(f, GreaterThan):
+                checks.append(lambda r, i=i, v=f.value: r[i] > v)
+            elif isinstance(f, GreaterThanOrEqual):
+                checks.append(lambda r, i=i, v=f.value: r[i] >= v)
+            elif isinstance(f, LessThan):
+                checks.append(lambda r, i=i, v=f.value: r[i] < v)
+            elif isinstance(f, LessThanOrEqual):
+                checks.append(lambda r, i=i, v=f.value: r[i] <= v)
+            elif isinstance(f, StringStartsWith):
+                checks.append(
+                    lambda r, i=i, v=f.value: isinstance(r[i], str)
+                    and r[i].startswith(v))
+            else:  # IsNotNull
+                checks.append(lambda r, i=i: r[i] is not None)
+        return lambda row: all(c(row) for c in checks)
+
+    def _byte_prefilter(self):
+        """Bytes-level candidate test for purchase_method equality: a
+        line can only match if it contains the field's canonical JSON
+        encoding (Spark's ``to_json`` spells ``"k":"v"``, Python's
+        ``json.dumps`` spells ``"k": "v"`` — both covered, matching
+        the two producers of this connector's format). Conservative:
+        a surviving line is still exactly-checked post-parse; a
+        skipped line cannot contain the serialized field at all."""
+        import json
+
+        pats = []
+        for f in self.pushed:
+            if (isinstance(f, EqualTo)
+                    and f.attribute[0] == "purchase_method"
+                    and isinstance(f.value, str)):
+                v = json.dumps(f.value)
+                pats.append((f'"purchaseMethod":{v}'.encode(),
+                             f'"purchaseMethod": {v}'.encode()))
+        if not pats:
+            return None
+        return lambda line: all(a in line or b in line for a, b in pats)
 
     def partitions(self):
         import os
 
-        size = os.path.getsize(self.path)
-        if size == 0:
-            return [_ByteRange(0, 0)]
-        step = max(1, size // self.n)
-        bounds = list(range(0, size, step))
-        return [
-            _ByteRange(s, min(s + step, size))
-            for s in bounds
-            if s < size
-        ]
+        files = [(f, os.path.getsize(f)) for f in _data_files(self.path)]
+        total = sum(s for _, s in files)
+        if total == 0:
+            anchor = files[0][0] if files else self.path
+            return [_ByteRange(anchor, 0, 0)]
+        parts = []
+        for f, size in files:
+            if size == 0:
+                continue
+            # ranges proportional to file share, >= 1 per file
+            n_f = max(1, round(self.n * size / total))
+            step = max(1, size // n_f)
+            parts.extend(
+                _ByteRange(f, s, min(s + step, size))
+                for s in range(0, size, step)
+            )
+        return parts
 
     def read(self, part):
         # saleDateRaw holds NESTED JSON TEXT (quoted bare ISO or an
         # object-as-string) — _parse_sale_line owns that repair for
-        # both the batch and streaming readers
-        with open(self.path, "rb") as fh:
+        # both the batch and streaming readers.
+        #
+        # Boundary discipline (r9 fix): a range also owns the line
+        # starting EXACTLY at its end (`pos > end` break, not >=) —
+        # the Hadoop LineRecordReader convention. The next range skips
+        # its first line unconditionally, so without this a line whose
+        # first byte coincides with a range boundary was read by
+        # NEITHER side (systematic on uniform-length lines, where
+        # size//n boundaries repeatedly land on line starts).
+        pred = self._predicate()
+        pre = self._byte_prefilter()
+        if part.start >= part.end:
+            return  # empty range (pos>end would misread the first line)
+        with open(part.path, "rb") as fh:
             fh.seek(part.start)
             if part.start:
                 fh.readline()  # partial line — owned by the previous range
             while True:
                 pos = fh.tell()
-                if pos >= part.end:
+                if pos > part.end:
                     break
                 line = fh.readline()
                 if not line:
@@ -87,7 +233,141 @@ class JsonlSaleReader(DataSourceReader):
                     #        blank-line continue would spin forever here
                 if not line.strip():
                     continue
-                yield _parse_sale_line(line)
+                if pre is not None and not pre(line):
+                    continue  # skip json.loads for a non-candidate line
+                row = _parse_sale_line(line)
+                if pred is None or pred(row):
+                    yield row
+
+
+@dataclass
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file's basename (None for an
+    empty partition — no file written)."""
+
+    file: str | None = None
+
+
+def _sale_to_line(row) -> bytes:
+    """Serialize one sale row back to a mongoexport extended-JSON line
+    (the exact shapes _parse_sale_line accepts: $oid / $date-wrapper
+    saleDateRaw / $numberDecimal price). total_price came off a
+    DECIMAL(18,2) → the %.2f format is its exact decimal rendering, so
+    write→read round-trips losslessly."""
+    import json
+
+    iso = row[1].replace(" ", "T") + "Z"
+    doc = {
+        "_id": {"$oid": row[0]},
+        "saleDateRaw": json.dumps({"$date": iso}),
+        "price": {"$numberDecimal": f"{row[2]:.2f}"},
+        "purchaseMethod": row[3],
+    }
+    return (json.dumps(doc) + "\n").encode()
+
+
+class JsonlSaleWriter(DataSourceWriter):
+    """Batch write side of the connector (VERDICT r8 item 4, Spark 4
+    ``DataSourceWriter``): each task streams its partition to a part
+    file inside a hidden per-job staging dir; the DRIVER commit then
+    publishes every staged file with a rename and drops ``_SUCCESS``.
+    Task retries/speculation are safe — file names carry a uuid and
+    only files named in commit messages are published; ``abort``
+    removes the whole staging dir. ``overwrite`` clears previously
+    committed part files at commit time (the S6 drop/recreate
+    semantics), never before the new data is fully staged."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        import uuid
+
+        self.path = options["path"]
+        self.overwrite = overwrite
+        self.staging = f"{self.path}/.staging-{uuid.uuid4().hex}"
+
+    def write(self, iterator):
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        rows = iter(iterator)
+        first = next(rows, None)
+        if first is None:
+            return _FileCommit(None)  # empty partition: no file
+        os.makedirs(self.staging, exist_ok=True)
+        pid = TaskContext.get().partitionId()
+        name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+        with open(f"{self.staging}/{name}", "wb") as fh:
+            fh.write(_sale_to_line(first))
+            for row in rows:
+                fh.write(_sale_to_line(row))
+        return _FileCommit(name)
+
+    def commit(self, messages):
+        import glob
+        import os
+        import shutil
+
+        if self.overwrite:
+            for f in glob.glob(f"{self.path}/part-*.jsonl"):
+                os.remove(f)
+        for m in messages:
+            if m is not None and m.file:
+                os.rename(f"{self.staging}/{m.file}",
+                          f"{self.path}/{m.file}")
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(f"{self.path}/_SUCCESS", "w"):
+            pass
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+class JsonlSaleStreamWriter(DataSourceStreamWriter):
+    """Streaming write side (``DataSourceStreamWriter``): tasks stage
+    exactly like the batch writer; the per-batch DRIVER commit
+    publishes the staged files under ``path/batch=<id>/`` with
+    OVERWRITE of any prior content for that id — the same per-batch-
+    overwrite idempotency discipline as the engine's parquet spool
+    sinks, so an at-least-once replay of a micro-batch after a crash
+    between sink write and checkpoint commit converges instead of
+    duplicating. The batch reader's directory walk reads the
+    ``batch=N`` layout back as one relation.
+
+    The staging dir is DETERMINISTIC (no uuid): Spark runs the
+    streaming sink's commit in a separate Python runner that
+    re-instantiates the writer from options, so any per-instance
+    randomness would point commit at a different dir than the one the
+    executors staged into (observed: FileNotFoundError at commit).
+    Micro-batches are serial, so one shared staging dir is race-free;
+    per-file uuids keep retried/speculative tasks collision-free and
+    commit only publishes files named in commit messages."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options["path"]
+        self.staging = f"{self.path}/.stream-staging"
+
+    # executor-side: identical staging discipline to the batch writer
+    write = JsonlSaleWriter.write
+
+    def commit(self, messages, batchId):
+        import os
+        import shutil
+
+        bdir = f"{self.path}/batch={batchId}"
+        shutil.rmtree(bdir, ignore_errors=True)  # replay → overwrite
+        os.makedirs(bdir, exist_ok=True)
+        for m in messages:
+            if m is not None and m.file:
+                os.rename(f"{self.staging}/{m.file}", f"{bdir}/{m.file}")
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+    def abort(self, messages, batchId):
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
 
 
 class JsonlSaleDataSource(DataSource):
@@ -104,9 +384,34 @@ class JsonlSaleDataSource(DataSource):
     def streamReader(self, schema):
         return _make_stream_reader(self.options)
 
+    def writer(self, schema, overwrite):
+        expected = list(_COL_IDX)
+        got = [f.name for f in schema.fields]
+        if got != expected:
+            raise ValueError(
+                f"{FORMAT_NAME} writes the sale schema {expected}, "
+                f"got {got}")
+        return JsonlSaleWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite):
+        expected = list(_COL_IDX)
+        got = [f.name for f in schema.fields]
+        if got != expected:
+            raise ValueError(
+                f"{FORMAT_NAME} writes the sale schema {expected}, "
+                f"got {got}")
+        return JsonlSaleStreamWriter(self.options, overwrite)
+
 
 def register_jsonl_source(spark) -> None:
-    """Idempotent format registration (latest registration wins)."""
+    """Idempotent format registration (latest registration wins).
+    Also enables Python-DataSource filter pushdown — a reader that
+    implements pushFilters is REJECTED at planning time while the conf
+    is off, so registration without it would break every scan."""
+    try:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:  # noqa: BLE001 — conf locked by the host
+        pass
     spark.dataSource.register(JsonlSaleDataSource)
 
 
@@ -120,18 +425,36 @@ def read_jsonl_sales(spark, path: str, num_partitions: int = 8):
     )
 
 
+def write_jsonl_sales(df, path: str) -> None:
+    """Distributed mongoexport-JSONL write through the connector's
+    batch writer (one part file per non-empty partition, staged then
+    rename-published with ``_SUCCESS``)."""
+    register_jsonl_source(df.sparkSession)
+    (df.write.format(FORMAT_NAME).mode("overwrite")
+     .option("path", path).save())
+
+
 class _StreamRange(InputPartition):
     """Byte sub-range of one micro-batch window. ``skip_first`` applies
     the split-ownership discipline: interior sub-range starts fall
     mid-line and must discard the partial line (owned by the previous
     sub-range); the WINDOW start is always a line boundary (offsets
     only ever land just past a newline — latestOffset clamps to the
-    last one), so its first sub-range keeps its first line."""
+    last one), so its first sub-range keeps its first line.
+    ``at_window_end`` marks the window's LAST sub-range: interior
+    sub-ranges also own a line starting exactly at their end (Hadoop
+    convention — the next sub-range skips it; see the r9 boundary-
+    coincidence fix in JsonlSaleReader.read), but a line starting
+    exactly at the WINDOW end belongs to the NEXT micro-batch (whose
+    first sub-range does not skip), so the last sub-range must stop
+    strictly before it."""
 
-    def __init__(self, start: int, end: int, skip_first: bool):
+    def __init__(self, start: int, end: int, skip_first: bool,
+                 at_window_end: bool = True):
         self.start = start
         self.end = end
         self.skip_first = skip_first
+        self.at_window_end = at_window_end
 
 
 def _parse_sale_line(line: bytes):
@@ -203,18 +526,27 @@ class JsonlSaleStreamReader:
             return [_StreamRange(lo, lo, False)]
         step = max(1, (hi - lo) // self.n)
         return [
-            _StreamRange(s, min(s + step, hi), skip_first=(s != lo))
+            _StreamRange(s, min(s + step, hi), skip_first=(s != lo),
+                         at_window_end=(s + step >= hi))
             for s in range(lo, hi, step)
         ]
 
     def read(self, part):
+        # boundary discipline mirrors the batch reader's r9 fix: an
+        # interior sub-range also owns the line starting exactly at
+        # its end (the next sub-range skips it); the window's last
+        # sub-range stops strictly before its end — that position is
+        # the next micro-batch's first line
+        if part.start >= part.end:
+            return
         with open(self.path, "rb") as fh:
             fh.seek(part.start)
             if part.skip_first:
                 fh.readline()  # partial line — previous range owns it
             while True:
                 pos = fh.tell()
-                if pos >= part.end:
+                if pos > part.end or (pos == part.end
+                                      and getattr(part, "at_window_end", True)):
                     break
                 line = fh.readline()
                 if not line:

@@ -256,6 +256,172 @@ def test_pyds_batch_read_stops_at_truncated_eof(tmp_path):
     p = tmp_path / "trunc.jsonl"
     p.write_text("".join(_DOC % (i, 1) + "\n" for i in range(1, 4)))
     r = JsonlSaleReader({"path": str(p), "num_partitions": "1"})
-    part = _ByteRange(0, p.stat().st_size + 10_000)  # end past EOF
+    part = _ByteRange(str(p), 0, p.stat().st_size + 10_000)  # end past EOF
     got = [row[0] for row in r.read(part)]
     assert got == ["1", "2", "3"]
+
+
+# ---------------------------------------------------------------------------
+# DataSource write side + filter pushdown (VERDICT r8 items 4 + 7)
+
+
+def _sales_df(spark, n=40):
+    rows = [(str(i), f"2000-01-{(i % 27) + 1:02d} 00:00:00",
+             float(i) + 0.25, ["Online", "InStore", "Phone"][i % 3])
+            for i in range(1, n + 1)]
+    return spark.createDataFrame(
+        rows, "sale_id string, sale_ts string, total_price double, "
+              "purchase_method string")
+
+
+def test_pyds_writer_roundtrip_multi_partition(spark, tmp_path):
+    """Distributed write: one part file per NON-EMPTY partition, driver
+    commit publishes with _SUCCESS, and the directory-aware reader
+    reconstructs the relation under any partition count."""
+    import glob
+
+    from project2_bigdata_spark.sources.pyds import (
+        read_jsonl_sales, write_jsonl_sales,
+    )
+
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    df = _sales_df(spark).repartition(16)  # some partitions empty at n=40
+    write_jsonl_sales(df, out)
+    parts = glob.glob(f"{out}/part-*.jsonl")
+    assert 0 < len(parts) <= 16
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert not glob.glob(f"{out}/.staging-*")  # staging cleaned up
+    for n in (1, 3, 8):
+        back = sorted(map(tuple, read_jsonl_sales(spark, out, n).collect()))
+        assert back == sorted(map(tuple, df.collect()))
+    # overwrite replaces, never appends
+    write_jsonl_sales(_sales_df(spark, 5), out)
+    assert read_jsonl_sales(spark, out, 4).count() == 5
+
+
+def test_pyds_writer_rejects_wrong_schema(spark, tmp_path):
+    from project2_bigdata_spark.sources.pyds import FORMAT_NAME, register_jsonl_source
+
+    register_jsonl_source(spark)
+    df = spark.createDataFrame([(1, "x")], "a int, b string")
+    with pytest.raises(Exception, match="sale schema"):
+        (df.write.format(FORMAT_NAME).mode("overwrite")
+         .option("path", str(tmp_path / "bad")).save())
+
+
+def test_pyds_pushdown_consumes_filter_node(spark, tmp_path):
+    """Supported predicates vanish from the executed plan (consumed by
+    pushFilters) and the source returns exactly the matching rows;
+    unsupported predicates are yielded back and survive as a Filter."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.pyds import (
+        read_jsonl_sales, write_jsonl_sales,
+    )
+
+    out = str(tmp_path / "export")
+    os.makedirs(out)
+    df = _sales_df(spark)
+    write_jsonl_sales(df, out)
+
+    pushed = read_jsonl_sales(spark, out, 4).filter(
+        (F.col("purchase_method") == "Online")
+        & (F.col("total_price") > 10.0))
+    plan = pushed._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan p2bd_jsonl" in plan
+    import re
+    assert not re.search(r"\bFilter\b", plan), plan  # consumed by source
+    expect = sorted(
+        (r.sale_id for r in df.collect()
+         if r.purchase_method == "Online" and r.total_price > 10.0))
+    assert sorted(r.sale_id for r in pushed.collect()) == expect
+
+    # a Not(EqualTo) is unsupported -> stays a Spark-side Filter
+    mixed = read_jsonl_sales(spark, out, 4).filter(
+        (F.col("purchase_method") == "Online")
+        & (F.col("sale_id") != "3"))
+    plan2 = mixed._jdf.queryExecution().executedPlan().toString()
+    assert re.search(r"\bFilter\b", plan2), plan2
+    expect2 = sorted(
+        (r.sale_id for r in df.collect()
+         if r.purchase_method == "Online" and r.sale_id != "3"))
+    assert sorted(r.sale_id for r in mixed.collect()) == expect2
+
+
+def test_pyds_stream_writer_batch_commit_is_overwrite_idempotent(
+        spark, tmp_path):
+    """Replaying a micro-batch (at-least-once) must overwrite its
+    batch=<id> dir, not append a second copy."""
+    from project2_bigdata_spark.sources.pyds import (
+        FORMAT_NAME, read_jsonl_sales, register_jsonl_source,
+        stream_jsonl_sales, write_jsonl_sales,
+    )
+
+    import glob
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    write_jsonl_sales(_sales_df(spark, 12).coalesce(1), src)
+    # the STREAM reader's contract is one append-only file
+    src_file = glob.glob(f"{src}/part-*.jsonl")[0]
+    sink = str(tmp_path / "sink")
+    os.makedirs(sink)
+    register_jsonl_source(spark)
+
+    def run(ck):
+        q = (stream_jsonl_sales(spark, src_file)
+             .writeStream.format(FORMAT_NAME)
+             .option("path", sink)
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run(str(tmp_path / "ck1"))
+    n1 = read_jsonl_sales(spark, sink, 4).count()
+    # fresh checkpoint replays the same data as batch 0 again
+    run(str(tmp_path / "ck2"))
+    n2 = read_jsonl_sales(spark, sink, 4).count()
+    assert n1 == n2 == 12  # overwritten, not doubled
+
+
+def test_pyds_boundary_coincidence_uniform_lines(spark, tmp_path):
+    """Regression (r9): when every line has the SAME length, size//n
+    range boundaries land exactly on line starts — the pre-fix readers
+    dropped each such line (read by neither side: the left range broke
+    at pos >= end, the right range skipped its first line). Both
+    readers must return every line for every partition count."""
+    from project2_bigdata_spark.sources.pyds import (
+        JsonlSaleStreamReader, read_jsonl_sales,
+    )
+
+    p = tmp_path / "uniform.jsonl"
+    # fixed-width ids -> byte-identical line lengths
+    doc = ('{"_id": {"$oid": "%03d"}, '
+           '"saleDateRaw": "\\"2000-01-01T00:00:00Z\\"", '
+           '"price": {"$numberDecimal": "1.50"}, '
+           '"purchaseMethod": "Online"}')
+    n_lines = 24
+    p.write_text("".join(doc % i + "\n" for i in range(1, n_lines + 1)))
+    size = p.stat().st_size
+    assert size % n_lines == 0  # truly uniform
+
+    expect = [f"{i:03d}" for i in range(1, n_lines + 1)]
+    for n in (2, 3, 4, 6, 8, 12, 24):
+        got = sorted(r.sale_id for r in
+                     read_jsonl_sales(spark, str(p), n).collect())
+        assert got == expect, f"batch n={n}: {len(got)}/{n_lines}"
+        r = JsonlSaleStreamReader({"path": str(p), "num_partitions": str(n)})
+        parts = r.partitions({"byte": 0}, {"byte": size})
+        srows = sorted(row[0] for part in parts for row in r.read(part))
+        assert srows == expect, f"stream n={n}: {len(srows)}/{n_lines}"
+
+    # two-window split on a line boundary: no loss, no double-read
+    r = JsonlSaleStreamReader({"path": str(p), "num_partitions": "4"})
+    mid = (size // n_lines) * 10  # window boundary = start of line 11
+    w1 = [row[0] for part in r.partitions({"byte": 0}, {"byte": mid})
+          for row in r.read(part)]
+    w2 = [row[0] for part in r.partitions({"byte": mid}, {"byte": size})
+          for row in r.read(part)]
+    assert sorted(w1) == expect[:10]
+    assert sorted(w2) == expect[10:]

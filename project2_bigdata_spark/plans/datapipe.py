@@ -673,8 +673,8 @@ register(
 
 from ..operators.corpus import (  # noqa: E402
     ORACLE_CHUNKS, ORACLE_PACKING, ORACLE_WINNOWING,
-    chunk_documents, oracle_stratified_sample, sequence_packing,
-    stratified_sample, winnowing_fingerprints,
+    chunk_documents, chunk_documents_udtf, oracle_stratified_sample,
+    sequence_packing, stratified_sample, winnowing_fingerprints,
 )
 
 register(
@@ -693,6 +693,19 @@ register(
         "row-local sequence→slice→posexplode, no shuffle — the "
         "context-window prep step before tokenization",
 )(chunk_documents)
+
+register(
+    "chunk_documents_udtf",
+    oracle=ORACLE_CHUNKS,
+    doc="The same chunking relation through an Arrow-optimized Python "
+        "UDTF in a SQL LATERAL join (VERDICT r8 item 5 — the one "
+        "Python boundary previously unexercised): one input row "
+        "expands to its chunks inside the table function, rows cross "
+        "in Arrow batches. The HOF twin stays the default for pure "
+        "string slicing; this is the idiomatic carrier once a real "
+        "tokenizer library enters the chunker. Same oracle as "
+        "chunk_documents; equality pinned by test",
+)(chunk_documents_udtf)
 
 register(
     "sequence_packing",

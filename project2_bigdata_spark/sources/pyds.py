@@ -105,11 +105,67 @@ class _ByteRange(InputPartition):
         self.end = end
 
 
+#: chunk size for the buffered range scan (bounded memory per task even
+#: when one range covers a whole multi-GB file)
+_SCAN_CHUNK = 4 << 20
+
+
+def _iter_range_lines(fh, start: int, end: int, skip_first: bool,
+                      include_end_line: bool):
+    """Yield the complete lines owned by byte range ``[start, end)`` of
+    an open binary file, under the Hadoop LineRecordReader convention
+    (r9): skip the first (partial) line when ``skip_first``; a line
+    straddling ``end`` is completed and owned; a line starting EXACTLY
+    at ``end`` is owned iff ``include_end_line`` (True for batch ranges
+    and interior streaming sub-ranges — the right neighbor skips it;
+    False at a streaming WINDOW end, where it belongs to the next
+    micro-batch).
+
+    Reads in ``_SCAN_CHUNK`` blocks and splits lines in C — the r9
+    scan-speed fix: the old per-line ``readline()`` + ``tell()`` loop
+    spent its wall time in Python call overhead (measured at K=100:
+    the 15M-line selective scan was line-loop-bound, making filter
+    pushdown look like a 1.05x win; chunked splitting moves the
+    iteration cost into bytes.split)."""
+    if start >= end:
+        return
+    fh.seek(start)
+    if skip_first:
+        fh.readline()  # partial first line — previous range owns it
+        pos = fh.tell()
+        if pos > end:
+            return  # the whole range lay inside one line
+    else:
+        pos = start
+    carry = b""
+    while pos < end:
+        buf = fh.read(min(_SCAN_CHUNK, end - pos))
+        if not buf:
+            break  # EOF before planned end (truncated/replaced file)
+        pos += len(buf)
+        lines = (carry + buf).split(b"\n")
+        carry = lines.pop()  # partial tail (or b"" after a newline)
+        yield from lines
+    if carry:
+        # straddling line: started before end -> owned, complete it
+        yield carry + fh.readline()
+    elif include_end_line:
+        # range ended exactly on a newline: the line starting AT end
+        # is owned here (the next range skips it); b'' at EOF
+        tail = fh.readline()
+        if tail:
+            yield tail
+
+
 class JsonlSaleReader(DataSourceReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.n = int(options.get("num_partitions", "8"))
         self.pushed: list = []
+        # measurement escape hatch (tools/scale_stress.py pyds_pushdown
+        # compares pushed vs unpushed walls on the same export)
+        self.disable_pushdown = (
+            options.get("disable_pushdown", "false").lower() == "true")
 
     def pushFilters(self, filters):
         """Spark 4 filter pushdown (VERDICT r8 item 7): accept simple
@@ -121,10 +177,11 @@ class JsonlSaleReader(DataSourceReader):
         that skips ``json.loads`` entirely for non-matching lines —
         the proportional-win path on selective scans."""
         for f in filters:
-            if (isinstance(f, (EqualTo, In, GreaterThan,
-                               GreaterThanOrEqual, LessThan,
-                               LessThanOrEqual, StringStartsWith,
-                               IsNotNull))
+            if (not self.disable_pushdown
+                    and isinstance(f, (EqualTo, In, GreaterThan,
+                                       GreaterThanOrEqual, LessThan,
+                                       LessThanOrEqual, StringStartsWith,
+                                       IsNotNull))
                     and len(f.attribute) == 1
                     and f.attribute[0] in _COL_IDX):
                 self.pushed.append(f)
@@ -216,21 +273,10 @@ class JsonlSaleReader(DataSourceReader):
         # size//n boundaries repeatedly land on line starts).
         pred = self._predicate()
         pre = self._byte_prefilter()
-        if part.start >= part.end:
-            return  # empty range (pos>end would misread the first line)
         with open(part.path, "rb") as fh:
-            fh.seek(part.start)
-            if part.start:
-                fh.readline()  # partial line — owned by the previous range
-            while True:
-                pos = fh.tell()
-                if pos > part.end:
-                    break
-                line = fh.readline()
-                if not line:
-                    break  # EOF before part.end (file truncated/replaced
-                    #        between planning and read) — ADVICE r8: the
-                    #        blank-line continue would spin forever here
+            for line in _iter_range_lines(
+                    fh, part.start, part.end,
+                    skip_first=part.start > 0, include_end_line=True):
                 if not line.strip():
                     continue
                 if pre is not None and not pre(line):
@@ -537,20 +583,11 @@ class JsonlSaleStreamReader:
         # its end (the next sub-range skips it); the window's last
         # sub-range stops strictly before its end — that position is
         # the next micro-batch's first line
-        if part.start >= part.end:
-            return
         with open(self.path, "rb") as fh:
-            fh.seek(part.start)
-            if part.skip_first:
-                fh.readline()  # partial line — previous range owns it
-            while True:
-                pos = fh.tell()
-                if pos > part.end or (pos == part.end
-                                      and getattr(part, "at_window_end", True)):
-                    break
-                line = fh.readline()
-                if not line:
-                    break
+            for line in _iter_range_lines(
+                    fh, part.start, part.end,
+                    skip_first=part.skip_first,
+                    include_end_line=not getattr(part, "at_window_end", True)):
                 if line.strip():
                     yield _parse_sale_line(line)
 

@@ -546,6 +546,61 @@ def band_occupancy(spark, k: int, timeout_s: int) -> dict:
     return out
 
 
+def pyds_pushdown(spark, k: int, timeout_s: int) -> dict:
+    """Measure filter pushdown through the Python DataSource on a K x
+    orders export (VERDICT r8 item 7): one selective scan
+    (purchase_method = '1-URGENT' AND total_price > 1000, ~20%
+    selectivity) timed WITH pushdown (bytes-level prefilter skips
+    json.loads for non-candidate lines; predicate applied before the
+    Python→JVM boundary) and WITHOUT (disable_pushdown option — every
+    line parses, crosses to the JVM, and filters there), plus the
+    full-scan baseline. Requires ``amplify K``. Asserts both selective
+    variants return the same count."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import extended_json_doc
+    from project2_bigdata_spark.sources.pyds import read_jsonl_sales
+
+    sf = dst_dir(k)
+    out: dict[str, object] = {"k": k, "dir": sf}
+    exp = f"/tmp/sparkgraft_pyds_export_{k}"
+    (table(spark, sf, "orders")
+     .select(extended_json_doc().alias("value"))
+     .coalesce(1).write.mode("overwrite").text(exp))
+    part = glob.glob(f"{exp}/part-*")[0]
+    out["export_bytes"] = os.path.getsize(part)
+    npart = spark.sparkContext.defaultParallelism * 2
+
+    pred = (F.col("purchase_method") == "1-URGENT") & (
+        F.col("total_price") > 1000.0)
+    variants = {
+        "full_scan": lambda: read_jsonl_sales(spark, part, npart),
+        "selective_pushdown": lambda: read_jsonl_sales(
+            spark, part, npart).filter(pred),
+        "selective_no_pushdown": lambda: (
+            spark.read.format("p2bd_jsonl")
+            .option("path", part).option("num_partitions", str(npart))
+            .option("disable_pushdown", "true").load().filter(pred)),
+    }
+    counts: dict[str, int] = {}
+    for name, build in variants.items():
+        t0 = time.perf_counter()
+        with _deadline(spark, f"pyds-{name}", timeout_s):
+            counts[name] = build().count()
+        out[f"{name}_wall_sec"] = round(time.perf_counter() - t0, 1)
+        out[f"{name}_rows"] = counts[name]
+        print(f"  {name}: {out[f'{name}_wall_sec']}s "
+              f"({counts[name]} rows)", file=sys.stderr, flush=True)
+    assert counts["selective_pushdown"] == counts["selective_no_pushdown"]
+    out["pushdown_speedup"] = round(
+        out["selective_no_pushdown_wall_sec"]
+        / max(out["selective_pushdown_wall_sec"], 1e-9), 2)
+    return out
+
+
 def run(spark, k: int, names: list[str], timeout_s: int) -> dict:
     from project2_bigdata_spark.plans import REGISTRY
 
@@ -587,6 +642,34 @@ def main() -> int:
                           "sec": round(time.perf_counter() - t0, 1)}))
     elif mode == "sketch_bands":
         print(json.dumps(sketch_bands(spark, k)))
+    elif mode == "pyds_pushdown":
+        rest = sys.argv[3:]
+        if rest and rest[0] == "--timeout":
+            rest = rest[1:]
+        print(json.dumps(pyds_pushdown(
+            spark, k, int(rest[0]) if rest else 1200)))
+    elif mode == "bench10":
+        # cross-query bench (VERDICT r8 item 8): the headline block
+        # back-to-back at K x, catching cache-pressure/executor-churn
+        # interactions the per-query protocol can't see. Requires
+        # ``amplify K`` (run with k=10 for the sf1-equivalent row).
+        from bench import HEADLINE
+        from project2_bigdata_spark.plans import REGISTRY as _REG
+
+        rest = sys.argv[3:]
+        if rest and rest[0] == "--timeout":
+            rest = rest[1:]
+        timeout_s = int(rest[0]) if rest else 900
+        names = [n for n in HEADLINE if n in _REG]
+        t0 = time.perf_counter()
+        res = run(spark, k, names, timeout_s)
+        print(json.dumps({
+            "k": k, "mode": "bench10",
+            "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            "cpus": spark.sparkContext.defaultParallelism,
+            "block_total_sec": round(time.perf_counter() - t0, 1),
+            "queries": res,
+        }))
     elif mode == "band_occupancy":
         rest = sys.argv[3:]
         if rest and rest[0] == "--timeout":

@@ -32,6 +32,16 @@ PYTHON_OK = {
     "pyds_mongoexport_scan",    # Python Data Source connector — the
                                 # format has no JVM reader, which is the
                                 # API's charter
+    "pyds_mongoexport_roundtrip",  # r9 write side: same connector, both
+                                   # directions (writer + dir-aware read)
+    "pyds_pushdown_scan",       # r9 pushFilters: predicate consumed
+                                # INSIDE the Python source by design
+    "pyds_mongoexport_stream_roundtrip",  # r9 stream writer round trip
+                                          # (reader is stream_, sink +
+                                          # readback are the connector)
+    "chunk_documents_udtf",     # r9 Arrow UDTF surface exhibit — the
+                                # lateral table-function twin of the
+                                # HOF chunker (equality-pinned)
     "holt_winters_daily",       # dense 365-step recurrence: batched
                                 # numpy beats interpreted HOF lambdas
                                 # 280s→~25s at K=100 (the DTW lesson)

@@ -257,7 +257,8 @@ def test_pyds_batch_read_stops_at_truncated_eof(tmp_path):
     p.write_text("".join(_DOC % (i, 1) + "\n" for i in range(1, 4)))
     r = JsonlSaleReader({"path": str(p), "num_partitions": "1"})
     part = _ByteRange(str(p), 0, p.stat().st_size + 10_000)  # end past EOF
-    got = [row[0] for row in r.read(part)]
+    got = [v for batch in r.read(part)
+           for v in batch.column(0).to_pylist()]  # Arrow batches (r9)
     assert got == ["1", "2", "3"]
 
 

@@ -576,14 +576,25 @@ def pyds_pushdown(spark, k: int, timeout_s: int) -> dict:
 
     pred = (F.col("purchase_method") == "1-URGENT") & (
         F.col("total_price") > 1000.0)
+    # point lookup: one existing key — the prefilter's best case
+    # (json.loads + Arrow transfer skipped for ~every line)
+    some_key = str(table(spark, sf, "orders")
+                   .agg(F.max("o_orderkey")).first()[0])
+    point = F.col("sale_id") == some_key
+
+    def _no_push(flt):
+        return (spark.read.format("p2bd_jsonl")
+                .option("path", part).option("num_partitions", str(npart))
+                .option("disable_pushdown", "true").load().filter(flt))
+
     variants = {
         "full_scan": lambda: read_jsonl_sales(spark, part, npart),
         "selective_pushdown": lambda: read_jsonl_sales(
             spark, part, npart).filter(pred),
-        "selective_no_pushdown": lambda: (
-            spark.read.format("p2bd_jsonl")
-            .option("path", part).option("num_partitions", str(npart))
-            .option("disable_pushdown", "true").load().filter(pred)),
+        "selective_no_pushdown": lambda: _no_push(pred),
+        "point_pushdown": lambda: read_jsonl_sales(
+            spark, part, npart).filter(point),
+        "point_no_pushdown": lambda: _no_push(point),
     }
     counts: dict[str, int] = {}
     for name, build in variants.items():
@@ -595,9 +606,13 @@ def pyds_pushdown(spark, k: int, timeout_s: int) -> dict:
         print(f"  {name}: {out[f'{name}_wall_sec']}s "
               f"({counts[name]} rows)", file=sys.stderr, flush=True)
     assert counts["selective_pushdown"] == counts["selective_no_pushdown"]
+    assert counts["point_pushdown"] == counts["point_no_pushdown"] == 1
     out["pushdown_speedup"] = round(
         out["selective_no_pushdown_wall_sec"]
         / max(out["selective_pushdown_wall_sec"], 1e-9), 2)
+    out["point_speedup"] = round(
+        out["point_no_pushdown_wall_sec"]
+        / max(out["point_pushdown_wall_sec"], 1e-9), 2)
     return out
 
 
@@ -660,6 +675,10 @@ def main() -> int:
         if rest and rest[0] == "--timeout":
             rest = rest[1:]
         timeout_s = int(rest[0]) if rest else 900
+        # match bench.py's bench-only streaming replay fast path so the
+        # K x per-query ratios compare like-for-like (correctness
+        # surfaces never set this)
+        os.environ.setdefault("SPARK_GRAFT_STREAM_SHUFFLE", "4")
         names = [n for n in HEADLINE if n in _REG]
         t0 = time.perf_counter()
         res = run(spark, k, names, timeout_s)

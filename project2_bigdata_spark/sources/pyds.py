@@ -279,46 +279,53 @@ class JsonlSaleReader(DataSourceReader):
         # first byte coincides with a range boundary was read by
         # NEITHER side (systematic on uniform-length lines, where
         # size//n boundaries repeatedly land on line starts).
-        # Emit Arrow RecordBatches, not per-row tuples (r9): the Python
-        # DataSource worker converts yielded tuples to Arrow one row at
-        # a time — at 15M rows that conversion, not parsing, dominated
-        # the scan. Building columnar batches here moves the boundary
-        # cost to four bulk pa.array() calls per ~16k rows.
-        import pyarrow as pa
-
-        pred = self._predicate()
-        pre = self._byte_prefilter()
-        schema = pa.schema([
-            ("sale_id", pa.string()), ("sale_ts", pa.string()),
-            ("total_price", pa.float64()),
-            ("purchase_method", pa.string()),
-        ])
-        cols: tuple[list, list, list, list] = ([], [], [], [])
-
-        def flush():
-            batch = pa.RecordBatch.from_arrays(
-                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
-                schema=schema)
-            for c in cols:
-                c.clear()
-            return batch
-
         with open(part.path, "rb") as fh:
-            for line in _iter_range_lines(
+            yield from _batches_from_lines(
+                _iter_range_lines(
                     fh, part.start, part.end,
-                    skip_first=part.start > 0, include_end_line=True):
-                if not line.strip():
-                    continue
-                if pre is not None and not pre(line):
-                    continue  # skip json.loads for a non-candidate line
-                row = _parse_sale_line(line)
-                if pred is None or pred(row):
-                    for c, v in zip(cols, row):
-                        c.append(v)
-                    if len(cols[0]) >= 16384:
-                        yield flush()
-        if cols[0]:
-            yield flush()
+                    skip_first=part.start > 0, include_end_line=True),
+                pre=self._byte_prefilter(), pred=self._predicate())
+
+
+def _batches_from_lines(lines, pre=None, pred=None):
+    """Parse owned lines into Arrow RecordBatches of ~16k sale rows
+    (r9): the Python DataSource worker converts yielded TUPLES to Arrow
+    one row at a time — at 15M rows that conversion, not parsing,
+    dominated the scan. Building columnar batches here moves the
+    boundary cost to four bulk pa.array() calls per batch. ``pre`` is
+    the bytes-level candidate test (skips json.loads), ``pred`` the
+    exact post-parse predicate; both optional. Shared by the batch and
+    streaming readers."""
+    import pyarrow as pa
+
+    schema = pa.schema([
+        ("sale_id", pa.string()), ("sale_ts", pa.string()),
+        ("total_price", pa.float64()),
+        ("purchase_method", pa.string()),
+    ])
+    cols: tuple[list, list, list, list] = ([], [], [], [])
+
+    def flush():
+        batch = pa.RecordBatch.from_arrays(
+            [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+            schema=schema)
+        for c in cols:
+            c.clear()
+        return batch
+
+    for line in lines:
+        if not line.strip():
+            continue
+        if pre is not None and not pre(line):
+            continue  # skip json.loads for a non-candidate line
+        row = _parse_sale_line(line)
+        if pred is None or pred(row):
+            for c, v in zip(cols, row):
+                c.append(v)
+            if len(cols[0]) >= 16384:
+                yield flush()
+    if cols[0]:
+        yield flush()
 
 
 @dataclass
@@ -617,14 +624,13 @@ class JsonlSaleStreamReader:
         # interior sub-range also owns the line starting exactly at
         # its end (the next sub-range skips it); the window's last
         # sub-range stops strictly before its end — that position is
-        # the next micro-batch's first line
+        # the next micro-batch's first line. Rows leave as Arrow
+        # RecordBatches (same kernel as the batch reader).
         with open(self.path, "rb") as fh:
-            for line in _iter_range_lines(
-                    fh, part.start, part.end,
-                    skip_first=part.skip_first,
-                    include_end_line=not getattr(part, "at_window_end", True)):
-                if line.strip():
-                    yield _parse_sale_line(line)
+            yield from _batches_from_lines(_iter_range_lines(
+                fh, part.start, part.end,
+                skip_first=part.skip_first,
+                include_end_line=not getattr(part, "at_window_end", True)))
 
     def commit(self, end):
         pass  # the file is immutable once written; nothing to release

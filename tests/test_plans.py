@@ -74,7 +74,9 @@ def test_no_python_row_udfs_in_core_paths(spark, sf_dir):
     allowed only in the explicitly-Python operators (simhash,
     multimodal, ml)."""
     allowed_arrow = {"simhash_buckets", "multimodal_decode",
-                     "ml_train_per_product", "ml_sparkml_global"}
+                     "ml_train_per_product", "ml_sparkml_global",
+                     "chunk_documents_udtf"}  # r9: the Arrow UDTF
+                     # surface exhibit (lateral table function)
     for name, q in sorted(REGISTRY.items()):
         if name.startswith("stream_") or name in allowed_arrow or name.startswith("ml_"):
             continue

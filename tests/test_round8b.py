@@ -509,7 +509,8 @@ def test_pyds_stream_window_partitions_own_each_line_once(tmp_path):
     for n in (1, 3, 7, 64):
         r = JsonlSaleStreamReader({"path": str(p), "num_partitions": str(n)})
         parts = r.partitions({"byte": 0}, {"byte": size})
-        got = [row[0] for part in parts for row in r.read(part)]
+        got = [v for part in parts for batch in r.read(part)
+               for v in batch.column(0).to_pylist()]  # Arrow (r9)
         assert sorted(got, key=int) == [str(i) for i in range(1, 30)], n
 
 

@@ -414,16 +414,17 @@ def test_pyds_boundary_coincidence_uniform_lines(spark, tmp_path):
         assert got == expect, f"batch n={n}: {len(got)}/{n_lines}"
         r = JsonlSaleStreamReader({"path": str(p), "num_partitions": str(n)})
         parts = r.partitions({"byte": 0}, {"byte": size})
-        srows = sorted(row[0] for part in parts for row in r.read(part))
+        srows = sorted(v for part in parts for batch in r.read(part)
+                       for v in batch.column(0).to_pylist())
         assert srows == expect, f"stream n={n}: {len(srows)}/{n_lines}"
 
     # two-window split on a line boundary: no loss, no double-read
     r = JsonlSaleStreamReader({"path": str(p), "num_partitions": "4"})
     mid = (size // n_lines) * 10  # window boundary = start of line 11
-    w1 = [row[0] for part in r.partitions({"byte": 0}, {"byte": mid})
-          for row in r.read(part)]
-    w2 = [row[0] for part in r.partitions({"byte": mid}, {"byte": size})
-          for row in r.read(part)]
+    w1 = [v for part in r.partitions({"byte": 0}, {"byte": mid})
+          for b in r.read(part) for v in b.column(0).to_pylist()]
+    w2 = [v for part in r.partitions({"byte": mid}, {"byte": size})
+          for b in r.read(part) for v in b.column(0).to_pylist()]
     assert sorted(w1) == expect[:10]
     assert sorted(w2) == expect[10:]
 

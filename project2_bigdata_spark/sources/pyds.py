@@ -50,9 +50,9 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
-    DataSourceStreamWriter,
-    DataSourceWriter,
+    DataSourceStreamArrowWriter,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -354,16 +354,18 @@ def _sale_to_line(row) -> bytes:
     return (json.dumps(doc) + "\n").encode()
 
 
-class JsonlSaleWriter(DataSourceWriter):
+class JsonlSaleWriter(DataSourceArrowWriter):
     """Batch write side of the connector (VERDICT r8 item 4, Spark 4
-    ``DataSourceWriter``): each task streams its partition to a part
-    file inside a hidden per-job staging dir; the DRIVER commit then
-    publishes every staged file with a rename and drops ``_SUCCESS``.
-    Task retries/speculation are safe — file names carry a uuid and
-    only files named in commit messages are published; ``abort``
-    removes the whole staging dir. ``overwrite`` clears previously
-    committed part files at commit time (the S6 drop/recreate
-    semantics), never before the new data is fully staged."""
+    ``DataSourceArrowWriter`` — the Arrow variant, symmetric with the
+    reader: partitions arrive as RecordBatches, never as per-row Spark
+    Rows): each task streams its partition to a part file inside a
+    hidden per-job staging dir; the DRIVER commit then publishes every
+    staged file with a rename and drops ``_SUCCESS``. Task
+    retries/speculation are safe — file names carry a uuid and only
+    files named in commit messages are published; ``abort`` removes
+    the whole staging dir. ``overwrite`` clears previously committed
+    part files at commit time (the S6 drop/recreate semantics), never
+    before the new data is fully staged."""
 
     def __init__(self, options: dict, overwrite: bool):
         import uuid
@@ -378,17 +380,20 @@ class JsonlSaleWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        rows = iter(iterator)
-        first = next(rows, None)
-        if first is None:
-            return _FileCommit(None)  # empty partition: no file
-        os.makedirs(self.staging, exist_ok=True)
-        pid = TaskContext.get().partitionId()
-        name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
-        with open(f"{self.staging}/{name}", "wb") as fh:
-            fh.write(_sale_to_line(first))
-            for row in rows:
-                fh.write(_sale_to_line(row))
+        fh, name = None, None
+        for batch in iterator:
+            cols = [batch.column(i).to_pylist() for i in range(4)]
+            if not cols[0]:
+                continue
+            if fh is None:  # lazily: empty partitions write no file
+                os.makedirs(self.staging, exist_ok=True)
+                pid = TaskContext.get().partitionId()
+                name = f"part-{pid:05d}-{uuid.uuid4().hex}.jsonl"
+                fh = open(f"{self.staging}/{name}", "wb")
+            fh.write(b"".join(_sale_to_line(r) for r in zip(*cols)))
+        if fh is None:
+            return _FileCommit(None)
+        fh.close()
         return _FileCommit(name)
 
     def commit(self, messages):
@@ -413,8 +418,9 @@ class JsonlSaleWriter(DataSourceWriter):
         shutil.rmtree(self.staging, ignore_errors=True)
 
 
-class JsonlSaleStreamWriter(DataSourceStreamWriter):
-    """Streaming write side (``DataSourceStreamWriter``): tasks stage
+class JsonlSaleStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming write side (``DataSourceStreamArrowWriter``, Arrow
+    batches in — same kernel as the batch writer): tasks stage
     exactly like the batch writer; the per-batch DRIVER commit
     publishes the staged files under ``path/batch=<id>/`` with
     OVERWRITE of any prior content for that id — the same per-batch-

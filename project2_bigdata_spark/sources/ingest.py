@@ -257,6 +257,21 @@ class ConcurrentWriteError(RuntimeError):
     writers kept winning the version race."""
 
 
+def _check_merge_schema(base: DataFrame, delta: DataFrame,
+                        schema_evolution: bool) -> None:
+    """Column-set drift between the standing dimension and a delta
+    batch is an ERROR unless the caller opted into evolution — a
+    producer silently dropping/renaming columns must not corrupt the
+    dimension (Delta's default MERGE posture; mergeSchema is opt-in)."""
+    if set(base.columns) == set(delta.columns):
+        return
+    if not schema_evolution:
+        raise ValueError(
+            f"delta columns {sorted(delta.columns)} differ from base "
+            f"{sorted(base.columns)}; pass schema_evolution=True to "
+            "evolve the dimension schema (new columns null-fill)")
+
+
 def commit_version(df: DataFrame, path: str, version: int) -> bool:
     """Atomic OPTIMISTIC commit of ``df`` as exactly ``path/v=version``.
 
@@ -296,6 +311,7 @@ def merge_upsert(
     resolve: str = "delta_wins",
     max_retries: int = 5,
     pre_commit_hook=None,
+    schema_evolution: bool = False,
 ) -> int:
     """Keyed MERGE / SCD1 upsert sink (VERDICT r7 item 8): apply a delta
     batch to the latest snapshot under ``path`` — matched keys take the
@@ -347,6 +363,15 @@ def merge_upsert(
       quarantined (atomically renamed aside) rather than silently
       skipped, since skipping it would break the exactly-base+1 check.
 
+    * **Schema evolution** (``schema_evolution``, default False — the
+      Delta MERGE posture): column-set drift between base and delta
+      raises by default (a producer silently dropping/renaming columns
+      must not corrupt the dimension); opting in appends delta-only
+      columns after the base's (null for rows whose winning side lacks
+      them) and null-fills base-only columns on inserted delta rows —
+      Delta's ``mergeSchema``. ``keys`` and ``order_cols`` must exist
+      on both sides regardless.
+
     The registered query ``scd1_customer_latest_order`` proves
     merge == full recompute against the DuckDB oracle; the
     version-pinned read test proves isolation; the racing-writers
@@ -371,6 +396,7 @@ def merge_upsert(
             return delta
         if resolve == "delta_wins":
             base = read_version(spark, path, base_version)
+            _check_merge_schema(base, delta, schema_evolution)
             # eqNullSafe like the latest_wins join below: a null-unsafe
             # anti-join never matches NULL keys, so a NULL-keyed base
             # row would SURVIVE alongside the NULL-keyed delta row —
@@ -379,14 +405,25 @@ def merge_upsert(
             dk = delta.select(*keys).distinct()
             return base.join(
                 dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
-            ).unionByName(delta)
+            ).unionByName(delta, allowMissingColumns=schema_evolution)
         # latest_wins: the CDC consumer that may receive OUT-OF-ORDER
         # deltas — a matched key keeps whichever of (base row, delta
         # winner) is newest by order_cols, compared ROW-LOCALLY after
         # one full-outer key join (never a window over base ∪ delta:
         # base stays sort-free and the join is AQE-skew-splittable).
         base = read_version(spark, path, base_version)
-        cols = base.columns
+        _check_merge_schema(base, delta, schema_evolution)
+        # with schema_evolution, new delta-only columns append after
+        # the base's (null for rows whose winning side lacks them —
+        # Delta's mergeSchema contract); a side missing a column
+        # contributes NULL through _side
+        cols = base.columns + [
+            c for c in delta.columns if c not in base.columns]
+        bcols, dcols = set(base.columns), set(delta.columns)
+
+        def _side(alias, have, c):
+            return F.col(f"{alias}.{c}") if c in have else F.lit(None)
+
         # explicit presence markers, NOT key-isNotNull probes: a
         # NULL-keyed row is a PRESENT row whose key happens to be null
         # (eqNullSafe matches it), and key-nullity probes misread it as
@@ -402,8 +439,8 @@ def merge_upsert(
         take_delta = base_missing | (
             F.col("_d._d_present").isNotNull() & delta_newer)
         return joined.select(*[
-            F.when(take_delta, F.col(f"_d.{c}")).otherwise(F.col(f"_b.{c}"))
-            .alias(c)
+            F.when(take_delta, _side("_d", dcols, c))
+            .otherwise(_side("_b", bcols, c)).alias(c)
             for c in cols
         ])
 

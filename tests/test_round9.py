@@ -449,3 +449,64 @@ def test_chunk_udtf_equals_hof_twin(spark, sf_dir):
     ud = sorted(map(tuple,
                     REGISTRY["chunk_documents_udtf"].fn(spark, sf_dir).collect()))
     assert hof == ud
+
+
+# ---------------------------------------------------------------------------
+# merge_upsert: bootstrap race + schema evolution (r9 follow-ups)
+
+
+def test_merge_upsert_bootstrap_race(spark, tmp_path):
+    """Two writers racing to CREATE the table: both read base=None and
+    target v=1; the loser must retry and merge INTO the winner's
+    bootstrap, not clobber it."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    p = str(tmp_path / "t")
+
+    def b_bootstraps_first(attempt, target):
+        if attempt == 0:
+            assert merge_upsert(spark, p, _kv(spark, [(1, 10, "B")]),
+                                keys=["k"], order_cols=["ts"]) == 1
+
+    assert merge_upsert(spark, p, _kv(spark, [(2, 10, "A")]),
+                        keys=["k"], order_cols=["ts"],
+                        pre_commit_hook=b_bootstraps_first) == 2
+    got = {r.k: r.v for r in read_version(spark, p).collect()}
+    assert got == {1: "B", 2: "A"}
+
+
+@pytest.mark.parametrize("resolve", ["delta_wins", "latest_wins"])
+def test_merge_upsert_schema_evolution(spark, tmp_path, resolve):
+    """Delta's mergeSchema contract: drift raises by default; with
+    schema_evolution=True new delta columns append (base rows null)
+    and delta rows null-fill base-only columns."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    p = str(tmp_path / f"t_{resolve}")
+    merge_upsert(spark, p, _kv(spark, [(1, 10, "keep"), (2, 10, "old")]),
+                 keys=["k"], order_cols=["ts"], resolve=resolve)
+    wide = spark.createDataFrame(
+        [(2, 20, "new", "extra2"), (3, 20, "ins", "extra3")],
+        "k int, ts int, v string, extra string")
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_upsert(spark, p, wide, keys=["k"], order_cols=["ts"],
+                     resolve=resolve)
+    v = merge_upsert(spark, p, wide, keys=["k"], order_cols=["ts"],
+                     resolve=resolve, schema_evolution=True)
+    got = {r.k: (r.ts, r.v, r.extra)
+           for r in read_version(spark, p, v).collect()}
+    assert got == {1: (10, "keep", None), 2: (20, "new", "extra2"),
+                   3: (20, "ins", "extra3")}
+    # next delta LACKS the evolved column: surviving wide rows keep
+    # their value, the narrow winner's row reads null for it
+    narrow = _kv(spark, [(3, 30, "ins2")])
+    v2 = merge_upsert(spark, p, narrow, keys=["k"], order_cols=["ts"],
+                      resolve=resolve, schema_evolution=True)
+    got2 = {r.k: (r.ts, r.v, r.extra)
+            for r in read_version(spark, p, v2).collect()}
+    assert got2 == {1: (10, "keep", None), 2: (20, "new", "extra2"),
+                    3: (30, "ins2", None)}

@@ -279,6 +279,9 @@ class JsonlSaleReader(DataSourceReader):
         # first byte coincides with a range boundary was read by
         # NEITHER side (systematic on uniform-length lines, where
         # size//n boundaries repeatedly land on line starts).
+        if part.start >= part.end:
+            return  # empty-table anchor range: nothing to open (the
+            #         anchor may be a directory with no data files)
         with open(part.path, "rb") as fh:
             yield from _batches_from_lines(
                 _iter_range_lines(
@@ -401,6 +404,9 @@ class JsonlSaleWriter(DataSourceArrowWriter):
         import os
         import shutil
 
+        # an all-empty write stages nothing; the sink dir must still
+        # exist so _SUCCESS can land (empty relation => empty table)
+        os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
             for f in glob.glob(f"{self.path}/part-*.jsonl"):
                 os.remove(f)

@@ -510,3 +510,20 @@ def test_merge_upsert_schema_evolution(spark, tmp_path, resolve):
             for r in read_version(spark, p, v2).collect()}
     assert got2 == {1: (10, "keep", None), 2: (20, "new", "extra2"),
                     3: (30, "ins2", None)}
+
+
+def test_pyds_writer_empty_relation(spark, tmp_path):
+    """Writing an EMPTY relation to a fresh path publishes an empty
+    committed table (_SUCCESS, no part files) and reads back as zero
+    rows."""
+    import glob
+
+    from project2_bigdata_spark.sources.pyds import (
+        read_jsonl_sales, write_jsonl_sales,
+    )
+
+    out = str(tmp_path / "empty_export")  # note: dir does NOT pre-exist
+    write_jsonl_sales(_sales_df(spark, 5).limit(0), out)
+    assert os.path.exists(f"{out}/_SUCCESS")
+    assert glob.glob(f"{out}/part-*.jsonl") == []
+    assert read_jsonl_sales(spark, out, 4).count() == 0

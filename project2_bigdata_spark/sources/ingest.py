@@ -526,6 +526,202 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return spark.read.parquet(f"{path}/v={version}")
 
 
+def diff_snapshots(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """Keyed change set between two committed snapshots — the CDF
+    primitive (Delta's ``readChangeFeed`` analog) on the immutable
+    ``v=N`` layout: because every version is a full immutable snapshot,
+    the change feed needs NO change log — one null-safe full-outer key
+    join between the two snapshots IS the feed. Emits post-image rows
+    tagged ``_change_type`` ∈ insert | update_postimage | delete
+    (delete rows carry the pre-image — there is no post-image);
+    unchanged keys are filtered out by a row-local null-safe
+    any-column-differs predicate. Schema evolution between the
+    snapshots is handled side-aware (a column absent on one side reads
+    null there, both for the compare and the output).
+
+    Scale posture: one skew-splittable equi-join per snapshot pair,
+    shuffling both snapshots once on the key — the cost Delta avoids by
+    storing per-commit deltas; this layout trades that storage for the
+    join, which is the right trade while the retention window
+    (``vacuum_versions``) keeps the snapshot count small. A
+    partition-clustered dimension prunes the join to touched
+    partitions."""
+    import functools
+
+    a = read_version(spark, path, v_from)
+    b = read_version(spark, path, v_to)
+    cols = b.columns + [c for c in a.columns if c not in b.columns]
+    acols, bcols = set(a.columns), set(b.columns)
+
+    def side(alias, have, c):
+        return F.col(f"{alias}.{c}") if c in have else F.lit(None)
+
+    pa = a.withColumn("_a_present", F.lit(True)).alias("_a")
+    pb = b.withColumn("_b_present", F.lit(True)).alias("_b")
+    j = pa.join(pb, [F.col(f"_a.{k}").eqNullSafe(F.col(f"_b.{k}"))
+                     for k in keys], "full_outer")
+    a_present = F.col("_a._a_present").isNotNull()
+    b_present = F.col("_b._b_present").isNotNull()
+    non_keys = [c for c in cols if c not in keys]
+    differs = functools.reduce(
+        lambda acc, c: acc | ~side("_a", acols, c).eqNullSafe(
+            side("_b", bcols, c)),
+        non_keys, F.lit(False))
+    change = (
+        F.when(~a_present, F.lit("insert"))
+        .when(~b_present, F.lit("delete"))
+        .when(differs, F.lit("update_postimage"))
+    )
+    out = [
+        F.when(b_present, side("_b", bcols, c))
+        .otherwise(side("_a", acols, c)).alias(c)
+        for c in cols
+    ]
+    return (j.select(*out, change.alias("_change_type"))
+            .filter(F.col("_change_type").isNotNull()))
+
+
+def read_change_feed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Per-commit change feed over ``(from_version, to_version]``:
+    unions :func:`diff_snapshots` over each ADJACENT committed pair,
+    tagging rows with ``_commit_version`` — exactly Delta's CDF
+    contract (per-commit changes, not the collapsed net effect; a
+    consumer wanting the net effect calls ``diff_snapshots`` on the
+    endpoints directly). ``to_version`` defaults to the latest
+    committed snapshot. Versions vacuumed out of retention cannot be
+    diffed — the retention window IS the feed's replay horizon, as in
+    Delta."""
+    committed = _versions(path, committed_only=True)
+    if to_version is None:
+        if not committed:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        to_version = committed[-1]
+    chain = [v for v in committed if from_version <= v <= to_version]
+    if not chain or chain[0] != from_version:
+        raise FileNotFoundError(
+            f"version {from_version} not committed under {path} "
+            "(vacuumed out of retention?)")
+    parts = [
+        diff_snapshots(spark, path, keys, v0, v1)
+        .withColumn("_commit_version", F.lit(v1).cast("bigint"))
+        for v0, v1 in zip(chain, chain[1:])
+    ]
+    if not parts:
+        # empty feed with the full schema of the endpoint snapshot
+        return (diff_snapshots(spark, path, keys, from_version,
+                               from_version)
+                .withColumn("_commit_version", F.lit(0).cast("bigint"))
+                .limit(0))
+    import functools
+
+    return functools.reduce(
+        lambda x, y: x.unionByName(y, allowMissingColumns=True), parts)
+
+
+@register(
+    "scd1_change_feed",
+    # the oracle recomputes BOTH snapshot states from scratch (window
+    # over pre-cutoff orders; window over all orders) and classifies
+    # the full-outer diff — parity proves the v=N snapshot diff IS the
+    # change feed, with no change log ever recorded
+    oracle="""
+    WITH s1 AS (
+      SELECT o_custkey, o_orderkey AS last_orderkey,
+             o_orderdate AS last_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS last_totalprice
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders WHERE o_orderdate < DATE '1997-01-01'
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT o_custkey, o_orderkey AS last_orderkey,
+             o_orderdate AS last_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS last_totalprice
+      FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    )
+    SELECT s2.o_custkey,
+           s2.last_orderkey,
+           strftime(s2.last_orderdate, '%Y-%m-%d %H:%M:%S')
+             AS last_orderdate,
+           CAST(CAST(s2.last_totalprice AS VARCHAR) AS DOUBLE)
+             AS last_totalprice,
+           CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+                ELSE 'update_postimage' END AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM s2 LEFT JOIN s1 ON s1.o_custkey = s2.o_custkey
+    WHERE s1.o_custkey IS NULL
+       OR s1.last_orderkey IS DISTINCT FROM s2.last_orderkey
+       OR s1.last_orderdate IS DISTINCT FROM s2.last_orderdate
+       OR s1.last_totalprice IS DISTINCT FROM s2.last_totalprice
+    """,
+    doc="Change Data Feed over the versioned MERGE sink (r9 — the CDF "
+        "piece of the Delta contract, after r8's MERGE and r9's "
+        "optimistic concurrency + schema evolution): the SCD1 "
+        "dimension is built exactly as scd1_customer_latest_order "
+        "(v=1 bootstrap from pre-cutoff history, v=2 from the "
+        "post-cutoff CDC delta), then read_change_feed(from=1) "
+        "replays commit 2's changes — INSERTs for new customers, "
+        "update_postimage rows for customers whose latest order "
+        "changed — computed as ONE null-safe full-outer key join "
+        "between the immutable snapshots (no change log exists or is "
+        "needed). The oracle recomputes both states from scratch and "
+        "classifies the diff, so hash parity proves feed == "
+        "recomputed-diff. SCD1 merges never delete, so the oracle's "
+        "LEFT join is exactly the full-outer's surviving half; the "
+        "delete leg is pinned by unit test",
+)
+def q_scd1_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    cutoff = "1997-01-01"
+
+    def state_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    path = session_spool(spark, "scd1_cdf_")
+    keys, order_cols = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    merge_upsert(spark, path,
+                 state_rows(orders.where(F.col("o_orderdate") < cutoff)),
+                 keys, order_cols)
+    merge_upsert(spark, path,
+                 state_rows(orders.where(F.col("o_orderdate") >= cutoff)),
+                 keys, order_cols)
+    feed = read_change_feed(spark, path, keys, from_version=1)
+    return feed.select(
+        "o_custkey", "last_orderkey",
+        F.date_format("last_orderdate", "yyyy-MM-dd HH:mm:ss")
+        .alias("last_orderdate"),
+        F.col("last_totalprice").cast("string").cast("double")
+        .alias("last_totalprice"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
 def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame:
     """Read back a partitioned dataset keeping only the given partition
     values — the filter lands in the scan's PartitionFilters, never

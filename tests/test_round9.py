@@ -527,3 +527,80 @@ def test_pyds_writer_empty_relation(spark, tmp_path):
     assert os.path.exists(f"{out}/_SUCCESS")
     assert glob.glob(f"{out}/part-*.jsonl") == []
     assert read_jsonl_sales(spark, out, 4).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Change Data Feed over the versioned sink (r9)
+
+
+def test_diff_snapshots_classifies_all_three_change_types(spark, tmp_path):
+    """insert / update_postimage / delete between two snapshots —
+    delete rows carry the pre-image (no post-image exists)."""
+    from project2_bigdata_spark.sources.ingest import (
+        diff_snapshots, write_versioned,
+    )
+
+    p = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, 10, "keep"), (2, 10, "old"),
+                                (3, 10, "gone")]), p)
+    write_versioned(_kv(spark, [(1, 10, "keep"), (2, 20, "new"),
+                                (4, 20, "born")]), p)
+    got = {r.k: (r._change_type, r.ts, r.v)
+           for r in diff_snapshots(spark, p, ["k"], 1, 2).collect()}
+    assert got == {
+        2: ("update_postimage", 20, "new"),
+        3: ("delete", 10, "gone"),   # pre-image
+        4: ("insert", 20, "born"),
+    }  # key 1 unchanged -> absent
+
+
+def test_read_change_feed_per_commit_versions(spark, tmp_path):
+    """The feed is PER-COMMIT (Delta CDF contract), not the collapsed
+    net effect: a key updated in v2 and again in v3 appears twice,
+    each row tagged with its _commit_version."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_change_feed,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(1, 10, "a")]),
+                 keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, p, _kv(spark, [(1, 20, "b"), (2, 20, "x")]),
+                 keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, p, _kv(spark, [(1, 30, "c")]),
+                 keys=["k"], order_cols=["ts"])
+    feed = read_change_feed(spark, p, ["k"], from_version=1)
+    got = sorted((r._commit_version, r.k, r._change_type, r.v)
+                 for r in feed.collect())
+    assert got == [
+        (2, 1, "update_postimage", "b"), (2, 2, "insert", "x"),
+        (3, 1, "update_postimage", "c"),
+    ]
+    # a vacuumed-out from_version raises instead of silently shrinking
+    from project2_bigdata_spark.sources.ingest import vacuum_versions
+    vacuum_versions(p, keep=2)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        read_change_feed(spark, p, ["k"], from_version=1)
+    # the surviving window still replays
+    tail = read_change_feed(spark, p, ["k"], from_version=2)
+    assert sorted((r._commit_version, r.k) for r in tail.collect()) == [(3, 1)]
+
+
+def test_diff_snapshots_schema_evolution_side_aware(spark, tmp_path):
+    """Diffing across an evolved schema: the new column reads null on
+    the old side (counts as a difference only when the new side is
+    non-null there)."""
+    from project2_bigdata_spark.sources.ingest import (
+        diff_snapshots, write_versioned,
+    )
+
+    p = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, 10, "a"), (2, 10, "b")]), p)
+    wide = spark.createDataFrame(
+        [(1, 10, "a", None), (2, 10, "b", "tagged")],
+        "k int, ts int, v string, extra string")
+    write_versioned(wide, p)
+    got = {r.k: (r._change_type, r.extra)
+           for r in diff_snapshots(spark, p, ["k"], 1, 2).collect()}
+    # key 1: every shared column equal, extra null on both sides -> unchanged
+    assert got == {2: ("update_postimage", "tagged")}

@@ -128,3 +128,37 @@ def test_theta_sink_idempotent_on_restart(spark, multi_sf, tmp_path):
     # n_events comes from a plain SUM over the sketch table (no union
     # idempotence to hide behind): equality proves no double-append
     assert sum(r[1] for r in got) == sum(r[1] for r in ref)
+
+
+def test_stream_scd1_change_feed_replays_to_final_state(
+        spark, multi_sf, tmp_path):
+    """r9 CDF composed with the r8 streaming MERGE: whatever micro-batch
+    boundaries the file source picked, the per-commit change feed
+    applied over the first snapshot must replay EXACTLY to the final
+    dimension state (v1 ⊕ feed == v_latest) — the downstream-consumer
+    contract of a change feed."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from project2_bigdata_spark.sources.ingest import (
+        _versions, read_change_feed, read_version,
+    )
+    from project2_bigdata_spark.streaming.upsert import run_stream_scd1
+
+    path, ck = str(tmp_path / "dim"), str(tmp_path / "ck")
+    final = run_stream_scd1(spark, multi_sf, path=path, checkpoint=ck)
+    committed = _versions(path, committed_only=True)
+    assert len(committed) >= 2  # multi-file source => several merges
+
+    v1 = committed[0]
+    feed = read_change_feed(spark, path, ["user_id"], from_version=v1)
+    assert feed.filter(F.col("_change_type") == "delete").count() == 0
+
+    base = (read_version(spark, path, v1)
+            .withColumn("_commit_version", F.lit(v1).cast("bigint")))
+    candidates = base.unionByName(feed.drop("_change_type"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("_commit_version"))
+    replayed = (candidates.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn", "_commit_version"))
+    assert sorted(map(tuple, replayed.collect())) == \
+        sorted(map(tuple, final.collect()))

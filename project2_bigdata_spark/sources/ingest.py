@@ -473,7 +473,8 @@ def merge_upsert(
         f"merge at {path} lost the version race {max_retries + 1} times")
 
 
-def vacuum_versions(path: str, keep: int = 2) -> list[int]:
+def vacuum_versions(path: str, keep: int = 2,
+                    min_age_s: float | None = None) -> list[int]:
     """Version GC for the ``v=N`` snapshot layout — the maintenance pass
     the MERGE sink needs in production (a per-micro-batch upsert stream
     accumulates one snapshot per batch; see stream_scd1's SCALE.md row).
@@ -481,16 +482,31 @@ def vacuum_versions(path: str, keep: int = 2) -> list[int]:
     version numbers. Readers pin versions explicitly, so the retention
     window IS the time-travel contract — exactly Delta/Iceberg VACUUM.
     ``keep`` must be >= 1: the latest snapshot is never dropped.
+    ``min_age_s`` adds Delta's time-based retention (``VACUUM … RETAIN
+    N HOURS``): a version outside the newest ``keep`` survives anyway
+    while its directory is younger than ``min_age_s`` — the grace
+    window that protects a reader still pinned on a recent version (and
+    the change-feed replay horizon) from a concurrent vacuum. Age comes
+    from the version directory's mtime, which the atomic rename-publish
+    sets at commit time.
     Also reclaims optimistic-commit debris (``.staged-*`` staging dirs,
     ``.torn-*`` quarantined legacy dirs); like Delta's VACUUM, run it
     when no write is in flight — an in-flight merge's staging dir is
     indistinguishable from a crashed one."""
     import shutil as _shutil
+    import time as _time
 
     if keep < 1:
         raise ValueError(f"keep must be >= 1, got {keep}")
     committed = _versions(path, committed_only=True)
     dropped = committed[:-keep] if len(committed) > keep else []
+    if min_age_s is not None:
+        now = _time.time()
+        dropped = [
+            v for v in dropped
+            if now - os.path.getmtime(os.path.join(path, f"v={v}"))
+            >= min_age_s
+        ]
     if committed:
         # crash-torn (uncommitted) directories BELOW the latest
         # committed snapshot are dead garbage — no reader can serve

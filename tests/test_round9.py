@@ -604,3 +604,26 @@ def test_diff_snapshots_schema_evolution_side_aware(spark, tmp_path):
            for r in diff_snapshots(spark, p, ["k"], 1, 2).collect()}
     # key 1: every shared column equal, extra null on both sides -> unchanged
     assert got == {2: ("update_postimage", "tagged")}
+
+
+def test_vacuum_time_based_retention(spark, tmp_path):
+    """Delta's RETAIN-N-HOURS analog: versions outside the count window
+    survive while younger than min_age_s; aged-out ones drop."""
+    import time
+
+    from project2_bigdata_spark.sources.ingest import (
+        read_version, vacuum_versions, write_versioned,
+    )
+
+    p = str(tmp_path / "t")
+    for i in range(3):
+        write_versioned(_kv(spark, [(i, i, f"v{i + 1}")]), p)
+    # v1 is "old", v2 is fresh, v3 is latest
+    os.utime(os.path.join(p, "v=1"), (time.time() - 7200,) * 2)
+    assert vacuum_versions(p, keep=1, min_age_s=3600) == [1]
+    assert read_version(spark, p, 2).count() == 1  # fresh: retained
+    assert read_version(spark, p, 3).count() == 1
+    # once v2 ages out, a second vacuum reclaims it
+    os.utime(os.path.join(p, "v=2"), (time.time() - 7200,) * 2)
+    assert vacuum_versions(p, keep=1, min_age_s=3600) == [2]
+    assert read_version(spark, p).count() == 1  # latest always survives

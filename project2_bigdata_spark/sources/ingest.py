@@ -257,6 +257,14 @@ class ConcurrentWriteError(RuntimeError):
     writers kept winning the version race."""
 
 
+def _side_col(alias: str, have: set, c: str) -> Column:
+    """Side-aware column accessor for two-sided joins across EVOLVED
+    schemas (shared by merge_upsert's latest_wins and diff_snapshots —
+    code-review r9 dedup): a column absent on one side reads NULL
+    there, both for compares and for output projection."""
+    return F.col(f"{alias}.{c}") if c in have else F.lit(None)
+
+
 def _check_merge_schema(base: DataFrame, delta: DataFrame,
                         schema_evolution: bool) -> None:
     """Column-set drift between the standing dimension and a delta
@@ -416,14 +424,10 @@ def merge_upsert(
         # with schema_evolution, new delta-only columns append after
         # the base's (null for rows whose winning side lacks them —
         # Delta's mergeSchema contract); a side missing a column
-        # contributes NULL through _side
+        # contributes NULL through _side_col
         cols = base.columns + [
             c for c in delta.columns if c not in base.columns]
         bcols, dcols = set(base.columns), set(delta.columns)
-
-        def _side(alias, have, c):
-            return F.col(f"{alias}.{c}") if c in have else F.lit(None)
-
         # explicit presence markers, NOT key-isNotNull probes: a
         # NULL-keyed row is a PRESENT row whose key happens to be null
         # (eqNullSafe matches it), and key-nullity probes misread it as
@@ -439,8 +443,8 @@ def merge_upsert(
         take_delta = base_missing | (
             F.col("_d._d_present").isNotNull() & delta_newer)
         return joined.select(*[
-            F.when(take_delta, _side("_d", dcols, c))
-            .otherwise(_side("_b", bcols, c)).alias(c)
+            F.when(take_delta, _side_col("_d", dcols, c))
+            .otherwise(_side_col("_b", bcols, c)).alias(c)
             for c in cols
         ])
 
@@ -519,11 +523,23 @@ def vacuum_versions(path: str, keep: int = 2,
     for v in sorted(dropped):
         _shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     # reclaim optimistic-commit debris: unpublished staging dirs and
-    # quarantined torn dirs (both hidden dot-names — never readable as
-    # versions, so deleting them cannot affect any reader or writer)
+    # quarantined torn dirs (hidden dot-names — never readable as
+    # versions). The min_age_s grace window applies HERE TOO
+    # (code-review r9 fix): a vacuum racing an in-flight merge must not
+    # rmtree the merge's staging dir mid-write — with a grace period a
+    # live staging dir (mtime = seconds ago) survives, while genuinely
+    # crashed debris ages out; without min_age_s the caller asserted
+    # the run-when-idle contract and everything reclaims immediately.
     for name in (os.listdir(path) if os.path.isdir(path) else []):
         if name.startswith((".staged-", ".torn-")):
-            _shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+            full = os.path.join(path, name)
+            if min_age_s is not None:
+                try:
+                    if _time.time() - os.path.getmtime(full) < min_age_s:
+                        continue
+                except OSError:
+                    continue  # vanished concurrently: already gone
+            _shutil.rmtree(full, ignore_errors=True)
     return sorted(dropped)
 
 
@@ -575,9 +591,6 @@ def diff_snapshots(
     cols = b.columns + [c for c in a.columns if c not in b.columns]
     acols, bcols = set(a.columns), set(b.columns)
 
-    def side(alias, have, c):
-        return F.col(f"{alias}.{c}") if c in have else F.lit(None)
-
     pa = a.withColumn("_a_present", F.lit(True)).alias("_a")
     pb = b.withColumn("_b_present", F.lit(True)).alias("_b")
     j = pa.join(pb, [F.col(f"_a.{k}").eqNullSafe(F.col(f"_b.{k}"))
@@ -586,8 +599,8 @@ def diff_snapshots(
     b_present = F.col("_b._b_present").isNotNull()
     non_keys = [c for c in cols if c not in keys]
     differs = functools.reduce(
-        lambda acc, c: acc | ~side("_a", acols, c).eqNullSafe(
-            side("_b", bcols, c)),
+        lambda acc, c: acc | ~_side_col("_a", acols, c).eqNullSafe(
+            _side_col("_b", bcols, c)),
         non_keys, F.lit(False))
     change = (
         F.when(~a_present, F.lit("insert"))
@@ -595,8 +608,8 @@ def diff_snapshots(
         .when(differs, F.lit("update_postimage"))
     )
     out = [
-        F.when(b_present, side("_b", bcols, c))
-        .otherwise(side("_a", acols, c)).alias(c)
+        F.when(b_present, _side_col("_b", bcols, c))
+        .otherwise(_side_col("_a", acols, c)).alias(c)
         for c in cols
     ]
     return (j.select(*out, change.alias("_change_type"))

@@ -190,30 +190,43 @@ class JsonlSaleReader(DataSourceReader):
 
     def _predicate(self):
         """Compile the pushed filters into one row predicate (tuple in,
-        bool out). None when nothing was pushed."""
+        bool out). None when nothing was pushed. SQL three-valued
+        semantics on NULL inputs (code-review r9 fix): every comparison
+        is not-true when the column is NULL — the old bare Python
+        operators raised TypeError on a null field (failing the whole
+        scan where Spark's own Filter would just drop the row), and
+        ``x IN (..., None)`` wrongly kept NULL rows."""
         if not self.pushed:
             return None
         checks = []
         for f in self.pushed:
             i = _COL_IDX[f.attribute[0]]
+            nn = lambda r, i=i: r[i] is not None  # noqa: E731
             if isinstance(f, EqualTo):
-                checks.append(lambda r, i=i, v=f.value: r[i] == v)
+                checks.append(lambda r, i=i, v=f.value: r[i] == v
+                              and v is not None)
             elif isinstance(f, In):
-                checks.append(lambda r, i=i, v=tuple(f.value): r[i] in v)
+                vals = tuple(v for v in f.value if v is not None)
+                checks.append(lambda r, i=i, v=vals, nn=nn:
+                              nn(r) and r[i] in v)
             elif isinstance(f, GreaterThan):
-                checks.append(lambda r, i=i, v=f.value: r[i] > v)
+                checks.append(lambda r, i=i, v=f.value, nn=nn:
+                              nn(r) and r[i] > v)
             elif isinstance(f, GreaterThanOrEqual):
-                checks.append(lambda r, i=i, v=f.value: r[i] >= v)
+                checks.append(lambda r, i=i, v=f.value, nn=nn:
+                              nn(r) and r[i] >= v)
             elif isinstance(f, LessThan):
-                checks.append(lambda r, i=i, v=f.value: r[i] < v)
+                checks.append(lambda r, i=i, v=f.value, nn=nn:
+                              nn(r) and r[i] < v)
             elif isinstance(f, LessThanOrEqual):
-                checks.append(lambda r, i=i, v=f.value: r[i] <= v)
+                checks.append(lambda r, i=i, v=f.value, nn=nn:
+                              nn(r) and r[i] <= v)
             elif isinstance(f, StringStartsWith):
                 checks.append(
                     lambda r, i=i, v=f.value: isinstance(r[i], str)
                     and r[i].startswith(v))
             else:  # IsNotNull
-                checks.append(lambda r, i=i: r[i] is not None)
+                checks.append(nn)
         return lambda row: all(c(row) for c in checks)
 
     #: string columns whose equality pushdown gets a bytes-level
@@ -231,16 +244,27 @@ class JsonlSaleReader(DataSourceReader):
         skipped line cannot contain the serialized field at all. This
         is where a POINT LOOKUP on sale_id earns its proportional win:
         json.loads and the Arrow transfer are skipped for every
-        non-candidate line (SCALE.md §pyds-pushdown)."""
+        non-candidate line (SCALE.md §pyds-pushdown).
+
+        Conservativeness guard (code-review r9 fix): the prefilter only
+        engages when the value's JSON encoding is LITERAL — pure ASCII
+        with no characters any producer might escape (``json.dumps(v)
+        == '"v"'``). A non-ASCII value encodes differently per producer
+        (Spark's to_json emits raw UTF-8, Python's json.dumps emits
+        \\uXXXX escapes), so a byte pattern built from one encoding
+        would silently drop rows written by the other; such filters
+        simply skip the prefilter and rely on the exact post-parse
+        predicate."""
         import json
 
         pats = []
         for f in self.pushed:
             field = (self._PREFILTER_FIELDS.get(f.attribute[0])
                      if isinstance(f, EqualTo) else None)
-            if field and isinstance(f.value, str):
-                v = json.dumps(f.value)
-                k = json.dumps(field)
+            if (field and isinstance(f.value, str)
+                    and json.dumps(f.value) == f'"{f.value}"'
+                    and json.dumps(field) == f'"{field}"'):
+                k, v = f'"{field}"', f'"{f.value}"'
                 pats.append((f"{k}:{v}".encode(), f"{k}: {v}".encode()))
         if not pats:
             return None
@@ -400,7 +424,6 @@ class JsonlSaleWriter(DataSourceArrowWriter):
         return _FileCommit(name)
 
     def commit(self, messages):
-        import glob
         import os
         import shutil
 
@@ -408,8 +431,16 @@ class JsonlSaleWriter(DataSourceArrowWriter):
         # exist so _SUCCESS can land (empty relation => empty table)
         os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
-            for f in glob.glob(f"{self.path}/part-*.jsonl"):
+            # remove EVERY data file the paired reader would see — the
+            # reader walks recursively, so a top-level-only glob would
+            # resurrect stale rows from a prior stream writer's
+            # batch=N/ layout after an "overwrite" (code-review r9 fix)
+            for f in _data_files(self.path):
                 os.remove(f)
+            for name in os.listdir(self.path):
+                d = os.path.join(self.path, name)
+                if os.path.isdir(d) and not name.startswith("."):
+                    shutil.rmtree(d, ignore_errors=True)  # emptied batch=N
         for m in messages:
             if m is not None and m.file:
                 os.rename(f"{self.staging}/{m.file}",
@@ -484,22 +515,21 @@ class JsonlSaleDataSource(DataSource):
     def streamReader(self, schema):
         return _make_stream_reader(self.options)
 
-    def writer(self, schema, overwrite):
+    @staticmethod
+    def _validate_sale_schema(schema) -> None:
         expected = list(_COL_IDX)
         got = [f.name for f in schema.fields]
         if got != expected:
             raise ValueError(
                 f"{FORMAT_NAME} writes the sale schema {expected}, "
                 f"got {got}")
+
+    def writer(self, schema, overwrite):
+        self._validate_sale_schema(schema)
         return JsonlSaleWriter(self.options, overwrite)
 
     def streamWriter(self, schema, overwrite):
-        expected = list(_COL_IDX)
-        got = [f.name for f in schema.fields]
-        if got != expected:
-            raise ValueError(
-                f"{FORMAT_NAME} writes the sale schema {expected}, "
-                f"got {got}")
+        self._validate_sale_schema(schema)
         return JsonlSaleStreamWriter(self.options, overwrite)
 
 

@@ -627,3 +627,113 @@ def test_vacuum_time_based_retention(spark, tmp_path):
     os.utime(os.path.join(p, "v=2"), (time.time() - 7200,) * 2)
     assert vacuum_versions(p, keep=1, min_age_s=3600) == [2]
     assert read_version(spark, p).count() == 1  # latest always survives
+
+
+# ---------------------------------------------------------------------------
+# code-review r9 fixes
+
+
+def test_pyds_pushdown_non_ascii_value_not_dropped(spark, tmp_path):
+    """The bytes prefilter must not fire on values whose JSON encoding
+    is producer-dependent: 'Café' is raw UTF-8 from Spark's to_json but
+    \\u-escaped from Python's json.dumps — both lines must survive a
+    pushed equality (pre-fix, one encoding was silently dropped)."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.pyds import read_jsonl_sales
+
+    p = tmp_path / "uni.jsonl"
+    raw = ('{"_id": {"$oid": "1"}, "saleDateRaw": '
+           '"\\"2000-01-01T00:00:00Z\\"", '
+           '"price": {"$numberDecimal": "1.50"}, '
+           '"purchaseMethod": "Café"}\n')          # raw UTF-8
+    esc = ('{"_id": {"$oid": "2"}, "saleDateRaw": '
+           '"\\"2000-01-01T00:00:00Z\\"", '
+           '"price": {"$numberDecimal": "1.50"}, '
+           '"purchaseMethod": "Caf\\u00e9"}\n')          # \\u-escaped
+    other = ('{"_id": {"$oid": "3"}, "saleDateRaw": '
+             '"\\"2000-01-01T00:00:00Z\\"", '
+             '"price": {"$numberDecimal": "1.50"}, '
+             '"purchaseMethod": "Online"}\n')
+    p.write_bytes(raw.encode("utf-8") + esc.encode("ascii")
+                  + other.encode("ascii"))
+    got = (read_jsonl_sales(spark, str(p), 2)
+           .filter(F.col("purchase_method") == "Café").collect())
+    assert sorted(r.sale_id for r in got) == ["1", "2"]
+    # ASCII values still take the fast path and stay exact
+    got2 = (read_jsonl_sales(spark, str(p), 2)
+            .filter(F.col("purchase_method") == "Online").collect())
+    assert [r.sale_id for r in got2] == ["3"]
+
+
+def test_pyds_pushdown_null_field_sql_semantics(spark, tmp_path):
+    """A NULL field under a pushed comparison must be EXCLUDED (SQL
+    three-valued logic), not crash the scan with TypeError."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.pyds import read_jsonl_sales
+
+    p = tmp_path / "nulls.jsonl"
+    lines = [
+        '{"_id": {"$oid": "1"}, "saleDateRaw": "\\"2000-01-01T00:00:00Z\\"",'
+        ' "price": {"$numberDecimal": "1.50"}, "purchaseMethod": null}',
+        '{"_id": {"$oid": "2"}, "saleDateRaw": "\\"2000-01-01T00:00:00Z\\"",'
+        ' "price": {"$numberDecimal": "2.50"}, "purchaseMethod": "Online"}',
+    ]
+    p.write_text("\n".join(lines) + "\n")
+    df = read_jsonl_sales(spark, str(p), 2)
+    assert [r.sale_id for r in
+            df.filter(F.col("purchase_method") > "A").collect()] == ["2"]
+    assert [r.sale_id for r in
+            df.filter(F.col("purchase_method").isin("Online")).collect()] \
+        == ["2"]
+    assert [r.sale_id for r in
+            df.filter(F.col("purchase_method").isNotNull()).collect()] \
+        == ["2"]
+
+
+def test_vacuum_grace_protects_live_staging(spark, tmp_path):
+    """With min_age_s, a FRESH staging dir (an in-flight merge) must
+    survive vacuum; aged-out debris still reclaims."""
+    import time
+
+    from project2_bigdata_spark.sources.ingest import (
+        vacuum_versions, write_versioned,
+    )
+
+    p = str(tmp_path / "t")
+    write_versioned(_kv(spark, [(1, 1, "a")]), p)
+    fresh = os.path.join(p, ".staged-v2-fresh")
+    stale = os.path.join(p, ".staged-v2-stale")
+    os.makedirs(fresh)
+    os.makedirs(stale)
+    os.utime(stale, (time.time() - 7200,) * 2)
+    vacuum_versions(p, keep=1, min_age_s=3600)
+    assert os.path.isdir(fresh)      # in-flight merge protected
+    assert not os.path.exists(stale)  # crashed debris reclaimed
+    vacuum_versions(p, keep=1)       # no grace => idle contract
+    assert not os.path.exists(fresh)
+
+
+def test_pyds_batch_overwrite_clears_stream_layout(spark, tmp_path):
+    """Overwrite must clear EVERY data file the recursive reader sees —
+    including a prior stream writer's batch=N/ subdirectories (pre-fix
+    those rows were resurrected alongside the new data)."""
+    import glob
+
+    from project2_bigdata_spark.sources.pyds import (
+        read_jsonl_sales, write_jsonl_sales,
+    )
+
+    sink = str(tmp_path / "sink")
+    bdir = os.path.join(sink, "batch=0")
+    os.makedirs(bdir)
+    with open(os.path.join(bdir, "part-old.jsonl"), "w") as fh:
+        fh.write('{"_id": {"$oid": "999"}, "saleDateRaw": '
+                 '"\\"1990-01-01T00:00:00Z\\"", '
+                 '"price": {"$numberDecimal": "9.99"}, '
+                 '"purchaseMethod": "Stale"}\n')
+    write_jsonl_sales(_sales_df(spark, 4), sink)
+    back = read_jsonl_sales(spark, sink, 2)
+    assert back.count() == 4
+    assert not glob.glob(f"{sink}/batch=*")

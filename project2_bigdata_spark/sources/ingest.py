@@ -1066,6 +1066,44 @@ def q_pyds_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pyds_pushdown_in_prefix_scan",
+    oracle="""
+    SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS sale_ts,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS total_price,
+           o_orderpriority AS purchase_method
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+      AND strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') LIKE '1997-%'
+    """,
+    doc="The OTHER pushdown branches under the driver's oracle check: "
+        "membership (isin → In) and prefix (LIKE '1997-%' → "
+        "StringStartsWith on the string sale_ts) are both consumed by "
+        "pushFilters and evaluated before the Python→JVM boundary — "
+        "pyds_pushdown_scan covers EqualTo+GreaterThan, this query "
+        "covers In+StringStartsWith, so every accepted filter class "
+        "has hash-parity evidence, not just unit tests",
+)
+def q_pyds_pushdown_in_prefix_scan(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from ..streaming.runner import session_spool
+    from .pyds import read_jsonl_sales
+
+    d = session_spool(spark, "mongoexport_push_in_")
+    out = f"{d}/sales_jsonl"
+    (table(spark, sf_dir, "orders")
+     .select(extended_json_doc().alias("value"))
+     .coalesce(1).write.mode("overwrite").text(out))
+    part = glob.glob(f"{out}/part-*")[0]
+    return read_jsonl_sales(spark, part, num_partitions=8).filter(
+        F.col("purchase_method").isin("1-URGENT", "2-HIGH")
+        & F.col("sale_ts").startswith("1997-"))
+
+
+@register(
     "pyds_mongoexport_stream_roundtrip",
     oracle="""
     SELECT CAST(o_orderkey AS VARCHAR) AS sale_id,

@@ -36,6 +36,8 @@ PYTHON_OK = {
                                    # directions (writer + dir-aware read)
     "pyds_pushdown_scan",       # r9 pushFilters: predicate consumed
                                 # INSIDE the Python source by design
+    "pyds_pushdown_in_prefix_scan",  # r9: the In+StringStartsWith
+                                     # pushdown branches, same design
     "pyds_mongoexport_stream_roundtrip",  # r9 stream writer round trip
                                           # (reader is stream_, sink +
                                           # readback are the connector)

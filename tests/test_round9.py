@@ -737,3 +737,13 @@ def test_pyds_batch_overwrite_clears_stream_layout(spark, tmp_path):
     back = read_jsonl_sales(spark, sink, 2)
     assert back.count() == 4
     assert not glob.glob(f"{sink}/batch=*")
+
+
+def test_pyds_pushdown_in_prefix_plan_fully_consumed(spark, sf_dir):
+    """In + StringStartsWith are both accepted by pushFilters — no
+    Filter node survives for the registered query."""
+    import re
+
+    plan = _plan(spark, sf_dir, "pyds_pushdown_in_prefix_scan")
+    assert "BatchScan p2bd_jsonl" in plan, plan
+    assert not re.search(r"\bFilter\b", plan), plan

@@ -368,14 +368,19 @@ def _sale_to_line(row) -> bytes:
     (the exact shapes _parse_sale_line accepts: $oid / $date-wrapper
     saleDateRaw / $numberDecimal price). total_price came off a
     DECIMAL(18,2) → the %.2f format is its exact decimal rendering, so
-    write→read round-trips losslessly."""
+    write→read round-trips losslessly. NULL fields serialize as JSON
+    null (ADVICE r9: the paired reader can legitimately emit None when
+    a source line carries a null, so a read→write pipeline must not
+    crash on its own reader's output); the reader maps JSON null back
+    to SQL NULL — nulls round-trip too."""
     import json
 
-    iso = row[1].replace(" ", "T") + "Z"
     doc = {
-        "_id": {"$oid": row[0]},
-        "saleDateRaw": json.dumps({"$date": iso}),
-        "price": {"$numberDecimal": f"{row[2]:.2f}"},
+        "_id": {"$oid": row[0]} if row[0] is not None else None,
+        "saleDateRaw": (json.dumps({"$date": row[1].replace(" ", "T") + "Z"})
+                        if row[1] is not None else None),
+        "price": ({"$numberDecimal": f"{row[2]:.2f}"}
+                  if row[2] is not None else None),
         "purchaseMethod": row[3],
     }
     return (json.dumps(doc) + "\n").encode()
@@ -431,6 +436,15 @@ class JsonlSaleWriter(DataSourceArrowWriter):
         # exist so _SUCCESS can land (empty relation => empty table)
         os.makedirs(self.path, exist_ok=True)
         if self.overwrite:
+            # drop the previous _SUCCESS FIRST (ADVICE r9): the delete-
+            # then-publish sequence below is not atomic, and a crash
+            # mid-way must leave the directory detectably UNCOMMITTED —
+            # with the old marker still present, a partially-emptied
+            # table read back as committed (wrong) data
+            try:
+                os.remove(f"{self.path}/_SUCCESS")
+            except FileNotFoundError:
+                pass
             # remove EVERY data file the paired reader would see — the
             # reader walks recursively, so a top-level-only glob would
             # resurrect stale rows from a prior stream writer's
@@ -588,19 +602,28 @@ class _StreamRange(InputPartition):
 
 
 def _parse_sale_line(line: bytes):
+    # Null discipline (ADVICE r9): every field is nullable — a JSON
+    # null or an absent key (Spark's to_json omits null struct fields)
+    # reads back as SQL NULL, matching what the paired writer emits for
+    # a null column. Pushed predicates already apply SQL three-valued
+    # logic to None fields.
     import json
 
     d = json.loads(line)
-    raw = d["saleDateRaw"].strip()
-    if raw.startswith("{"):
-        iso = json.loads(raw)["$date"]
+    raw = d.get("saleDateRaw")
+    if raw is None:
+        ts = None
     else:
-        iso = raw.strip('"')
+        raw = raw.strip()
+        iso = json.loads(raw)["$date"] if raw.startswith("{") else raw.strip('"')
+        ts = iso.replace("T", " ").rstrip("Z")
+    oid = d.get("_id")
+    price = d.get("price")
     return (
-        d["_id"]["$oid"],
-        iso.replace("T", " ").rstrip("Z"),
-        float(d["price"]["$numberDecimal"]),
-        d["purchaseMethod"],
+        oid["$oid"] if oid is not None else None,
+        ts,
+        float(price["$numberDecimal"]) if price is not None else None,
+        d.get("purchaseMethod"),
     )
 
 

@@ -320,6 +320,8 @@ def merge_upsert(
     max_retries: int = 5,
     pre_commit_hook=None,
     schema_evolution: bool = False,
+    op_col: str | None = None,
+    delete_value: str = "D",
 ) -> int:
     """Keyed MERGE / SCD1 upsert sink (VERDICT r7 item 8): apply a delta
     batch to the latest snapshot under ``path`` — matched keys take the
@@ -380,8 +382,24 @@ def merge_upsert(
       Delta's ``mergeSchema``. ``keys`` and ``order_cols`` must exist
       on both sides regardless.
 
+    * **Deletes** (``op_col``, VERDICT r9 item 1 — the last leg of the
+      Delta MERGE contract: WHEN MATCHED AND <op>='D' THEN DELETE):
+      when set, the delta is a CDC event batch whose ``op_col`` column
+      marks each row upsert (any value) or delete (``delete_value``).
+      The op column never lands in the table. Within-delta dedup runs
+      FIRST, so a delete can be (or lose to) the key's newest event.
+      Under ``delta_wins`` a surviving delete removes the key (a
+      delete of an absent key is a no-op); under ``latest_wins`` a
+      delete removes the key only when it is newer than the base row
+      by ``order_cols`` — an out-of-order delete arriving after a
+      newer upsert correctly loses. Downstream,
+      :func:`read_change_feed` emits these removals as ``delete`` rows
+      with pre-images — the sink itself now produces the feed's
+      delete leg.
+
     The registered query ``scd1_customer_latest_order`` proves
-    merge == full recompute against the DuckDB oracle; the
+    merge == full recompute against the DuckDB oracle
+    (``scd1_merge_with_deletes`` adds the op-column mode); the
     version-pinned read test proves isolation; the racing-writers
     tests prove no lost updates under interleaving.
     """
@@ -398,35 +416,47 @@ def merge_upsert(
         raise ValueError(f"resolve must be delta_wins|latest_wins, got {resolve!r}")
     if resolve == "latest_wins" and not order_cols:
         raise ValueError("latest_wins needs order_cols to compare base vs delta")
+    if op_col is not None and op_col not in delta.columns:
+        raise ValueError(f"op_col {op_col!r} not in delta columns")
+    # upsert-only view of the delta: rows whose op is the delete marker
+    # drop out AFTER within-delta dedup (so a delete can win or lose
+    # the key's newest-event race), and the op column never lands
+    upserts = (delta.filter(~F.col(op_col).eqNullSafe(delete_value))
+               .drop(op_col) if op_col else delta)
 
     def _merged(base_version: int | None) -> DataFrame:
         if base_version is None:
-            return delta
+            return upserts  # bootstrap: deletes of an empty base no-op
         if resolve == "delta_wins":
             base = read_version(spark, path, base_version)
-            _check_merge_schema(base, delta, schema_evolution)
+            _check_merge_schema(base, upserts, schema_evolution)
             # eqNullSafe like the latest_wins join below: a null-unsafe
             # anti-join never matches NULL keys, so a NULL-keyed base
             # row would SURVIVE alongside the NULL-keyed delta row —
             # the two resolve modes would disagree on the same input
-            # (r8 self-review item 4)
+            # (r8 self-review item 4). The anti-join runs against ALL
+            # delta keys (deletes included): a key whose winning event
+            # is a delete leaves no row on either side.
             dk = delta.select(*keys).distinct()
             return base.join(
                 dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
-            ).unionByName(delta, allowMissingColumns=schema_evolution)
+            ).unionByName(upserts, allowMissingColumns=schema_evolution)
         # latest_wins: the CDC consumer that may receive OUT-OF-ORDER
         # deltas — a matched key keeps whichever of (base row, delta
         # winner) is newest by order_cols, compared ROW-LOCALLY after
         # one full-outer key join (never a window over base ∪ delta:
         # base stays sort-free and the join is AQE-skew-splittable).
         base = read_version(spark, path, base_version)
-        _check_merge_schema(base, delta, schema_evolution)
+        _check_merge_schema(
+            base, delta.drop(op_col) if op_col else delta, schema_evolution)
         # with schema_evolution, new delta-only columns append after
         # the base's (null for rows whose winning side lacks them —
         # Delta's mergeSchema contract); a side missing a column
-        # contributes NULL through _side_col
+        # contributes NULL through _side_col. The op column joins (the
+        # delete decision needs it) but never projects.
         cols = base.columns + [
-            c for c in delta.columns if c not in base.columns]
+            c for c in delta.columns
+            if c not in base.columns and c != op_col]
         bcols, dcols = set(base.columns), set(delta.columns)
         # explicit presence markers, NOT key-isNotNull probes: a
         # NULL-keyed row is a PRESENT row whose key happens to be null
@@ -442,11 +472,20 @@ def merge_upsert(
             >= F.struct(*[F.col(f"_b.{c}") for c in order_cols])
         take_delta = base_missing | (
             F.col("_d._d_present").isNotNull() & delta_newer)
-        return joined.select(*[
+        out = joined.select(*[
             F.when(take_delta, _side_col("_d", dcols, c))
             .otherwise(_side_col("_b", bcols, c)).alias(c)
             for c in cols
-        ])
+        ], *([F.when(take_delta,
+                     F.col(f"_d.{op_col}").eqNullSafe(delete_value))
+              .otherwise(F.lit(False)).alias("_win_is_delete")]
+             if op_col else []))
+        if op_col:
+            # a delete that WON the newest-event race removes the key;
+            # an out-of-order delete older than the base row already
+            # lost take_delta and the base row survives above
+            out = out.filter(~F.col("_win_is_delete")).drop("_win_is_delete")
+        return out
 
     import uuid as _uuid
 
@@ -752,6 +791,158 @@ def q_scd1_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("last_orderdate"),
         F.col("last_totalprice").cast("string").cast("double")
         .alias("last_totalprice"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+#: (session id, sf_dir) → path of the two-commit SCD1-with-deletes
+#: table both delete-mode queries read (built once per session, like
+#: shared_mongoexport — the queries verify READS of the sink's output)
+_SCD1_DELETES_CACHE: dict[tuple[int, str], str] = {}
+
+
+def _scd1_deletes_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per session) the versioned dimension the MERGE
+    DELETE queries share: orders become a CDC event log — an order
+    whose key is ≡ 0 mod 7 is a DELETE event for its customer, any
+    other an upsert — applied in two commits split at the 1997-01-01
+    cutoff through ``merge_upsert(op_col=...)``. Within each batch the
+    customer's newest event wins (a delete can win or lose that race),
+    so the final state is recomputable from the raw log by SQL."""
+    key = (id(spark), os.path.abspath(sf_dir))
+    cached = _SCD1_DELETES_CACHE.get(key)
+    if cached and os.path.exists(os.path.join(cached, "v=2", "_SUCCESS")):
+        return cached
+    from ..streaming.runner import session_spool
+
+    def events(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+            .otherwise(F.lit("U")).alias("_op"),
+        )
+
+    orders = table(spark, sf_dir, "orders")
+    path = session_spool(spark, "scd1_del_")
+    cutoff = "1997-01-01"
+    for batch in (orders.where(F.col("o_orderdate") < cutoff),
+                  orders.where(F.col("o_orderdate") >= cutoff)):
+        merge_upsert(spark, path, events(batch), keys=["o_custkey"],
+                     order_cols=["last_orderdate", "last_orderkey"],
+                     op_col="_op")
+    _SCD1_DELETES_CACHE[key] = path
+    return path
+
+
+def _scd1_out(df: DataFrame, *extra) -> DataFrame:
+    """The SCD1 queries' shared output formatting (oracle-comparable
+    string timestamp + decimal→string→double money)."""
+    return df.select(
+        "o_custkey", "last_orderkey",
+        F.date_format("last_orderdate", "yyyy-MM-dd HH:mm:ss")
+        .alias("last_orderdate"),
+        F.col("last_totalprice").cast("string").cast("double")
+        .alias("last_totalprice"),
+        *extra,
+    )
+
+
+#: shared oracle CTE: the event log, per-batch winners, both states
+_SCD1_DELETES_ORACLE_CTE = """
+    WITH ev AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'D' ELSE 'U' END AS op,
+             CASE WHEN o_orderdate < DATE '1997-01-01' THEN 1 ELSE 2 END AS b
+      FROM orders),
+    w AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey, b
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM ev),
+    winners AS (SELECT * FROM w WHERE rn = 1),
+    s1 AS (SELECT o_custkey, o_orderkey, o_orderdate, price
+           FROM winners WHERE b = 1 AND op = 'U'),
+    fw AS (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY b DESC) AS rn2
+      FROM winners),
+    s2 AS (SELECT o_custkey, o_orderkey, o_orderdate, price
+           FROM fw WHERE rn2 = 1 AND op = 'U')
+"""
+
+
+@register(
+    "scd1_merge_with_deletes",
+    # the oracle recomputes the final state from the raw event log:
+    # per (customer, batch) the newest event wins, the latest batch's
+    # winner decides, and a winning delete removes the key entirely
+    oracle=_SCD1_DELETES_ORACLE_CTE + """
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(price AS VARCHAR) AS DOUBLE) AS last_totalprice
+    FROM s2
+    """,
+    doc="MERGE with DELETES (r10 — the last leg of the Delta MERGE "
+        "contract, VERDICT r9 item 1): orders become a CDC event log "
+        "(orderkey ≡ 0 mod 7 → delete event for that customer, else "
+        "upsert), applied in two op-column merge_upsert commits; a "
+        "customer whose newest event in the latest batch touching it "
+        "is a delete vanishes from the dimension. The oracle "
+        "recomputes the final state from the raw log, so hash parity "
+        "proves sequential op-aware merges == event-log recompute — "
+        "including deletes that WIN the within-batch newest-event "
+        "race and deletes that LOSE it",
+)
+def q_scd1_merge_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scd1_deletes_table(spark, sf_dir)
+    return _scd1_out(read_version(spark, path, 2))
+
+
+@register(
+    "scd1_change_feed_with_deletes",
+    # classify the recomputed v1→v2 diff: the delete leg carries the
+    # PRE-image (s1 values); insert/update carry the post-image
+    oracle=_SCD1_DELETES_ORACLE_CTE + """
+    SELECT COALESCE(s2.o_custkey, s1.o_custkey) AS o_custkey,
+           CASE WHEN s2.o_custkey IS NULL THEN s1.o_orderkey
+                ELSE s2.o_orderkey END AS last_orderkey,
+           strftime(CASE WHEN s2.o_custkey IS NULL THEN s1.o_orderdate
+                         ELSE s2.o_orderdate END,
+                    '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CASE WHEN s2.o_custkey IS NULL THEN s1.price
+                          ELSE s2.price END AS VARCHAR) AS DOUBLE)
+             AS last_totalprice,
+           CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+                WHEN s2.o_custkey IS NULL THEN 'delete'
+                ELSE 'update_postimage' END AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+    WHERE s1.o_custkey IS NULL OR s2.o_custkey IS NULL
+       OR s1.o_orderkey IS DISTINCT FROM s2.o_orderkey
+       OR s1.o_orderdate IS DISTINCT FROM s2.o_orderdate
+       OR s1.price IS DISTINCT FROM s2.price
+    """,
+    doc="The change feed's DELETE leg through the SINK's own path "
+        "(r10, closing VERDICT r9 item 1's second half): "
+        "read_change_feed over the op-column merge table emits "
+        "delete rows WITH PRE-IMAGES for customers the second "
+        "commit's winning delete events removed — previously that "
+        "leg was only reachable from hand-constructed snapshots. The "
+        "oracle recomputes both states from the raw event log and "
+        "classifies the full-outer diff, so hash parity covers all "
+        "three change types in one relation",
+)
+def q_scd1_change_feed_with_deletes(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scd1_deletes_table(spark, sf_dir)
+    feed = read_change_feed(spark, path, ["o_custkey"], from_version=1)
+    return _scd1_out(
+        feed,
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )

@@ -15,6 +15,109 @@ def _kv(spark, rows):
     return spark.createDataFrame(rows, "k int, ts int, v string")
 
 
+def _kvop(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, v string, op string")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r9 item 1: MERGE DELETE (op-column CDC mode)
+
+
+def test_merge_delete_delta_wins_semantics(spark, tmp_path):
+    """Bootstrap deletes no-op; a delete removes the key; within-batch
+    the newest event wins (a delete can win that race); the op column
+    never lands in the table; null op is an upsert."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_change_feed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(
+        spark, p,
+        _kvop(spark, [(1, 10, "a", "U"), (2, 10, "b", "U"),
+                      (3, 10, "c", "U"), (4, 5, "x", "D")]),
+        keys=["k"], order_cols=["ts"], op_col="op")
+    v1 = read_version(spark, p, 1)
+    assert v1.columns == ["k", "ts", "v"]  # op column never lands
+    assert sorted((r.k, r.v) for r in v1.collect()) == [
+        (1, "a"), (2, "b"), (3, "c")]  # bootstrap delete no-ops
+
+    merge_upsert(
+        spark, p,
+        _kvop(spark, [
+            (1, 20, "a2", None),      # null op -> upsert
+            (2, 20, None, "D"),       # plain delete
+            (3, 20, "c2", "U"), (3, 30, None, "D"),  # delete wins race
+            (5, 20, "e", "I"),        # insert
+        ]),
+        keys=["k"], order_cols=["ts"], op_col="op")
+    assert sorted((r.k, r.v) for r in read_version(spark, p, 2).collect()) \
+        == [(1, "a2"), (5, "e")]
+    # the SINK's own path produces the feed's delete leg (pre-images)
+    feed = read_change_feed(spark, p, ["k"], from_version=1)
+    assert sorted((r.k, r._change_type, r.v) for r in feed.collect()) == [
+        (1, "update_postimage", "a2"), (2, "delete", "b"),
+        (3, "delete", "c"), (5, "insert", "e")]
+
+
+def test_merge_delete_latest_wins_order_sensitivity(spark, tmp_path):
+    """latest_wins: an out-of-order delete OLDER than the base row
+    loses (the base survives); a delete NEWER than the base removes
+    the key — exactly the upsert rules applied to delete events."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kvop(spark, [(1, 20, "a", "U"),
+                                         (2, 20, "b", "U")]),
+                 keys=["k"], order_cols=["ts"], op_col="op",
+                 resolve="latest_wins")
+    merge_upsert(spark, p, _kvop(spark, [(1, 15, None, "D"),
+                                         (2, 30, None, "D")]),
+                 keys=["k"], order_cols=["ts"], op_col="op",
+                 resolve="latest_wins")
+    assert sorted((r.k, r.v) for r in read_version(spark, p, 2).collect()) \
+        == [(1, "a")]  # stale delete lost; fresh delete won
+
+
+def test_merge_delete_racing_writers(spark, tmp_path):
+    """The optimistic-commit loop replays DELETES too: writer A's
+    delete of k=2 loses the version race to writer B's update of k=3,
+    re-runs against B's snapshot, and the final state carries BOTH —
+    B's update survives, k=2 is gone."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p,
+                 _kv(spark, [(1, 10, "one"), (2, 10, "two"),
+                             (3, 10, "three")]),
+                 keys=["k"], order_cols=["ts"])
+
+    def race(attempt, target):
+        if attempt == 0:
+            merge_upsert(spark, p, _kv(spark, [(3, 20, "writerB")]),
+                         keys=["k"], order_cols=["ts"])
+
+    final = merge_upsert(spark, p, _kvop(spark, [(2, 20, None, "D")]),
+                         keys=["k"], order_cols=["ts"], op_col="op",
+                         pre_commit_hook=race)
+    assert final == 3
+    assert {r.k: r.v for r in read_version(spark, p).collect()} == {
+        1: "one", 3: "writerB"}
+
+
+def test_merge_delete_op_col_missing_raises(spark, tmp_path):
+    from project2_bigdata_spark.sources.ingest import merge_upsert
+
+    with pytest.raises(ValueError, match="op_col"):
+        merge_upsert(spark, str(tmp_path / "t"),
+                     _kv(spark, [(1, 10, "a")]),
+                     keys=["k"], order_cols=["ts"], op_col="nope")
+
+
 def _sales_df(spark, rows):
     return spark.createDataFrame(
         rows, "sale_id string, sale_ts string, total_price double, "

@@ -597,6 +597,40 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return spark.read.parquet(f"{path}/v={version}")
 
 
+def read_version_as_of(spark: SparkSession, path: str, ts) -> DataFrame:
+    """Time travel by TIMESTAMP (Delta's ``timestampAsOf``, VERDICT r9
+    item 4): serve the latest snapshot committed at or before ``ts``.
+    Commit time is the version directory's mtime, which
+    :func:`commit_version`'s atomic rename-publish sets at commit
+    time — the same clock :func:`vacuum_versions` already consumes for
+    its retention window, so the two agree on what is in range.
+
+    ``ts`` accepts an epoch-seconds float/int, a ``datetime``, or an
+    ISO-8601 string (a naive string/datetime reads as LOCAL time, the
+    same clock the filesystem stamps mtimes with). A ``ts`` older than
+    the earliest RETAINED commit raises — indistinguishable from a
+    vacuumed-out version, exactly :func:`read_change_feed`'s horizon
+    posture."""
+    import datetime as _dt
+
+    if isinstance(ts, str):
+        ts = _dt.datetime.fromisoformat(ts)
+    if isinstance(ts, _dt.datetime):
+        ts = ts.timestamp()
+    committed = _versions(path, committed_only=True)
+    if not committed:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    stamped = [(v, os.path.getmtime(os.path.join(path, f"v={v}")))
+               for v in committed]
+    eligible = [v for v, m in stamped if m <= ts]
+    if not eligible:
+        raise FileNotFoundError(
+            f"no committed version under {path} at or before "
+            f"timestamp {ts} (before the first commit, or vacuumed "
+            "out of retention)")
+    return read_version(spark, path, max(eligible))
+
+
 def diff_snapshots(
     spark: SparkSession,
     path: str,
@@ -702,6 +736,95 @@ def read_change_feed(
 
     return functools.reduce(
         lambda x, y: x.unionByName(y, allowMissingColumns=True), parts)
+
+
+def consume_change_feed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    checkpoint_dir: str,
+    sink_dir: str,
+    start_version: int | None = None,
+    pre_checkpoint_hook=None,
+) -> list[int]:
+    """Incremental Change-Data-Feed CONSUMER (VERDICT r9 item 5 — the
+    standard CDF use: a downstream that resumes from the last consumed
+    commit): each call drains every commit newer than the checkpoint
+    into ``sink_dir/commit=N`` and advances the checkpoint — the
+    AvailableNow discipline over the versioned MERGE sink.
+
+    Exactly-once-per-commit across kill/resume, with no coordination:
+
+    * the sink write is an idempotent PER-COMMIT overwrite (the same
+      discipline as the engine's parquet spool sinks), and the
+      checkpoint advances atomically (tmp + rename) only AFTER the
+      commit's changes are fully landed — a crash between the two
+      re-emits that one commit as an overwrite of the same directory,
+      which converges instead of duplicating;
+    * commits are consumed in order, one checkpoint bump each, so a
+      crash mid-drain resumes exactly at the first unconsumed commit.
+
+    First call: with ``start_version=N`` the consumer starts AFTER
+    commit N (commit N itself is not emitted — the caller pins the
+    baseline); without it, the earliest retained snapshot bootstraps
+    the feed as all-``insert`` rows (Delta's ``startingVersion=0``
+    read). A checkpointed version that has since been vacuumed out of
+    retention raises, exactly :func:`read_change_feed`'s horizon
+    posture. ``pre_checkpoint_hook(version)`` is the deterministic
+    crash-injection seam the restart tests use.
+
+    Returns the commit versions consumed by THIS call."""
+    ck_file = os.path.join(checkpoint_dir, "last_commit")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+
+    def _advance(v: int) -> None:
+        if pre_checkpoint_hook is not None:
+            pre_checkpoint_hook(v)
+        tmp = f"{ck_file}.tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, ck_file)
+
+    committed = _versions(path, committed_only=True)
+    if not committed:
+        raise FileNotFoundError(f"no committed versions under {path}")
+    consumed: list[int] = []
+    if os.path.exists(ck_file):
+        with open(ck_file) as f:
+            last = int(f.read().strip())
+    elif start_version is not None:
+        last = start_version
+    else:
+        # bootstrap: the earliest retained snapshot IS the first batch
+        # of the feed — every row an insert at its commit version
+        first = committed[0]
+        (read_version(spark, path, first)
+         .withColumn("_change_type", F.lit("insert"))
+         .withColumn("_commit_version", F.lit(first).cast("bigint"))
+         .write.mode("overwrite").parquet(f"{sink_dir}/commit={first}"))
+        _advance(first)
+        consumed.append(first)
+        last = first
+    if last not in committed:
+        raise FileNotFoundError(
+            f"checkpointed version {last} not committed under {path} "
+            "(vacuumed out of retention?)")
+    chain = [v for v in committed if v >= last]
+    for v0, v1 in zip(chain, chain[1:]):
+        (diff_snapshots(spark, path, keys, v0, v1)
+         .withColumn("_commit_version", F.lit(v1).cast("bigint"))
+         .write.mode("overwrite").parquet(f"{sink_dir}/commit={v1}"))
+        _advance(v1)
+        consumed.append(v1)
+    return consumed
+
+
+def read_consumed_feed(spark: SparkSession, sink_dir: str) -> DataFrame:
+    """Read back everything :func:`consume_change_feed` has landed.
+    The ``commit=N`` layout reads as one relation; the partition-
+    inferred ``commit`` column drops (``_commit_version`` already
+    rides in the data)."""
+    return spark.read.parquet(sink_dir).drop("commit")
 
 
 @register(
@@ -943,6 +1066,61 @@ def q_scd1_change_feed_with_deletes(
     feed = read_change_feed(spark, path, ["o_custkey"], from_version=1)
     return _scd1_out(
         feed,
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
+@register(
+    "cdf_incremental_consume",
+    # identical expected relation to scd1_change_feed_with_deletes:
+    # the consumer's checkpointed drain must land exactly the batch
+    # feed, no commit re-emitted or skipped
+    oracle=_SCD1_DELETES_ORACLE_CTE + """
+    SELECT COALESCE(s2.o_custkey, s1.o_custkey) AS o_custkey,
+           CASE WHEN s2.o_custkey IS NULL THEN s1.o_orderkey
+                ELSE s2.o_orderkey END AS last_orderkey,
+           strftime(CASE WHEN s2.o_custkey IS NULL THEN s1.o_orderdate
+                         ELSE s2.o_orderdate END,
+                    '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CASE WHEN s2.o_custkey IS NULL THEN s1.price
+                          ELSE s2.price END AS VARCHAR) AS DOUBLE)
+             AS last_totalprice,
+           CASE WHEN s1.o_custkey IS NULL THEN 'insert'
+                WHEN s2.o_custkey IS NULL THEN 'delete'
+                ELSE 'update_postimage' END AS change_type,
+           CAST(2 AS BIGINT) AS commit_version
+    FROM s1 FULL OUTER JOIN s2 ON s1.o_custkey = s2.o_custkey
+    WHERE s1.o_custkey IS NULL OR s2.o_custkey IS NULL
+       OR s1.o_orderkey IS DISTINCT FROM s2.o_orderkey
+       OR s1.o_orderdate IS DISTINCT FROM s2.o_orderdate
+       OR s1.price IS DISTINCT FROM s2.price
+    """,
+    doc="Incremental CDF CONSUMER (r10, VERDICT r9 item 5 — the "
+        "standard downstream use of a change feed): "
+        "consume_change_feed drains commits newer than its checkpoint "
+        "into an idempotent per-commit parquet sink and advances the "
+        "checkpoint after each commit lands; a second pull in the "
+        "same query returns [] (no re-emission — asserted inline). "
+        "The relation read back from the consumer's sink must equal "
+        "the batch feed exactly (same oracle as "
+        "scd1_change_feed_with_deletes), so hash parity proves "
+        "checkpointed drain == batch feed; the kill/resume restart "
+        "test pins the crash-between-sink-and-checkpoint path",
+)
+def q_cdf_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    path = _scd1_deletes_table(spark, sf_dir)
+    d = session_spool(spark, "cdf_consumer_")
+    ck, sink = f"{d}/ck", f"{d}/sink"
+    first = consume_change_feed(
+        spark, path, ["o_custkey"], ck, sink, start_version=1)
+    again = consume_change_feed(
+        spark, path, ["o_custkey"], ck, sink, start_version=1)
+    assert first == [2] and again == [], (first, again)
+    return _scd1_out(
+        read_consumed_feed(spark, sink),
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )

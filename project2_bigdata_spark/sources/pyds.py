@@ -189,86 +189,10 @@ class JsonlSaleReader(DataSourceReader):
                 yield f
 
     def _predicate(self):
-        """Compile the pushed filters into one row predicate (tuple in,
-        bool out). None when nothing was pushed. SQL three-valued
-        semantics on NULL inputs (code-review r9 fix): every comparison
-        is not-true when the column is NULL — the old bare Python
-        operators raised TypeError on a null field (failing the whole
-        scan where Spark's own Filter would just drop the row), and
-        ``x IN (..., None)`` wrongly kept NULL rows."""
-        if not self.pushed:
-            return None
-        checks = []
-        for f in self.pushed:
-            i = _COL_IDX[f.attribute[0]]
-            nn = lambda r, i=i: r[i] is not None  # noqa: E731
-            if isinstance(f, EqualTo):
-                checks.append(lambda r, i=i, v=f.value: r[i] == v
-                              and v is not None)
-            elif isinstance(f, In):
-                vals = tuple(v for v in f.value if v is not None)
-                checks.append(lambda r, i=i, v=vals, nn=nn:
-                              nn(r) and r[i] in v)
-            elif isinstance(f, GreaterThan):
-                checks.append(lambda r, i=i, v=f.value, nn=nn:
-                              nn(r) and r[i] > v)
-            elif isinstance(f, GreaterThanOrEqual):
-                checks.append(lambda r, i=i, v=f.value, nn=nn:
-                              nn(r) and r[i] >= v)
-            elif isinstance(f, LessThan):
-                checks.append(lambda r, i=i, v=f.value, nn=nn:
-                              nn(r) and r[i] < v)
-            elif isinstance(f, LessThanOrEqual):
-                checks.append(lambda r, i=i, v=f.value, nn=nn:
-                              nn(r) and r[i] <= v)
-            elif isinstance(f, StringStartsWith):
-                checks.append(
-                    lambda r, i=i, v=f.value: isinstance(r[i], str)
-                    and r[i].startswith(v))
-            else:  # IsNotNull
-                checks.append(nn)
-        return lambda row: all(c(row) for c in checks)
-
-    #: string columns whose equality pushdown gets a bytes-level
-    #: prefilter, mapped to their JSON field name in the document
-    _PREFILTER_FIELDS = {"purchase_method": "purchaseMethod",
-                         "sale_id": "$oid"}
+        return _compile_predicate(self.pushed)
 
     def _byte_prefilter(self):
-        """Bytes-level candidate test for string-equality pushdown: a
-        line can only match if it contains the field's canonical JSON
-        encoding (Spark's ``to_json`` spells ``"k":"v"``, Python's
-        ``json.dumps`` spells ``"k": "v"`` — both covered, matching
-        the two producers of this connector's format). Conservative:
-        a surviving line is still exactly-checked post-parse; a
-        skipped line cannot contain the serialized field at all. This
-        is where a POINT LOOKUP on sale_id earns its proportional win:
-        json.loads and the Arrow transfer are skipped for every
-        non-candidate line (SCALE.md §pyds-pushdown).
-
-        Conservativeness guard (code-review r9 fix): the prefilter only
-        engages when the value's JSON encoding is LITERAL — pure ASCII
-        with no characters any producer might escape (``json.dumps(v)
-        == '"v"'``). A non-ASCII value encodes differently per producer
-        (Spark's to_json emits raw UTF-8, Python's json.dumps emits
-        \\uXXXX escapes), so a byte pattern built from one encoding
-        would silently drop rows written by the other; such filters
-        simply skip the prefilter and rely on the exact post-parse
-        predicate."""
-        import json
-
-        pats = []
-        for f in self.pushed:
-            field = (self._PREFILTER_FIELDS.get(f.attribute[0])
-                     if isinstance(f, EqualTo) else None)
-            if (field and isinstance(f.value, str)
-                    and json.dumps(f.value) == f'"{f.value}"'
-                    and json.dumps(field) == f'"{field}"'):
-                k, v = f'"{field}"', f'"{f.value}"'
-                pats.append((f"{k}:{v}".encode(), f"{k}: {v}".encode()))
-        if not pats:
-            return None
-        return lambda line: all(a in line or b in line for a, b in pats)
+        return _compile_prefilter(self.pushed)
 
     def partitions(self):
         import os
@@ -312,6 +236,112 @@ class JsonlSaleReader(DataSourceReader):
                     fh, part.start, part.end,
                     skip_first=part.start > 0, include_end_line=True),
                 pre=self._byte_prefilter(), pred=self._predicate())
+
+
+def _compile_predicate(pushed):
+    """Compile pushed filters into one row predicate (tuple in, bool
+    out). None when nothing was pushed. SQL three-valued semantics on
+    NULL inputs (code-review r9 fix): every comparison is not-true
+    when the column is NULL — the old bare Python operators raised
+    TypeError on a null field (failing the whole scan where Spark's
+    own Filter would just drop the row), and ``x IN (..., None)``
+    wrongly kept NULL rows. Shared by the batch reader (pushFilters)
+    and the streaming reader (options-level predicate)."""
+    if not pushed:
+        return None
+    checks = []
+    for f in pushed:
+        i = _COL_IDX[f.attribute[0]]
+        nn = lambda r, i=i: r[i] is not None  # noqa: E731
+        if isinstance(f, EqualTo):
+            checks.append(lambda r, i=i, v=f.value: r[i] == v
+                          and v is not None)
+        elif isinstance(f, In):
+            vals = tuple(v for v in f.value if v is not None)
+            checks.append(lambda r, i=i, v=vals, nn=nn:
+                          nn(r) and r[i] in v)
+        elif isinstance(f, GreaterThan):
+            checks.append(lambda r, i=i, v=f.value, nn=nn:
+                          nn(r) and r[i] > v)
+        elif isinstance(f, GreaterThanOrEqual):
+            checks.append(lambda r, i=i, v=f.value, nn=nn:
+                          nn(r) and r[i] >= v)
+        elif isinstance(f, LessThan):
+            checks.append(lambda r, i=i, v=f.value, nn=nn:
+                          nn(r) and r[i] < v)
+        elif isinstance(f, LessThanOrEqual):
+            checks.append(lambda r, i=i, v=f.value, nn=nn:
+                          nn(r) and r[i] <= v)
+        elif isinstance(f, StringStartsWith):
+            checks.append(
+                lambda r, i=i, v=f.value: isinstance(r[i], str)
+                and r[i].startswith(v))
+        else:  # IsNotNull
+            checks.append(nn)
+    return lambda row: all(c(row) for c in checks)
+
+
+#: string columns whose equality pushdown gets a bytes-level
+#: prefilter, mapped to their JSON field name in the document
+_PREFILTER_FIELDS = {"purchase_method": "purchaseMethod",
+                     "sale_id": "$oid"}
+
+
+def _compile_prefilter(pushed):
+    """Bytes-level candidate test for string-equality pushdown: a
+    line can only match if it contains the field's canonical JSON
+    encoding (Spark's ``to_json`` spells ``"k":"v"``, Python's
+    ``json.dumps`` spells ``"k": "v"`` — both covered, matching
+    the two producers of this connector's format). Conservative:
+    a surviving line is still exactly-checked post-parse; a
+    skipped line cannot contain the serialized field at all. This
+    is where a POINT LOOKUP on sale_id earns its proportional win:
+    json.loads and the Arrow transfer are skipped for every
+    non-candidate line (SCALE.md §pyds-pushdown).
+
+    Conservativeness guard (code-review r9 fix): the prefilter only
+    engages when the value's JSON encoding is LITERAL — pure ASCII
+    with no characters any producer might escape (``json.dumps(v)
+    == '"v"'``). A non-ASCII value encodes differently per producer
+    (Spark's to_json emits raw UTF-8, Python's json.dumps emits
+    \\uXXXX escapes), so a byte pattern built from one encoding
+    would silently drop rows written by the other; such filters
+    simply skip the prefilter and rely on the exact post-parse
+    predicate."""
+    import json
+
+    pats = []
+    for f in pushed:
+        field = (_PREFILTER_FIELDS.get(f.attribute[0])
+                 if isinstance(f, EqualTo) else None)
+        if (field and isinstance(f.value, str)
+                and json.dumps(f.value) == f'"{f.value}"'
+                and json.dumps(field) == f'"{field}"'):
+            k, v = f'"{field}"', f'"{f.value}"'
+            pats.append((f"{k}:{v}".encode(), f"{k}: {v}".encode()))
+    if not pats:
+        return None
+    return lambda line: all(a in line or b in line for a, b in pats)
+
+
+def _eq_filters_from_options(options: dict) -> list:
+    """Decode the streaming reader's options-level predicate
+    (``eq_filters``: a JSON object of column → equality value) into
+    pushed-filter objects for the shared compilers. The streaming
+    Python DataSource API has no ``pushFilters`` hook (Spark 4.1), so
+    the stream reader accepts the SAME semantics through an option —
+    evaluated before rows cross the Python→Arrow→JVM boundary, with
+    the bytes-level prefilter engaged for string equalities."""
+    import json
+
+    raw = options.get("eq_filters")
+    if not raw:
+        return []
+    spec = json.loads(raw)
+    bad = sorted(set(spec) - set(_COL_IDX))
+    if bad:
+        raise ValueError(f"eq_filters on unknown columns: {bad}")
+    return [EqualTo((col,), val) for col, val in sorted(spec.items())]
 
 
 def _batches_from_lines(lines, pre=None, pred=None):
@@ -652,6 +682,13 @@ class JsonlSaleStreamReader:
     def __init__(self, options: dict):
         self.path = options["path"]
         self.n = int(options.get("num_partitions", "8"))
+        # options-level predicate (r10, VERDICT r9 item 7): the
+        # streaming API has no pushFilters, so selective replays
+        # accept equality filters via the eq_filters option and run
+        # them through the SAME compiled predicate + byte prefilter
+        # as the batch reader — a filtered micro-batch skips
+        # json.loads and the Arrow transfer for non-candidate lines
+        self.pushed = _eq_filters_from_options(options)
 
     def initialOffset(self):
         return {"byte": 0}
@@ -692,10 +729,14 @@ class JsonlSaleStreamReader:
         # the next micro-batch's first line. Rows leave as Arrow
         # RecordBatches (same kernel as the batch reader).
         with open(self.path, "rb") as fh:
-            yield from _batches_from_lines(_iter_range_lines(
-                fh, part.start, part.end,
-                skip_first=part.skip_first,
-                include_end_line=not getattr(part, "at_window_end", True)))
+            yield from _batches_from_lines(
+                _iter_range_lines(
+                    fh, part.start, part.end,
+                    skip_first=part.skip_first,
+                    include_end_line=not getattr(
+                        part, "at_window_end", True)),
+                pre=_compile_prefilter(self.pushed),
+                pred=_compile_predicate(self.pushed))
 
     def commit(self, end):
         pass  # the file is immutable once written; nothing to release
@@ -716,11 +757,20 @@ def _make_stream_reader(options):
     return _Reader()
 
 
-def stream_jsonl_sales(spark, path: str, num_partitions: int = 8):
+def stream_jsonl_sales(spark, path: str, num_partitions: int = 8,
+                       eq: dict | None = None):
+    """``eq`` (r10): column → equality value, evaluated INSIDE the
+    stream reader before the Python→JVM boundary (the streaming API's
+    options-level analog of the batch reader's pushFilters; string
+    equalities additionally engage the bytes-level prefilter)."""
+    import json
+
     register_jsonl_source(spark)
-    return (
+    reader = (
         spark.readStream.format(FORMAT_NAME)
         .option("path", path)
         .option("num_partitions", str(num_partitions))
-        .load()
     )
+    if eq:
+        reader = reader.option("eq_filters", json.dumps(eq))
+    return reader.load()

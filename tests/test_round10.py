@@ -232,6 +232,180 @@ def test_shared_mongoexport_builds_once_per_session(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# VERDICT r9 item 4: time travel by timestamp
+
+
+def test_read_version_as_of(spark, tmp_path):
+    """timestampAsOf semantics: latest commit at-or-before ts; exact
+    mtime boundary is INCLUSIVE; pre-first-commit and vacuumed-out
+    timestamps raise (the retention horizon)."""
+    import datetime
+
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_version_as_of, vacuum_versions,
+    )
+
+    p = str(tmp_path / "t")
+    for i, ts in enumerate([1000, 2000, 3000], start=1):
+        merge_upsert(spark, p, _kv(spark, [(1, i, f"v{i}")]),
+                     keys=["k"], order_cols=["ts"])
+        os.utime(f"{p}/v={i}", (ts, ts))  # pin commit times
+
+    def val(ts):
+        return read_version_as_of(spark, p, ts).collect()[0].v
+
+    assert val(1999.9) == "v1"
+    assert val(2000) == "v2"          # exact boundary inclusive
+    assert val(50_000) == "v3"
+    # datetime / ISO-string inputs resolve through the same clock
+    dt = datetime.datetime.fromtimestamp(2500)
+    assert val(dt) == "v2"
+    assert val(dt.isoformat()) == "v2"
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        read_version_as_of(spark, p, 999)
+    vacuum_versions(p, keep=2)  # drops v1
+    with pytest.raises(FileNotFoundError, match="at or before"):
+        read_version_as_of(spark, p, 1500)  # vacuumed out of retention
+    assert val(2000) == "v2"  # retained window still serves
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r9 item 5: incremental CDF consumer — kill/resume exactness
+
+
+def test_consume_change_feed_restart_no_dup_no_skip(spark, tmp_path):
+    """A crash between the sink write and the checkpoint advance
+    re-emits exactly that commit as an idempotent overwrite: across
+    kill/resume every commit lands exactly once, in order."""
+    from project2_bigdata_spark.sources.ingest import (
+        consume_change_feed, merge_upsert, read_consumed_feed,
+    )
+
+    p = str(tmp_path / "t")
+    for i in range(1, 5):  # 4 commits: k=1 updated each time, k=i born
+        merge_upsert(spark, p,
+                     _kv(spark, [(1, i, f"upd{i}"), (i + 1, i, f"new{i}")]),
+                     keys=["k"], order_cols=["ts"])
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+
+    boom = {"armed": True}
+
+    def crash_before_ck(v):
+        if v == 3 and boom["armed"]:
+            boom["armed"] = False
+            raise RuntimeError("injected crash")
+
+    with pytest.raises(RuntimeError, match="injected"):
+        consume_change_feed(spark, p, ["k"], ck, sink, start_version=1,
+                            pre_checkpoint_hook=crash_before_ck)
+    # commit 2 checkpointed; commit 3's dir written but unacknowledged
+    with open(f"{ck}/last_commit") as f:
+        assert f.read() == "2"
+    # resume: re-emits 3 (overwrite), continues with 4 — nothing skipped
+    assert consume_change_feed(
+        spark, p, ["k"], ck, sink, start_version=1) == [3, 4]
+    got = sorted((r._commit_version, r.k, r._change_type, r.v)
+                 for r in read_consumed_feed(spark, sink).collect())
+    assert got == [
+        (2, 1, "update_postimage", "upd2"), (2, 3, "insert", "new2"),
+        (3, 1, "update_postimage", "upd3"), (3, 4, "insert", "new3"),
+        (4, 1, "update_postimage", "upd4"), (4, 5, "insert", "new4"),
+    ]
+    # idle pull: nothing re-emitted
+    assert consume_change_feed(spark, p, ["k"], ck, sink,
+                               start_version=1) == []
+
+
+def test_consume_change_feed_bootstrap_and_growth(spark, tmp_path):
+    """Without start_version the earliest retained snapshot bootstraps
+    the feed as all-insert rows; commits landing between pulls arrive
+    as exactly the new commits' changes."""
+    from project2_bigdata_spark.sources.ingest import (
+        consume_change_feed, merge_upsert, read_consumed_feed,
+        vacuum_versions,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(1, 1, "a"), (2, 1, "b")]),
+                 keys=["k"], order_cols=["ts"])
+    ck, sink = str(tmp_path / "ck"), str(tmp_path / "sink")
+    assert consume_change_feed(spark, p, ["k"], ck, sink) == [1]
+    got = sorted((r._commit_version, r.k, r._change_type)
+                 for r in read_consumed_feed(spark, sink).collect())
+    assert got == [(1, 1, "insert"), (1, 2, "insert")]
+    # growth between pulls
+    merge_upsert(spark, p, _kv(spark, [(2, 2, "b2")]),
+                 keys=["k"], order_cols=["ts"])
+    assert consume_change_feed(spark, p, ["k"], ck, sink) == [2]
+    assert read_consumed_feed(spark, sink).count() == 3
+    # a vacuumed-out checkpoint raises instead of silently jumping
+    merge_upsert(spark, p, _kv(spark, [(3, 3, "c")]),
+                 keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, p, _kv(spark, [(4, 4, "d")]),
+                 keys=["k"], order_cols=["ts"])
+    vacuum_versions(p, keep=1)
+    with pytest.raises(FileNotFoundError, match="retention"):
+        consume_change_feed(spark, p, ["k"], ck, sink)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r9 item 7: options-level predicate for the streaming reader
+
+
+def test_stream_eq_filters_selective_replay(spark, tmp_path):
+    """eq_filters runs the batch reader's compiled predicate (and byte
+    prefilter for string equalities) inside the STREAM reader: only
+    matching rows cross into the JVM, across restarts of a growing
+    source."""
+    from project2_bigdata_spark.sources.pyds import (
+        _sale_to_line, stream_jsonl_sales, write_jsonl_sales,
+    )
+
+    rows = [(str(i), f"2000-01-{(i % 27) + 1:02d} 00:00:00",
+             float(i) + 0.25, ["Online", "InStore", "Phone"][i % 3])
+            for i in range(1, 31)]
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+    write_jsonl_sales(_sales_df(spark, rows).coalesce(1), src_dir)
+    import glob
+    src = glob.glob(f"{src_dir}/part-*.jsonl")[0]
+
+    spool, ck = str(tmp_path / "spool"), str(tmp_path / "ck")
+    os.makedirs(spool)
+
+    def drain():
+        q = (stream_jsonl_sales(spark, src,
+                                eq={"purchase_method": "Online",
+                                    "total_price": 6.25})
+             .writeStream
+             .foreachBatch(lambda df, bid: df.write.mode("overwrite")
+                           .parquet(f"{spool}/batch={bid}"))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination()
+
+    drain()
+    got = sorted(r.sale_id for r in spark.read.parquet(spool).collect())
+    assert got == ["6"]  # i=6: Online AND price 6.25
+    # growing source: appended rows arrive filtered on the next run
+    with open(src, "ab") as fh:
+        fh.write(_sale_to_line(("99", "2000-02-01 00:00:00",
+                                6.25, "Online")))
+        fh.write(_sale_to_line(("100", "2000-02-01 00:00:00",
+                                6.25, "Phone")))
+    drain()
+    got = sorted(r.sale_id for r in spark.read.parquet(spool).collect())
+    assert got == ["6", "99"]
+
+
+def test_stream_eq_filters_unknown_column_raises(spark, tmp_path):
+    from project2_bigdata_spark.sources.pyds import _eq_filters_from_options
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        _eq_filters_from_options({"eq_filters": '{"nope": 1}'})
+
+
+# ---------------------------------------------------------------------------
 # ADVICE r9 item 2: explicit to_version beyond the latest commit raises
 
 

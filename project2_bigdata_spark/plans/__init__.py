@@ -49,8 +49,9 @@ _LLM_CORE_PRIORITY = [
     "hash_split_assign", "embedding_quantize", "dedup_embedding_clusters",
 ]
 
-def _correctness_rows() -> dict[str, dict]:
-    """Union of every driver CORRECTNESS_r*.json row (later rounds win).
+def _correctness_rows() -> dict[str, tuple[dict, int]]:
+    """Union of every driver CORRECTNESS_r*.json row (later rounds win),
+    each tagged with the ROUND it was last checked in.
 
     Read at call time so the ordering self-adjusts each round without a
     code change: a new CORRECTNESS file moves its green rows to the tail
@@ -59,11 +60,14 @@ def _correctness_rows() -> dict[str, dict]:
     import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    rows: dict[str, dict] = {}
+    rows: dict[str, tuple[dict, int]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)", os.path.basename(path))
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -72,11 +76,11 @@ def _correctness_rows() -> dict[str, dict]:
         if isinstance(data, dict):
             for name, row in data.items():
                 if isinstance(row, dict):
-                    rows[name] = row
+                    rows[name] = (row, rnd)
     return rows
 
 
-def driver_order() -> list[str]:
+def driver_order(rows: dict[str, tuple[dict, int]] | None = None) -> list[str]:
     """Registry names in the order the driver should check them.
 
     Derived from the CORRECTNESS_r*.json files on disk, so each round's
@@ -87,17 +91,26 @@ def driver_order() -> list[str]:
        driver result would upgrade);
     2. never-checked queries — LLM-pipeline core first, then
        oracle-bearing, then rows-only;
-    3. the already-checked tail (green and by-design rows-only), which
-       stays covered by the local oracle-parity suite.
+    3. the already-checked tail (green and by-design rows-only) ordered
+       LEAST-RECENTLY-CHECKED FIRST (r10, VERDICT r9 item 8): with a
+       50-query window over 300+ names, a registration-ordered tail
+       would re-check the same 50 forever and late additions would
+       never re-enter; staleness order guarantees every query re-enters
+       a window at least once every ceil(N/50) rounds (pinned by
+       ``test_driver_order_rotates_every_query``). Ties (same round)
+       keep registration order.
 
-    Every registered name appears exactly once.
+    Every registered name appears exactly once. ``rows`` is injectable
+    for the rotation test; None reads the driver's files from disk.
     """
-    rows = _correctness_rows()
+    if rows is None:
+        rows = _correctness_rows()
 
     def needs_recheck(name: str) -> bool:
-        row = rows.get(name)
-        if row is None:
+        tagged = rows.get(name)
+        if tagged is None:
             return False
+        row = tagged[0]
         if row.get("hash_match") is False:
             return True  # wrong answer on record — always re-enter
         err = row.get("err")
@@ -123,5 +136,9 @@ def driver_order() -> list[str]:
     take([n for n in _LLM_CORE_PRIORITY if n in never])
     take([n for n in never if REGISTRY[n].oracle is not None])
     take(never)  # rows-only remainder
-    take(REGISTRY)  # already-checked tail, registration order
+    # already-checked tail: least-recently-checked first, so the
+    # 50-query window rotates through the whole registry
+    reg_idx = {n: i for i, n in enumerate(REGISTRY)}
+    take(sorted((n for n in REGISTRY if n not in placed),
+                key=lambda n: (rows[n][1], reg_idx[n])))
     return order

@@ -395,7 +395,14 @@ def merge_upsert(
       newer upsert correctly loses. Downstream,
       :func:`read_change_feed` emits these removals as ``delete`` rows
       with pre-images — the sink itself now produces the feed's
-      delete leg.
+      delete leg. Ordering caveat: a hard delete physically removes
+      the key and with it the ordering information ``latest_wins``
+      needs — an out-of-order OLDER upsert replayed after the delete
+      would resurrect the key. Hard deletes therefore suit in-order
+      application (foreachBatch's serial contract); for unordered
+      replays carry deletes as soft-delete ROWS instead (a
+      ``_deleted`` flag riding the normal latest_wins merge; filter
+      on read — the ``stream_scd1_tombstone_deletes`` pattern).
 
     The registered query ``scd1_customer_latest_order`` proves
     merge == full recompute against the DuckDB oracle

@@ -151,3 +151,60 @@ def q_stream_scd1_user_last_event(
         F.col("last_value").cast("string").cast("double")
         .alias("last_value"),
     )
+
+
+@register(
+    "stream_scd1_tombstone_deletes",
+    # recompute oracle: the user's globally newest event decides —
+    # an erasure event as the newest leaves NO row
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type AS last_event_type
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_id % 7 <> 0
+    """,
+    doc="Streaming CDC deletes via TOMBSTONES (r10 — the out-of-order "
+        "complement to merge_upsert's op_col hard deletes): events "
+        "with event_id ≡ 0 mod 7 are user-erasure events (the GDPR "
+        "shape every training-data pipeline carries). A hard delete "
+        "physically removes the key, which loses its ORDERING "
+        "information — a later-replayed OLDER upsert would resurrect "
+        "the user (multi-file sources replay in file order, not event "
+        "time; see stream_upsert_to_dimension's latest_wins note). So "
+        "deletes ride as soft-delete ROWS (_deleted=true) through the "
+        "same latest_wins merge as any event — order-independent by "
+        "construction — and the serving read filters tombstones out. "
+        "The oracle recomputes newest-event-decides from scratch, so "
+        "hash parity proves tombstoned-merge == recompute; retention "
+        "GC of old tombstones is vacuum_versions' existing job",
+)
+def q_stream_scd1_tombstone_deletes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.ingest import read_version
+
+    sdf = events_stream(spark, sf_dir).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+        F.col("event_type").alias("last_event_type"),
+        (F.col("event_id") % 7 == 0).alias("_deleted"),
+    )
+    path = session_spool(spark, "stream_scd1_ts_")
+    stream_upsert_to_dimension(
+        sdf, path,
+        keys=["user_id"], order_cols=["last_ts", "last_event_id"],
+    )
+    return (read_version(spark, path)
+            .filter(~F.col("_deleted")).drop("_deleted")
+            .select(
+                "user_id", "last_event_id",
+                F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .alias("last_ts"),
+                "last_event_type",
+            ))

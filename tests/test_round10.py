@@ -11,6 +11,36 @@ import os
 import pytest
 
 
+def test_driver_order_rotates_every_query():
+    """VERDICT r9 item 8: with a 50-query driver window per round and a
+    staleness-ordered tail, EVERY registered query re-enters a window
+    at least once every ceil(N/50) rounds — no query's correctness row
+    can go stale indefinitely as the registry grows."""
+    import math
+
+    from project2_bigdata_spark.plans import REGISTRY, driver_order
+
+    window, n = 50, len(REGISTRY)
+    period = math.ceil(n / window)
+    rows: dict = {}
+    last_checked: dict = {}
+    # warm start: drive until every name has been checked once
+    for r in range(1, period + 1):
+        for name in driver_order(rows)[:window]:
+            rows[name] = ({"hash_match": True}, r)
+            last_checked[name] = r
+    assert set(last_checked) == set(REGISTRY)  # full coverage in period
+    # steady state: staleness is bounded by the rotation period
+    for r in range(period + 1, 4 * period + 1):
+        for name in driver_order(rows)[:window]:
+            rows[name] = ({"hash_match": True}, r)
+            last_checked[name] = r
+        stalest = min(last_checked.values())
+        assert r - stalest < period, (
+            f"round {r}: a query last checked in round {stalest} "
+            f"exceeded the {period}-round rotation bound")
+
+
 def _kv(spark, rows):
     return spark.createDataFrame(rows, "k int, ts int, v string")
 
@@ -346,6 +376,69 @@ def test_consume_change_feed_bootstrap_and_growth(spark, tmp_path):
     vacuum_versions(p, keep=1)
     with pytest.raises(FileNotFoundError, match="retention"):
         consume_change_feed(spark, p, ["k"], ck, sink)
+
+
+# ---------------------------------------------------------------------------
+# Tombstone deletes: order-independence the hard delete cannot give
+
+
+def test_tombstone_deletes_survive_out_of_order_replay(spark, tmp_path):
+    """A delete event REPLAYED BEFORE an older upsert (multi-file
+    sources replay in file order, not event time): carried as a
+    tombstone ROW through latest_wins, the delete keeps its ordering
+    information — the stale upsert loses the merge and the user stays
+    deleted. A hard (physical) delete would have resurrected the key,
+    which is why the streaming path uses tombstones."""
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import read_version
+    from project2_bigdata_spark.streaming.upsert import (
+        stream_upsert_to_dimension,
+    )
+
+    src = tmp_path / "cdc"
+    src.mkdir()
+
+    def write_file(name, rows, mtime):
+        t = pa.table({
+            "user_id": pa.array([r[0] for r in rows], pa.int32()),
+            "last_ts": pa.array([r[1] for r in rows], pa.int32()),
+            "last_event_id": pa.array([r[2] for r in rows], pa.int32()),
+            "_deleted": pa.array([r[3] for r in rows], pa.bool_()),
+        })
+        p = src / name
+        pq.write_table(t, p)
+        os.utime(p, (mtime, mtime))
+
+    now = time.time()
+    # file replayed FIRST carries the NEWEST event: user 42's erasure
+    # (ts=100) and user 7's latest upsert (ts=80)
+    write_file("a.parquet", [(42, 100, 9, True), (7, 80, 8, False)],
+               now - 100)
+    # file replayed SECOND carries OLDER events for both users
+    write_file("b.parquet", [(42, 50, 3, False), (7, 60, 5, False)],
+               now - 50)
+
+    sdf = (spark.readStream
+           .schema("user_id int, last_ts int, last_event_id int, "
+                   "_deleted boolean")
+           .option("maxFilesPerTrigger", "1").parquet(str(src)))
+    dim = str(tmp_path / "dim")
+    stream_upsert_to_dimension(
+        sdf, dim, keys=["user_id"],
+        order_cols=["last_ts", "last_event_id"],
+        checkpoint=str(tmp_path / "ck"))
+
+    state = read_version(spark, dim)
+    live = {r.user_id: r.last_ts
+            for r in state.filter(~F.col("_deleted")).collect()}
+    assert live == {7: 80}  # 42 stays deleted; 7 keeps its newest row
+    # the tombstone row itself is retained (GC is vacuum's job)
+    assert state.filter(F.col("_deleted")).count() == 1
 
 
 # ---------------------------------------------------------------------------

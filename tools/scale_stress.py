@@ -613,6 +613,44 @@ def pyds_pushdown(spark, k: int, timeout_s: int) -> dict:
     out["point_speedup"] = round(
         out["point_no_pushdown_wall_sec"]
         / max(out["point_pushdown_wall_sec"], 1e-9), 2)
+
+    # streaming replay (r10, VERDICT r9 item 7): the eq_filters
+    # options-level predicate — an AvailableNow drain of the same
+    # export, filtered inside the stream reader vs unfiltered
+    import shutil
+    import uuid
+
+    from project2_bigdata_spark.sources.pyds import stream_jsonl_sales
+
+    def _stream_count(eq) -> int:
+        ck = f"/tmp/sparkgraft_pyds_stream_ck_{uuid.uuid4().hex}"
+        got: list[int] = []
+        q = (stream_jsonl_sales(spark, part, npart, eq=eq)
+             .writeStream
+             .foreachBatch(lambda df, b: got.append(df.count()))
+             .trigger(availableNow=True)
+             .option("checkpointLocation", ck).start())
+        q.awaitTermination()
+        shutil.rmtree(ck, ignore_errors=True)
+        return sum(got)
+
+    for name, eq in (
+        ("stream_full", None),
+        ("stream_point_eq", {"sale_id": some_key}),
+        ("stream_selective_eq", {"purchase_method": "1-URGENT"}),
+    ):
+        t0 = time.perf_counter()
+        with _deadline(spark, f"pyds-{name}", timeout_s):
+            n = _stream_count(eq)
+        out[f"{name}_wall_sec"] = round(time.perf_counter() - t0, 1)
+        out[f"{name}_rows"] = n
+        print(f"  {name}: {out[f'{name}_wall_sec']}s ({n} rows)",
+              file=sys.stderr, flush=True)
+    assert out["stream_point_eq_rows"] == 1
+    assert out["stream_full_rows"] == counts["full_scan"]
+    out["stream_point_speedup"] = round(
+        out["stream_full_wall_sec"]
+        / max(out["stream_point_eq_wall_sec"], 1e-9), 2)
     return out
 
 

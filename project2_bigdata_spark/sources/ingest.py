@@ -604,6 +604,54 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     return spark.read.parquet(f"{path}/v={version}")
 
 
+def optimize_version(spark: SparkSession, path: str,
+                     target_file_mb: int = 128,
+                     max_retries: int = 5) -> int:
+    """Delta's ``OPTIMIZE`` on the ``v=N`` layout: bin-pack the LATEST
+    snapshot's small files into ~``target_file_mb`` files and commit
+    the compacted copy as a NEW version through the same optimistic
+    rename-publish as :func:`merge_upsert` — concurrent merges and a
+    concurrent optimize race safely (the loser re-runs), readers
+    pinned on old versions are untouched, and the un-compacted
+    versions age out through :func:`vacuum_versions` as usual. A
+    micro-batch MERGE stream accumulates one small-file snapshot per
+    batch; this is the maintenance pass that keeps its scan-side
+    file count (and at 100 TB, its task count) bounded. Returns the
+    new version number; value-identical content by construction
+    (pinned by test)."""
+    for _ in range(max_retries + 1):
+        committed = _versions(path, committed_only=True)
+        if not committed:
+            raise FileNotFoundError(f"no committed versions under {path}")
+        base_v = committed[-1]
+        vdir = os.path.join(path, f"v={base_v}")
+        size = sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(vdir) for f in fs)
+        n_files = max(1, round(size / (target_file_mb << 20)))
+        df = read_version(spark, path, base_v).coalesce(n_files)
+        if commit_version(df, path, base_v + 1):
+            return base_v + 1
+    raise ConcurrentWriteError(
+        f"optimize at {path} lost the version race {max_retries + 1} times")
+
+
+def restore_version(spark: SparkSession, path: str, version: int,
+                    max_retries: int = 5) -> int:
+    """Delta's ``RESTORE TO VERSION``: roll the table BACK to an older
+    snapshot by rolling FORWARD — the restored content commits as a
+    NEW latest version (history is never rewritten; the bad versions
+    stay pinned-readable until vacuum drops them, and the change feed
+    sees the restore as ordinary changes). Same optimistic commit
+    loop as everything else that writes this layout."""
+    for _ in range(max_retries + 1):
+        df = read_version(spark, path, version)  # validates committed
+        latest = _versions(path, committed_only=True)[-1]
+        if commit_version(df, path, latest + 1):
+            return latest + 1
+    raise ConcurrentWriteError(
+        f"restore at {path} lost the version race {max_retries + 1} times")
+
+
 def read_version_as_of(spark: SparkSession, path: str, ts) -> DataFrame:
     """Time travel by TIMESTAMP (Delta's ``timestampAsOf``, VERDICT r9
     item 4): serve the latest snapshot committed at or before ``ts``.

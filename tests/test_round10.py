@@ -379,6 +379,61 @@ def test_consume_change_feed_bootstrap_and_growth(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Lakehouse maintenance verbs: OPTIMIZE and RESTORE
+
+
+def test_optimize_version_compacts_without_changing_values(spark, tmp_path):
+    """OPTIMIZE bin-packs the latest snapshot into a NEW version:
+    fewer files, identical content, old versions untouched, and the
+    change feed sees an empty diff (no rows changed)."""
+    import glob
+
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, optimize_version, read_change_feed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, 1, f"v{i}") for i in range(200)],
+        "k int, ts int, v string")
+    # the micro-batch-MERGE shape: a snapshot fragmented across many
+    # small files (explicit repartition — AQE does not coalesce it)
+    assert commit_version(df.repartition(16), p, 1)
+    assert len(glob.glob(f"{p}/v=1/part-*")) == 16
+    new_v = optimize_version(spark, p, target_file_mb=128)
+    assert new_v == 2
+    assert len(glob.glob(f"{p}/v=2/part-*")) == 1  # tiny table: 1 file
+    before = sorted(map(tuple, read_version(spark, p, 1).collect()))
+    after = sorted(map(tuple, read_version(spark, p, 2).collect()))
+    assert after == before
+    # the compaction commit is change-free in the feed
+    assert read_change_feed(spark, p, ["k"], from_version=1).count() == 0
+
+
+def test_restore_version_rolls_forward(spark, tmp_path):
+    """RESTORE commits the old snapshot as a NEW latest version:
+    history is preserved (the bad version stays pinned-readable) and
+    the feed records the restore as ordinary changes."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, read_change_feed, read_version, restore_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(1, 10, "good"), (2, 10, "keep")]),
+                 keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, p, _kv(spark, [(1, 20, "BAD"), (3, 20, "OOPS")]),
+                 keys=["k"], order_cols=["ts"])
+    assert restore_version(spark, p, 1) == 3
+    assert {r.k: r.v for r in read_version(spark, p).collect()} == {
+        1: "good", 2: "keep"}
+    # bad version still pinned-readable; feed shows the rollback legs
+    assert read_version(spark, p, 2).count() == 3
+    feed = read_change_feed(spark, p, ["k"], from_version=2)
+    got = sorted((r.k, r._change_type) for r in feed.collect())
+    assert got == [(1, "update_postimage"), (3, "delete")]
+
+
+# ---------------------------------------------------------------------------
 # Tombstone deletes: order-independence the hard delete cannot give
 
 

@@ -6,6 +6,8 @@ equi-depth balance, and ranking shape.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from project2_bigdata_spark.plans import REGISTRY
@@ -15,6 +17,7 @@ def run(spark, sf_dir, name):
     return REGISTRY[name].fn(spark, sf_dir)
 
 
+@pytest.mark.slow
 def test_gap_fill_spine_is_dense(spark, sf_dir):
     df = run(spark, sf_dir, "gap_fill_forward")
     # per product: row count == max-min+1 days, no null fills, and every

@@ -85,6 +85,7 @@ def test_sparkml_persistence_roundtrip(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_best_model_persistence_roundtrip(spark, sf_dir):
     """S5/U3: per-product winners persist to parquet and reload; the
     forecast from reloaded models is bit-identical to the in-memory one
@@ -112,6 +113,7 @@ def test_best_model_persistence_roundtrip(spark, sf_dir):
         shutil.rmtree(path, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_forecast_14d_shape_and_determinism(spark, sf_dir):
     fn = REGISTRY["ml_forecast_14d"].fn
     a = fn(spark, sf_dir).toPandas()
@@ -206,6 +208,7 @@ def test_family_selection_on_disagreeing_products(spark):
         hist["product"] == "trend"]["total_quantity"].max() - 10
 
 
+@pytest.mark.slow
 def test_rf_grid_runs_and_is_deterministic(spark, sf_dir):
     """Seeded RF + seeded TrainValidationSplit: same winner, same scores
     across runs; winning params are actual grid points."""

@@ -11,6 +11,14 @@ import pytest
 
 from project2_bigdata_spark.plans import REGISTRY
 
+# The full parity sweep (300+ queries × Spark + DuckDB each) is the
+# long pole of the suite (~4.5 min) and duplicates what
+# tools/driver_replica.py sweeps before every milestone — slow-marked
+# so the per-edit fast path (`pytest -m "not slow" tests/`) stays
+# under 5 minutes while full CI still runs everything (VERDICT r9
+# item 6). The fast path keeps every trap/plan/property/unit pin.
+pytestmark = pytest.mark.slow
+
 WITH_ORACLE = sorted(name for name, q in REGISTRY.items() if q.oracle)
 NO_ORACLE = sorted(name for name, q in REGISTRY.items() if not q.oracle)
 

@@ -135,6 +135,7 @@ def test_no_cartesian_product(spark, sf_dir, name):
     assert "CartesianProduct" not in plan, f"{name}:\n{plan}"
 
 
+@pytest.mark.slow
 def test_no_nested_loop_join_outside_allowlist(spark, sf_dir):
     """A BroadcastNestedLoopJoin is only acceptable where the broadcast
     side is a tiny probe/range relation by construction; anywhere else
@@ -169,6 +170,7 @@ def test_scalar_augment_joins_are_broadcast(spark, sf_dir, name):
         spark.conf.set("spark.sql.adaptive.enabled", orig)
 
 
+@pytest.mark.slow
 def test_no_python_udf_outside_allowlist(spark, sf_dir):
     """U1: parity paths are JVM-only; Python appears only in the
     documented Arrow-batch operators."""
@@ -330,6 +332,7 @@ def test_profile_hll_has_no_distinct_expand(spark, sf_dir):
     assert n == 1, f"expected exactly one orders scan, got {n}\n{plan}"
 
 
+@pytest.mark.slow
 def test_results_invariant_under_aqe_toggle(spark, sf_dir):
     """Correctness must not depend on AQE's runtime re-planning: the
     exactness conventions (decimal sums, deterministic tie-breaks) make

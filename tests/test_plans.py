@@ -8,6 +8,8 @@ here is a scale bug even when sf0.01 results stay correct.
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import DataFrame
 
 from project2_bigdata_spark.plans import REGISTRY
@@ -55,6 +57,7 @@ def test_dimension_joins_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
 
 
+@pytest.mark.slow
 def test_no_cartesian_products(spark, sf_dir):
     """No registered query may plan a cartesian product. (Broadcast
     nested-loop is fine — that's the deliberate range-join strategy.)"""
@@ -68,6 +71,7 @@ def test_no_cartesian_products(spark, sf_dir):
     assert not offenders, f"cartesian products in: {offenders}"
 
 
+@pytest.mark.slow
 def test_no_python_row_udfs_in_core_paths(spark, sf_dir):
     """Relational/nested/window queries must stay JVM-side: no
     BatchEvalPython (row-at-a-time UDF) anywhere; ArrowEvalPython is
@@ -128,8 +132,9 @@ def test_driver_order_invariants():
     assert len(order) == len(set(order)), "duplicate names in driver order"
     assert set(order) == set(REGISTRY), "driver order must cover the registry"
 
-    rows = _correctness_rows()
-    assert rows, "driver CORRECTNESS files must be readable"
+    tagged = _correctness_rows()
+    assert tagged, "driver CORRECTNESS files must be readable"
+    rows = {n: row for n, (row, _rnd) in tagged.items()}  # r10: round tags
     pos = {n: i for i, n in enumerate(order)}
 
     never = [n for n in REGISTRY if n not in rows]

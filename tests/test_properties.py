@@ -9,6 +9,7 @@ import itertools
 from collections import Counter
 
 import pandas as pd
+import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 from pyspark.sql import functions as F
@@ -289,6 +290,7 @@ _edges = st.lists(
 
 @settings(**_SETTINGS)
 @given(_edges)
+@pytest.mark.slow
 def test_connected_components_matches_union_find(spark, edges):
     """CC fixpoint == an independent union-find model on random small
     graphs (self-loops and duplicate edges included by generation)."""
@@ -437,6 +439,7 @@ def test_theil_sen_pair_generation_matches_itertools(spark, points):
 @settings(**_SETTINGS)
 @given(st.lists(st.tuples(st.integers(0, 50), st.integers(1, 3)),
                 min_size=0, max_size=18))
+@pytest.mark.slow
 def test_window_funnel_dp_matches_brute_force(spark, events):
     """window_funnel's linear DP (latest-window-start state) must equal
     the brute-force EXISTS semantics — max depth of a view≤click≤
@@ -491,6 +494,7 @@ _cdc_stream = st.lists(_cdc_batch, min_size=1, max_size=4)
 
 @settings(**_SETTINGS)
 @given(_cdc_stream)
+@pytest.mark.slow
 def test_merge_upsert_latest_wins_equals_recompute(spark, tmp_path_factory, batches):
     """MERGE invariant (r8): applying CDC batches one at a time through
     merge_upsert(resolve='latest_wins') must equal a full recompute of

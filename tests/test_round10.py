@@ -158,6 +158,7 @@ def _sales_df(spark, rows):
 # ADVICE r9 item 1: connector nulls round-trip instead of crashing
 
 
+@pytest.mark.slow
 def test_pyds_null_fields_roundtrip(spark, tmp_path):
     """Every sale column is nullable: the writer serializes None as
     JSON null (it used to crash on row[1].replace / the %.2f format),
@@ -500,6 +501,7 @@ def test_tombstone_deletes_survive_out_of_order_replay(spark, tmp_path):
 # VERDICT r9 item 7: options-level predicate for the streaming reader
 
 
+@pytest.mark.slow
 def test_stream_eq_filters_selective_replay(spark, tmp_path):
     """eq_filters runs the batch reader's compiled predicate (and byte
     prefilter for string equalities) inside the STREAM reader: only

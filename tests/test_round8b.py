@@ -514,6 +514,7 @@ def test_pyds_stream_window_partitions_own_each_line_once(tmp_path):
         assert sorted(got, key=int) == [str(i) for i in range(1, 30)], n
 
 
+@pytest.mark.slow
 def test_pyds_stream_growing_source_incremental_batch(spark, tmp_path):
     """The growing-source contract: a second AvailableNow run against
     the SAME checkpoint picks up exactly the bytes appended since the

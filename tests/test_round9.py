@@ -83,6 +83,7 @@ def test_merge_upsert_retry_exhaustion_raises(spark, tmp_path):
                      max_retries=2, pre_commit_hook=always_lose)
 
 
+@pytest.mark.slow
 def test_merge_upsert_threaded_race_equals_recompute(spark, tmp_path):
     """A genuine thread race: 3 writers × 2 merges each, all started
     together. latest_wins resolution is commutative given unique
@@ -210,6 +211,7 @@ def test_pyds_latest_offset_clamps_to_newline(tmp_path):
     assert r3.latestOffset() == {"byte": 0}
 
 
+@pytest.mark.slow
 def test_pyds_stream_live_writer_mid_append(spark, tmp_path):
     """The advertised live growing-source case (ADVICE r8): run 1
     samples the file while a writer is mid-append (partial last line,
@@ -275,6 +277,7 @@ def _sales_df(spark, n=40):
               "purchase_method string")
 
 
+@pytest.mark.slow
 def test_pyds_writer_roundtrip_multi_partition(spark, tmp_path):
     """Distributed write: one part file per NON-EMPTY partition, driver
     commit publishes with _SUCCESS, and the directory-aware reader
@@ -350,6 +353,7 @@ def test_pyds_pushdown_consumes_filter_node(spark, tmp_path):
     assert sorted(r.sale_id for r in mixed.collect()) == expect2
 
 
+@pytest.mark.slow
 def test_pyds_stream_writer_batch_commit_is_overwrite_idempotent(
         spark, tmp_path):
     """Replaying a micro-batch (at-least-once) must overwrite its
@@ -386,6 +390,7 @@ def test_pyds_stream_writer_batch_commit_is_overwrite_idempotent(
     assert n1 == n2 == 12  # overwritten, not doubled
 
 
+@pytest.mark.slow
 def test_pyds_boundary_coincidence_uniform_lines(spark, tmp_path):
     """Regression (r9): when every line has the SAME length, size//n
     range boundaries land exactly on line starts — the pre-fix readers

@@ -6,6 +6,8 @@ diverge from the reference's (pandas/Mongo) semantics.
 
 from __future__ import annotations
 
+import pytest
+
 import datetime
 
 from pyspark.sql import Row, functions as F
@@ -117,6 +119,7 @@ def test_approx_count_distinct_within_bounds(spark, sf_dir):
         assert abs(hll[k] - n) / n <= 0.05, (k, hll[k], n)
 
 
+@pytest.mark.slow
 def test_profile_hll_tracks_exact_profile(spark, sf_dir):
     """profile_orders_columns_hll's RAW HLL estimates are engine-
     specific, so its registered output exposes them only as a sanity

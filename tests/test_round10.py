@@ -380,6 +380,111 @@ def test_consume_change_feed_bootstrap_and_growth(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# Bucket-level copy-on-write merge
+
+
+def test_bucketed_merge_equals_full_merge(spark, tmp_path):
+    """The copy-on-write path is semantics-preserving: applying the
+    same batches (updates, inserts, op-column deletes) through
+    merge_upsert_bucketed and merge_upsert yields identical final
+    states (modulo the layout's _bucket column)."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, merge_upsert_bucketed, read_version,
+    )
+
+    b1 = [(k, 10, f"base{k}", "U") for k in range(40)]
+    b2 = ([(k, 20, f"upd{k}", "U") for k in range(0, 10)]
+          + [(k, 20, None, "D") for k in range(10, 15)]
+          + [(k, 20, f"new{k}", "I") for k in range(40, 50)]
+          + [(7, 30, "upd7b", "U")])  # within-batch race on k=7
+
+    pb, pf = str(tmp_path / "bucketed"), str(tmp_path / "full")
+    for batch in (b1, b2):
+        merge_upsert_bucketed(spark, pb, _kvop(spark, batch),
+                              keys=["k"], order_cols=["ts"],
+                              n_buckets=8, op_col="op")
+        merge_upsert(spark, pf, _kvop(spark, batch),
+                     keys=["k"], order_cols=["ts"], op_col="op")
+    got = sorted(map(tuple, read_version(spark, pb, 2)
+                     .drop("_bucket").collect()))
+    want = sorted(map(tuple, read_version(spark, pf, 2).collect()))
+    assert got == want and len(got) == 45  # 40 - 5 deleted + 10 new
+
+
+def test_bucketed_merge_hardlinks_untouched_buckets(spark, tmp_path):
+    """The zero-copy claim, proven at the inode level: a merge touching
+    ONE key rewrites only that key's bucket — every other bucket's
+    files in v=2 are HARDLINKS of v=1's (same st_ino), not copies."""
+    import glob
+
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    merge_upsert_bucketed(spark, p, _kv(spark, [(3, 20, "updated")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=8)
+
+    def inodes(version):
+        return {
+            os.path.relpath(f, f"{p}/v={version}"): os.stat(f).st_ino
+            for f in glob.glob(f"{p}/v={version}/_bucket=*/*.parquet")
+        }
+
+    i1, i2 = inodes(1), inodes(2)
+    touched = {os.path.dirname(f) for f in set(i2) - set(i1)}
+    shared = {f for f in i2 if f in i1 and i2[f] == i1[f]}
+    rewritten = {f for f in i2 if os.path.dirname(f) in touched}
+    assert len(touched) == 1            # exactly one bucket rewritten
+    assert shared == set(i2) - rewritten  # every other file hardlinked
+    assert len(shared) >= 6             # several untouched buckets
+    got = {r.k: r.v for r in read_version(spark, p, 2).collect()}
+    assert got[3] == "updated" and len(got) == 64
+
+
+def test_bucketed_merge_layout_contract(spark, tmp_path):
+    """n_buckets / keys are recorded at first commit; a merge with a
+    different bucket function refuses instead of pruning wrongly."""
+    from project2_bigdata_spark.sources.ingest import merge_upsert_bucketed
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(spark, p, _kv(spark, [(1, 10, "a")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=8)
+    with pytest.raises(ValueError, match="layout"):
+        merge_upsert_bucketed(spark, p, _kv(spark, [(2, 20, "b")]),
+                              keys=["k"], order_cols=["ts"], n_buckets=16)
+
+
+def test_bucketed_merge_racing_writers(spark, tmp_path):
+    """Disjoint-bucket racers still serialize through the exactly-
+    base+1 commit: the loser re-merges against the winner's snapshot
+    and BOTH deltas land."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, "base") for k in range(8)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+
+    def race(attempt, target):
+        if attempt == 0:
+            merge_upsert_bucketed(spark, p, _kv(spark, [(1, 20, "writerB")]),
+                                  keys=["k"], order_cols=["ts"], n_buckets=8)
+
+    final = merge_upsert_bucketed(
+        spark, p, _kv(spark, [(2, 20, "writerA")]),
+        keys=["k"], order_cols=["ts"], n_buckets=8, pre_commit_hook=race)
+    assert final == 3
+    got = {r.k: r.v for r in read_version(spark, p).collect()}
+    assert got[1] == "writerB" and got[2] == "writerA"
+
+
+# ---------------------------------------------------------------------------
 # Lakehouse maintenance verbs: OPTIMIZE and RESTORE
 
 

@@ -618,6 +618,17 @@ def merge_upsert_bucketed(
         committed = _versions(path, committed_only=True)
         base_v = committed[-1] if committed else None
         target = (base_v or 0) + 1
+        # same torn-legacy quarantine as merge_upsert: a crash-torn
+        # uncommitted dir squatting on the successor name would fail
+        # the rename on EVERY retry and wedge the merge
+        tdir = os.path.join(path, f"v={target}")
+        if os.path.isdir(tdir) and not os.path.exists(
+                os.path.join(tdir, "_SUCCESS")):
+            try:
+                os.rename(tdir, os.path.join(
+                    path, f".torn-v{target}-{uuid.uuid4().hex}"))
+            except OSError:
+                pass  # a racer quarantined it first
         staging = os.path.join(
             path, f".staged-v{target}-{uuid.uuid4().hex}")
         (_merged_touched(base_v)

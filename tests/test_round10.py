@@ -458,6 +458,26 @@ def test_bucketed_merge_layout_contract(spark, tmp_path):
                               keys=["k"], order_cols=["ts"], n_buckets=16)
 
 
+def test_bucketed_merge_quarantines_torn_successor(spark, tmp_path):
+    """A crash-torn (uncommitted) directory squatting on the successor
+    version name is quarantined aside — without this every retry's
+    rename fails and the merge wedges."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(spark, p, _kv(spark, [(1, 10, "a")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=4)
+    os.makedirs(f"{p}/v=2/_bucket=0")  # torn debris, no _SUCCESS
+    with open(f"{p}/v=2/_bucket=0/part-junk.parquet", "w") as f:
+        f.write("torn")
+    assert merge_upsert_bucketed(
+        spark, p, _kv(spark, [(2, 20, "b")]),
+        keys=["k"], order_cols=["ts"], n_buckets=4) == 2
+    assert {r.k for r in read_version(spark, p, 2).collect()} == {1, 2}
+
+
 def test_bucketed_merge_racing_writers(spark, tmp_path):
     """Disjoint-bucket racers still serialize through the exactly-
     base+1 commit: the loser re-merges against the winner's snapshot

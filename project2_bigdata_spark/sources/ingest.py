@@ -280,7 +280,16 @@ def _check_merge_schema(base: DataFrame, delta: DataFrame,
             "evolve the dimension schema (new columns null-fill)")
 
 
-def commit_version(df: DataFrame, path: str, version: int) -> bool:
+def _is_bucketed_version(path: str, version: int) -> bool:
+    """True when ``v=version`` carries the bucketed merge's
+    ``_bucket=K`` partition layout."""
+    vdir = os.path.join(path, f"v={version}")
+    return os.path.isdir(vdir) and any(
+        n.startswith("_bucket=") for n in os.listdir(vdir))
+
+
+def commit_version(df: DataFrame, path: str, version: int,
+                   partition_by: str | None = None) -> bool:
     """Atomic OPTIMISTIC commit of ``df`` as exactly ``path/v=version``.
 
     The Delta/Iceberg commit primitive on a POSIX filesystem: the
@@ -301,7 +310,10 @@ def commit_version(df: DataFrame, path: str, version: int) -> bool:
     if os.path.exists(target):
         return False  # lost before writing a byte
     staging = os.path.join(path, f".staged-v{version}-{uuid.uuid4().hex}")
-    df.write.mode("errorifexists").parquet(staging)
+    w = df.write.mode("errorifexists")
+    if partition_by:
+        w = w.partitionBy(partition_by)
+    w.parquet(staging)
     try:
         os.rename(staging, target)
     except OSError:
@@ -774,6 +786,18 @@ def optimize_version(spark: SparkSession, path: str,
             raise FileNotFoundError(f"no committed versions under {path}")
         base_v = committed[-1]
         vdir = os.path.join(path, f"v={base_v}")
+        if _is_bucketed_version(path, base_v):
+            # bucketed layout is a CONTRACT (merge_upsert_bucketed
+            # prunes and hardlinks by _bucket= dirs): OPTIMIZE
+            # compacts WITHIN buckets — one shuffle clustering each
+            # bucket's rows into one task → ~one file per bucket —
+            # and must preserve the partition dirs, else the next
+            # merge's copy-on-write would silently drop untouched data
+            df = read_version(spark, path, base_v).repartition("_bucket")
+            if commit_version(df, path, base_v + 1,
+                              partition_by="_bucket"):
+                return base_v + 1
+            continue
         size = sum(os.path.getsize(os.path.join(r, f))
                    for r, _, fs in os.walk(vdir) for f in fs)
         n_files = max(1, round(size / (target_file_mb << 20)))
@@ -795,7 +819,9 @@ def restore_version(spark: SparkSession, path: str, version: int,
     for _ in range(max_retries + 1):
         df = read_version(spark, path, version)  # validates committed
         latest = _versions(path, committed_only=True)[-1]
-        if commit_version(df, path, latest + 1):
+        # preserve the bucketed layout contract (see optimize_version)
+        pb = "_bucket" if _is_bucketed_version(path, version) else None
+        if commit_version(df, path, latest + 1, partition_by=pb):
             return latest + 1
     raise ConcurrentWriteError(
         f"restore at {path} lost the version race {max_retries + 1} times")

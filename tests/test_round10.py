@@ -559,6 +559,39 @@ def test_restore_version_rolls_forward(spark, tmp_path):
     assert got == [(1, "update_postimage"), (3, "delete")]
 
 
+def test_optimize_and_restore_preserve_bucket_layout(spark, tmp_path):
+    """The data-loss regression: OPTIMIZE/RESTORE on a bucketed table
+    must keep the _bucket=K partition dirs — copy-on-write carries
+    untouched buckets ONLY by hardlinking those dirs, so a layout-
+    destroying compaction would make the next merge silently drop
+    every untouched key."""
+    import glob
+
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, optimize_version, read_version,
+        restore_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    assert optimize_version(spark, p) == 2
+    assert len(glob.glob(f"{p}/v=2/_bucket=*")) == 8  # layout kept
+    # the critical composition: a merge AFTER optimize keeps all rows
+    merge_upsert_bucketed(spark, p, _kv(spark, [(3, 20, "updated")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=8)
+    got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
+    assert len(got) == 64 and got[3] == "updated" and got[60] == "v60"
+    # restore back past the merge: layout kept, merge still composes
+    assert restore_version(spark, p, 2) == 4
+    assert len(glob.glob(f"{p}/v=4/_bucket=*")) == 8
+    merge_upsert_bucketed(spark, p, _kv(spark, [(5, 30, "after")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=8)
+    got = {r.k: r.v for r in read_version(spark, p, 5).collect()}
+    assert len(got) == 64 and got[3] == "v3" and got[5] == "after"
+
+
 # ---------------------------------------------------------------------------
 # Tombstone deletes: order-independence the hard delete cannot give
 

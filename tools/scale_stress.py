@@ -654,6 +654,97 @@ def pyds_pushdown(spark, k: int, timeout_s: int) -> dict:
     return out
 
 
+def merge_cow(spark, k: int, timeout_s: int) -> dict:
+    """Measure the r10 bucket-level copy-on-write merge against the
+    full-snapshot merge on a K x orders dimension: bootstrap both
+    layouts from all orders, then apply the SAME ~1%-of-keys delta to
+    each and compare (a) wall, (b) bytes actually rewritten (v=2 files
+    not hardlinked from v=1). Requires ``amplify K``. Asserts both
+    paths produce the same merged state on the touched keys."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, merge_upsert_bucketed, read_version,
+    )
+
+    sf = dst_dir(k)
+    out: dict[str, object] = {"k": k, "dir": sf}
+
+    def state_rows(df):
+        return df.select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("v"),
+        )
+
+    orders = table(spark, sf, "orders")
+    full = state_rows(orders)
+    delta = state_rows(
+        orders.where(F.col("o_custkey") % 97 == 0)  # ~1% of keys
+    ).withColumn("v", F.col("v") + 1)
+    n_buckets = 64
+    keys, oc = ["k"], ["ts"]
+
+    pb = f"/tmp/sparkgraft_cow_bucketed_{k}"
+    pf = f"/tmp/sparkgraft_cow_full_{k}"
+    import shutil
+    for p in (pb, pf):
+        shutil.rmtree(p, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    with _deadline(spark, "cow-bootstrap-bucketed", timeout_s):
+        merge_upsert_bucketed(spark, pb, full, keys, oc,
+                              n_buckets=n_buckets)
+    out["bootstrap_bucketed_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    with _deadline(spark, "cow-bootstrap-full", timeout_s):
+        merge_upsert(spark, pf, full, keys, oc)
+    out["bootstrap_full_sec"] = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    with _deadline(spark, "cow-delta-bucketed", timeout_s):
+        merge_upsert_bucketed(spark, pb, delta, keys, oc,
+                              n_buckets=n_buckets)
+    out["delta_bucketed_sec"] = round(time.perf_counter() - t0, 1)
+    t0 = time.perf_counter()
+    with _deadline(spark, "cow-delta-full", timeout_s):
+        merge_upsert(spark, pf, delta, keys, oc)
+    out["delta_full_sec"] = round(time.perf_counter() - t0, 1)
+
+    # bytes rewritten vs shared: hardlinked files keep v=1's inode
+    i1 = {os.stat(f).st_ino for f in
+          glob.glob(f"{pb}/v=1/_bucket=*/*.parquet")}
+    rewritten = linked = 0
+    for f in glob.glob(f"{pb}/v=2/_bucket=*/*.parquet"):
+        st = os.stat(f)
+        if st.st_ino in i1:
+            linked += st.st_size
+        else:
+            rewritten += st.st_size
+    full_v2 = sum(os.path.getsize(f) for f in
+                  glob.glob(f"{pf}/v=2/*.parquet"))
+    out["bucketed_v2_rewritten_bytes"] = rewritten
+    out["bucketed_v2_hardlinked_bytes"] = linked
+    out["full_v2_written_bytes"] = full_v2
+    out["write_amplification_ratio"] = round(
+        full_v2 / max(rewritten, 1), 1)
+
+    # parity on the merged state (touched keys + a count check)
+    a = (read_version(spark, pb, 2).where(F.col("k") % 97 == 0)
+         .agg(F.count("*"), F.sum("v")).first())
+    b = (read_version(spark, pf, 2).where(F.col("k") % 97 == 0)
+         .agg(F.count("*"), F.sum("v")).first())
+    assert (a[0], float(a[1])) == (b[0], float(b[1])), (a, b)
+    out["merge_speedup"] = round(
+        out["delta_full_sec"] / max(out["delta_bucketed_sec"], 1e-9), 2)
+    for p in (pb, pf):
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
 def run(spark, k: int, names: list[str], timeout_s: int) -> dict:
     from project2_bigdata_spark.plans import REGISTRY
 
@@ -700,6 +791,12 @@ def main() -> int:
         if rest and rest[0] == "--timeout":
             rest = rest[1:]
         print(json.dumps(pyds_pushdown(
+            spark, k, int(rest[0]) if rest else 1200)))
+    elif mode == "merge_cow":
+        rest = sys.argv[3:]
+        if rest and rest[0] == "--timeout":
+            rest = rest[1:]
+        print(json.dumps(merge_cow(
             spark, k, int(rest[0]) if rest else 1200)))
     elif mode == "bench10":
         # cross-query bench (VERDICT r8 item 8): the headline block

@@ -577,9 +577,16 @@ def merge_upsert_bucketed(
     ``n_buckets`` is a LAYOUT CONTRACT, not a tunable: it is recorded
     in ``_layout.json`` at the table root on first commit and every
     later merge must match (a mismatched bucket function would prune
-    wrongly and silently keep stale rows). Pick it for the target
-    scale — e.g. 4096 buckets ≈ 25 GB/bucket at 100 TB, so a merge
-    touching 1% of keys rewrites ~1% of the table.
+    wrongly and silently keep stale rows). A merge touching ``t``
+    distinct keys rewrites AT MOST ``min(t, n_buckets)/n_buckets`` of
+    the table — the win is for the CDC micro-batch shape (tens to
+    thousands of keys per merge, the streaming SCD1 sink's cadence)
+    against a large dimension, and it grows with ``n_buckets``:
+    measured at K=100 (SCALE.md §merge-cow), a 50-key batch against a
+    260 MB dimension at n=256 rewrote exactly the ≤ 50/256 bound
+    (51 MB, 80% of bytes hardlinked) versus merge_upsert's 100% every
+    time. A delta touching a large uniform fraction of keys degrades
+    gracefully to the full rewrite.
 
     Readers are unchanged: ``read_version`` sees ``_bucket`` as an
     ordinary partition column (derivable from the keys; drop it when

@@ -445,6 +445,31 @@ def test_bucketed_merge_hardlinks_untouched_buckets(spark, tmp_path):
     assert got[3] == "updated" and len(got) == 64
 
 
+def test_bucketed_merge_base_read_is_partition_pruned(spark, tmp_path):
+    """The scale claim in the PLAN: the merge's base read carries the
+    touched-bucket predicate as PartitionFilters on the v=N scan —
+    untouched buckets' files are never opened, let alone shuffled."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import merge_upsert_bucketed
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    # the exact read shape _merged_touched builds, for a 1-key delta
+    bucket = F.pmod(F.hash(F.lit(3)), F.lit(8)).cast("int")
+    touched = [spark.range(1).select(bucket).first()[0]]
+    base = (spark.read.parquet(f"{p}/v=1")
+            .filter(F.col("_bucket").isin(touched)))
+    plan = base._jdf.queryExecution().executedPlan().toString()
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "_bucket" in m.group(1), plan
+    # and the scan actually prunes: one bucket's worth of rows
+    assert 0 < base.count() < 64
+
+
 def test_bucketed_merge_layout_contract(spark, tmp_path):
     """n_buckets / keys are recorded at first commit; a merge with a
     different bucket function refuses instead of pruning wrongly."""

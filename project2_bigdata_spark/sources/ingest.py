@@ -1056,6 +1056,42 @@ def consume_change_feed(
     return consumed
 
 
+def apply_change_feed(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    feed: DataFrame,
+) -> int | None:
+    """Apply a Change-Data-Feed slice to a DOWNSTREAM replica — the
+    canonical CDF consumption pattern (Delta's CDF → MERGE): each
+    commit's changes apply IN COMMIT ORDER as one op-column merge,
+    ``delete`` rows removing the key and insert/update rows upserting.
+    Within one commit a key appears at most once (the feed is a keyed
+    snapshot diff), so no within-batch ordering is needed; ACROSS
+    commits the per-commit loop preserves the source's serial history
+    — collapsing the feed first would let an older commit's update
+    resurrect a later-deleted key. Returns the replica's latest
+    version (None for an empty feed).
+
+    Composed end-to-end in ``cdf_replicate_dimension``: source
+    dimension → feed → replica, hash-equal to recomputing the source
+    from its raw event log — the delete leg drives
+    ``merge_upsert(op_col=...)`` exactly as a real replication would.
+    """
+    versions = sorted(
+        r[0] for r in feed.select("_commit_version").distinct().collect())
+    new_v = None
+    for v in versions:
+        batch = (
+            feed.filter(F.col("_commit_version") == v)
+            .withColumn("_op", F.when(F.col("_change_type") == "delete",
+                                      F.lit("D")).otherwise(F.lit("U")))
+            .drop("_change_type", "_commit_version")
+        )
+        new_v = merge_upsert(spark, path, batch, keys, op_col="_op")
+    return new_v
+
+
 def read_consumed_feed(spark: SparkSession, sink_dir: str) -> DataFrame:
     """Read back everything :func:`consume_change_feed` has landed.
     The ``commit=N`` layout reads as one relation; the partition-
@@ -1361,6 +1397,39 @@ def q_cdf_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )
+
+
+@register(
+    "cdf_replicate_dimension",
+    # the replica must equal recomputing the SOURCE from its raw event
+    # log — identical oracle to scd1_merge_with_deletes
+    oracle=_SCD1_DELETES_ORACLE_CTE + """
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(price AS VARCHAR) AS DOUBLE) AS last_totalprice
+    FROM s2
+    """,
+    doc="CDF REPLICATION end-to-end (r10 — Delta's canonical CDF → "
+        "MERGE pattern, and the composition that makes the delete leg "
+        "earn its keep): the replica bootstraps from the source's v=1 "
+        "snapshot, then apply_change_feed replays the feed commit by "
+        "commit — delete rows remove keys through the op-column "
+        "merge, insert/update rows upsert. The oracle recomputes the "
+        "SOURCE's final state from the raw event log, so hash parity "
+        "proves source → feed → replica is lossless including "
+        "deletions — a downstream can maintain an exact copy from the "
+        "feed alone, never re-reading the source",
+)
+def q_cdf_replicate_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    source = _scd1_deletes_table(spark, sf_dir)
+    keys = ["o_custkey"]
+    replica = session_spool(spark, "cdf_replica_")
+    merge_upsert(spark, replica, read_version(spark, source, 1), keys)
+    apply_change_feed(spark, replica, keys,
+                      read_change_feed(spark, source, keys, from_version=1))
+    return _scd1_out(read_version(spark, replica))
 
 
 def read_pruned(spark: SparkSession, path: str, **partition_values) -> DataFrame:

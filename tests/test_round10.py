@@ -530,6 +530,39 @@ def test_bucketed_merge_racing_writers(spark, tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# CDF replication: feed → replica, per commit
+
+
+def test_apply_change_feed_replicates_through_delete_and_rebirth(
+        spark, tmp_path):
+    """Commit-ordered apply: a key deleted in commit 2 and re-inserted
+    in commit 3 survives; a key updated in 2 and deleted in 3 is gone.
+    (A collapsed apply would get one of these wrong.)"""
+    from project2_bigdata_spark.sources.ingest import (
+        apply_change_feed, merge_upsert, read_change_feed, read_version,
+    )
+
+    src = str(tmp_path / "src")
+    merge_upsert(spark, src, _kv(spark, [(1, 10, "a"), (2, 10, "b")]),
+                 keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, src,
+                 _kvop(spark, [(1, 20, None, "D"), (2, 20, "b2", "U")]),
+                 keys=["k"], order_cols=["ts"], op_col="op")
+    merge_upsert(spark, src,
+                 _kvop(spark, [(1, 30, "a3", "I"), (2, 30, None, "D")]),
+                 keys=["k"], order_cols=["ts"], op_col="op")
+
+    replica = str(tmp_path / "replica")
+    merge_upsert(spark, replica, read_version(spark, src, 1), keys=["k"])
+    assert apply_change_feed(
+        spark, replica, ["k"],
+        read_change_feed(spark, src, ["k"], from_version=1)) == 3
+    got = sorted(map(tuple, read_version(spark, replica).collect()))
+    want = sorted(map(tuple, read_version(spark, src, 3).collect()))
+    assert got == want == [(1, 30, "a3")]
+
+
+# ---------------------------------------------------------------------------
 # Lakehouse maintenance verbs: OPTIMIZE and RESTORE
 
 

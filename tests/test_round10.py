@@ -470,6 +470,25 @@ def test_bucketed_merge_base_read_is_partition_pruned(spark, tmp_path):
     assert 0 < base.count() < 64
 
 
+def test_vacuum_keeps_hardlinked_successor_readable(spark, tmp_path):
+    """Hardlinks make vacuum safe by construction: dropping the base
+    version only decrements link counts — the successor's shared
+    bucket files keep their data."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version, vacuum_versions,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(32)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    merge_upsert_bucketed(spark, p, _kv(spark, [(1, 20, "upd")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=8)
+    assert vacuum_versions(p, keep=1) == [1]
+    got = {r.k: r.v for r in read_version(spark, p, 2).collect()}
+    assert len(got) == 32 and got[1] == "upd" and got[20] == "v20"
+
+
 def test_bucketed_merge_layout_contract(spark, tmp_path):
     """n_buckets / keys are recorded at first commit; a merge with a
     different bucket function refuses instead of pruning wrongly."""

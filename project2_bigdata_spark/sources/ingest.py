@@ -436,67 +436,11 @@ def merge_upsert(
                .drop(op_col) if op_col else delta)
 
     def _merged(base_version: int | None) -> DataFrame:
-        if base_version is None:
-            return upserts  # bootstrap: deletes of an empty base no-op
-        if resolve == "delta_wins":
-            base = read_version(spark, path, base_version)
-            _check_merge_schema(base, upserts, schema_evolution)
-            # eqNullSafe like the latest_wins join below: a null-unsafe
-            # anti-join never matches NULL keys, so a NULL-keyed base
-            # row would SURVIVE alongside the NULL-keyed delta row —
-            # the two resolve modes would disagree on the same input
-            # (r8 self-review item 4). The anti-join runs against ALL
-            # delta keys (deletes included): a key whose winning event
-            # is a delete leaves no row on either side.
-            dk = delta.select(*keys).distinct()
-            return base.join(
-                dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
-            ).unionByName(upserts, allowMissingColumns=schema_evolution)
-        # latest_wins: the CDC consumer that may receive OUT-OF-ORDER
-        # deltas — a matched key keeps whichever of (base row, delta
-        # winner) is newest by order_cols, compared ROW-LOCALLY after
-        # one full-outer key join (never a window over base ∪ delta:
-        # base stays sort-free and the join is AQE-skew-splittable).
-        base = read_version(spark, path, base_version)
-        _check_merge_schema(
-            base, delta.drop(op_col) if op_col else delta, schema_evolution)
-        # with schema_evolution, new delta-only columns append after
-        # the base's (null for rows whose winning side lacks them —
-        # Delta's mergeSchema contract); a side missing a column
-        # contributes NULL through _side_col. The op column joins (the
-        # delete decision needs it) but never projects.
-        cols = base.columns + [
-            c for c in delta.columns
-            if c not in base.columns and c != op_col]
-        bcols, dcols = set(base.columns), set(delta.columns)
-        # explicit presence markers, NOT key-isNotNull probes: a
-        # NULL-keyed row is a PRESENT row whose key happens to be null
-        # (eqNullSafe matches it), and key-nullity probes misread it as
-        # an absent join side (r8 self-review follow-up — caught by
-        # test_merge_upsert_null_key_modes_agree)
-        b = base.withColumn("_b_present", F.lit(True)).alias("_b")
-        d = delta.withColumn("_d_present", F.lit(True)).alias("_d")
-        joined = b.join(d, [F.col(f"_b.{k}").eqNullSafe(F.col(f"_d.{k}"))
-                            for k in keys], "full_outer")
-        base_missing = F.col("_b._b_present").isNull()
-        delta_newer = F.struct(*[F.col(f"_d.{c}") for c in order_cols]) \
-            >= F.struct(*[F.col(f"_b.{c}") for c in order_cols])
-        take_delta = base_missing | (
-            F.col("_d._d_present").isNotNull() & delta_newer)
-        out = joined.select(*[
-            F.when(take_delta, _side_col("_d", dcols, c))
-            .otherwise(_side_col("_b", bcols, c)).alias(c)
-            for c in cols
-        ], *([F.when(take_delta,
-                     F.col(f"_d.{op_col}").eqNullSafe(delete_value))
-              .otherwise(F.lit(False)).alias("_win_is_delete")]
-             if op_col else []))
-        if op_col:
-            # a delete that WON the newest-event race removes the key;
-            # an out-of-order delete older than the base row already
-            # lost take_delta and the base row survives above
-            out = out.filter(~F.col("_win_is_delete")).drop("_win_is_delete")
-        return out
+        base = (read_version(spark, path, base_version)
+                if base_version is not None else None)
+        return _resolve_merge(base, delta, upserts, keys, order_cols,
+                              resolve, op_col, delete_value,
+                              schema_evolution)
 
     import uuid as _uuid
 
@@ -527,6 +471,83 @@ def merge_upsert(
         f"merge at {path} lost the version race {max_retries + 1} times")
 
 
+def _resolve_merge(
+    base: DataFrame | None,
+    delta: DataFrame,
+    upserts: DataFrame,
+    keys: list[str],
+    order_cols: list[str] | None,
+    resolve: str,
+    op_col: str | None,
+    delete_value: str,
+    schema_evolution: bool,
+) -> DataFrame:
+    """The merge RESOLUTION core, shared by the full-snapshot and the
+    bucketed copy-on-write merges (which pass a partition-pruned
+    ``base`` slice). ``delta`` is the deduped winners WITH the op
+    column; ``upserts`` is its upsert-only, op-free view; ``base`` is
+    None at bootstrap (deletes of an empty base no-op)."""
+    if base is None:
+        return upserts
+    if resolve == "delta_wins":
+        _check_merge_schema(base, upserts, schema_evolution)
+        # eqNullSafe like the latest_wins join below: a null-unsafe
+        # anti-join never matches NULL keys, so a NULL-keyed base
+        # row would SURVIVE alongside the NULL-keyed delta row —
+        # the two resolve modes would disagree on the same input
+        # (r8 self-review item 4). The anti-join runs against ALL
+        # delta keys (deletes included): a key whose winning event
+        # is a delete leaves no row on either side.
+        dk = delta.select(*keys).distinct()
+        return base.join(
+            dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
+        ).unionByName(upserts, allowMissingColumns=schema_evolution)
+    # latest_wins: the CDC consumer that may receive OUT-OF-ORDER
+    # deltas — a matched key keeps whichever of (base row, delta
+    # winner) is newest by order_cols, compared ROW-LOCALLY after
+    # one full-outer key join (never a window over base ∪ delta:
+    # base stays sort-free and the join is AQE-skew-splittable).
+    _check_merge_schema(
+        base, delta.drop(op_col) if op_col else delta, schema_evolution)
+    # with schema_evolution, new delta-only columns append after
+    # the base's (null for rows whose winning side lacks them —
+    # Delta's mergeSchema contract); a side missing a column
+    # contributes NULL through _side_col. The op column joins (the
+    # delete decision needs it) but never projects.
+    cols = base.columns + [
+        c for c in delta.columns
+        if c not in base.columns and c != op_col]
+    bcols, dcols = set(base.columns), set(delta.columns)
+    # explicit presence markers, NOT key-isNotNull probes: a
+    # NULL-keyed row is a PRESENT row whose key happens to be null
+    # (eqNullSafe matches it), and key-nullity probes misread it as
+    # an absent join side (r8 self-review follow-up — caught by
+    # test_merge_upsert_null_key_modes_agree)
+    b = base.withColumn("_b_present", F.lit(True)).alias("_b")
+    d = delta.withColumn("_d_present", F.lit(True)).alias("_d")
+    joined = b.join(d, [F.col(f"_b.{k}").eqNullSafe(F.col(f"_d.{k}"))
+                        for k in keys], "full_outer")
+    base_missing = F.col("_b._b_present").isNull()
+    delta_newer = F.struct(*[F.col(f"_d.{c}") for c in order_cols]) \
+        >= F.struct(*[F.col(f"_b.{c}") for c in order_cols])
+    take_delta = base_missing | (
+        F.col("_d._d_present").isNotNull() & delta_newer)
+    out = joined.select(*[
+        F.when(take_delta, _side_col("_d", dcols, c))
+        .otherwise(_side_col("_b", bcols, c)).alias(c)
+        for c in cols
+    ], *([F.when(take_delta,
+                 F.col(f"_d.{op_col}").eqNullSafe(delete_value))
+          .otherwise(F.lit(False)).alias("_win_is_delete")]
+         if op_col else []))
+    if op_col:
+        # a delete that WON the newest-event race removes the key;
+        # an out-of-order delete older than the base row already
+        # lost take_delta and the base row survives above
+        out = out.filter(~F.col("_win_is_delete")).drop("_win_is_delete")
+    return out
+
+
 def _dedup_delta(delta: DataFrame, keys: list[str],
                  order_cols: list[str] | None) -> DataFrame:
     """Within-delta winner per key by ``order_cols`` (shared by the
@@ -549,6 +570,7 @@ def merge_upsert_bucketed(
     n_buckets: int = 64,
     op_col: str | None = None,
     delete_value: str = "D",
+    resolve: str = "delta_wins",
     max_retries: int = 5,
     pre_commit_hook=None,
 ) -> int:
@@ -592,13 +614,22 @@ def merge_upsert_bucketed(
     ordinary partition column (derivable from the keys; drop it when
     unwanted). ``diff_snapshots`` / ``read_change_feed`` /
     ``vacuum_versions`` / ``optimize`` compose as with any version.
-    Conflict resolution is ``delta_wins`` (the in-order CDC contract —
-    foreachBatch's serial application); out-of-order feeds belong on
-    ``merge_upsert(resolve='latest_wins')`` or tombstones."""
+    ``resolve`` carries :func:`merge_upsert`'s exact semantics through
+    the shared :func:`_resolve_merge` core — ``delta_wins`` (in-order
+    CDC, foreachBatch's serial contract) or ``latest_wins``
+    (out-of-order-tolerant: a matched key keeps whichever side is
+    newest by ``order_cols``, resolved over the touched-bucket slice
+    only — pruning is by KEY hash, so every row of a key lives in one
+    bucket and the slice sees the full picture)."""
     import json
     import shutil
     import uuid
 
+    if resolve not in ("delta_wins", "latest_wins"):
+        raise ValueError(
+            f"resolve must be delta_wins|latest_wins, got {resolve!r}")
+    if resolve == "latest_wins" and not order_cols:
+        raise ValueError("latest_wins needs order_cols to compare base vs delta")
     if op_col is not None and op_col not in delta.columns:
         raise ValueError(f"op_col {op_col!r} not in delta columns")
     layout_file = os.path.join(path, "_layout.json")
@@ -623,15 +654,12 @@ def merge_upsert_bucketed(
                      delta.select("_bucket").distinct().collect())
 
     def _merged_touched(base_v: int | None) -> DataFrame:
-        if base_v is None:
-            return upserts
-        base = spark.read.parquet(f"{path}/v={base_v}") \
-            .filter(F.col("_bucket").isin(touched))  # partition-pruned
-        _check_merge_schema(base, upserts, schema_evolution=False)
-        dk = delta.select(*keys).distinct()
-        return base.join(
-            dk, [base[k].eqNullSafe(dk[k]) for k in keys], "left_anti"
-        ).unionByName(upserts)
+        base = (spark.read.parquet(f"{path}/v={base_v}")
+                .filter(F.col("_bucket").isin(touched))  # pruned
+                if base_v is not None else None)
+        return _resolve_merge(base, delta, upserts, keys, order_cols,
+                              resolve, op_col, delete_value,
+                              schema_evolution=False)
 
     for attempt in range(max_retries + 1):
         committed = _versions(path, committed_only=True)

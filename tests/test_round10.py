@@ -522,6 +522,36 @@ def test_bucketed_merge_quarantines_torn_successor(spark, tmp_path):
     assert {r.k for r in read_version(spark, p, 2).collect()} == {1, 2}
 
 
+def test_bucketed_merge_latest_wins_matches_plain(spark, tmp_path):
+    """latest_wins through the shared resolve core, over the pruned
+    bucket slice: out-of-order batches (stale update, stale delete,
+    fresh delete) resolve identically to the full-snapshot merge —
+    key-hash bucketing means a key's full picture lives in one
+    bucket, so slice-local resolution is complete."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, merge_upsert_bucketed, read_version,
+    )
+
+    batches = [
+        [(1, 20, "a", "U"), (2, 20, "b", "U"), (3, 20, "c", "U")],
+        # out-of-order: stale update for 1, stale delete for 2,
+        # fresh delete for 3
+        [(1, 10, "STALE", "U"), (2, 15, None, "D"), (3, 30, None, "D")],
+    ]
+    pb, pf = str(tmp_path / "b"), str(tmp_path / "f")
+    for batch in batches:
+        merge_upsert_bucketed(spark, pb, _kvop(spark, batch),
+                              keys=["k"], order_cols=["ts"], n_buckets=4,
+                              op_col="op", resolve="latest_wins")
+        merge_upsert(spark, pf, _kvop(spark, batch),
+                     keys=["k"], order_cols=["ts"], op_col="op",
+                     resolve="latest_wins")
+    got = sorted(map(tuple, read_version(spark, pb, 2)
+                     .drop("_bucket").collect()))
+    want = sorted(map(tuple, read_version(spark, pf, 2).collect()))
+    assert got == want == [(1, 20, "a"), (2, 20, "b")]
+
+
 def test_bucketed_merge_racing_writers(spark, tmp_path):
     """Disjoint-bucket racers still serialize through the exactly-
     base+1 commit: the loser re-merges against the winner's snapshot

@@ -280,6 +280,28 @@ def _check_merge_schema(base: DataFrame, delta: DataFrame,
             "evolve the dimension schema (new columns null-fill)")
 
 
+def _write_schema_marker(df: DataFrame, staging: str) -> None:
+    """EMPTY-SNAPSHOT support (r10, found by the bucketed-deletes
+    property test): a merge whose delta deletes every remaining key
+    legitimately produces an EMPTY version, but Spark writes no part
+    files for an empty relation and the later read cannot infer a
+    schema from a bare ``_SUCCESS``. Record the schema in a
+    ``_schema.json`` marker so :func:`read_version` can serve the
+    empty dimension with its real schema (Delta keeps the schema in
+    the log for exactly this state)."""
+    import json
+
+    for root, dirs, files in os.walk(staging):
+        # partition dirs like `_bucket=K` carry data despite the
+        # leading underscore — only prune genuinely hidden dirs
+        dirs[:] = [d for d in dirs
+                   if "=" in d or not d.startswith((".", "_"))]
+        if any(not f.startswith((".", "_")) for f in files):
+            return  # data files exist: schema inference works
+    with open(os.path.join(staging, "_schema.json"), "w") as f:
+        json.dump(json.loads(df.schema.json()), f)
+
+
 def _is_bucketed_version(path: str, version: int) -> bool:
     """True when ``v=version`` carries the bucketed merge's
     ``_bucket=K`` partition layout."""
@@ -314,6 +336,7 @@ def commit_version(df: DataFrame, path: str, version: int,
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(staging)
+    _write_schema_marker(df, staging)
     try:
         os.rename(staging, target)
     except OSError:
@@ -654,7 +677,10 @@ def merge_upsert_bucketed(
                      delta.select("_bucket").distinct().collect())
 
     def _merged_touched(base_v: int | None) -> DataFrame:
-        base = (spark.read.parquet(f"{path}/v={base_v}")
+        # read_version handles the empty-snapshot marker; a non-empty
+        # version is a plain partitioned read, so the isin filter
+        # lands in PartitionFilters (plan-pinned)
+        base = (read_version(spark, path, base_v)
                 .filter(F.col("_bucket").isin(touched))  # pruned
                 if base_v is not None else None)
         return _resolve_merge(base, delta, upserts, keys, order_cols,
@@ -678,8 +704,8 @@ def merge_upsert_bucketed(
                 pass  # a racer quarantined it first
         staging = os.path.join(
             path, f".staged-v{target}-{uuid.uuid4().hex}")
-        (_merged_touched(base_v)
-         .write.mode("errorifexists").partitionBy("_bucket")
+        merged = _merged_touched(base_v)
+        (merged.write.mode("errorifexists").partitionBy("_bucket")
          .parquet(staging))
         if base_v is not None:
             # copy-on-write: untouched buckets hardlink from the base
@@ -702,6 +728,9 @@ def merge_upsert_bucketed(
                             os.link(s, d)
                         except OSError:
                             shutil.copy2(s, d)
+        # after hardlinks: an all-deleted dimension commits empty —
+        # record the schema so readers can still serve it
+        _write_schema_marker(merged, staging)
         if pre_commit_hook is not None:
             pre_commit_hook(attempt, target)
         try:
@@ -797,6 +826,15 @@ def read_version(spark: SparkSession, path: str, version: int | None = None) -> 
     elif not os.path.exists(os.path.join(path, f"v={version}", "_SUCCESS")):
         raise FileNotFoundError(
             f"version {version} under {path} is missing or uncommitted")
+    marker = os.path.join(path, f"v={version}", "_schema.json")
+    if os.path.exists(marker):
+        # an EMPTY committed snapshot (every key deleted): no part
+        # files to infer from — serve the recorded schema
+        import json
+
+        with open(marker) as f:
+            schema = T.StructType.fromJson(json.load(f))
+        return spark.createDataFrame([], schema)
     return spark.read.parquet(f"{path}/v={version}")
 
 

@@ -525,3 +525,114 @@ def test_merge_upsert_latest_wins_equals_recompute(spark, tmp_path_factory, batc
                 model[k] = (ts, v)
     got = {r.k: (r.ts, r.v) for r in read_version(spark, path).collect()}
     assert got == model
+
+
+_cdc_batch_ops = st.lists(
+    st.tuples(
+        st.integers(0, 6),            # key
+        st.integers(0, 99),           # ts (the order column)
+        st.integers(0, 999),          # payload (ties broken by it too)
+        st.sampled_from(["U", "D"]),  # op: upsert or delete
+    ),
+    min_size=0, max_size=6,
+)
+_cdc_stream_ops = st.lists(_cdc_batch_ops, min_size=1, max_size=4)
+
+
+def _dedupe_triples(batches):
+    """A CDC log must be TOTALLY ordered by (key, order_cols): two
+    events sharing (k, ts, v) with different ops have no defined
+    winner in Spark or any model — dedupe triples, first op wins."""
+    seen: set[tuple[int, int, int]] = set()
+    return [
+        [e for e in batch
+         if e[:3] not in seen and not seen.add(e[:3])]
+        for batch in batches
+    ]
+
+
+@settings(**_SETTINGS)
+@given(_cdc_stream_ops)
+@pytest.mark.slow
+def test_bucketed_merge_delta_wins_deletes_equals_sequential_model(
+        spark, tmp_path_factory, batches):
+    """r10 MERGE DELETE invariant (delta_wins — the in-order CDC
+    contract): applying op-column batches one at a time through the
+    bucketed copy-on-write merge must equal the sequential Python
+    model — per batch the newest event per key wins, a winning delete
+    removes the key, absent-key deletes no-op — for ANY batch content
+    including within-batch races and empty batches."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    batches = _dedupe_triples(batches)
+    path = str(tmp_path_factory.mktemp("cdc_cow") / "dim")
+    n_written = 0
+    model: dict[int, tuple[int, int]] = {}
+    for batch in batches:
+        if not batch:
+            continue
+        df = spark.createDataFrame(batch, "k int, ts int, v int, op string")
+        merge_upsert_bucketed(
+            spark, path, df, keys=["k"], order_cols=["ts", "v"],
+            n_buckets=4, op_col="op")
+        n_written += 1
+        winners: dict[int, tuple[int, int, str]] = {}
+        for k, ts, v, op in batch:
+            if k not in winners or (ts, v) >= winners[k][:2]:
+                winners[k] = (ts, v, op)
+        for k, (ts, v, op) in winners.items():
+            if op == "D":
+                model.pop(k, None)
+            else:
+                model[k] = (ts, v)
+    if n_written == 0:
+        return
+    got = {r.k: (r.ts, r.v)
+           for r in read_version(spark, path).drop("_bucket").collect()}
+    assert got == model
+
+
+@settings(**_SETTINGS)
+@given(_cdc_stream_ops)
+@pytest.mark.slow
+def test_bucketed_tombstone_deletes_order_independent(
+        spark, tmp_path_factory, batches):
+    """r10 TOMBSTONE invariant (the out-of-order delete story,
+    hypothesis-grade): deletes carried as soft-delete ROWS through the
+    bucketed latest_wins merge equal the global newest-event-decides
+    model under ANY batch order — including the case that breaks hard
+    deletes (a delete replayed before an older upsert), which
+    hypothesis finds immediately if op_col is used here instead."""
+    from pyspark.sql import functions as SF
+
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    batches = _dedupe_triples(batches)
+    path = str(tmp_path_factory.mktemp("cdc_ts") / "dim")
+    n_written = 0
+    for batch in batches:
+        if not batch:
+            continue
+        df = (spark.createDataFrame(
+            batch, "k int, ts int, v int, op string")
+            .withColumn("_deleted", SF.col("op") == "D").drop("op"))
+        merge_upsert_bucketed(
+            spark, path, df, keys=["k"], order_cols=["ts", "v"],
+            n_buckets=4, resolve="latest_wins")
+        n_written += 1
+    if n_written == 0:
+        return
+
+    model: dict[int, tuple[int, int, str]] = {}
+    for batch in batches:
+        for k, ts, v, op in batch:
+            if k not in model or (ts, v) >= model[k][:2]:
+                model[k] = (ts, v, op)
+    want = {k: (ts, v) for k, (ts, v, op) in model.items() if op != "D"}
+    state = read_version(spark, path).filter(~SF.col("_deleted"))
+    got = {r.k: (r.ts, r.v) for r in state.collect()}
+    assert got == want

@@ -470,6 +470,36 @@ def test_bucketed_merge_base_read_is_partition_pruned(spark, tmp_path):
     assert 0 < base.count() < 64
 
 
+def test_delete_everything_yields_readable_empty_snapshot(spark, tmp_path):
+    """A merge whose delta deletes every remaining key commits an
+    EMPTY version; the schema marker keeps it readable (and the change
+    feed emits the full delete leg) through both merge paths."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, merge_upsert_bucketed, read_change_feed,
+        read_version,
+    )
+
+    for name, fn in (("plain", merge_upsert),
+                     ("bucketed", merge_upsert_bucketed)):
+        p = str(tmp_path / name)
+        kw = {} if name == "plain" else {"n_buckets": 4}
+        fn(spark, p, _kvop(spark, [(1, 10, "a", "U"), (2, 10, "b", "U")]),
+           keys=["k"], order_cols=["ts"], op_col="op", **kw)
+        fn(spark, p, _kvop(spark, [(1, 20, None, "D"), (2, 20, None, "D")]),
+           keys=["k"], order_cols=["ts"], op_col="op", **kw)
+        empty = read_version(spark, p, 2)
+        assert empty.count() == 0
+        assert "k" in empty.columns and "v" in empty.columns
+        feed = read_change_feed(spark, p, ["k"], from_version=1)
+        assert sorted((r.k, r._change_type) for r in feed.collect()) == [
+            (1, "delete"), (2, "delete")], name
+        # and the table is still writable after being emptied
+        fn(spark, p, _kvop(spark, [(3, 30, "c", "U")]),
+           keys=["k"], order_cols=["ts"], op_col="op", **kw)
+        assert [(r.k, r.v) for r in read_version(spark, p, 3).collect()] \
+            == [(3, "c")], name
+
+
 def test_vacuum_keeps_hardlinked_successor_readable(spark, tmp_path):
     """Hardlinks make vacuum safe by construction: dropping the base
     version only decrements link counts — the successor's shared

@@ -636,3 +636,88 @@ def test_bucketed_tombstone_deletes_order_independent(
     state = read_version(spark, path).filter(~SF.col("_deleted"))
     got = {r.k: (r.ts, r.v) for r in state.collect()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(_cdc_stream_ops)
+@pytest.mark.slow
+def test_cdf_replication_equals_source_for_any_log(
+        spark, tmp_path_factory, batches):
+    """r10 REPLICATION invariant, end-to-end: for ANY op-column event
+    log applied to a source dimension, a replica bootstrapped from the
+    first snapshot plus apply_change_feed over the feed must equal the
+    source's final state — inserts, updates, deletes, re-births,
+    emptied tables, everything the generator throws."""
+    from project2_bigdata_spark.sources.ingest import (
+        apply_change_feed, commit_version, merge_upsert,
+        read_change_feed, read_version, _versions,
+    )
+
+    batches = [b for b in _dedupe_triples(batches) if b]
+    if not batches:
+        return
+    src = str(tmp_path_factory.mktemp("cdf_src") / "dim")
+    for batch in batches:
+        df = spark.createDataFrame(batch, "k int, ts int, v int, op string")
+        merge_upsert(spark, src, df, keys=["k"], order_cols=["ts", "v"],
+                     op_col="op")
+    latest = _versions(src, committed_only=True)[-1]
+
+    replica = str(tmp_path_factory.mktemp("cdf_rep") / "dim")
+    assert commit_version(read_version(spark, src, 1), replica, 1)
+    if latest > 1:
+        apply_change_feed(
+            spark, replica, ["k"],
+            read_change_feed(spark, src, ["k"], from_version=1))
+    got = sorted(map(tuple, read_version(spark, replica).collect()))
+    want = sorted(map(tuple, read_version(spark, src, latest).collect()))
+    assert got == want
+
+
+_sale_ts = st.one_of(
+    st.none(),
+    st.tuples(st.integers(1990, 2030), st.integers(1, 12),
+              st.integers(1, 28), st.integers(0, 23),
+              st.integers(0, 59), st.integers(0, 59)).map(
+        lambda t: f"{t[0]:04d}-{t[1]:02d}-{t[2]:02d} "
+                  f"{t[3]:02d}:{t[4]:02d}:{t[5]:02d}"),
+)
+_sale_rows = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.text(max_size=12)),   # sale_id: any text
+        _sale_ts,                                     # formatted ts | null
+        st.one_of(st.none(),                          # 2-dp money | null
+                  st.integers(-10**6, 10**6).map(lambda c: c / 100.0)),
+        st.one_of(st.none(), st.text(max_size=12)),   # method: any text
+    ),
+    min_size=0, max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(_sale_rows)
+@pytest.mark.slow
+def test_pyds_write_read_roundtrip_any_rows(spark, tmp_path_factory, rows):
+    """r10 connector invariant: write→read through the custom format
+    is the identity for ANY sale rows — arbitrary unicode in the text
+    columns (JSON escaping both producers), nulls in every column,
+    negative money, empty relations. The sale_ts contract is the
+    formatted-timestamp string (or null); 2-dp is the money contract
+    (both are the schema's documented shape, not a test convenience)."""
+    from project2_bigdata_spark.sources.pyds import (
+        read_jsonl_sales, write_jsonl_sales,
+    )
+
+    out = str(tmp_path_factory.mktemp("pyds_prop") / "export")
+    import os as _os
+    _os.makedirs(out)
+    write_jsonl_sales(_sales_rows_df(spark, rows), out)
+    back = sorted(map(tuple, read_jsonl_sales(spark, out, 3).collect()),
+                  key=str)
+    assert back == sorted(rows, key=str)
+
+
+def _sales_rows_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "sale_id string, sale_ts string, total_price double, "
+              "purchase_method string")

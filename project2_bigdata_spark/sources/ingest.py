@@ -612,7 +612,14 @@ def merge_upsert_bucketed(
     3. writes the merged touched buckets into a hidden staging dir and
        HARDLINKS every untouched bucket's files from the previous
        version — zero bytes moved for untouched data (falls back to
-       copy across filesystems);
+       copy when ``os.link`` is unsupported — cross-filesystem moves,
+       or object storage behind a FUSE mount without link semantics;
+       correctness is unaffected, only the zero-copy win. On native
+       object stores the idiomatic equivalent is manifest reuse —
+       pointing the new version's metadata at the old objects — which
+       is what Delta/Iceberg do; this layout trades that for POSIX
+       links to stay table-format-free, the same shared-POSIX-mount
+       assumption as the streaming spool root);
     4. publishes with the same atomic rename at exactly base+1 as
        :func:`commit_version` (optimistic concurrency: racing writers
        retry against the winner — even when they touched DISJOINT

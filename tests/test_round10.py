@@ -500,6 +500,31 @@ def test_delete_everything_yields_readable_empty_snapshot(spark, tmp_path):
             == [(3, "c")], name
 
 
+def test_optimize_racing_merge_loses_cleanly(spark, tmp_path):
+    """OPTIMIZE and MERGE race through the same exactly-base+1 commit:
+    when an optimize lands first, the merge retries against the
+    compacted snapshot and no rows are lost or duplicated."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, optimize_version, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p,
+                 _kv(spark, [(k, 10, f"v{k}") for k in range(8)]),
+                 keys=["k"], order_cols=["ts"])
+
+    def race(attempt, target):
+        if attempt == 0:
+            assert optimize_version(spark, p) == 2  # sneaks in first
+
+    final = merge_upsert(spark, p, _kv(spark, [(1, 20, "upd")]),
+                         keys=["k"], order_cols=["ts"],
+                         pre_commit_hook=race)
+    assert final == 3
+    got = {r.k: r.v for r in read_version(spark, p).collect()}
+    assert len(got) == 8 and got[1] == "upd" and got[7] == "v7"
+
+
 def test_vacuum_keeps_hardlinked_successor_readable(spark, tmp_path):
     """Hardlinks make vacuum safe by construction: dropping the base
     version only decrements link counts — the successor's shared

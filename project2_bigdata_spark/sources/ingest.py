@@ -1271,37 +1271,43 @@ def q_scd1_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SCD1_DELETES_CACHE: dict[tuple[int, str], str] = {}
 
 
+def _scd1_events(df: DataFrame) -> DataFrame:
+    """Orders as a CDC event log: an order whose key is ≡ 0 mod 7 is a
+    DELETE event for its customer, any other an upsert (shared by the
+    delete-mode queries and the maintenance roundtrip)."""
+    return df.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("last_orderkey"),
+        F.col("o_orderdate").alias("last_orderdate"),
+        F.col("o_totalprice").cast("decimal(18,2)")
+        .alias("last_totalprice"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .otherwise(F.lit("U")).alias("_op"),
+    )
+
+
+#: the event-log split both builders share
+_SCD1_CUTOFF = "1997-01-01"
+
+
 def _scd1_deletes_table(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per session) the versioned dimension the MERGE
-    DELETE queries share: orders become a CDC event log — an order
-    whose key is ≡ 0 mod 7 is a DELETE event for its customer, any
-    other an upsert — applied in two commits split at the 1997-01-01
-    cutoff through ``merge_upsert(op_col=...)``. Within each batch the
-    customer's newest event wins (a delete can win or lose that race),
-    so the final state is recomputable from the raw log by SQL."""
+    DELETE queries share: the :func:`_scd1_events` log applied in two
+    commits split at the cutoff through ``merge_upsert(op_col=...)``.
+    Within each batch the customer's newest event wins (a delete can
+    win or lose that race), so the final state is recomputable from
+    the raw log by SQL."""
     key = (id(spark), os.path.abspath(sf_dir))
     cached = _SCD1_DELETES_CACHE.get(key)
     if cached and os.path.exists(os.path.join(cached, "v=2", "_SUCCESS")):
         return cached
     from ..streaming.runner import session_spool
 
-    def events(df: DataFrame) -> DataFrame:
-        return df.select(
-            "o_custkey",
-            F.col("o_orderkey").alias("last_orderkey"),
-            F.col("o_orderdate").alias("last_orderdate"),
-            F.col("o_totalprice").cast("decimal(18,2)")
-            .alias("last_totalprice"),
-            F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
-            .otherwise(F.lit("U")).alias("_op"),
-        )
-
     orders = table(spark, sf_dir, "orders")
     path = session_spool(spark, "scd1_del_")
-    cutoff = "1997-01-01"
-    for batch in (orders.where(F.col("o_orderdate") < cutoff),
-                  orders.where(F.col("o_orderdate") >= cutoff)):
-        merge_upsert(spark, path, events(batch), keys=["o_custkey"],
+    for batch in (orders.where(F.col("o_orderdate") < _SCD1_CUTOFF),
+                  orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF)):
+        merge_upsert(spark, path, _scd1_events(batch), keys=["o_custkey"],
                      order_cols=["last_orderdate", "last_orderkey"],
                      op_col="_op")
     _SCD1_DELETES_CACHE[key] = path
@@ -1470,6 +1476,49 @@ def q_cdf_incremental_consume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").alias("change_type"),
         F.col("_commit_version").alias("commit_version"),
     )
+
+
+@register(
+    "lakehouse_maintenance_roundtrip",
+    # same recompute oracle as scd1_merge_with_deletes: after
+    # optimize → restore → re-apply, the final state must equal the
+    # event log's recompute — maintenance verbs are answer-invariant
+    oracle=_SCD1_DELETES_ORACLE_CTE + """
+    SELECT o_custkey, o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(price AS VARCHAR) AS DOUBLE) AS last_totalprice
+    FROM s2
+    """,
+    doc="The full maintenance lifecycle under the oracle gate (r10 — "
+        "OPTIMIZE and RESTORE were unit-only): bootstrap (v1) and "
+        "CDC-with-deletes (v2) through the BUCKETED copy-on-write "
+        "merge, OPTIMIZE the layout (v3, one file per bucket, layout "
+        "preserved), RESTORE to v1 (v4 — rollback as roll-forward), "
+        "then re-apply the delta (v5). Hash parity against the "
+        "event-log recompute proves the verbs compose "
+        "answer-invariantly: optimize changed no values, restore "
+        "really served v1, and the re-merge over the restored+"
+        "optimized layout reproduced the state exactly",
+)
+def q_lakehouse_maintenance_roundtrip(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+    path = session_spool(spark, "lh_maint_")
+    keys, oc = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    pre = _scd1_events(orders.where(F.col("o_orderdate") < _SCD1_CUTOFF))
+    post = _scd1_events(orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF))
+    merge_upsert_bucketed(spark, path, pre, keys, oc,
+                          n_buckets=16, op_col="_op")
+    merge_upsert_bucketed(spark, path, post, keys, oc,
+                          n_buckets=16, op_col="_op")
+    assert optimize_version(spark, path) == 3
+    assert restore_version(spark, path, 1) == 4
+    v5 = merge_upsert_bucketed(spark, path, post, keys, oc,
+                               n_buckets=16, op_col="_op")
+    assert v5 == 5
+    return _scd1_out(read_version(spark, path, v5).drop("_bucket"))
 
 
 @register(

@@ -193,6 +193,7 @@ def test_pyds_null_fields_roundtrip(spark, tmp_path):
     assert back2 == back
 
 
+@pytest.mark.slow
 def test_pyds_pushdown_three_valued_on_null_rows(spark, tmp_path):
     """Pushed predicates drop NULL rows (SQL semantics) instead of
     crashing, including through the bytes-level prefilter path."""
@@ -470,6 +471,7 @@ def test_bucketed_merge_base_read_is_partition_pruned(spark, tmp_path):
     assert 0 < base.count() < 64
 
 
+@pytest.mark.slow
 def test_delete_everything_yields_readable_empty_snapshot(spark, tmp_path):
     """A merge whose delta deletes every remaining key commits an
     EMPTY version; the schema marker keeps it readable (and the change

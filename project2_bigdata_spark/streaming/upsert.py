@@ -102,7 +102,7 @@ def user_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_stream_scd1(
     spark: SparkSession, sf_dir: str, *,
     path: str | None = None, checkpoint: str | None = None,
-    post_merge_hook=None,
+    post_merge_hook=None, bucketed_n: int | None = None,
 ) -> DataFrame:
     """Drive the stream into a (possibly caller-owned, for the restart
     test) dimension path and return the LATEST merged state."""
@@ -115,6 +115,7 @@ def run_stream_scd1(
         user_state_stream(spark, sf_dir), path,
         keys=["user_id"], order_cols=["last_ts", "last_event_id"],
         checkpoint=checkpoint, post_merge_hook=post_merge_hook,
+        bucketed_n=bucketed_n,
     )
     return read_version(spark, path)
 

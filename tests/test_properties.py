@@ -721,3 +721,49 @@ def _sales_rows_df(spark, rows):
     return spark.createDataFrame(
         rows, "sale_id string, sale_ts string, total_price double, "
               "purchase_method string")
+
+
+_snap = st.dictionaries(
+    st.integers(0, 6),                                # key
+    st.tuples(st.one_of(st.none(), st.integers(0, 3)),   # x (nullable)
+              st.one_of(st.none(), st.integers(0, 3))),  # y (nullable)
+    max_size=7,
+)
+
+
+@settings(**_SETTINGS)
+@given(_snap, _snap)
+@pytest.mark.slow
+def test_diff_snapshots_classification_matches_model(
+        spark, tmp_path_factory, a, b):
+    """CDF-core invariant: for ANY two keyed snapshots (nullable
+    columns included — the null-safe any-column-differs predicate),
+    diff_snapshots classifies exactly like the Python model: insert
+    (post-image), delete (pre-image), update_postimage on any
+    difference, unchanged keys absent."""
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, diff_snapshots,
+    )
+
+    path = str(tmp_path_factory.mktemp("diff") / "t")
+    schema = "k int, x int, y int"
+
+    def df(snap):
+        return spark.createDataFrame(
+            [(k, x, y) for k, (x, y) in sorted(snap.items())], schema)
+
+    assert commit_version(df(a), path, 1)
+    assert commit_version(df(b), path, 2)
+    got = {
+        r.k: (r.x, r.y, r._change_type)
+        for r in diff_snapshots(spark, path, ["k"], 1, 2).collect()
+    }
+    want = {}
+    for k in set(a) | set(b):
+        if k not in a:
+            want[k] = (*b[k], "insert")
+        elif k not in b:
+            want[k] = (*a[k], "delete")  # pre-image
+        elif a[k] != b[k]:
+            want[k] = (*b[k], "update_postimage")
+    assert got == want

@@ -96,6 +96,35 @@ def test_kll_sink_idempotent_on_restart(spark, multi_sf, tmp_path):
     assert len(batch_dirs) == N_FILES
 
 
+def test_stream_scd1_bucketed_cow_idempotent_on_restart(
+        spark, multi_sf, tmp_path):
+    """The r10 copy-on-write streaming sink keeps the r8 restart
+    contract: a replayed micro-batch re-merges through the bucketed
+    path (latest_wins → content-idempotent), so the latest dimension
+    state — tombstone layout column dropped — is value-identical to an
+    uninterrupted run."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.streaming.upsert import run_stream_scd1
+
+    ref = _rows(run_stream_scd1(spark, multi_sf, bucketed_n=8)
+                .drop("_bucket"), "user_id")
+
+    ckpt, dim = str(tmp_path / "ckpt"), str(tmp_path / "dim")
+    with pytest.raises((StreamingQueryException, Exception)) as exc:
+        run_stream_scd1(spark, multi_sf, path=dim, checkpoint=ckpt,
+                        bucketed_n=8,
+                        post_merge_hook=_crash_after_batch(1))
+    assert "injected crash" in str(exc.value)
+    resumed = run_stream_scd1(spark, multi_sf, path=dim, checkpoint=ckpt,
+                              bucketed_n=8)
+    assert _rows(resumed.drop("_bucket"), "user_id") == ref
+    # the layout survived the crash/replay: bucket dirs in the latest
+    # version, and the bucket column reads back
+    assert "_bucket" in resumed.columns
+    assert glob.glob(os.path.join(dim, "v=*", "_bucket=*"))
+
+
 def test_stream_scd1_content_idempotent_on_restart(spark, multi_sf, tmp_path):
     """The CDC → SCD1 MERGE sink's restart contract: a replayed batch
     re-merges rows the failed attempt already applied — same winners,

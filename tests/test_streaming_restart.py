@@ -96,6 +96,7 @@ def test_kll_sink_idempotent_on_restart(spark, multi_sf, tmp_path):
     assert len(batch_dirs) == N_FILES
 
 
+@pytest.mark.slow
 def test_stream_scd1_bucketed_cow_idempotent_on_restart(
         spark, multi_sf, tmp_path):
     """The r10 copy-on-write streaming sink keeps the r8 restart

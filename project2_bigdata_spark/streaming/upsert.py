@@ -37,6 +37,7 @@ def stream_upsert_to_dimension(
     post_merge_hook=None,
     resolve: str = "latest_wins",
     bucketed_n: int | None = None,
+    schema_evolution: bool = False,
 ) -> None:
     """Replay the bounded stream (AvailableNow), MERGE-upserting each
     micro-batch into the versioned dimension at ``path``.
@@ -47,7 +48,10 @@ def stream_upsert_to_dimension(
     the full-snapshot rewrite — the composition the COW layout exists
     for: a micro-batch touches few keys, so each commit rewrites only
     the touched buckets and hardlinks the rest (SCALE.md §merge-cow);
-    latest_wins semantics ride the shared resolve core unchanged."""
+    latest_wins semantics ride the shared resolve core unchanged.
+    ``schema_evolution`` (r11) threads the Delta mergeSchema opt-in
+    through to whichever merge path runs — a drifting producer against
+    either layout otherwise hard-fails the batch (the safe default)."""
     from ..sources.ingest import merge_upsert, merge_upsert_bucketed
 
     spark = sdf.sparkSession
@@ -70,10 +74,12 @@ def stream_upsert_to_dimension(
             merge_upsert_bucketed(
                 batch_df.sparkSession, path, batch_df, keys=keys,
                 order_cols=order_cols, resolve=resolve,
-                n_buckets=bucketed_n)
+                n_buckets=bucketed_n,
+                schema_evolution=schema_evolution)
         else:
             merge_upsert(batch_df.sparkSession, path, batch_df,
-                         keys=keys, order_cols=order_cols, resolve=resolve)
+                         keys=keys, order_cols=order_cols, resolve=resolve,
+                         schema_evolution=schema_evolution)
         if post_merge_hook is not None:
             post_merge_hook(batch_id)
 

@@ -281,7 +281,11 @@ def test_read_version_as_of(spark, tmp_path):
     for i, ts in enumerate([1000, 2000, 3000], start=1):
         merge_upsert(spark, p, _kv(spark, [(1, i, f"v{i}")]),
                      keys=["k"], order_cols=["ts"])
-        os.utime(f"{p}/v={i}", (ts, ts))  # pin commit times
+        # pin commit times: the r11 _commit_ts stamp is the
+        # authoritative clock; utime pins the mtime fallback too
+        with open(f"{p}/v={i}/_commit_ts", "w") as f:
+            f.write(str(ts))
+        os.utime(f"{p}/v={i}", (ts, ts))
 
     def val(ts):
         return read_version_as_of(spark, p, ts).collect()[0].v

@@ -2052,6 +2052,211 @@ def q_lakehouse_maintenance_roundtrip(
 
 
 @register(
+    "scd1_bucketed_schema_evolution",
+    # recompute oracle: latest order per customer over ALL orders; the
+    # priority column exists only on post-cutoff (evolved-batch) rows,
+    # so a customer whose winner is pre-cutoff reads NULL for it
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS last_totalprice,
+           CASE WHEN o_orderdate >= DATE '1997-01-01'
+                THEN o_orderpriority END AS last_priority
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Schema evolution through the bucketed COPY-ON-WRITE merge "
+        "(r11, VERDICT r10 item 1 — the last contract asymmetry vs the "
+        "plain path): the dimension bootstraps WITHOUT the priority "
+        "column, then the CDC batch arrives WIDER "
+        "(schema_evolution=True) — the touched buckets carry the new "
+        "column while untouched buckets stay hardlinked with the old "
+        "footprint, and read_version serves the MIXED-SCHEMA version "
+        "through the commit's recorded schema (per-file null-fill at "
+        "O(1) footer cost). The oracle recomputes the final state from "
+        "scratch with the column present only where the winning row's "
+        "batch carried it, so hash parity proves evolve-on-COW == "
+        "recompute including the null-fill of hardlinked rows",
+)
+def q_scd1_bucketed_schema_evolution(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+
+    def state_rows(df: DataFrame, *extra) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+            *extra,
+        )
+
+    path = session_spool(spark, "scd1_evolve_")
+    keys, oc = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    merge_upsert_bucketed(
+        spark, path,
+        state_rows(orders.where(F.col("o_orderdate") < _SCD1_CUTOFF)),
+        keys, oc, n_buckets=16)
+    merge_upsert_bucketed(
+        spark, path,
+        state_rows(orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF),
+                   F.col("o_orderpriority").alias("last_priority")),
+        keys, oc, n_buckets=None, schema_evolution=True)
+    return _scd1_out(read_version(spark, path, 2),
+                     F.col("last_priority"))
+
+
+@register(
+    "lakehouse_rebucket_roundtrip",
+    # identical recompute oracle to scd1_bucketed_merge: the layout
+    # migration must be answer-invariant end-to-end
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS last_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="REBUCKET under the oracle gate (r11, VERDICT r10 item 2 — the "
+        "frozen n_buckets layout contract finally has a migration "
+        "path): bootstrap at n=8, REBUCKET to n=32 (the commit is "
+        "asserted change-free in the feed — _bucket is layout "
+        "metadata, not data), then the CDC batch merges in INHERIT "
+        "mode (n_buckets=None picks up the recorded layout). Hash "
+        "parity against the full recompute proves the migration "
+        "changed no values and the post-rebucket merge pruned with "
+        "the NEW bucket function — the silent-stale-rows corruption a "
+        "mismatched bucket function would cause is exactly what the "
+        "per-version layout + per-retry re-validation prevent",
+)
+def q_lakehouse_rebucket_roundtrip(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+
+    def state_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+        )
+
+    path = session_spool(spark, "lh_rebucket_")
+    keys, oc = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    merge_upsert_bucketed(
+        spark, path,
+        state_rows(orders.where(F.col("o_orderdate") < _SCD1_CUTOFF)),
+        keys, oc, n_buckets=8)
+    assert rebucket_version(spark, path, 32) == 2
+    # layout migration is invisible to the change feed
+    assert read_change_feed(spark, path, keys, from_version=1,
+                            to_version=2).count() == 0
+    merge_upsert_bucketed(
+        spark, path,
+        state_rows(orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF)),
+        keys, oc, n_buckets=None)
+    return _scd1_out(read_version(spark, path, 3))
+
+
+@register(
+    "lakehouse_optimize_zorder",
+    # plain filtered projection: the z-ordered compaction + stats-
+    # pruned read must return exactly the rows the predicate selects
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_custkey >= 100 AND o_custkey < 500
+    """,
+    doc="OPTIMIZE ... ZORDER under the oracle gate (r11, VERDICT r10 "
+        "item 3): a randomly-ordered snapshot is compacted with "
+        "zorder_by=(o_custkey, o_orderkey) — the Morton interleave is "
+        "a pure JVM expression, the compaction pays one range shuffle "
+        "— and the query reads the OPTIMIZED version through "
+        "read_version(where=...), whose per-file min/max stats the "
+        "clustering just made selective. Hash parity against the "
+        "plain filtered projection proves the whole chain (z-order "
+        "shuffle, stats collection, file pruning, residual filter) is "
+        "answer-invariant; the unit test pins that the pruning "
+        "actually drops files on both z-ordered columns",
+)
+def q_lakehouse_optimize_zorder(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    path = session_spool(spark, "lh_zorder_")
+    proj = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .cast("double").alias("total_price"),
+    )
+    # adversarial base layout: hash-shuffled, so pre-optimize stats
+    # are useless for either column
+    assert commit_version(proj.repartition(8), path, 1)
+    assert optimize_version(spark, path, target_file_mb=1,
+                            zorder_by=["o_custkey", "o_orderkey"]) == 2
+    return read_version(spark, path, 2,
+                        where=[("o_custkey", ">=", 100),
+                               ("o_custkey", "<", 500)])
+
+
+@register(
+    "lakehouse_stats_skipping_scan",
+    oracle="""
+    SELECT o_orderkey,
+           o_custkey,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderkey < 5000
+    """,
+    doc="File-level min/max data skipping on the versioned sink (r11, "
+        "VERDICT r10 item 5 — the last big Delta primitive): every "
+        "commit records per-file column stats (one KB-sized footer "
+        "read per new file; hardlinked COW files inherit their "
+        "entry), and read_version(where=...) prunes files whose "
+        "bounds cannot match BEFORE Spark plans the scan — "
+        "complementing parquet row-group skipping, which still opens "
+        "every file. The snapshot is range-clustered on the key, so "
+        "the selective predicate scans a strict subset of files "
+        "(pinned by unit test); the residual filter keeps the result "
+        "exact, and hash parity against the plain filtered table "
+        "proves prune-never-admits end-to-end",
+)
+def q_lakehouse_stats_skipping_scan(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    path = session_spool(spark, "lh_skip_")
+    proj = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string")
+        .cast("double").alias("total_price"),
+    )
+    assert commit_version(proj.repartitionByRange(8, "o_orderkey"),
+                          path, 1)
+    return read_version(spark, path, 1,
+                        where=[("o_orderkey", "<", 5000)])
+
+
+@register(
     "cdf_replicate_dimension",
     # the replica must equal recomputing the SOURCE from its raw event
     # log — identical oracle to scd1_merge_with_deletes

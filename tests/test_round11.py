@@ -1,0 +1,536 @@
+"""Round-11 additions (VERDICT r10 next-round list + ADVICE r10):
+schema evolution through the bucketed copy-on-write merge, the
+REBUCKET maintenance op, Z-ORDER on OPTIMIZE, O(1) latest-version
+resolution via the _latest pointer, commit-time file min/max stats
+with read-side file skipping, and the _commit_ts publish clock.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pytest
+
+
+def _kv(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, v string")
+
+
+def _wide(spark, rows):
+    return spark.createDataFrame(rows, "k int, ts int, v string, extra string")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 1: schema evolution through the bucketed COW merge
+
+
+@pytest.mark.parametrize("resolve", ["delta_wins", "latest_wins"])
+def test_bucketed_merge_schema_evolution(spark, tmp_path, resolve):
+    """The r9 plain-path contract, duplicated against the bucketed
+    copy-on-write path (VERDICT r10 item 1): drift raises by default;
+    with schema_evolution=True new delta columns append (base rows
+    null) and a later NARROW delta's winners read null for the evolved
+    column while surviving wide rows keep theirs — across MIXED-SCHEMA
+    bucket files inside one version (hardlinked untouched buckets keep
+    the old footprint)."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / f"t_{resolve}")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(16)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8, resolve=resolve)
+    wide = _wide(spark, [(2, 20, "new", "extra2"), (99, 20, "ins", "extra99")])
+    with pytest.raises(ValueError, match="schema_evolution"):
+        merge_upsert_bucketed(spark, p, wide, keys=["k"],
+                              order_cols=["ts"], n_buckets=8,
+                              resolve=resolve)
+    v = merge_upsert_bucketed(spark, p, wide, keys=["k"],
+                              order_cols=["ts"], n_buckets=8,
+                              resolve=resolve, schema_evolution=True)
+    got = {r.k: (r.ts, r.v, r.extra)
+           for r in read_version(spark, p, v).collect()}
+    assert len(got) == 17
+    assert got[2] == (20, "new", "extra2")
+    assert got[99] == (20, "ins", "extra99")
+    assert got[5] == (10, "v5", None)  # untouched hardlinked bucket row
+    # re-narrow: a delta LACKING the evolved column still merges; its
+    # winner reads null for it, surviving wide rows keep their value
+    v2 = merge_upsert_bucketed(spark, p, _kv(spark, [(99, 30, "ins2")]),
+                               keys=["k"], order_cols=["ts"], n_buckets=8,
+                               resolve=resolve, schema_evolution=True)
+    got2 = {r.k: (r.ts, r.v, r.extra)
+            for r in read_version(spark, p, v2).collect()}
+    assert got2[99] == (30, "ins2", None)
+    assert got2[2] == (20, "new", "extra2")
+    assert got2[5] == (10, "v5", None)
+
+
+def test_bucketed_evolving_merge_keeps_hardlinks(spark, tmp_path):
+    """The COW bound survives schema evolution: an evolving merge
+    touching one key still HARDLINKS every untouched bucket's files
+    from the base version (same st_ino) even though those files lack
+    the new column — the mixed-schema read is the reader's job, not a
+    reason to rewrite the table."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    merge_upsert_bucketed(
+        spark, p, _wide(spark, [(3, 20, "upd", "E")]),
+        keys=["k"], order_cols=["ts"], n_buckets=8, schema_evolution=True)
+
+    def inodes(version):
+        return {
+            os.path.relpath(f, f"{p}/v={version}"): os.stat(f).st_ino
+            for f in glob.glob(f"{p}/v={version}/_bucket=*/*.parquet")
+        }
+
+    i1, i2 = inodes(1), inodes(2)
+    shared = {f for f in i2 if f in i1 and i2[f] == i1[f]}
+    touched = {os.path.dirname(f) for f in set(i2) - set(i1)}
+    assert len(touched) == 1
+    assert len(shared) >= 6
+    got = {r.k: (r.v, r.extra) for r in read_version(spark, p, 2).collect()}
+    assert got[3] == ("upd", "E") and got[60] == ("v60", None)
+    assert len(got) == 64
+
+
+def test_bucketed_evolution_stats_reused_not_recomputed(spark, tmp_path):
+    """Commit-cost bound: the merge's _stats.json entries for
+    hardlinked files are REUSED from the base version's stats (same
+    relpath), not re-footer-read — the stats entry count covers every
+    file, touched and hardlinked alike."""
+    from project2_bigdata_spark.sources.ingest import merge_upsert_bucketed
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    merge_upsert_bucketed(spark, p, _kv(spark, [(3, 20, "u")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=8)
+    with open(f"{p}/v=2/_stats.json") as f:
+        stats = json.load(f)
+    files = [os.path.relpath(f, f"{p}/v=2")
+             for f in glob.glob(f"{p}/v=2/_bucket=*/*.parquet")]
+    assert set(stats) == set(files)
+    # hardlinked entries carry the same stats object as v=1's record
+    with open(f"{p}/v=1/_stats.json") as f:
+        stats1 = json.load(f)
+    shared = set(stats) & set(stats1)
+    assert shared and all(stats[f] == stats1[f] for f in shared)
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 2: REBUCKET
+
+
+def test_rebucket_version_migrates_layout(spark, tmp_path):
+    """Rebucket rewrites the latest snapshot under a new bucket count:
+    values unchanged (the change feed across the rebucket commit is
+    EMPTY), the new _layout.json rides the commit, inherit-mode merges
+    (n_buckets=None) pick up the new layout, and a stale explicit
+    n_buckets refuses."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_change_feed, read_version,
+        rebucket_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(40)]),
+        keys=["k"], order_cols=["ts"], n_buckets=4)
+    assert rebucket_version(spark, p, 16) == 2
+    with open(f"{p}/v=2/_layout.json") as f:
+        assert json.load(f) == {"n_buckets": 16, "bucket_keys": ["k"]}
+    # the rebucket commit is invisible to the feed (layout, not data)
+    assert read_change_feed(spark, p, ["k"], from_version=1).count() == 0
+    before = sorted(map(tuple, read_version(spark, p, 1)
+                        .drop("_bucket").collect()))
+    after = sorted(map(tuple, read_version(spark, p, 2)
+                       .drop("_bucket").collect()))
+    assert before == after
+    assert len(glob.glob(f"{p}/v=2/_bucket=*")) > 4  # really re-spread
+    # inherit-mode merge rides the NEW layout
+    merge_upsert_bucketed(spark, p, _kv(spark, [(3, 20, "post")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=None)
+    got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
+    assert len(got) == 40 and got[3] == "post" and got[30] == "v30"
+    # a writer still holding the OLD bucket function refuses
+    with pytest.raises(ValueError, match="layout"):
+        merge_upsert_bucketed(spark, p, _kv(spark, [(4, 30, "x")]),
+                              keys=["k"], order_cols=["ts"], n_buckets=4)
+
+
+def test_rebucket_racing_merge_serializes(spark, tmp_path):
+    """A merge racing a rebucket loses the exactly-base+1 commit and
+    RETRIES against the rebucketed base: in inherit mode it recomputes
+    its buckets under the new layout and lands every row correctly (the
+    per-retry layout re-validation from ADVICE r10 item 1)."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version, rebucket_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(20)]),
+        keys=["k"], order_cols=["ts"], n_buckets=4)
+
+    fired = {"done": False}
+
+    def race(attempt, target):
+        if not fired["done"]:
+            fired["done"] = True
+            rebucket_version(spark, p, 16)
+
+    final = merge_upsert_bucketed(
+        spark, p, _kv(spark, [(7, 20, "merged")]),
+        keys=["k"], order_cols=["ts"], n_buckets=None,
+        pre_commit_hook=race)
+    assert final == 3  # v2 = rebucket won, v3 = merge retried on top
+    with open(f"{p}/v=3/_layout.json") as f:
+        assert json.load(f)["n_buckets"] == 16
+    got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
+    assert len(got) == 20 and got[7] == "merged" and got[15] == "v15"
+
+
+def test_rebucket_rejects_unbucketed_and_bad_n(spark, tmp_path):
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, rebucket_version,
+    )
+
+    p = str(tmp_path / "plain")
+    merge_upsert(spark, p, _kv(spark, [(1, 10, "a")]),
+                 keys=["k"], order_cols=["ts"])
+    with pytest.raises(ValueError, match="layout"):
+        rebucket_version(spark, p, 8)
+    with pytest.raises(ValueError, match="n_buckets"):
+        rebucket_version(spark, p, 0)
+
+
+def test_restore_past_rebucket_reinstates_old_layout(spark, tmp_path):
+    """RESTORE carries the restored version's OWN layout into the new
+    commit: rolling back past a rebucket reinstates the old bucket
+    function, and later merges against the restored state prune with
+    the layout the data actually has."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version, rebucket_version,
+        restore_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(32)]),
+        keys=["k"], order_cols=["ts"], n_buckets=4)
+    rebucket_version(spark, p, 16)
+    assert restore_version(spark, p, 1) == 3
+    with open(f"{p}/v=3/_layout.json") as f:
+        assert json.load(f)["n_buckets"] == 4
+    merge_upsert_bucketed(spark, p, _kv(spark, [(5, 20, "after")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=None)
+    got = {r.k: r.v for r in read_version(spark, p, 4).collect()}
+    assert len(got) == 32 and got[5] == "after" and got[20] == "v20"
+
+
+def test_feed_from_bucketed_source_replicates_without_bucket(spark, tmp_path):
+    """_bucket is layout metadata: the feed from a bucketed source
+    never carries it, and a plain replica built from that feed equals
+    the source's data columns exactly."""
+    from project2_bigdata_spark.sources.ingest import (
+        apply_change_feed, merge_upsert, merge_upsert_bucketed,
+        read_change_feed, read_version,
+    )
+
+    src = str(tmp_path / "src")
+    merge_upsert_bucketed(
+        spark, src, _kv(spark, [(k, 10, f"v{k}") for k in range(10)]),
+        keys=["k"], order_cols=["ts"], n_buckets=4)
+    merge_upsert_bucketed(spark, src, _kv(spark, [(3, 20, "upd")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=4)
+    feed = read_change_feed(spark, src, ["k"], from_version=1)
+    assert "_bucket" not in feed.columns
+    replica = str(tmp_path / "replica")
+    merge_upsert(spark, replica,
+                 read_version(spark, src, 1).drop("_bucket"), keys=["k"])
+    apply_change_feed(spark, replica, ["k"], feed)
+    got = sorted(map(tuple, read_version(spark, replica).collect()))
+    want = sorted(map(tuple, read_version(spark, src, 2)
+                      .drop("_bucket").collect()))
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 4: O(1) latest-version resolution
+
+
+def test_latest_pointer_serves_reads_without_listing(spark, tmp_path,
+                                                     monkeypatch):
+    """With a fresh _latest pointer, resolving the latest version needs
+    NO directory listing — proven by making the listing path explode:
+    read_version(None) still serves the right snapshot."""
+    from project2_bigdata_spark.sources import ingest
+
+    p = str(tmp_path / "t")
+    for i in range(1, 6):
+        ingest.merge_upsert(spark, p, _kv(spark, [(1, i, f"v{i}")]),
+                            keys=["k"], order_cols=["ts"])
+
+    def boom(*a, **k):
+        raise AssertionError("listing fallback used despite fresh pointer")
+
+    monkeypatch.setattr(ingest, "_versions", boom)
+    got = ingest.read_version(spark, p).collect()
+    assert [(r.k, r.v) for r in got] == [(1, "v5")]
+
+
+def test_latest_pointer_stale_missing_and_vacuumed(spark, tmp_path):
+    """Pointer healing: a STALE pointer probes forward to the true
+    latest; a MISSING pointer falls back to the listing; a pointer at a
+    VACUUMED version falls back too. The pointer is a hint — never
+    trusted over the rename ground truth."""
+    from project2_bigdata_spark.sources.ingest import (
+        _latest_committed, merge_upsert, vacuum_versions,
+    )
+
+    p = str(tmp_path / "t")
+    for i in range(1, 5):
+        merge_upsert(spark, p, _kv(spark, [(1, i, f"v{i}")]),
+                     keys=["k"], order_cols=["ts"])
+    # stale (regressed) pointer → probe-forward heals
+    with open(f"{p}/_latest", "w") as f:
+        f.write("2")
+    assert _latest_committed(p) == 4
+    # missing pointer → listing fallback
+    os.remove(f"{p}/_latest")
+    assert _latest_committed(p) == 4
+    # pointer at a vacuumed version → listing fallback
+    merge_upsert(spark, p, _kv(spark, [(1, 9, "v5")]),
+                 keys=["k"], order_cols=["ts"])
+    vacuum_versions(p, keep=2)  # drops v1..v3
+    with open(f"{p}/_latest", "w") as f:
+        f.write("2")  # vacuumed out
+    assert _latest_committed(p) == 5
+
+
+def test_latest_pointer_stops_below_torn_top(spark, tmp_path):
+    """A torn (uncommitted) directory above the pointer must not be
+    served: the probe walks past it only when committed, else steps
+    back to the last committed version."""
+    from project2_bigdata_spark.sources.ingest import (
+        _latest_committed, merge_upsert,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(1, 1, "a")]),
+                 keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, p, _kv(spark, [(1, 2, "b")]),
+                 keys=["k"], order_cols=["ts"])
+    os.makedirs(f"{p}/v=3")  # torn write_versioned debris, no _SUCCESS
+    with open(f"{p}/_latest", "w") as f:
+        f.write("1")  # stale
+    assert _latest_committed(p) == 2
+
+
+def test_commit_ts_stamped_at_publish(spark, tmp_path):
+    """Every optimistic commit stamps _commit_ts at publish time; the
+    stamp parses and is >= the staging mtime (the old, too-early
+    clock)."""
+    import time
+
+    from project2_bigdata_spark.sources.ingest import merge_upsert
+
+    p = str(tmp_path / "t")
+    t0 = time.time()
+    merge_upsert(spark, p, _kv(spark, [(1, 1, "a")]),
+                 keys=["k"], order_cols=["ts"])
+    with open(f"{p}/v=1/_commit_ts") as f:
+        ts = float(f.read())
+    assert t0 <= ts <= time.time()
+    assert ts >= os.path.getmtime(f"{p}/v=1") - 1e-3
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 5: commit-time file stats + read-side skipping
+
+
+def test_read_version_where_prunes_files_exactly(spark, tmp_path):
+    """File skipping: a range predicate over a range-clustered commit
+    scans a strict subset of files, and the result equals the
+    unpruned read + filter (stats only prune, never admit)."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = (spark.range(0, 10_000)
+          .select(F.col("id").cast("int").alias("k"),
+                  (F.col("id") % 97).cast("int").alias("m")))
+    assert commit_version(df.repartitionByRange(8, "k"), p, 1)
+    where = [("k", ">=", 2000), ("k", "<", 3000)]
+    pruned = read_version(spark, p, 1, where=where)
+    full = read_version(spark, p, 1).filter(
+        (F.col("k") >= 2000) & (F.col("k") < 3000))
+    assert len(pruned.inputFiles()) < len(read_version(spark, p, 1).inputFiles())
+    assert sorted(map(tuple, pruned.collect())) == \
+        sorted(map(tuple, full.collect()))
+    # every-file-pruned corner: empty relation, full schema
+    none = read_version(spark, p, 1, where=[("k", ">", 10_000_000)])
+    assert none.count() == 0 and none.columns == ["k", "m"]
+
+
+def test_read_version_where_on_bucketed_and_statless(spark, tmp_path):
+    """where= composes with the bucketed layout (partition column
+    survives the file-listed read) and degrades to a plain filtered
+    read when the version predates stats."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(50)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    got = read_version(spark, p, 1, where=[("k", "=", 7)]).collect()
+    assert [(r.k, r.v) for r in got] == [(7, "v7")]
+    # stats removed (legacy commit): pruning skipped, result identical
+    os.remove(f"{p}/v=1/_stats.json")
+    got2 = read_version(spark, p, 1, where=[("k", "=", 7)]).collect()
+    assert [(r.k, r.v) for r in got2] == [(7, "v7")]
+    with pytest.raises(ValueError, match="unsupported where op"):
+        read_version(spark, p, 1, where=[("k", "!=", 7)])
+
+
+def test_stats_skip_lossy_types_conservatively(spark, tmp_path):
+    """Decimal/timestamp columns carry NO stats (a lossy conversion
+    could round a bound inward and prune a matching file); predicates
+    on stats-less columns keep every file and stay exact."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 100).select(
+        F.col("id").cast("int").alias("k"),
+        F.col("id").cast("decimal(18,2)").alias("money"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("when"),
+    )
+    assert commit_version(df.repartition(4), p, 1)
+    with open(f"{p}/v=1/_stats.json") as f:
+        stats = json.load(f)
+    for cols in stats.values():
+        assert "money" not in cols and "when" not in cols
+        assert "k" in cols
+    got = read_version(spark, p, 1, where=[("k", "<", 10)])
+    assert got.count() == 10
+
+
+def test_optimize_zorder_clusters_and_preserves_values(spark, tmp_path):
+    """OPTIMIZE ... ZORDER: after z-ordering a shuffled table on
+    (a, b), a selective predicate on EITHER column prunes files via the
+    committed stats; values are byte-identical and the feed diff is
+    empty (maintenance verbs never change answers)."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, optimize_version, read_change_feed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    # adversarial layout: random row order, so pre-optimize stats are
+    # useless for either column
+    df = (spark.range(0, 20_000)
+          .select(F.col("id").cast("int").alias("k"),
+                  (F.col("id") * 2654435761 % 8192).cast("int").alias("a"),
+                  (F.col("id") * 40503 % 8192).cast("int").alias("b"))
+          .repartition(8))
+    assert commit_version(df, p, 1)
+    assert optimize_version(spark, p, target_file_mb=1,
+                            zorder_by=["a", "b"]) == 2
+    n_all = len(read_version(spark, p, 2).inputFiles())
+    if n_all > 1:
+        for col in ("a", "b"):
+            pruned = read_version(spark, p, 2,
+                                  where=[(col, "<", 512)])
+            assert len(pruned.inputFiles()) < n_all, col
+    before = sorted(map(tuple, read_version(spark, p, 1).collect()))
+    after = sorted(map(tuple, read_version(spark, p, 2).collect()))
+    assert before == after
+    assert read_change_feed(spark, p, ["k"], from_version=1).count() == 0
+
+
+def test_optimize_zorder_bucketed_keeps_layout(spark, tmp_path):
+    """Z-ordering a bucketed table clusters WITHIN buckets and keeps
+    the _bucket dirs + layout contract (the next COW merge still
+    hardlinks and prunes correctly)."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, optimize_version, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    assert optimize_version(spark, p, zorder_by=["k", "ts"]) == 2
+    assert len(glob.glob(f"{p}/v=2/_bucket=*")) == 8
+    assert os.path.exists(f"{p}/v=2/_layout.json")
+    merge_upsert_bucketed(spark, p, _kv(spark, [(3, 20, "upd")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=None)
+    got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
+    assert len(got) == 64 and got[3] == "upd" and got[50] == "v50"
+
+
+# ---------------------------------------------------------------------------
+# streaming threading of schema evolution (VERDICT r10 item 1, second half)
+
+
+def test_stream_scd1_bucketed_schema_evolution(spark, sf_dir, tmp_path):
+    """The streaming bucketed sink threads schema_evolution through to
+    the COW merge: a dimension seeded NARROW evolves when the stream's
+    batches carry more columns; without the opt-in the stream fails
+    (the safe default)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming import StreamingQueryException
+
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+    from project2_bigdata_spark.streaming.upsert import (
+        stream_upsert_to_dimension, user_state_stream,
+    )
+
+    path = str(tmp_path / "dim")
+    # seed with a NARROW schema (no last_event_type / last_value)
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    narrow = events.select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("ts").alias("last_ts"),
+    ).limit(5)
+    merge_upsert_bucketed(spark, path, narrow, keys=["user_id"],
+                          order_cols=["last_ts", "last_event_id"],
+                          n_buckets=8)
+    # streaming the FULL schema without the opt-in fails the batch
+    with pytest.raises(StreamingQueryException):
+        stream_upsert_to_dimension(
+            user_state_stream(spark, sf_dir), path,
+            keys=["user_id"], order_cols=["last_ts", "last_event_id"],
+            bucketed_n=8)
+    # with the opt-in, the dimension evolves
+    stream_upsert_to_dimension(
+        user_state_stream(spark, sf_dir), path,
+        keys=["user_id"], order_cols=["last_ts", "last_event_id"],
+        bucketed_n=8, schema_evolution=True)
+    state = read_version(spark, path)
+    assert {"last_event_type", "last_value"} <= set(state.columns)
+    assert state.count() > 0

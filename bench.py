@@ -156,6 +156,19 @@ def main() -> None:
      .select(_warm_udf(_F.col("id").cast("string")).alias("n"))
      .write.mode("overwrite").format("noop").save())
 
+    # Shared-fixture warm-up (VERDICT r10 What's-wrong #2): the
+    # session-cached mongoexport file and the SCD1-deletes dimension
+    # are built lazily inside the FIRST query that needs them, so that
+    # query's first timed rep was charging ~4 s of fixture build to the
+    # connector (r10 tertiary pair [4.979, 0.644]). Build both here so
+    # every timed rep measures the operator, not the fixture.
+    from project2_bigdata_spark.sources.ingest import (  # noqa: E402
+        _scd1_deletes_table, shared_mongoexport,
+    )
+
+    shared_mongoexport(spark, sf_dir)
+    _scd1_deletes_table(spark, sf_dir)
+
     # Repetitions: BENCH_HISTORY shows ~2x per-query swings under host
     # load on this shared VM (pair_counts 2.17-3.84s across identical
     # code); single-run timings made round-over-round deltas noise.

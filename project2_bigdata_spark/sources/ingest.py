@@ -487,9 +487,12 @@ def _collect_file_stats(staging: str, reuse: dict | None = None) -> dict:
     their entry instead of being re-footer-read — keeping the bucketed
     merge's commit cost proportional to the touched buckets, not the
     table."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import pyarrow.parquet as pq
 
     stats: dict = {}
+    todo: list[str] = []
     for root, dirs, files in os.walk(staging):
         dirs[:] = [d for d in dirs
                    if "=" in d or not d.startswith((".", "_"))]
@@ -500,39 +503,48 @@ def _collect_file_stats(staging: str, reuse: dict | None = None) -> dict:
             if reuse is not None and rel in reuse:
                 stats[rel] = reuse[rel]
                 continue
-            try:
-                md = pq.ParquetFile(os.path.join(root, fn)).metadata
-            except Exception:
-                stats[rel] = {}
-                continue
-            cols: dict = {}
-            for ci in range(md.num_columns):
-                name = md.schema.column(ci).name
-                if "." in name:
-                    continue  # nested leaf: skip
-                lo = hi = None
-                ok = True
-                for rg in range(md.num_row_groups):
-                    st = md.row_group(rg).column(ci).statistics
-                    try:
-                        # .min/.max themselves can raise for physical
-                        # types pyarrow can't cast (INT96 timestamps,
-                        # some decimals) — skip the column, keep the file
-                        if st is None or not st.has_min_max:
-                            ok = False
-                            break
-                        lo = st.min if lo is None else min(lo, st.min)
-                        hi = st.max if hi is None else max(hi, st.max)
-                    except Exception:
+            todo.append(rel)
+
+    def _one(rel: str) -> tuple[str, dict]:
+        try:
+            md = pq.ParquetFile(os.path.join(staging, rel)).metadata
+        except Exception:
+            return rel, {}
+        cols: dict = {}
+        for ci in range(md.num_columns):
+            name = md.schema.column(ci).name
+            if "." in name:
+                continue  # nested leaf: skip
+            lo = hi = None
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(ci).statistics
+                try:
+                    # .min/.max themselves can raise for physical
+                    # types pyarrow can't cast (INT96 timestamps,
+                    # some decimals) — skip the column, keep the file
+                    if st is None or not st.has_min_max:
                         ok = False
                         break
-                if not ok or lo is None:
-                    continue
-                elo, ehi = _encode_stat(lo), _encode_stat(hi)
-                if elo is None or ehi is None:
-                    continue
-                cols[name] = {"min": elo, "max": ehi}
-            stats[rel] = cols
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                except Exception:
+                    ok = False
+                    break
+            if not ok or lo is None:
+                continue
+            elo, ehi = _encode_stat(lo), _encode_stat(hi)
+            if elo is None or ehi is None:
+                continue
+            cols[name] = {"min": elo, "max": ehi}
+        return rel, cols
+
+    if todo:
+        # footer reads are tiny and I/O-bound: a small thread pool
+        # keeps many-file commits from serializing on the driver
+        with ThreadPoolExecutor(max_workers=min(16, len(todo))) as ex:
+            for rel, cols in ex.map(_one, todo):
+                stats[rel] = cols
     return stats
 
 

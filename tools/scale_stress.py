@@ -766,6 +766,165 @@ def merge_cow(spark, k: int, timeout_s: int) -> dict:
     return out
 
 
+def lakehouse_r11(spark, k: int, timeout_s: int) -> dict:
+    """K x measurements for the round-11 lakehouse additions: (a) the
+    evolving bucketed merge (schema evolution must not break the COW
+    hardlink bound or the commit cost), (b) REBUCKET (expected O(table)
+    — it is the migration, not the steady state), (c) file-level stats
+    skipping (scan-side win of a selective predicate vs the full-scan
+    filter), (d) OPTIMIZE ZORDER (cost of the clustering shuffle + the
+    pruning it buys on BOTH columns), (e) latest-version resolution
+    (pointer vs directory listing on a many-version chain). Requires
+    ``amplify K``."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import (
+        _latest_committed, _versions, commit_version, merge_upsert_bucketed,
+        optimize_version, read_change_feed, read_version, rebucket_version,
+    )
+
+    sf = dst_dir(k)
+    out: dict[str, object] = {"k": k, "dir": sf}
+
+    def state_rows(df):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("v"),
+            F.col("o_orderpriority").alias("prio"),
+        )
+
+    orders = table(spark, sf, "orders")
+    full = state_rows(orders)
+    batch_keys = [r[0] for r in orders.select("o_orderkey")
+                  .orderBy("o_orderkey").limit(50).collect()]
+    delta = state_rows(
+        orders.where(F.col("o_orderkey").isin(batch_keys))
+    ).withColumn("v", F.col("v") + 1) \
+     .withColumn("extra", F.lit("evolved"))  # the WIDER CDC batch
+    n_buckets, keys, oc = 256, ["k"], ["ts"]
+
+    pb = f"/tmp/sparkgraft_r11_evolve_{k}"
+    shutil.rmtree(pb, ignore_errors=True)
+    t0 = time.perf_counter()
+    with _deadline(spark, "r11-bootstrap", timeout_s):
+        merge_upsert_bucketed(spark, pb, full, keys, oc,
+                              n_buckets=n_buckets)
+    out["bootstrap_sec"] = round(time.perf_counter() - t0, 1)
+
+    # (a) evolving COW merge: hardlink bound must survive evolution
+    t0 = time.perf_counter()
+    with _deadline(spark, "r11-evolve-merge", timeout_s):
+        merge_upsert_bucketed(spark, pb, delta, keys, oc,
+                              n_buckets=n_buckets, schema_evolution=True)
+    out["evolving_merge_sec"] = round(time.perf_counter() - t0, 1)
+    i1 = {os.stat(f).st_ino for f in
+          glob.glob(f"{pb}/v=1/_bucket=*/*.parquet")}
+    rewritten = linked = 0
+    for f in glob.glob(f"{pb}/v=2/_bucket=*/*.parquet"):
+        st = os.stat(f)
+        if st.st_ino in i1:
+            linked += st.st_size
+        else:
+            rewritten += st.st_size
+    out["evolve_rewritten_bytes"] = rewritten
+    out["evolve_hardlinked_bytes"] = linked
+    out["evolve_hardlinked_pct"] = round(
+        100 * linked / max(linked + rewritten, 1), 1)
+    # mixed-schema read cost: full count over marker-schema read
+    t0 = time.perf_counter()
+    n_mixed = read_version(spark, pb, 2).count()
+    out["mixed_schema_read_sec"] = round(time.perf_counter() - t0, 1)
+    out["rows"] = n_mixed
+
+    # (b) REBUCKET 256 -> 512: O(table) rewrite + change-free feed
+    t0 = time.perf_counter()
+    with _deadline(spark, "r11-rebucket", timeout_s):
+        assert rebucket_version(spark, pb, 512) == 3
+    out["rebucket_sec"] = round(time.perf_counter() - t0, 1)
+    assert read_change_feed(spark, pb, keys, from_version=2,
+                            to_version=3).count() == 0
+    # a post-rebucket inherit merge stays bucket-bounded
+    t0 = time.perf_counter()
+    with _deadline(spark, "r11-post-rebucket-merge", timeout_s):
+        merge_upsert_bucketed(
+            spark, pb, delta.withColumn("v", F.col("v") + 1),
+            keys, oc, n_buckets=None, schema_evolution=True)
+    out["post_rebucket_merge_sec"] = round(time.perf_counter() - t0, 1)
+
+    # (c) stats skipping: selective predicate vs full-scan filter
+    ps = f"/tmp/sparkgraft_r11_skip_{k}"
+    shutil.rmtree(ps, ignore_errors=True)
+    proj = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    t0 = time.perf_counter()
+    with _deadline(spark, "r11-skip-commit", timeout_s):
+        assert commit_version(proj.repartitionByRange(64, "o_orderkey"),
+                              ps, 1)
+    out["skip_commit_sec"] = round(time.perf_counter() - t0, 1)
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+    lo_pred = [("o_orderkey", "<", int(hi * 0.01))]
+    t0 = time.perf_counter()
+    n_pruned_rows = read_version(spark, ps, 1, where=lo_pred).count()
+    out["skip_pruned_scan_sec"] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    n_full_rows = (read_version(spark, ps, 1)
+                   .filter(F.col("o_orderkey") < int(hi * 0.01)).count())
+    out["skip_fullscan_filter_sec"] = round(time.perf_counter() - t0, 2)
+    assert n_pruned_rows == n_full_rows
+    out["skip_files_scanned"] = len(
+        read_version(spark, ps, 1, where=lo_pred).inputFiles())
+    out["skip_files_total"] = len(read_version(spark, ps, 1).inputFiles())
+
+    # (d) OPTIMIZE ZORDER on a hash-shuffled copy: shuffle cost + the
+    # file pruning it buys on each clustered column
+    pz = f"/tmp/sparkgraft_r11_zorder_{k}"
+    shutil.rmtree(pz, ignore_errors=True)
+    with _deadline(spark, "r11-zorder-commit", timeout_s):
+        assert commit_version(proj.repartition(64), pz, 1)
+    t0 = time.perf_counter()
+    with _deadline(spark, "r11-zorder-optimize", timeout_s):
+        assert optimize_version(spark, pz, target_file_mb=8,
+                                zorder_by=["o_custkey", "o_orderkey"]) == 2
+    out["zorder_optimize_sec"] = round(time.perf_counter() - t0, 1)
+    chi = orders.agg(F.max("o_custkey")).first()[0]
+    n_all = len(read_version(spark, pz, 2).inputFiles())
+    out["zorder_files_total"] = n_all
+    out["zorder_files_custkey_pred"] = len(read_version(
+        spark, pz, 2,
+        where=[("o_custkey", "<", int(chi * 0.02))]).inputFiles())
+    out["zorder_files_orderkey_pred"] = len(read_version(
+        spark, pz, 2,
+        where=[("o_orderkey", "<", int(hi * 0.02))]).inputFiles())
+
+    # (e) latest-version resolution: pointer vs listing on a long chain
+    pv = f"/tmp/sparkgraft_r11_chain_{k}"
+    shutil.rmtree(pv, ignore_errors=True)
+    tiny = spark.range(1).select(F.col("id").alias("k"))
+    n_chain = 120
+    for i in range(1, n_chain + 1):
+        assert commit_version(tiny, pv, i)
+    reps = 2000
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        assert _latest_committed(pv) == n_chain
+    out["resolve_pointer_us"] = round(
+        (time.perf_counter() - t0) / reps * 1e6, 1)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        assert _versions(pv, committed_only=True)[-1] == n_chain
+    out["resolve_listing_us"] = round(
+        (time.perf_counter() - t0) / reps * 1e6, 1)
+    out["chain_len"] = n_chain
+
+    for p in (pb, ps, pz, pv):
+        shutil.rmtree(p, ignore_errors=True)
+    return out
+
+
 def run(spark, k: int, names: list[str], timeout_s: int) -> dict:
     from project2_bigdata_spark.plans import REGISTRY
 
@@ -819,6 +978,12 @@ def main() -> int:
             rest = rest[1:]
         print(json.dumps(merge_cow(
             spark, k, int(rest[0]) if rest else 1200)))
+    elif mode == "lakehouse_r11":
+        rest = sys.argv[3:]
+        if rest and rest[0] == "--timeout":
+            rest = rest[1:]
+        print(json.dumps(lakehouse_r11(
+            spark, k, int(rest[0]) if rest else 1800)))
     elif mode == "bench10":
         # cross-query bench (VERDICT r8 item 8): the headline block
         # back-to-back at K x, catching cache-pressure/executor-churn

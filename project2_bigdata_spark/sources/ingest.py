@@ -550,17 +550,22 @@ def _collect_file_stats(staging: str, reuse: dict | None = None) -> dict:
 
 def _write_staging_markers(df: DataFrame, staging: str,
                            layout: dict | None,
-                           base_stats: dict | None = None) -> None:
+                           base_stats: dict | None = None,
+                           operation: str | None = None) -> None:
     """Commit-time metadata, written INSIDE the staging dir so it rides
     the atomic rename (nothing publishes without its markers): the
-    empty-snapshot schema marker, the bucket-layout contract, and the
-    per-file min/max stats."""
+    empty-snapshot schema marker, the bucket-layout contract, the
+    per-file min/max stats, and the operation name for
+    :func:`table_history`."""
     import json
 
     _write_schema_marker(df, staging)
     if layout is not None:
         with open(os.path.join(staging, "_layout.json"), "w") as f:
             json.dump(layout, f)
+    if operation is not None:
+        with open(os.path.join(staging, "_op.json"), "w") as f:
+            json.dump({"operation": operation}, f)
     try:
         with open(os.path.join(staging, "_stats.json"), "w") as f:
             json.dump(_collect_file_stats(staging, reuse=base_stats), f)
@@ -630,7 +635,8 @@ def _prune_files_by_stats(vdir: str, where) -> list[str] | None:
 
 def commit_version(df: DataFrame, path: str, version: int,
                    partition_by: str | None = None,
-                   layout: dict | None = None) -> bool:
+                   layout: dict | None = None,
+                   operation: str | None = None) -> bool:
     """Atomic OPTIMISTIC commit of ``df`` as exactly ``path/v=version``.
 
     The Delta/Iceberg commit primitive on a POSIX filesystem: the
@@ -647,10 +653,12 @@ def commit_version(df: DataFrame, path: str, version: int,
 
     Commit-time metadata rides INSIDE the staging dir (atomic with the
     publish): the empty-snapshot schema marker, the bucket ``layout``
-    contract when given, and per-file min/max stats for
-    :func:`read_version`'s file skipping. The winner additionally
-    stamps ``_commit_ts`` and the ``_latest`` pointer hint after the
-    rename (advisory — see :func:`_stamp_commit`)."""
+    contract when given, per-file min/max stats for
+    :func:`read_version`'s file skipping, and the ``operation`` name
+    (WRITE / MERGE / OPTIMIZE / RESTORE / REBUCKET — Delta's DESCRIBE
+    HISTORY column, served by :func:`table_history`). The winner
+    additionally stamps ``_commit_ts`` and the ``_latest`` pointer
+    hint after the rename (advisory — see :func:`_stamp_commit`)."""
     import shutil
     import uuid
 
@@ -662,7 +670,7 @@ def commit_version(df: DataFrame, path: str, version: int,
     if partition_by:
         w = w.partitionBy(partition_by)
     w.parquet(staging)
-    _write_staging_markers(df, staging, layout)
+    _write_staging_markers(df, staging, layout, operation=operation)
     try:
         os.rename(staging, target)
     except OSError:
@@ -801,7 +809,7 @@ def merge_upsert(
         merged = _merged(base_v)
         if pre_commit_hook is not None:
             pre_commit_hook(attempt, target)
-        if commit_version(merged, path, target):
+        if commit_version(merged, path, target, operation="MERGE"):
             return target
     raise ConcurrentWriteError(
         f"merge at {path} lost the version race {max_retries + 1} times")
@@ -1091,6 +1099,8 @@ def merge_upsert_bucketed(
                 json.dump(json.loads(merged.schema.json()), f)
             with open(os.path.join(staging, "_layout.json"), "w") as f:
                 json.dump(eff_layout, f)
+            with open(os.path.join(staging, "_op.json"), "w") as f:
+                json.dump({"operation": "MERGE"}, f)
             try:
                 with open(os.path.join(staging, "_stats.json"), "w") as f:
                     json.dump(_collect_file_stats(staging,
@@ -1339,7 +1349,8 @@ def optimize_version(spark: SparkSession, path: str,
             df = (_clustered(df, zorder_by, None, bucketed=True)
                   if zorder_by else df.repartition("_bucket"))
             if commit_version(df, path, base_v + 1,
-                              partition_by="_bucket", layout=layout):
+                              partition_by="_bucket", layout=layout,
+                              operation="OPTIMIZE"):
                 return base_v + 1
             continue
         size = sum(os.path.getsize(os.path.join(r, f))
@@ -1348,7 +1359,7 @@ def optimize_version(spark: SparkSession, path: str,
         df = read_version(spark, path, base_v)
         df = (_clustered(df, zorder_by, n_files, bucketed=False)
               if zorder_by else df.coalesce(n_files))
-        if commit_version(df, path, base_v + 1):
+        if commit_version(df, path, base_v + 1, operation="OPTIMIZE"):
             return base_v + 1
     raise ConcurrentWriteError(
         f"optimize at {path} lost the version race {max_retries + 1} times")
@@ -1400,7 +1411,8 @@ def rebucket_version(spark: SparkSession, path: str, n_buckets: int,
               .withColumn("_bucket", _bucket_expr(keys, n_buckets))
               .repartition("_bucket"))
         if commit_version(df, path, base_v + 1,
-                          partition_by="_bucket", layout=new_layout):
+                          partition_by="_bucket", layout=new_layout,
+                          operation="REBUCKET"):
             _write_root_layout_hint(path, new_layout)
             return base_v + 1
     raise ConcurrentWriteError(
@@ -1427,12 +1439,64 @@ def restore_version(spark: SparkSession, path: str, version: int,
         pb = ("_bucket" if layout is not None
               or _is_bucketed_version(path, version) else None)
         if commit_version(df, path, latest + 1, partition_by=pb,
-                          layout=layout):
+                          layout=layout, operation="RESTORE"):
             if layout is not None:
                 _write_root_layout_hint(path, layout)
             return latest + 1
     raise ConcurrentWriteError(
         f"restore at {path} lost the version race {max_retries + 1} times")
+
+
+def table_history(spark: SparkSession, path: str) -> DataFrame:
+    """Delta's ``DESCRIBE HISTORY`` on the ``v=N`` layout (r11): one
+    row per RETAINED committed version — version number, commit
+    timestamp (the ``_commit_ts`` publish stamp, mtime fallback), the
+    operation that wrote it (MERGE / OPTIMIZE / RESTORE / REBUCKET;
+    ``WRITE`` for plain snapshot commits that predate or bypass the
+    marker), file count, byte size, and the bucket count when the
+    version is bucketed. Pure commit metadata — a driver-side walk of
+    O(#versions) directory listings, never data — so the relation is
+    built locally and parallelized only for the caller's convenience.
+    Vacuumed versions are gone from history exactly as from time
+    travel: the retention window IS the audit horizon."""
+    import datetime as _dt
+    import json
+
+    rows = []
+    for v in _versions(path, committed_only=True):
+        vdir = os.path.join(path, f"v={v}")
+        try:
+            with open(os.path.join(vdir, "_op.json")) as f:
+                op = json.load(f).get("operation", "WRITE")
+        except (OSError, ValueError):
+            op = "WRITE"
+        layout = None
+        try:
+            with open(os.path.join(vdir, "_layout.json")) as f:
+                layout = json.load(f)
+        except (OSError, ValueError):
+            pass
+        n_files = size = 0
+        for root, dirs, files in os.walk(vdir):
+            dirs[:] = [d for d in dirs
+                       if "=" in d or not d.startswith((".", "_"))]
+            for fn in files:
+                if fn.startswith((".", "_")) or not fn.endswith(".parquet"):
+                    continue
+                n_files += 1
+                size += os.path.getsize(os.path.join(root, fn))
+        rows.append((
+            v,
+            _dt.datetime.fromtimestamp(_commit_time(path, v)),
+            op,
+            n_files,
+            size,
+            layout.get("n_buckets") if layout else None,
+        ))
+    return spark.createDataFrame(
+        rows,
+        "version int, committed_at timestamp, operation string, "
+        "n_files int, size_bytes bigint, n_buckets int")
 
 
 def read_version_as_of(spark: SparkSession, path: str, ts) -> DataFrame:
@@ -2266,6 +2330,62 @@ def q_lakehouse_stats_skipping_scan(
                           path, 1)
     return read_version(spark, path, 1,
                         where=[("o_orderkey", "<", 5000)])
+
+
+@register(
+    "lakehouse_describe_history",
+    # the audit trail's deterministic columns: one row per retained
+    # version with the operation that wrote it and its bucket layout
+    # (commit timestamps and byte sizes are machine-dependent and
+    # excluded from the hash surface; the unit test covers them)
+    oracle="""
+    SELECT * FROM (VALUES
+      (1, 'MERGE',    16),
+      (2, 'MERGE',    16),
+      (3, 'OPTIMIZE', 16),
+      (4, 'REBUCKET', 32),
+      (5, 'RESTORE',  16)
+    ) AS t(version, operation, n_buckets)
+    """,
+    doc="DESCRIBE HISTORY (r11 — the audit half of the Delta "
+        "contract): every commit records the operation that wrote it "
+        "(_op.json riding the atomic publish) and table_history serves "
+        "one row per retained version with operation, commit time, "
+        "file count, bytes, and bucket layout. The query drives the "
+        "full verb lifecycle — two bucketed MERGEs, OPTIMIZE, REBUCKET "
+        "16→32, RESTORE to v2 (which reinstates n=16) — and returns "
+        "the deterministic audit columns; the VALUES oracle pins that "
+        "each verb is attributed correctly and the restore records the "
+        "RESTORED version's layout, not the rebucketed one",
+)
+def q_lakehouse_describe_history(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+    path = session_spool(spark, "lh_history_")
+    keys, oc = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+
+    def state_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+        )
+
+    merge_upsert_bucketed(
+        spark, path,
+        state_rows(orders.where(F.col("o_orderdate") < _SCD1_CUTOFF)),
+        keys, oc, n_buckets=16)
+    merge_upsert_bucketed(
+        spark, path,
+        state_rows(orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF)),
+        keys, oc, n_buckets=None)
+    assert optimize_version(spark, path) == 3
+    assert rebucket_version(spark, path, 32) == 4
+    assert restore_version(spark, path, 2) == 5
+    return table_history(spark, path).select(
+        "version", "operation", "n_buckets")
 
 
 @register(

@@ -490,6 +490,42 @@ def test_optimize_zorder_bucketed_keeps_layout(spark, tmp_path):
     assert len(got) == 64 and got[3] == "upd" and got[50] == "v50"
 
 
+def test_table_history_describes_every_verb(spark, tmp_path):
+    """DESCRIBE HISTORY parity: each maintenance verb records its
+    operation in the commit; vacuumed versions leave history (the
+    retention window is the audit horizon); plain snapshot commits
+    read as WRITE."""
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, merge_upsert_bucketed, optimize_version,
+        rebucket_version, restore_version, table_history, vacuum_versions,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(16)]),
+        keys=["k"], order_cols=["ts"], n_buckets=4)
+    merge_upsert_bucketed(spark, p, _kv(spark, [(1, 20, "u")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=4)
+    optimize_version(spark, p)
+    rebucket_version(spark, p, 8)
+    restore_version(spark, p, 2)
+    hist = {r.version: (r.operation, r.n_buckets)
+            for r in table_history(spark, p).collect()}
+    assert hist == {1: ("MERGE", 4), 2: ("MERGE", 4), 3: ("OPTIMIZE", 4),
+                    4: ("REBUCKET", 8), 5: ("RESTORE", 4)}
+    h = {r.version: r for r in table_history(spark, p).collect()}
+    assert all(h[v].n_files > 0 and h[v].size_bytes > 0 for v in h)
+    assert h[1].committed_at <= h[5].committed_at
+    vacuum_versions(p, keep=2)
+    assert sorted(r.version for r in
+                  table_history(spark, p).collect()) == [4, 5]
+    # a plain (operation-less) snapshot commit reads as WRITE
+    p2 = str(tmp_path / "plain")
+    assert commit_version(_kv(spark, [(1, 1, "a")]), p2, 1)
+    assert [r.operation for r in table_history(spark, p2).collect()] \
+        == ["WRITE"]
+
+
 # ---------------------------------------------------------------------------
 # streaming threading of schema evolution (VERDICT r10 item 1, second half)
 

@@ -42,9 +42,51 @@ def quantized(col: str, lo: Column, hi: Column, bits: int = 16) -> Column:
     ).cast("bigint")
 
 
+def zorder_key_n(cols: list[str], bits: int) -> Column:
+    """Morton-interleave N non-negative integer expressions: bit ``i``
+    of column ``j`` lands at position ``i*n + (n-1-j)`` — the pairwise
+    :func:`zorder_key` generalized round-robin. ``n*bits`` must stay
+    under 63 (the caller clamps)."""
+    n = len(cols)
+    terms = " + ".join(
+        f"((({c} >> {i}) & 1L) << {i * n + (n - 1 - j)})"
+        for i in range(bits)
+        for j, c in enumerate(cols)
+    )
+    return F.expr(f"CAST({terms} AS BIGINT)")
+
+
+def with_zorder_any(df: DataFrame, cols: list[str],
+                    bits: int = 16) -> DataFrame:
+    """Attach a ``_zkey`` column over ANY number of numeric columns:
+    quantize each by its global min/max (one tiny scalar-agg broadcast
+    join) and interleave round-robin. Per-column bits shrink as columns
+    grow (``min(bits, 63 // n)``) — the space-filling-curve trade-off:
+    more clustered dimensions, coarser cells per dimension."""
+    if not cols:
+        raise ValueError("with_zorder_any needs at least one column")
+    bits = min(bits, 63 // len(cols))
+    bounds = df.agg(*[
+        f for c in cols
+        for f in (F.min(c).alias(f"_lo_{c}"), F.max(c).alias(f"_hi_{c}"))
+    ])
+    out = df.crossJoin(F.broadcast(bounds))
+    qnames = []
+    for c in cols:
+        q = quantized(c, F.col(f"_lo_{c}"), F.col(f"_hi_{c}"), bits)
+        out = out.withColumn(f"_q_{c}", q)
+        qnames.append(f"_q_{c}")
+    out = out.withColumn("_zkey", zorder_key_n(qnames, bits))
+    drop = [f"_lo_{c}" for c in cols] + [f"_hi_{c}" for c in cols] + qnames
+    return out.drop(*drop)
+
+
 def with_zorder(df: DataFrame, col_a: str, col_b: str, bits: int = 16) -> DataFrame:
     """Attach a ``_zkey`` column: quantize both columns by their global
-    min/max (one tiny scalar-agg broadcast join) and interleave."""
+    min/max (one tiny scalar-agg broadcast join) and interleave.
+    (The two-column original; :func:`with_zorder_any` generalizes to N
+    — kept because its bit layout is pinned by the row-group-stats
+    test and the pairwise interleave reads clearest.)"""
     bounds = df.agg(
         F.min(col_a).alias("_alo"), F.max(col_a).alias("_ahi"),
         F.min(col_b).alias("_blo"), F.max(col_b).alias("_bhi"),

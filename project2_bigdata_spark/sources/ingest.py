@@ -1276,24 +1276,22 @@ def _clustered(df: DataFrame, zorder_by: list[str], n_files: int | None,
     """OPTIMIZE's clustering leg: order rows so each output file (and
     each parquet row group inside it) covers a narrow range of the
     clustering key, making the committed min/max stats selective for
-    filters on ANY z-ordered column. Two columns interleave into a
-    Morton key (functions.zorder — pure JVM expression); one column
-    degenerates to a plain range-cluster. Bucketed tables cluster
-    WITHIN buckets (the ``_bucket`` dirs are a layout contract the
-    copy-on-write merge depends on); plain tables range-partition
-    globally into ``n_files`` files."""
-    from ..functions.zorder import with_zorder
+    filters on ANY z-ordered column. N columns interleave round-robin
+    into a Morton key (functions.zorder — pure JVM expression, bits
+    per column shrinking as columns grow); one column degenerates to a
+    plain range-cluster. Bucketed tables cluster WITHIN buckets (the
+    ``_bucket`` dirs are a layout contract the copy-on-write merge
+    depends on); plain tables range-partition globally into
+    ``n_files`` files."""
+    from ..functions.zorder import with_zorder_any
 
-    if len(zorder_by) == 2:
-        df = with_zorder(df, zorder_by[0], zorder_by[1])
-        key = "_zkey"
-    elif len(zorder_by) == 1:
+    if not zorder_by:
+        raise ValueError("zorder_by needs at least one column")
+    if len(zorder_by) == 1:
         key = zorder_by[0]
     else:
-        raise ValueError(
-            f"zorder_by takes 1 or 2 columns, got {zorder_by!r} "
-            "(the Morton interleave is pairwise; chain optimizes for "
-            "more dimensions)")
+        df = with_zorder_any(df, zorder_by)
+        key = "_zkey"
     if bucketed:
         out = (df.repartition("_bucket")
                .sortWithinPartitions("_bucket", key))

@@ -469,6 +469,35 @@ def test_optimize_zorder_clusters_and_preserves_values(spark, tmp_path):
     assert read_change_feed(spark, p, ["k"], from_version=1).count() == 0
 
 
+def test_optimize_zorder_three_columns(spark, tmp_path):
+    """N-column z-order (round-robin Morton interleave): after
+    clustering on three columns, a selective predicate on EACH prunes
+    files; values identical."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, optimize_version, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = (spark.range(0, 30_000)
+          .select(F.col("id").cast("int").alias("k"),
+                  (F.col("id") * 2654435761 % 4096).cast("int").alias("a"),
+                  (F.col("id") * 40503 % 4096).cast("int").alias("b"),
+                  (F.col("id") * 69069 % 4096).cast("int").alias("c"))
+          .repartition(8))
+    assert commit_version(df, p, 1)
+    assert optimize_version(spark, p, target_file_mb=1,
+                            zorder_by=["a", "b", "c"]) == 2
+    n_all = len(read_version(spark, p, 2).inputFiles())
+    if n_all > 1:
+        for col in ("a", "b", "c"):
+            pruned = read_version(spark, p, 2, where=[(col, "<", 256)])
+            assert len(pruned.inputFiles()) < n_all, col
+    assert sorted(map(tuple, read_version(spark, p, 2).collect())) == \
+        sorted(map(tuple, read_version(spark, p, 1).collect()))
+
+
 def test_optimize_zorder_bucketed_keeps_layout(spark, tmp_path):
     """Z-ordering a bucketed table clusters WITHIN buckets and keeps
     the _bucket dirs + layout contract (the next COW merge still

@@ -1187,6 +1187,18 @@ def vacuum_versions(path: str, keep: int = 2,
                 except OSError:
                     continue  # vanished concurrently: already gone
             _shutil.rmtree(full, ignore_errors=True)
+        elif name.startswith(("._latest-", "._layout-")):
+            # tmp files from a crashed pointer/layout-hint os.replace
+            # (the grace window applies: an in-flight replace's tmp is
+            # milliseconds old)
+            full = os.path.join(path, name)
+            try:
+                if min_age_s is not None and \
+                        _time.time() - os.path.getmtime(full) < min_age_s:
+                    continue
+                os.remove(full)
+            except OSError:
+                pass
     return sorted(dropped)
 
 

@@ -338,6 +338,33 @@ def test_latest_pointer_stops_below_torn_top(spark, tmp_path):
     assert _latest_committed(p) == 2
 
 
+def test_vacuum_reclaims_pointer_tmp_debris(spark, tmp_path):
+    """A crashed os.replace leaves ._latest-*/._layout-* tmp files;
+    vacuum reclaims them (with the grace window protecting an
+    in-flight replace)."""
+    import time
+
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert, vacuum_versions,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert(spark, p, _kv(spark, [(1, 1, "a")]),
+                 keys=["k"], order_cols=["ts"])
+    stale = f"{p}/._latest-deadbeef"
+    fresh = f"{p}/._layout-cafe"
+    for f in (stale, fresh):
+        with open(f, "w") as fh:
+            fh.write("1")
+    os.utime(stale, (time.time() - 7200,) * 2)
+    vacuum_versions(p, keep=1, min_age_s=3600)
+    assert not os.path.exists(stale)   # aged-out debris reclaimed
+    assert os.path.exists(fresh)       # in-flight replace protected
+    vacuum_versions(p, keep=1)         # idle contract: reclaim all
+    assert not os.path.exists(fresh)
+    assert os.path.exists(f"{p}/_latest")  # the real pointer survives
+
+
 def test_commit_ts_stamped_at_publish(spark, tmp_path):
     """Every optimistic commit stamps _commit_ts at publish time; the
     stamp parses and is >= the staging mtime (the old, too-early

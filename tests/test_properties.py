@@ -767,3 +767,143 @@ def test_diff_snapshots_classification_matches_model(
         elif a[k] != b[k]:
             want[k] = (*b[k], "update_postimage")
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# r11: stats skipping, rebucket invariance, bucketed schema evolution
+
+
+_pred_rows = st.lists(
+    st.tuples(st.integers(-50, 50), st.integers(0, 9)),
+    min_size=1, max_size=40, unique_by=lambda t: t,
+)
+_preds = st.lists(
+    st.tuples(
+        st.sampled_from(["k", "m"]),
+        st.sampled_from(["=", "<", "<=", ">", ">="]),
+        st.integers(-55, 55),
+    ),
+    min_size=1, max_size=3,
+)
+
+
+@settings(**_SETTINGS)
+@given(_pred_rows, _preds)
+@pytest.mark.slow
+def test_stats_pruned_read_equals_python_filter(
+        spark, tmp_path_factory, rows, preds):
+    """File-skipping invariant (r11): for ANY data and ANY conjunctive
+    predicate list, read_version(where=...) over a multi-file commit
+    equals the independent Python filter — stats may only PRUNE files,
+    never change the answer (a bound rounded the wrong way would lose
+    rows here immediately)."""
+    import operator
+
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, read_version,
+    )
+
+    ops = {"=": operator.eq, "<": operator.lt, "<=": operator.le,
+           ">": operator.gt, ">=": operator.ge}
+    path = str(tmp_path_factory.mktemp("skip") / "t")
+    df = spark.createDataFrame(rows, "k int, m int")
+    assert commit_version(df.repartitionByRange(4, "k"), path, 1)
+    got = sorted(
+        (r.k, r.m)
+        for r in read_version(spark, path, 1, where=preds).collect())
+    want = sorted(
+        (k, m) for k, m in rows
+        if all(ops[op]({"k": k, "m": m}[c], v) for c, op, v in preds))
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(_cdc_stream, st.lists(st.sampled_from([1, 2, 3, 5, 8]),
+                             min_size=1, max_size=3))
+@pytest.mark.slow
+def test_rebucket_interleaved_merges_equal_recompute(
+        spark, tmp_path_factory, batches, rebuckets):
+    """REBUCKET invariance (r11): interleaving layout migrations with
+    latest_wins CDC merges (inherit mode after the first) must equal
+    the plain latest-per-key recompute for ANY batch split and ANY
+    rebucket sequence — a stale bucket function anywhere would keep
+    stale rows and diverge from the model here."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version, rebucket_version,
+    )
+
+    path = str(tmp_path_factory.mktemp("rebucket") / "dim")
+    n_written = 0
+    rb = list(rebuckets)
+    for i, batch in enumerate(batches):
+        if not batch:
+            continue
+        df = spark.createDataFrame(batch, "k int, ts int, v int")
+        merge_upsert_bucketed(
+            spark, path, df, keys=["k"], order_cols=["ts", "v"],
+            n_buckets=4 if n_written == 0 else None,
+            resolve="latest_wins")
+        n_written += 1
+        if rb:
+            rebucket_version(spark, path, rb.pop(0))
+    if n_written == 0:
+        return
+    model: dict[int, tuple[int, int]] = {}
+    for batch in batches:
+        for k, ts, v in batch:
+            if k not in model or (ts, v) >= model[k]:
+                model[k] = (ts, v)
+    got = {r.k: (r.ts, r.v)
+           for r in read_version(spark, path).drop("_bucket").collect()}
+    assert got == model
+
+
+_wide_stream = st.lists(
+    st.tuples(
+        _cdc_batch,
+        st.booleans(),  # this batch carries the evolved column?
+    ),
+    min_size=1, max_size=4,
+)
+
+
+@settings(**_SETTINGS)
+@given(_wide_stream)
+@pytest.mark.slow
+def test_bucketed_schema_evolution_equals_model(
+        spark, tmp_path_factory, batches):
+    """Schema-evolution invariance through the COW merge (r11): batches
+    randomly carry or omit an evolved column (evolution opted in); the
+    final state must equal the model where each key's winning event
+    contributes its OWN extra value — None when the winner came from a
+    narrow batch — regardless of which buckets were hardlinked when."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    path = str(tmp_path_factory.mktemp("evolve") / "dim")
+    n_written = 0
+    model: dict[int, tuple[int, int, object]] = {}
+    for batch, wide in batches:
+        if not batch:
+            continue
+        if wide:
+            rows = [(k, ts, v, f"e{v}") for k, ts, v in batch]
+            df = spark.createDataFrame(rows, "k int, ts int, v int, extra string")
+        else:
+            df = spark.createDataFrame(batch, "k int, ts int, v int")
+        merge_upsert_bucketed(
+            spark, path, df, keys=["k"], order_cols=["ts", "v"],
+            n_buckets=4, resolve="latest_wins", schema_evolution=True)
+        n_written += 1
+        for k, ts, v in batch:
+            if k not in model or (ts, v) >= model[k][:2]:
+                model[k] = (ts, v, f"e{v}" if wide else None)
+    if n_written == 0:
+        return
+    state = read_version(spark, path).drop("_bucket")
+    if "extra" not in state.columns:  # no wide batch ever merged
+        got = {r.k: (r.ts, r.v, None) for r in state.collect()}
+    else:
+        got = {r.k: (r.ts, r.v, r.extra) for r in state.collect()}
+    assert got == model

@@ -1125,7 +1125,8 @@ def merge_upsert_bucketed(
 
 
 def vacuum_versions(path: str, keep: int = 2,
-                    min_age_s: float | None = None) -> list[int]:
+                    min_age_s: float | None = None,
+                    dry_run: bool = False) -> list[int]:
     """Version GC for the ``v=N`` snapshot layout — the maintenance pass
     the MERGE sink needs in production (a per-micro-batch upsert stream
     accumulates one snapshot per batch; see stream_scd1's SCALE.md row).
@@ -1144,7 +1145,12 @@ def vacuum_versions(path: str, keep: int = 2,
     Also reclaims optimistic-commit debris (``.staged-*`` staging dirs,
     ``.torn-*`` quarantined legacy dirs); like Delta's VACUUM, run it
     when no write is in flight — an in-flight merge's staging dir is
-    indistinguishable from a crashed one."""
+    indistinguishable from a crashed one.
+
+    ``dry_run=True`` (Delta's ``VACUUM … DRY RUN``) returns the
+    version numbers that WOULD drop — same selection logic, zero
+    deletion (debris untouched too) — so an operator can audit the
+    blast radius against pinned readers before reclaiming."""
     import shutil as _shutil
     import time as _time
 
@@ -1167,6 +1173,8 @@ def vacuum_versions(path: str, keep: int = 2,
             v for v in _versions(path, committed_only=False)
             if v < committed[-1] and v not in committed
         ]
+    if dry_run:
+        return sorted(dropped)
     for v in sorted(dropped):
         _shutil.rmtree(os.path.join(path, f"v={v}"), ignore_errors=True)
     # reclaim optimistic-commit debris: unpublished staging dirs and

@@ -38,6 +38,8 @@ def stream_upsert_to_dimension(
     resolve: str = "latest_wins",
     bucketed_n: int | None = None,
     schema_evolution: bool = False,
+    optimize_every: int | None = None,
+    vacuum_keep: int | None = None,
 ) -> None:
     """Replay the bounded stream (AvailableNow), MERGE-upserting each
     micro-batch into the versioned dimension at ``path``.
@@ -51,14 +53,35 @@ def stream_upsert_to_dimension(
     latest_wins semantics ride the shared resolve core unchanged.
     ``schema_evolution`` (r11) threads the Delta mergeSchema opt-in
     through to whichever merge path runs — a drifting producer against
-    either layout otherwise hard-fails the batch (the safe default)."""
-    from ..sources.ingest import merge_upsert, merge_upsert_bucketed
+    either layout otherwise hard-fails the batch (the safe default).
+
+    ``optimize_every`` / ``vacuum_keep`` (r11 — Delta's auto-compaction
+    posture for a LONG-RUNNING sink): a per-micro-batch MERGE stream
+    accumulates one snapshot per batch — file count and version-chain
+    length grow without bound between manual maintenance passes. With
+    ``optimize_every=N``, every Nth applied batch is followed by an
+    inline OPTIMIZE commit (within-bucket compaction on the bucketed
+    layout); with ``vacuum_keep=K``, a vacuum keeping the newest K
+    versions runs after each maintenance pass. Both verbs are
+    answer-invariant by construction (oracle-pinned elsewhere), and
+    both ride the SAME serial foreachBatch thread as the merges — no
+    concurrent-writer hazard, and a replayed batch after a crash
+    re-runs them idempotently (optimize of an optimized snapshot is a
+    near-no-op; vacuum is idempotent). The cadence trades write
+    amplification for bounded scan-side file counts — at a
+    1000-executor scale the right N is whatever keeps per-version file
+    counts near the task-count sweet spot, not a magic constant."""
+    from ..sources.ingest import (
+        merge_upsert, merge_upsert_bucketed, optimize_version,
+        vacuum_versions,
+    )
 
     spark = sdf.sparkSession
     try:
         spark.conf.set(*_ROCKSDB)
     except Exception:
         pass
+    applied = {"n": 0}  # maintenance cadence counter (per run)
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
         # latest_wins, NOT delta_wins (r8 self-review item 1): a
@@ -80,6 +103,11 @@ def stream_upsert_to_dimension(
             merge_upsert(batch_df.sparkSession, path, batch_df,
                          keys=keys, order_cols=order_cols, resolve=resolve,
                          schema_evolution=schema_evolution)
+        applied["n"] += 1
+        if optimize_every and applied["n"] % optimize_every == 0:
+            optimize_version(batch_df.sparkSession, path)
+            if vacuum_keep:
+                vacuum_versions(path, keep=vacuum_keep)
         if post_merge_hook is not None:
             post_merge_hook(batch_id)
 
@@ -213,6 +241,57 @@ def q_stream_scd1_bucketed_cow(
         user_state_stream(spark, sf_dir), path,
         keys=["user_id"], order_cols=["last_ts", "last_event_id"],
         bucketed_n=32,
+    )
+    return read_version(spark, path).select(
+        "user_id", "last_event_id",
+        F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .alias("last_ts"),
+        "last_event_type",
+        F.col("last_value").cast("string").cast("double")
+        .alias("last_value"),
+    )
+
+
+@register(
+    "stream_scd1_auto_optimize",
+    # identical recompute oracle to stream_scd1_user_last_event: the
+    # inline maintenance cadence must not change the answer
+    oracle="""
+    SELECT user_id,
+           event_id AS last_event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS last_ts,
+           event_type AS last_event_type,
+           CAST(CAST(CAST(value AS DECIMAL(18,2)) AS VARCHAR) AS DOUBLE)
+             AS last_value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="The LONG-RUNNING sink's maintenance cadence under the oracle "
+        "gate (r11): a per-micro-batch MERGE stream accumulates one "
+        "snapshot per batch — file count and version-chain length grow "
+        "without bound. optimize_every=2 interleaves an OPTIMIZE "
+        "commit (within-bucket compaction) into the serial foreachBatch "
+        "thread every second batch and vacuum_keep=2 trims the chain "
+        "after each pass, so the dimension stays ~one-file-per-bucket "
+        "and O(1) versions FOREVER, not until an operator remembers. "
+        "Hash parity against the plain recompute proves the whole "
+        "cadence (merge → optimize → vacuum, repeated) is "
+        "answer-invariant end-to-end through the stream; the unit test "
+        "pins the file and version bounds",
+)
+def q_stream_scd1_auto_optimize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.ingest import read_version
+
+    path = session_spool(spark, "stream_scd1_auto_")
+    stream_upsert_to_dimension(
+        user_state_stream(spark, sf_dir), path,
+        keys=["user_id"], order_cols=["last_ts", "last_event_id"],
+        bucketed_n=16, optimize_every=2, vacuum_keep=2,
     )
     return read_version(spark, path).select(
         "user_id", "last_event_id",

@@ -1465,6 +1465,100 @@ def restore_version(spark: SparkSession, path: str, version: int,
         f"restore at {path} lost the version race {max_retries + 1} times")
 
 
+def clone_table(spark: SparkSession, src: str, dst: str,
+                version: int | None = None, deep: bool = False) -> int:
+    """Delta's ``CLONE`` on the ``v=N`` layout (r11): materialize a
+    snapshot of ``src`` (latest committed, or a pinned ``version``) as
+    a NEW INDEPENDENT table at ``dst`` — the sandboxing primitive (run
+    an experiment against a 100 TB dimension without touching it, or
+    fork a training corpus at a lineage point).
+
+    * **Shallow** (default): every data file HARDLINKS into
+      ``dst/v=1`` — zero bytes copied regardless of table size, same
+      fallback-to-copy posture as the COW merge. POSIX link semantics
+      make the clone durable, not a view: vacuuming (or deleting) the
+      SOURCE only unlinks the source's directory entries — the shared
+      inodes live while the clone references them, so a shallow clone
+      never dangles (pinned by the vacuum-source test). Writes on
+      either side never touch the other: the clone's merges are
+      ordinary copy-on-write commits against its own version chain.
+    * **Deep** (``deep=True``): physical copies — use when the clone
+      must survive the source's STORAGE (cross-filesystem moves), not
+      just its vacuum.
+
+    Commit metadata is re-derived, not trusted blindly: the layout
+    contract and schema marker carry over (the clone IS the same
+    relation), per-file stats are re-read from the linked footers via
+    the same collector (cheap — footers only), and history starts
+    fresh at v=1 with operation ``CLONE`` (the clone's audit trail is
+    its own; lineage back to the source is the caller's bookkeeping,
+    exactly Delta's CLONE posture). Returns the clone's version (1).
+    ``dst`` must not already hold a committed version."""
+    import json
+    import shutil
+    import uuid
+
+    src_v = version if version is not None else _latest_committed(src)
+    if src_v is None or not os.path.exists(
+            os.path.join(src, f"v={src_v}", "_SUCCESS")):
+        raise FileNotFoundError(
+            f"no committed version {'' if version is None else version} "
+            f"under {src}")
+    if _versions(dst, committed_only=True):
+        raise FileExistsError(f"{dst} already holds a committed table")
+    os.makedirs(dst, exist_ok=True)
+    vdir = os.path.join(src, f"v={src_v}")
+    staging = os.path.join(dst, f".staged-v1-{uuid.uuid4().hex}")
+    os.makedirs(staging)
+    for root, dirs, files in os.walk(vdir):
+        dirs[:] = [d for d in dirs
+                   if "=" in d or not d.startswith((".", "_"))]
+        rel_root = os.path.relpath(root, vdir)
+        out_root = (staging if rel_root == "." else
+                    os.path.join(staging, rel_root))
+        os.makedirs(out_root, exist_ok=True)
+        for fn in files:
+            if fn.startswith((".", "_")):
+                continue
+            s, d = os.path.join(root, fn), os.path.join(out_root, fn)
+            if deep:
+                shutil.copy2(s, d)
+            else:
+                try:
+                    os.link(s, d)
+                except OSError:
+                    shutil.copy2(s, d)  # cross-filesystem fallback
+    # carry the relation's contract markers; restart history
+    for marker in ("_schema.json", "_layout.json"):
+        m = os.path.join(vdir, marker)
+        if os.path.exists(m):
+            shutil.copy2(m, os.path.join(staging, marker))
+    with open(os.path.join(staging, "_op.json"), "w") as f:
+        json.dump({"operation": "CLONE"}, f)
+    src_stats = None
+    try:
+        with open(os.path.join(vdir, "_stats.json")) as f:
+            src_stats = json.load(f)
+    except (OSError, ValueError):
+        pass
+    try:
+        with open(os.path.join(staging, "_stats.json"), "w") as f:
+            json.dump(_collect_file_stats(staging, reuse=src_stats), f)
+    except OSError:
+        pass
+    open(os.path.join(staging, "_SUCCESS"), "w").close()
+    try:
+        os.rename(staging, os.path.join(dst, "v=1"))
+    except OSError:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise FileExistsError(f"{dst}/v=1 appeared concurrently")
+    _stamp_commit(dst, 1)
+    layout = _read_layout(dst, 1)
+    if layout is not None:
+        _write_root_layout_hint(dst, layout)
+    return 1
+
+
 def table_history(spark: SparkSession, path: str) -> DataFrame:
     """Delta's ``DESCRIBE HISTORY`` on the ``v=N`` layout (r11): one
     row per RETAINED committed version — version number, commit
@@ -2348,6 +2442,68 @@ def q_lakehouse_stats_skipping_scan(
                           path, 1)
     return read_version(spark, path, 1,
                         where=[("o_orderkey", "<", 5000)])
+
+
+@register(
+    "lakehouse_shallow_clone",
+    # the CLONE, after its own divergent merge, must equal the full
+    # recompute over ALL orders — while the SOURCE still equals the
+    # pre-cutoff recompute (asserted inline): fork-then-diverge
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS last_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="SHALLOW CLONE (r11 — Delta's zero-copy fork, the sandboxing "
+        "primitive): the pre-cutoff dimension is cloned by HARDLINK "
+        "(zero bytes copied at any table size; POSIX link semantics "
+        "make the clone durable, not a view — it survives the "
+        "source's vacuum), then the post-cutoff CDC batch merges into "
+        "the CLONE ONLY (inherit mode over the carried layout "
+        "contract). Hash parity proves the diverged clone equals the "
+        "full recompute; the inline assert proves the SOURCE still "
+        "serves exactly its pre-fork state — fork isolation in both "
+        "directions. The inode-level zero-copy and "
+        "survives-source-deletion claims are pinned by unit tests",
+)
+def q_lakehouse_shallow_clone(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+
+    def state_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+        )
+
+    d = session_spool(spark, "lh_clone_")
+    src, dst = f"{d}/src", f"{d}/fork"
+    keys, oc = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    pre = orders.where(F.col("o_orderdate") < _SCD1_CUTOFF)
+    merge_upsert_bucketed(spark, src, state_rows(pre), keys, oc,
+                          n_buckets=16)
+    assert clone_table(spark, src, dst) == 1
+    merge_upsert_bucketed(
+        spark, dst,
+        state_rows(orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF)),
+        keys, oc, n_buckets=None)
+    # fork isolation: the source still serves exactly the pre-fork state
+    n_src = read_version(spark, src).count()
+    n_pre = pre.select("o_custkey").distinct().count()
+    assert n_src == n_pre, (n_src, n_pre)
+    return _scd1_out(read_version(spark, dst, 2))
 
 
 @register(

@@ -546,6 +546,103 @@ def test_optimize_zorder_bucketed_keeps_layout(spark, tmp_path):
     assert len(got) == 64 and got[3] == "upd" and got[50] == "v50"
 
 
+def test_shallow_clone_zero_copy_and_independent(spark, tmp_path):
+    """SHALLOW CLONE: every data file hardlinks (same st_ino, zero
+    bytes copied); the clone is an independent table — merges on the
+    clone never touch the source, the layout contract carries over
+    (inherit merges work), and history starts fresh at CLONE."""
+    import glob
+
+    from project2_bigdata_spark.sources.ingest import (
+        clone_table, merge_upsert_bucketed, read_version, table_history,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    merge_upsert_bucketed(
+        spark, src, _kv(spark, [(k, 10, f"v{k}") for k in range(32)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    assert clone_table(spark, src, dst) == 1
+
+    def inodes(p, v):
+        return {os.path.relpath(f, f"{p}/v={v}"): os.stat(f).st_ino
+                for f in glob.glob(f"{p}/v={v}/_bucket=*/*.parquet")}
+
+    assert inodes(src, 1) == inodes(dst, 1)  # zero-copy
+    got = sorted(map(tuple, read_version(spark, dst).collect()))
+    assert got == sorted(map(tuple, read_version(spark, src).collect()))
+    # the clone diverges independently (inherit-mode merge rides the
+    # carried layout contract)
+    merge_upsert_bucketed(spark, dst, _kv(spark, [(3, 20, "clone-only")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=None)
+    assert {r.k: r.v for r in read_version(spark, dst).collect()}[3] \
+        == "clone-only"
+    assert {r.k: r.v for r in read_version(spark, src).collect()}[3] \
+        == "v3"  # source untouched
+    ops = [r.operation for r in table_history(spark, dst)
+           .orderBy("version").collect()]
+    assert ops == ["CLONE", "MERGE"]
+    with pytest.raises(FileExistsError):
+        clone_table(spark, src, dst)  # dst already a table
+
+
+def test_shallow_clone_survives_source_vacuum(spark, tmp_path):
+    """The durability claim: a shallow clone is NOT a view — deleting
+    the SOURCE's version (vacuum, or rm) only unlinks the source's
+    directory entries; the shared inodes live while the clone
+    references them, so the clone stays fully readable."""
+    import shutil
+
+    from project2_bigdata_spark.sources.ingest import (
+        clone_table, merge_upsert, read_version,
+    )
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    merge_upsert(spark, src, _kv(spark, [(1, 10, "a"), (2, 10, "b")]),
+                 keys=["k"], order_cols=["ts"])
+    clone_table(spark, src, dst)
+    shutil.rmtree(src)  # stronger than vacuum: the source is GONE
+    got = sorted((r.k, r.v) for r in read_version(spark, dst).collect())
+    assert got == [(1, "a"), (2, "b")]
+
+
+def test_deep_clone_and_version_pin(spark, tmp_path):
+    """deep=True copies (distinct inodes); version= pins an older
+    snapshot as the clone's v=1; stats carry so where= pruning works
+    on the clone."""
+    import glob
+
+    from project2_bigdata_spark.sources.ingest import (
+        clone_table, commit_version, merge_upsert, read_version,
+    )
+
+    src = str(tmp_path / "src")
+    merge_upsert(spark, src, _kv(spark, [(1, 10, "old")]),
+                 keys=["k"], order_cols=["ts"])
+    merge_upsert(spark, src, _kv(spark, [(1, 20, "new")]),
+                 keys=["k"], order_cols=["ts"])
+    deep = str(tmp_path / "deep")
+    clone_table(spark, src, deep, version=1, deep=True)
+    assert [(r.k, r.v) for r in read_version(spark, deep).collect()] \
+        == [(1, "old")]
+    i_src = {os.stat(f).st_ino for f in glob.glob(f"{src}/v=1/*.parquet")}
+    i_dst = {os.stat(f).st_ino for f in glob.glob(f"{deep}/v=1/*.parquet")}
+    assert not (i_src & i_dst)
+    # stats carry over: where= pruning on a clone of a clustered commit
+    big = str(tmp_path / "big")
+    from pyspark.sql import functions as F
+    df = spark.range(0, 5000).select(F.col("id").cast("int").alias("k"),
+                                     F.col("id").alias("m"))
+    assert commit_version(df.repartitionByRange(8, "k"), big, 1)
+    bclone = str(tmp_path / "bclone")
+    clone_table(spark, big, bclone)
+    pruned = read_version(spark, bclone, 1, where=[("k", "<", 100)])
+    assert len(pruned.inputFiles()) < len(
+        read_version(spark, bclone, 1).inputFiles())
+    assert pruned.count() == 100
+
+
 def test_table_history_describes_every_verb(spark, tmp_path):
     """DESCRIBE HISTORY parity: each maintenance verb records its
     operation in the commit; vacuumed versions leave history (the

@@ -1493,7 +1493,14 @@ def clone_table(spark: SparkSession, src: str, dst: str,
     fresh at v=1 with operation ``CLONE`` (the clone's audit trail is
     its own; lineage back to the source is the caller's bookkeeping,
     exactly Delta's CLONE posture). Returns the clone's version (1).
-    ``dst`` must not already hold a committed version."""
+    ``dst`` must not already hold a committed version.
+
+    Concurrency: clone is a READER of the source — it races merges
+    safely (it links a pinned committed version; new commits land
+    elsewhere). A vacuum deleting the SOURCE version mid-clone fails
+    the clone cleanly (ENOENT before any publish; the staging debris
+    is reclaimed by the dst-side vacuum) — the same
+    reader-vs-vacuum grace-window discipline as pinned reads."""
     import json
     import shutil
     import uuid

@@ -411,6 +411,57 @@ class ConcurrentWriteError(RuntimeError):
     writers kept winning the version race."""
 
 
+class ConstraintViolation(ValueError):
+    """A merge batch carried rows violating the table's CHECK
+    constraints; nothing was committed."""
+
+
+def set_check_constraints(path: str, constraints: dict[str, str]) -> None:
+    """Delta's CHECK constraints / column invariants (r11): record
+    named SQL predicates in ``_constraints.json`` at the table root;
+    every later MERGE (both the full-snapshot and the bucketed
+    copy-on-write paths) validates its batch BEFORE committing and
+    raises :class:`ConstraintViolation` with example rows when any
+    predicate evaluates FALSE — the table can never transition into a
+    violating state through the sink. SQL three-valued semantics: a
+    constraint is violated only when FALSE; NULL (unknown) passes,
+    exactly the standard's CHECK rule. Enforcement is O(batch), not
+    O(table): base rows passed the check when they were written
+    (induction), so only the incoming upsert winners are scanned.
+    Pass an empty dict to drop all constraints."""
+    import json
+    import uuid
+
+    tmp = os.path.join(path, f"._constraints-{uuid.uuid4().hex}")
+    os.makedirs(path, exist_ok=True)
+    with open(tmp, "w") as f:
+        json.dump(constraints, f)
+    os.replace(tmp, os.path.join(path, "_constraints.json"))
+
+
+def _enforce_constraints(path: str, upserts: DataFrame) -> None:
+    """Validate a merge batch's upsert winners against the table's
+    recorded CHECK constraints (no-op when none are set). Violations
+    raise with up to 5 example rows per the first failing constraint —
+    a driver-side sample of BAD rows only, never the batch."""
+    import json
+
+    try:
+        with open(os.path.join(path, "_constraints.json")) as f:
+            constraints = json.load(f)
+    except (OSError, ValueError):
+        return
+    for name, expr in constraints.items():
+        # violated only when FALSE: NULL (unknown) passes (SQL CHECK)
+        bad = upserts.filter(
+            ~F.coalesce(F.expr(expr), F.lit(True))).limit(5).collect()
+        if bad:
+            raise ConstraintViolation(
+                f"CHECK constraint {name!r} ({expr}) violated by "
+                f"{len(bad)}+ row(s) in the merge batch, e.g. "
+                f"{[tuple(r) for r in bad[:3]]}; nothing was committed")
+
+
 def _side_col(alias: str, have: set, c: str) -> Column:
     """Side-aware column accessor for two-sided joins across EVOLVED
     schemas (shared by merge_upsert's latest_wins and diff_snapshots —
@@ -792,6 +843,7 @@ def merge_upsert(
     # the key's newest-event race), and the op column never lands
     upserts = (delta.filter(~F.col(op_col).eqNullSafe(delete_value))
                .drop(op_col) if op_col else delta)
+    _enforce_constraints(path, upserts)  # O(batch), before any commit
 
     def _merged(base_version: int | None) -> DataFrame:
         base = (read_version(spark, path, base_version)
@@ -1015,6 +1067,12 @@ def merge_upsert_bucketed(
     # the cached winners too, so a loser re-merges the identical delta.
     delta = _dedup_delta(delta, keys, order_cols).persist()
     try:
+        # CHECK constraints gate the batch before any commit attempt
+        # (delete rows are exempt — their payload never lands)
+        _enforce_constraints(
+            path,
+            delta.filter(~F.col(op_col).eqNullSafe(delete_value))
+            .drop(op_col) if op_col else delta)
         for attempt in range(max_retries + 1):
             base_v = _latest_committed(path)
             target = (base_v or 0) + 1
@@ -2449,6 +2507,71 @@ def q_lakehouse_stats_skipping_scan(
                           path, 1)
     return read_version(spark, path, 1,
                         where=[("o_orderkey", "<", 5000)])
+
+
+@register(
+    "lakehouse_check_constraints",
+    # recompute oracle over the ACCEPTED batches: the constraint gate
+    # rejects the violating batch atomically, so the final state is
+    # the recompute over positive-total orders only
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS last_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders WHERE o_totalprice > 0
+    ) WHERE rn = 1
+    """,
+    doc="CHECK constraints / column invariants under the oracle gate "
+        "(r11 — Delta's table constraints): set_check_constraints "
+        "records named SQL predicates at the table root and every "
+        "merge (both layouts) validates its batch BEFORE committing — "
+        "O(batch), not O(table), since base rows passed when written. "
+        "The query merges the positive-total orders, then proves the "
+        "gate ATOMIC by asserting a mixed batch carrying negated "
+        "totals raises ConstraintViolation and leaves the version "
+        "chain untouched. Hash parity against the positive-only "
+        "recompute proves accepted data flows exactly and rejected "
+        "batches leave no trace",
+)
+def q_lakehouse_check_constraints(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+
+    def state_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+        )
+
+    path = session_spool(spark, "lh_check_")
+    keys, oc = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    set_check_constraints(path, {"total_positive": "last_totalprice > 0"})
+    for batch in (orders.where(F.col("o_orderdate") < _SCD1_CUTOFF),
+                  orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF)):
+        merge_upsert_bucketed(spark, path, state_rows(batch), keys, oc,
+                              n_buckets=16)
+    # a batch with negated totals is rejected ATOMICALLY
+    try:
+        merge_upsert_bucketed(
+            spark, path,
+            state_rows(orders.limit(100)).withColumn(
+                "last_totalprice", -F.col("last_totalprice")),
+            keys, oc, n_buckets=None)
+        raise AssertionError("violating batch must raise")
+    except ConstraintViolation:
+        pass
+    assert _latest_committed(path) == 2  # nothing committed
+    return _scd1_out(read_version(spark, path, 2))
 
 
 @register(

@@ -643,6 +643,44 @@ def test_deep_clone_and_version_pin(spark, tmp_path):
     assert pruned.count() == 100
 
 
+@pytest.mark.parametrize("bucketed", [False, True])
+def test_check_constraints_gate_the_merge(spark, tmp_path, bucketed):
+    """Delta CHECK constraints: a violating batch raises BEFORE any
+    commit (table state unchanged); NULL evaluates as unknown and
+    passes (SQL CHECK semantics); delete rows are exempt (their
+    payload never lands); dropping constraints re-opens the gate."""
+    from project2_bigdata_spark.sources.ingest import (
+        ConstraintViolation, merge_upsert, merge_upsert_bucketed,
+        read_version, set_check_constraints,
+    )
+
+    def merge(p, df, **kw):
+        if bucketed:
+            return merge_upsert_bucketed(spark, p, df, keys=["k"],
+                                         order_cols=["ts"], n_buckets=4,
+                                         **kw)
+        return merge_upsert(spark, p, df, keys=["k"], order_cols=["ts"],
+                            **kw)
+
+    p = str(tmp_path / "t")
+    merge(p, _kv(spark, [(1, 10, "a")]))
+    set_check_constraints(p, {"ts_positive": "ts > 0",
+                              "v_not_empty": "length(v) > 0"})
+    with pytest.raises(ConstraintViolation, match="ts_positive"):
+        merge(p, _kv(spark, [(2, -5, "b")]))
+    assert {r.k for r in read_version(spark, p).collect()} == {1}
+    # NULL is unknown, not FALSE: passes (v null → length(v) null)
+    merge(p, _kv(spark, [(3, 30, None)]))
+    # a delete event's payload is exempt
+    from tests.test_round10 import _kvop
+    merge(p, _kvop(spark, [(1, 40, "", "D")]), op_col="op")
+    assert {r.k for r in read_version(spark, p).collect()} == {3}
+    # dropping the constraints re-opens the gate
+    set_check_constraints(p, {})
+    merge(p, _kv(spark, [(4, -1, "late")]))
+    assert {r.k for r in read_version(spark, p).collect()} == {3, 4}
+
+
 def test_table_history_describes_every_verb(spark, tmp_path):
     """DESCRIBE HISTORY parity: each maintenance verb records its
     operation in the commit; vacuumed versions leave history (the

@@ -62,7 +62,9 @@ def stream_upsert_to_dimension(
     ``optimize_every=N``, every Nth applied batch is followed by an
     inline OPTIMIZE commit (within-bucket compaction on the bucketed
     layout); with ``vacuum_keep=K``, a vacuum keeping the newest K
-    versions runs after each maintenance pass. Both verbs are
+    versions runs after each maintenance pass — or, when no
+    ``optimize_every`` cadence is set, after EVERY applied batch
+    (r12: retention opted into alone must still bound the chain). Both verbs are
     answer-invariant by construction (oracle-pinned elsewhere), and
     both ride the SAME serial foreachBatch thread as the merges — no
     concurrent-writer hazard, and a replayed batch after a crash
@@ -108,6 +110,14 @@ def stream_upsert_to_dimension(
             optimize_version(batch_df.sparkSession, path)
             if vacuum_keep:
                 vacuum_versions(path, keep=vacuum_keep)
+        elif vacuum_keep:
+            # vacuum_keep WITHOUT optimize_every (r12, ADVICE r11
+            # item 4): the caller opted into retention, so the chain
+            # must stay bounded even with no compaction cadence —
+            # vacuum after every applied batch (a directory listing
+            # plus rmtree of aged-out versions; the serial
+            # foreachBatch thread means no concurrent-writer hazard)
+            vacuum_versions(path, keep=vacuum_keep)
         if post_merge_hook is not None:
             post_merge_hook(batch_id)
 

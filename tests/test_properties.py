@@ -778,10 +778,24 @@ _pred_rows = st.lists(
     min_size=1, max_size=40, unique_by=lambda t: t,
 )
 _preds = st.lists(
-    st.tuples(
-        st.sampled_from(["k", "m"]),
-        st.sampled_from(["=", "<", "<=", ">", ">="]),
-        st.integers(-55, 55),
+    st.one_of(
+        st.tuples(
+            st.sampled_from(["k", "m"]),
+            st.sampled_from(["=", "<", "<=", ">", ">="]),
+            st.integers(-55, 55),
+        ),
+        # r12 ops: membership lists (possibly empty) and inclusive
+        # (lo, hi) ranges (possibly inverted → empty)
+        st.tuples(
+            st.sampled_from(["k", "m"]),
+            st.just("in"),
+            st.lists(st.integers(-55, 55), max_size=5),
+        ),
+        st.tuples(
+            st.sampled_from(["k", "m"]),
+            st.just("between"),
+            st.tuples(st.integers(-55, 55), st.integers(-55, 55)),
+        ),
     ),
     min_size=1, max_size=3,
 )
@@ -804,7 +818,9 @@ def test_stats_pruned_read_equals_python_filter(
     )
 
     ops = {"=": operator.eq, "<": operator.lt, "<=": operator.le,
-           ">": operator.gt, ">=": operator.ge}
+           ">": operator.gt, ">=": operator.ge,
+           "in": lambda x, v: x in v,
+           "between": lambda x, v: v[0] <= x <= v[1]}
     path = str(tmp_path_factory.mktemp("skip") / "t")
     df = spark.createDataFrame(rows, "k int, m int")
     assert commit_version(df.repartitionByRange(4, "k"), path, 1)

@@ -335,3 +335,150 @@ def test_change_feed_where_filters_and_prunes(spark, tmp_path):
         7: (71, "update_postimage"),
         200: (42, "insert"),
     }
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 4: predicate DML (delete_where / update_where)
+
+
+def test_delete_where_equals_filter_and_hardlinks_untouched(spark, tmp_path):
+    """DELETE WHERE == recompute-with-NOT-predicate, and the
+    stats-pruned files the predicate cannot touch ride into the new
+    version as HARDLINKS (same inode) — Delta's DELETE file pruning."""
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, delete_where, read_version, table_history,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i % 5) for i in range(400)],
+                               "k int, m int")
+    assert commit_version(df.repartitionByRange(8, "k"), p, 1)
+    v = delete_where(spark, p, [("k", "between", (100, 149))])
+    assert v == 2
+    got = sorted(r.k for r in read_version(spark, p, 2).collect())
+    assert got == [i for i in range(400) if not (100 <= i <= 149)]
+
+    def inodes(version):
+        return {os.path.relpath(f, f"{p}/v={version}"): os.stat(f).st_ino
+                for f in glob.glob(f"{p}/v={version}/*.parquet")}
+
+    i1, i2 = inodes(1), inodes(2)
+    shared = {f for f in i2 if f in i1 and i2[f] == i1[f]}
+    assert len(shared) >= 5  # most files untouched → linked
+    assert len(set(i2) - set(i1)) >= 1  # the rewritten file(s)
+    hist = {r.version: r.operation
+            for r in table_history(spark, p).collect()}
+    assert hist[2] == "DELETE"
+
+
+def test_delete_where_cdf_shows_exact_rows_and_noop(spark, tmp_path):
+    """The change feed emits exactly the deleted rows as pre-image
+    delete entries; an unmatched predicate is a NO-OP returning the
+    current version with nothing committed."""
+    from project2_bigdata_spark.sources.ingest import (
+        _versions, commit_version, delete_where, read_change_feed,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(50)],
+                               "k int, v string")
+    assert commit_version(df.repartitionByRange(4, "k"), p, 1)
+    assert delete_where(spark, p, [("k", "in", [3, 7, 11])]) == 2
+    feed = read_change_feed(spark, p, ["k"], from_version=1)
+    got = {(r.k, r._change_type) for r in feed.collect()}
+    assert got == {(3, "delete"), (7, "delete"), (11, "delete")}
+    # no file can match → no-op, version chain untouched
+    assert delete_where(spark, p, [("k", ">", 10_000)]) == 2
+    assert _versions(p, committed_only=True) == [1, 2]
+
+
+def test_delete_where_null_predicate_rows_kept(spark, tmp_path):
+    """SQL DELETE removes only where the predicate is TRUE: NULL
+    (unknown) rows survive."""
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, delete_where, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, 5), (2, None), (3, 50)],
+                               "k int, m int")
+    assert commit_version(df, p, 1)
+    delete_where(spark, p, [("m", ">", 10)])
+    got = sorted(r.k for r in read_version(spark, p).collect())
+    assert got == [1, 2]  # k=2 (NULL m) kept, k=3 deleted
+
+
+def test_update_where_model_constraints_and_cdf(spark, tmp_path):
+    """UPDATE WHERE == recompute with CASE; CHECK constraints gate the
+    post-update rows (violating assignment raises, nothing commits);
+    the feed shows exactly the updated keys as update_postimage."""
+    from project2_bigdata_spark.sources.ingest import (
+        ConstraintViolation, _latest_committed, commit_version,
+        read_change_feed, read_version, set_check_constraints,
+        table_history, update_where,
+    )
+
+    p = str(tmp_path / "t")
+    set_check_constraints(p, {"m_pos": "m > 0"})
+    df = spark.createDataFrame([(i, i + 1, f"v{i}") for i in range(100)],
+                               "k int, m int, v string")
+    assert commit_version(df.repartitionByRange(4, "k"), p, 1)
+    v = update_where(spark, p, [("k", "between", (10, 14))],
+                     set={"m": "m * 100", "v": "concat(v, '!')"})
+    assert v == 2
+    got = {r.k: (r.m, r.v) for r in read_version(spark, p, 2).collect()}
+    for i in range(100):
+        want = ((i + 1) * 100, f"v{i}!") if 10 <= i <= 14 else (i + 1, f"v{i}")
+        assert got[i] == want, i
+    feed = read_change_feed(spark, p, ["k"], from_version=1)
+    assert {(r.k, r._change_type) for r in feed.collect()} == {
+        (i, "update_postimage") for i in range(10, 15)}
+    assert {r.version: r.operation for r in
+            table_history(spark, p).collect()}[2] == "UPDATE"
+    # a violating assignment is rejected atomically
+    with pytest.raises(ConstraintViolation, match="m_pos"):
+        update_where(spark, p, [("k", "=", 3)], set={"m": "-m"})
+    assert _latest_committed(p) == 2
+    # unknown column and empty set fail loudly
+    with pytest.raises(ValueError, match="unknown column"):
+        update_where(spark, p, [("k", "=", 3)], set={"nope": "1"})
+    with pytest.raises(ValueError, match="at least one assignment"):
+        update_where(spark, p, [("k", "=", 3)], set={})
+
+
+def test_dml_on_bucketed_table_keeps_layout(spark, tmp_path):
+    """DML over the bucketed COW layout: _bucket dirs and the layout
+    contract survive, untouched bucket files stay hardlinked, a later
+    inherit-mode merge still works, and bucket-key assignment refuses."""
+    from project2_bigdata_spark.sources.ingest import (
+        _read_layout, delete_where, merge_upsert_bucketed, read_version,
+        update_where,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    v = update_where(spark, p, [("k", "in", [3])], set={"v": "'upd'"})
+    assert v == 2
+    assert _read_layout(p, 2, root_fallback=False) == {
+        "n_buckets": 8, "bucket_keys": ["k"]}
+    got = {r.k: r.v for r in read_version(spark, p, 2).collect()}
+    assert got[3] == "upd" and got[60] == "v60" and len(got) == 64
+
+    def inodes(version):
+        return {os.path.relpath(f, f"{p}/v={version}"): os.stat(f).st_ino
+                for f in glob.glob(f"{p}/v={version}/_bucket=*/*.parquet")}
+
+    i1, i2 = inodes(1), inodes(2)
+    # hash-bucketed files have WIDE k ranges, so stats prune fewer
+    # files than a range-clustered layout would — but never zero
+    assert len({f for f in i2 if f in i1 and i2[f] == i1[f]}) >= 3
+    with pytest.raises(ValueError, match="bucket-layout"):
+        update_where(spark, p, [("k", "=", 3)], set={"k": "k + 1"})
+    assert delete_where(spark, p, [("k", "in", [60, 61])]) == 3
+    # inherit-mode merge over the post-DML layout
+    merge_upsert_bucketed(spark, p, _kv(spark, [(99, 20, "new")]),
+                          keys=["k"], order_cols=["ts"], n_buckets=None)
+    got = {r.k: r.v for r in read_version(spark, p, 4).collect()}
+    assert 60 not in got and got[99] == "new" and len(got) == 63

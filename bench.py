@@ -188,6 +188,24 @@ def main() -> None:
                  '"1997-01-01T00:00:00Z", "price": {"$numberDecimal": '
                  '"1.00"}, "purchaseMethod": "X"}\n')
     _rjs(spark, _tiny, num_partitions=1).count()
+    # … and the WRITE half plus the shared-export read path (r12,
+    # VERDICT r11 What's-wrong #3): the r11 warm-up fixed the
+    # once-per-session DataSource cold start but each connector HALF
+    # still paid its own first-plan cost inside its first timed rep
+    # (scan pair [2.48, 0.94], roundtrip [5.23, 1.93] in the recorded
+    # run). Drive one tiny write→read through write_jsonl_sales and
+    # one read of the shared export here, so every timed rep measures
+    # the operator.
+    from project2_bigdata_spark.sources.pyds import (  # noqa: E402
+        write_jsonl_sales as _wjs,
+    )
+
+    _wdir = os.path.join(_tf.mkdtemp(prefix="pyds_warm_w_"), "out")
+    os.makedirs(_wdir, exist_ok=True)
+    _wjs(_rjs(spark, _tiny, num_partitions=1), _wdir)
+    _rjs(spark, _wdir, num_partitions=1).count()
+    _rjs(spark, shared_mongoexport(spark, sf_dir), num_partitions=8) \
+        .limit(1).count()
 
     # Repetitions: BENCH_HISTORY shows ~2x per-query swings under host
     # load on this shared VM (pair_counts 2.17-3.84s across identical
@@ -316,6 +334,17 @@ def main() -> None:
                 h.update(fh.read(4096))
     data_fp = h.hexdigest()[:12]
 
+    # First-rep audit (r12, VERDICT r11 What's-wrong #3): name every
+    # query whose first rep ran >2x its min, so the per-query min
+    # stays the engine's cost and the rep1 tail is attributable at a
+    # glance instead of muddying round-over-round tertiary sums.
+    first_rep_outliers = {
+        name: runs
+        for name, runs in {**timings_runs, **secondary_runs,
+                           **tertiary_runs}.items()
+        if len(runs) >= 2 and min(runs) > 0 and runs[0] > 2 * min(runs)
+    }
+
     total = round(sum(timings.values()), 3)
     result = {
         "metric": "headline_total",
@@ -339,6 +368,7 @@ def main() -> None:
         "calibration_post": calibration_post,
         "calibration_tail": calibration_tail,
         "contention_rerun": contended,
+        "first_rep_outliers": first_rep_outliers,
         "data_fingerprint": data_fp,
         "sf": sf,
     }
@@ -366,6 +396,11 @@ def main() -> None:
         "calibration_50m_agg": calibration,
         "cal_pre_post": [calibration_pre, calibration_post],
         "contention_rerun": contended,
+        # named first-rep line (r12): worst 3 rep1-vs-min offenders so
+        # the compact record carries the cold-start audit too
+        "first_rep_outliers": dict(sorted(
+            first_rep_outliers.items(),
+            key=lambda kv: -(kv[1][0] / min(kv[1])))[:3]),
         "data_fingerprint": data_fp,
     }
     # Enforce the <~1.2KB budget that keeps the line inside the driver's
@@ -383,6 +418,7 @@ def main() -> None:
     if len(line) >= 1200:
         compact.pop("calibration_50m_agg", None)
         compact.pop("data_fingerprint", None)
+        compact.pop("first_rep_outliers", None)
         line = json.dumps(compact)
     if len(line) >= 1200:
         line = json.dumps({"metric": "headline_total", "value": total,

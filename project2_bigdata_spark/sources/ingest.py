@@ -573,10 +573,17 @@ def _encode_stat(v):
     (fixed-width, so lexicographic compare is value compare). Decimals
     and timestamps are SKIPPED — a lossy float/format conversion could
     round a bound INWARD and prune a file that matches (stats must only
-    ever over-approximate)."""
+    ever over-approximate). A float NaN bound is SKIPPED too (r12,
+    found by the distributed-collector parity test): Spark's writer
+    records max=NaN for a NaN-bearing double column, and a NaN upper
+    bound makes every ``val <= hi`` comparison False — the file would
+    be pruned even for in-range finite values it actually holds."""
     import datetime as _dt
+    import math
 
     if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
         return None
     if isinstance(v, (int, float, str)):
         return v
@@ -585,16 +592,103 @@ def _encode_stat(v):
     return None
 
 
-def _collect_file_stats(staging: str, reuse: dict | None = None) -> dict:
+#: file-count threshold above which commit-time stats collection moves
+#: to the executors (r12, VERDICT r11 item 2). Below it the driver's
+#: thread-pooled footer walk wins (a footer read is ~ms; a Spark job
+#: carries fixed scheduling cost); above it the driver walk is the one
+#: remaining O(#files) driver-side stage in the commit path — a
+#: million-file OPTIMIZE would serialize a million footer reads
+#: through one process, while the distributed scan spreads them across
+#: the cluster and returns one small row per file.
+_STATS_DISTRIBUTED_MIN = 256
+
+
+def _collect_file_stats_distributed(staging: str, todo: list[str],
+                                    spark: SparkSession) -> dict:
+    """Executor-side per-file min/max (r12, VERDICT r11 item 2): ONE
+    Spark aggregation grouped by ``input_file_name()`` over the staged
+    files replaces O(#files) driver-side footer reads — the collect
+    returns one narrow row per file, not data. Column eligibility
+    mirrors :func:`_encode_stat` exactly (ints, floats, strings,
+    dates; bools/decimals/timestamps skipped), float columns with any
+    NaN drop their entry (parquet-mr omits min/max for NaN-bearing
+    columns, so the two paths stay byte-identical), and all-null
+    columns skip (footer ``has_min_max`` false). Long strings are the
+    one documented divergence: footers may store truncated bounds
+    while this path computes exact ones — exact bounds are TIGHTER
+    and equally admit-safe, so pruning correctness is unaffected."""
+    from urllib.parse import unquote, urlparse
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as pat
+
+    schema = pq.ParquetFile(os.path.join(staging, todo[0])).schema_arrow
+    eligible: list[str] = []
+    floats: set[str] = set()
+    for field in schema:
+        t = field.type
+        if pat.is_boolean(t) or pat.is_decimal(t) or pat.is_timestamp(t):
+            continue  # _encode_stat skips these (lossy bounds)
+        if (pat.is_integer(t) or pat.is_string(t)
+                or pat.is_large_string(t) or pat.is_date(t)):
+            eligible.append(field.name)
+        elif pat.is_floating(t):
+            eligible.append(field.name)
+            floats.add(field.name)
+    out: dict = {rel: {} for rel in todo}  # zero-row files stay {}
+    if not eligible:
+        return out
+    df = spark.read.option("basePath", staging).parquet(
+        *[os.path.join(staging, rel) for rel in todo])
+    aggs = []
+    for c in eligible:
+        aggs += [F.min(df[c]).alias(f"__lo_{c}"),
+                 F.max(df[c]).alias(f"__hi_{c}")]
+        if c in floats:
+            aggs.append(F.sum(F.when(F.isnan(df[c]), 1).otherwise(0))
+                        .alias(f"__nan_{c}"))
+    rows = df.groupBy(F.input_file_name().alias("__file")).agg(*aggs) \
+        .collect()
+    base = os.path.abspath(staging)
+    for r in rows:
+        rel = os.path.relpath(unquote(urlparse(r["__file"]).path), base)
+        if rel not in out:
+            continue  # defensive: never invent entries
+        cols: dict = {}
+        for c in eligible:
+            lo, hi = r[f"__lo_{c}"], r[f"__hi_{c}"]
+            if lo is None or hi is None:
+                continue  # all-null column in this file
+            if c in floats and (r[f"__nan_{c}"] or 0) > 0:
+                continue  # parquet-mr omits stats when NaN present
+            elo, ehi = _encode_stat(lo), _encode_stat(hi)
+            if elo is None or ehi is None:
+                continue
+            cols[c] = {"min": elo, "max": ehi}
+        out[rel] = cols
+    return out
+
+
+def _collect_file_stats(staging: str, reuse: dict | None = None,
+                        spark: SparkSession | None = None,
+                        distributed_min: int | None = None) -> dict:
     """Per-file column min/max over a staged snapshot — the commit-time
     metadata behind :func:`read_version`'s file skipping (r11, VERDICT
-    r10 item 5; Delta's per-file stats in the transaction log). One
-    pyarrow footer read per NEW file, driver-side: footers are KB-sized
-    and the walk is one directory listing. ``reuse`` carries the BASE
-    version's stats so hardlinked (untouched) bucket files inherit
-    their entry instead of being re-footer-read — keeping the bucketed
-    merge's commit cost proportional to the touched buckets, not the
-    table."""
+    r10 item 5; Delta's per-file stats in the transaction log).
+    ``reuse`` carries the BASE version's stats so hardlinked
+    (untouched) bucket files inherit their entry instead of being
+    re-footer-read — keeping the bucketed merge's commit cost
+    proportional to the touched buckets, not the table.
+
+    Small commits read footers driver-side (thread-pooled, KB-sized
+    reads); commits staging ≥ ``distributed_min`` new files (default
+    ``_STATS_DISTRIBUTED_MIN``, env ``SPARK_GRAFT_STATS_DISTRIBUTED_
+    MIN``) derive the same stats EXECUTOR-side through
+    :func:`_collect_file_stats_distributed` when a session is passed —
+    the last driver-side O(#files) stage in the commit path goes
+    distributed exactly when #files makes it matter (r12, VERDICT r11
+    item 2). Any distributed failure falls back to the driver walk:
+    stats are advisory metadata, never worth failing a commit over."""
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
@@ -612,6 +706,19 @@ def _collect_file_stats(staging: str, reuse: dict | None = None) -> dict:
                 stats[rel] = reuse[rel]
                 continue
             todo.append(rel)
+
+    if spark is not None and todo:
+        if distributed_min is None:
+            distributed_min = int(os.environ.get(
+                "SPARK_GRAFT_STATS_DISTRIBUTED_MIN",
+                _STATS_DISTRIBUTED_MIN))
+        if len(todo) >= distributed_min:
+            try:
+                stats.update(
+                    _collect_file_stats_distributed(staging, todo, spark))
+                return stats
+            except Exception:
+                pass  # advisory metadata: fall back to the driver walk
 
     def _one(rel: str) -> tuple[str, dict]:
         try:
@@ -676,7 +783,8 @@ def _write_staging_markers(df: DataFrame, staging: str,
             json.dump({"operation": operation}, f)
     try:
         with open(os.path.join(staging, "_stats.json"), "w") as f:
-            json.dump(_collect_file_stats(staging, reuse=base_stats), f)
+            json.dump(_collect_file_stats(staging, reuse=base_stats,
+                                          spark=df.sparkSession), f)
     except OSError:
         pass  # stats are advisory: reads fall back to a full scan
 
@@ -727,6 +835,9 @@ def _scalar_may_match(lo, hi, op: str, val) -> bool:
         return True
     if isinstance(val, float) and math.isnan(val):
         return True  # stats are NaN-blind: never prune on a NaN probe
+    if (isinstance(lo, float) and math.isnan(lo)) or \
+            (isinstance(hi, float) and math.isnan(hi)):
+        return True  # legacy (pre-r12) stats stored NaN bounds verbatim
     if isinstance(val, num) and isinstance(lo, num) and isinstance(hi, num):
         pass
     elif isinstance(val, str) and isinstance(lo, str) and isinstance(hi, str):
@@ -1075,6 +1186,141 @@ def _dedup_delta(delta: DataFrame, keys: list[str],
             .filter(F.col("_rn") == 1).drop("_rn"))
 
 
+def _link_bucket_files(src_dir: str, dst_dir: str) -> None:
+    """Hardlink every visible data file of one bucket dir (copy
+    fallback, as everywhere else in the COW layout)."""
+    import shutil
+
+    os.makedirs(dst_dir, exist_ok=True)
+    for fn in os.listdir(src_dir):
+        if fn.startswith((".", "_")):
+            continue
+        s, d = os.path.join(src_dir, fn), os.path.join(dst_dir, fn)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+
+def _try_rebase_commit(path: str, staging: str, base_v: int,
+                       touched: list[int], layout: dict,
+                       max_attempts: int = 5) -> int | None:
+    """Delta-style logical conflict resolution for the bucketed merge
+    (r12, VERDICT r11 item 5): a loser of the version race whose
+    already-staged commit is provably COMPATIBLE with every commit
+    that beat it re-publishes by RELINKING instead of re-merging.
+
+    Compatible means every intermediate commit in ``(base_v, latest]``
+    is a bucketed MERGE with the SAME layout contract and schema whose
+    recorded ``_touched.json`` bucket set is DISJOINT from ours: the
+    winners provably did not change any bucket our merge read or
+    wrote, so our staged touched-bucket files are still the correct
+    merge result against the new base. The rebase builds a fresh
+    staging from hardlinks only — our touched buckets from our staged
+    write, every other bucket from the winner's latest version (which
+    carries the winners' own rewrites) — and commits at latest+1.
+    Zero rows re-read, zero rows re-merged: the retry cost of
+    disjoint-writer contention drops from O(merge) to O(#buckets)
+    directory metadata, which is what lets a micro-batch upsert
+    stream, an auto-OPTIMIZE cadence, and an external maintenance job
+    share one table without retries becoming the throughput ceiling.
+
+    Any incompatibility (an OPTIMIZE/REBUCKET/RESTORE/DML commit in
+    the window, an overlapping bucket, an evolved schema, a missing
+    marker from a legacy writer) returns None and the caller falls
+    back to the full re-merge — rebase is an optimization, never a
+    correctness path. Stats for the rebased commit come entirely from
+    ``reuse`` entries (the winner's for linked buckets, our staging's
+    for ours): no footer is re-read."""
+    import json
+    import shutil
+    import uuid
+
+    touched_set = set(touched)
+    try:
+        with open(os.path.join(staging, "_schema.json")) as f:
+            my_schema = json.load(f)
+        with open(os.path.join(staging, "_stats.json")) as f:
+            my_stats = json.load(f)
+    except (OSError, ValueError):
+        return None
+    for _ in range(max_attempts):
+        latest = _latest_committed(path)
+        if latest is None or latest <= base_v:
+            return None  # rename failed for a non-race reason
+        winner_stats: dict = {}
+        compatible = True
+        for w in range(base_v + 1, latest + 1):
+            wdir = os.path.join(path, f"v={w}")
+            try:
+                with open(os.path.join(wdir, "_op.json")) as f:
+                    if json.load(f).get("operation") != "MERGE":
+                        compatible = False
+                        break
+                with open(os.path.join(wdir, "_layout.json")) as f:
+                    if json.load(f) != layout:
+                        compatible = False
+                        break
+                with open(os.path.join(wdir, "_touched.json")) as f:
+                    if touched_set & set(json.load(f)["buckets"]):
+                        compatible = False
+                        break
+                with open(os.path.join(wdir, "_schema.json")) as f:
+                    if json.load(f) != my_schema:
+                        compatible = False
+                        break
+                if w == latest:
+                    with open(os.path.join(wdir, "_stats.json")) as f:
+                        winner_stats = json.load(f)
+            except (OSError, ValueError, KeyError):
+                compatible = False  # legacy/foreign commit: no rebase
+                break
+        if not compatible:
+            return None
+        target = latest + 1
+        _quarantine_torn_successor(path, target)
+        vdir = os.path.join(path, f"v={latest}")
+        staging2 = os.path.join(
+            path, f".staged-v{target}-{uuid.uuid4().hex}")
+        os.makedirs(staging2)
+        # our touched buckets come from OUR staged merge result …
+        for name in os.listdir(staging):
+            if (name.startswith("_bucket=")
+                    and int(name.split("=", 1)[1]) in touched_set):
+                _link_bucket_files(os.path.join(staging, name),
+                                   os.path.join(staging2, name))
+        # … every other bucket from the winner's latest version
+        for name in os.listdir(vdir):
+            if (name.startswith("_bucket=")
+                    and int(name.split("=", 1)[1]) not in touched_set):
+                _link_bucket_files(os.path.join(vdir, name),
+                                   os.path.join(staging2, name))
+        with open(os.path.join(staging2, "_schema.json"), "w") as f:
+            json.dump(my_schema, f)
+        with open(os.path.join(staging2, "_layout.json"), "w") as f:
+            json.dump(layout, f)
+        with open(os.path.join(staging2, "_op.json"), "w") as f:
+            json.dump({"operation": "MERGE"}, f)
+        with open(os.path.join(staging2, "_touched.json"), "w") as f:
+            json.dump({"buckets": sorted(touched_set)}, f)
+        try:
+            with open(os.path.join(staging2, "_stats.json"), "w") as f:
+                json.dump(_collect_file_stats(
+                    staging2, reuse={**winner_stats, **my_stats}), f)
+        except OSError:
+            pass  # advisory
+        open(os.path.join(staging2, "_SUCCESS"), "w").close()
+        try:
+            os.rename(staging2, os.path.join(path, f"v={target}"))
+        except OSError:
+            shutil.rmtree(staging2, ignore_errors=True)
+            continue  # lost AGAIN: re-check compatibility, re-link
+        _stamp_commit(path, target)
+        shutil.rmtree(staging, ignore_errors=True)
+        return target
+    return None
+
+
 def merge_upsert_bucketed(
     spark: SparkSession,
     path: str,
@@ -1277,10 +1523,17 @@ def merge_upsert_bucketed(
                 json.dump(eff_layout, f)
             with open(os.path.join(staging, "_op.json"), "w") as f:
                 json.dump({"operation": "MERGE"}, f)
+            # the commit's touched-bucket set (r12, VERDICT r11
+            # item 5): the logical footprint racing writers check to
+            # decide whether a lost rename can REBASE instead of
+            # re-merging — Delta's logical conflict detection
+            with open(os.path.join(staging, "_touched.json"), "w") as f:
+                json.dump({"buckets": touched}, f)
             try:
                 with open(os.path.join(staging, "_stats.json"), "w") as f:
                     json.dump(_collect_file_stats(staging,
-                                                  reuse=base_stats), f)
+                                                  reuse=base_stats,
+                                                  spark=spark), f)
             except OSError:
                 pass  # stats are advisory
             if pre_commit_hook is not None:
@@ -1288,8 +1541,20 @@ def merge_upsert_bucketed(
             try:
                 os.rename(staging, os.path.join(path, f"v={target}"))
             except OSError:
+                # lost the version race. If every winner was a
+                # same-contract merge touching DISJOINT buckets, the
+                # staged result is still correct against the new base:
+                # REBASE by relinking instead of re-merging (r12,
+                # VERDICT r11 item 5 — Delta's logical conflict
+                # detection; the full re-merge below stays the
+                # fallback for any other interleaving)
+                rebased = _try_rebase_commit(path, staging, base_v,
+                                             touched, eff_layout)
+                if rebased is not None:
+                    _write_root_layout_hint(path, eff_layout)
+                    return rebased
                 shutil.rmtree(staging, ignore_errors=True)
-                continue  # lost the race: re-read base, re-merge
+                continue  # incompatible winner: re-read base, re-merge
             _stamp_commit(path, target)
             _write_root_layout_hint(path, eff_layout)
             return target
@@ -1794,7 +2059,8 @@ def _predicate_dml(spark: SparkSession, path: str,
         try:
             with open(os.path.join(staging, "_stats.json"), "w") as f:
                 json.dump(_collect_file_stats(staging,
-                                              reuse=base_stats), f)
+                                              reuse=base_stats,
+                                              spark=spark), f)
         except OSError:
             pass  # stats are advisory
         try:
@@ -1987,7 +2253,8 @@ def clone_table(spark: SparkSession, src: str, dst: str,
         pass
     try:
         with open(os.path.join(staging, "_stats.json"), "w") as f:
-            json.dump(_collect_file_stats(staging, reuse=src_stats), f)
+            json.dump(_collect_file_stats(staging, reuse=src_stats,
+                                          spark=spark), f)
     except OSError:
         pass
     open(os.path.join(staging, "_SUCCESS"), "w").close()
@@ -3230,6 +3497,76 @@ def q_lakehouse_asof_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, t_between,
         where=[("priority", "in", ["1-URGENT", "5-LOW"]),
                ("o_orderkey", "between", (5000, 49999))])
+
+
+@register(
+    "lakehouse_disjoint_writer_rebase",
+    # full recompute oracle (same as scd1_bucketed_merge): the raced,
+    # rebased commit chain must equal applying both deltas — key
+    # routing through the race is invisible to the answer
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS last_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+    """,
+    doc="Disjoint-writer commit REBASE under the oracle gate (r12, "
+        "VERDICT r11 item 5 — Delta's logical conflict detection): "
+        "the post-cutoff CDC delta splits into two halves by the "
+        "engine's own bucket function, and the second merge races the "
+        "first via the pre-commit hook — it loses the rename, finds "
+        "every winning commit touched DISJOINT buckets with the same "
+        "layout+schema, and REBASES its already-staged result by "
+        "relinking (exactly ONE merge attempt, asserted inline; zero "
+        "rows re-read or re-merged — the contention cost that would "
+        "otherwise cap a multi-writer table's commit throughput). "
+        "Hash parity against the full recompute proves the rebased "
+        "chain lost nothing from either writer",
+)
+def q_lakehouse_disjoint_writer_rebase(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+
+    def state_rows(df: DataFrame) -> DataFrame:
+        return df.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+        )
+
+    path = session_spool(spark, "lh_rebase_")
+    keys, oc = ["o_custkey"], ["last_orderdate", "last_orderkey"]
+    merge_upsert_bucketed(
+        spark, path,
+        state_rows(orders.where(F.col("o_orderdate") < _SCD1_CUTOFF)),
+        keys, oc, n_buckets=16)
+    post = state_rows(orders.where(F.col("o_orderdate") >= _SCD1_CUTOFF)) \
+        .withColumn("_b", _bucket_expr(keys, 16))
+    half_a = post.filter(F.col("_b") < 8).drop("_b")
+    half_b = post.filter(F.col("_b") >= 8).drop("_b")
+    attempts = []
+
+    def hook(attempt: int, target: int) -> None:
+        attempts.append(attempt)
+        if len(attempts) == 1:
+            merge_upsert_bucketed(spark, path, half_a, keys, oc,
+                                  n_buckets=None)
+
+    v = merge_upsert_bucketed(spark, path, half_b, keys, oc,
+                              n_buckets=None, pre_commit_hook=hook)
+    # ONE merge attempt: the loser rebased instead of re-merging
+    assert (v, attempts) == (3, [0]), (v, attempts)
+    return _scd1_out(read_version(spark, path, 3))
 
 
 @register(

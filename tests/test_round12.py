@@ -482,3 +482,247 @@ def test_dml_on_bucketed_table_keeps_layout(spark, tmp_path):
                           keys=["k"], order_cols=["ts"], n_buckets=None)
     got = {r.k: r.v for r in read_version(spark, p, 4).collect()}
     assert 60 not in got and got[99] == "new" and len(got) == 63
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 2: executor-side stats collection
+
+
+def test_distributed_stats_byte_identical_to_driver_walk(spark, tmp_path):
+    """The two collectors must agree exactly — same files, same
+    columns, same encoded bounds — across every type class: ints,
+    floats (incl. all-NaN, some-NaN, all-null files), strings, dates,
+    and the skipped classes (bool/decimal/timestamp)."""
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.sources.ingest import (
+        _collect_file_stats, commit_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.range(0, 300).select(
+        F.col("id").cast("int").alias("k"),
+        F.when(F.col("id") % 90 == 7, float("nan"))
+        .when(F.col("id") % 7 == 0, None)
+        .otherwise(F.col("id").cast("double") / 3).alias("x"),
+        F.concat(F.lit("s"), F.lpad(F.col("id").cast("string"), 4, "0"))
+        .alias("s"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   F.col("id").cast("int")).alias("d"),
+        (F.col("id") % 2 == 0).alias("b"),
+        F.col("id").cast("decimal(18,2)").alias("dec"),
+        F.timestamp_seconds(F.col("id") * 1000).alias("ts"),
+    )
+    assert commit_version(df.repartitionByRange(6, "k"), p, 1)
+    vdir = f"{p}/v=1"
+    driver = _collect_file_stats(vdir)
+    dist = _collect_file_stats(vdir, spark=spark, distributed_min=1)
+    assert driver == dist
+    # sanity: the agreed output really covers the eligible columns
+    some = next(iter(driver.values()))
+    assert set(some) <= {"k", "x", "s", "d"}
+    assert "k" in some and "s" in some and "d" in some
+
+
+def test_distributed_stats_reuse_and_threshold(spark, tmp_path):
+    """reuse entries short-circuit both paths identically, and below
+    the threshold the driver walk runs (no Spark job needed)."""
+    from project2_bigdata_spark.sources.ingest import (
+        _collect_file_stats, commit_version,
+    )
+
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, f"v{i}") for i in range(40)],
+                               "k int, v string")
+    assert commit_version(df.repartitionByRange(4, "k"), p, 1)
+    vdir = f"{p}/v=1"
+    full = _collect_file_stats(vdir)
+    rels = sorted(full)
+    reuse = {rels[0]: {"k": {"min": -1, "max": -1}}}  # sentinel entry
+    a = _collect_file_stats(vdir, reuse=reuse)
+    b = _collect_file_stats(vdir, reuse=reuse, spark=spark,
+                            distributed_min=1)
+    assert a == b
+    assert a[rels[0]] == {"k": {"min": -1, "max": -1}}  # inherited
+    for r in rels[1:]:
+        assert a[r] == full[r]
+
+
+def test_stats_skipping_survives_distributed_collection(spark, tmp_path,
+                                                        monkeypatch):
+    """End-to-end: a commit whose stats were collected executor-side
+    (threshold forced to 1) prunes and answers exactly like one whose
+    stats came from the driver walk."""
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, read_version,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STATS_DISTRIBUTED_MIN", "1")
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(i, i % 3) for i in range(300)],
+                               "k int, m int")
+    assert commit_version(df.repartitionByRange(6, "k"), p, 1)
+    got = read_version(spark, p, 1, where=[("k", "between", (50, 99))])
+    assert sorted(r.k for r in got.collect()) == list(range(50, 100))
+    assert len(got.inputFiles()) < len(read_version(spark, p, 1).inputFiles())
+
+
+def test_nan_bearing_float_column_never_prunes_finite_probes(spark,
+                                                             tmp_path):
+    """Regression (r12, found by the distributed parity test): Spark's
+    writer records max=NaN for NaN-bearing double columns; storing that
+    bound verbatim made every ``val <= hi`` comparison False, pruning
+    files for finite values they actually hold. The bound is now
+    skipped at collection time (and guarded read-side for legacy
+    stats), so the finite probe finds its rows."""
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    rows = [(i, float(i)) for i in range(100)] + [(100, float("nan"))]
+    df = spark.createDataFrame(rows, "k int, x double")
+    assert commit_version(df.repartitionByRange(2, "k"), p, 1)
+    got = read_version(spark, p, 1, where=[("x", "=", 75.0)]).collect()
+    assert [r.k for r in got] == [75]
+    # legacy stats with literal NaN bounds: the read-side guard admits
+    stats_f = f"{p}/v=1/_stats.json"
+    with open(stats_f) as f:
+        legacy = json.load(f)
+    for cols in legacy.values():
+        cols["x"] = {"min": 0.0, "max": float("nan")}
+    with open(stats_f, "w") as f:
+        json.dump(legacy, f)
+    got = read_version(spark, p, 1, where=[("x", "=", 75.0)]).collect()
+    assert [r.k for r in got] == [75]
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r11 item 5: disjoint-writer commit rebase
+
+
+def _bucket_of(spark, keys, n):
+    """Engine-truth bucket assignment for a list of int keys."""
+    from project2_bigdata_spark.sources.ingest import _bucket_expr
+
+    rows = spark.createDataFrame([(k,) for k in keys], "k int").select(
+        "k", _bucket_expr(["k"], n).alias("b")).collect()
+    return {r.k: r.b for r in rows}
+
+
+def test_disjoint_racing_merges_rebase_without_remerge(spark, tmp_path):
+    """Two merges touching DISJOINT buckets: the loser of the version
+    race rebases its already-staged commit by relinking (zero
+    re-merge — the pre-commit hook fires exactly once) and the final
+    state carries BOTH deltas."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version, table_history,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    buckets = _bucket_of(spark, list(range(64)), 8)
+    keys_a = [k for k in range(64) if buckets[k] < 4][:5]
+    keys_b = [k for k in range(64) if buckets[k] >= 4][:5]
+    assert keys_a and keys_b
+    attempts = []
+
+    def hook(attempt, target):
+        attempts.append((attempt, target))
+        if len(attempts) == 1:
+            # a disjoint writer wins the race mid-flight
+            merge_upsert_bucketed(
+                spark, p, _kv(spark, [(k, 20, "A") for k in keys_a]),
+                keys=["k"], order_cols=["ts"], n_buckets=None)
+
+    v = merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 20, "B") for k in keys_b]),
+        keys=["k"], order_cols=["ts"], n_buckets=None,
+        pre_commit_hook=hook)
+    assert v == 3
+    assert attempts == [(0, 2)]  # ONE merge attempt: rebase, not retry
+    got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
+    for k in keys_a:
+        assert got[k] == "A"
+    for k in keys_b:
+        assert got[k] == "B"
+    assert len(got) == 64
+    hist = {r.version: r.operation
+            for r in table_history(spark, p).collect()}
+    assert hist == {1: "MERGE", 2: "MERGE", 3: "MERGE"}
+
+    # the rebased commit is all hardlinks: winner buckets share inodes
+    # with v2, loser buckets with nothing new written after the race
+    def inodes(version):
+        return {os.path.relpath(f, f"{p}/v={version}"): os.stat(f).st_ino
+                for f in glob.glob(f"{p}/v={version}/_bucket=*/*.parquet")}
+
+    i2, i3 = inodes(2), inodes(3)
+    winner_side = {f for f in i3
+                   if int(f.split("=")[1].split("/")[0]) < 4}
+    assert winner_side and all(
+        f in i2 and i3[f] == i2[f] for f in winner_side)
+
+
+def test_overlapping_racing_merges_fall_back_to_remerge(spark, tmp_path):
+    """Same race but the winner touches an OVERLAPPING bucket: rebase
+    must refuse (the winner changed rows the loser's merge read) and
+    the full re-merge runs — hook fires twice, result still exact."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    buckets = _bucket_of(spark, list(range(64)), 8)
+    b0 = [k for k in range(64) if buckets[k] == 0]
+    shared, mine = b0[0], b0[1]  # same bucket, different keys
+    attempts = []
+
+    def hook(attempt, target):
+        attempts.append(attempt)
+        if len(attempts) == 1:
+            merge_upsert_bucketed(
+                spark, p, _kv(spark, [(shared, 30, "WINNER")]),
+                keys=["k"], order_cols=["ts"], n_buckets=None)
+
+    v = merge_upsert_bucketed(
+        spark, p, _kv(spark, [(mine, 20, "LOSER")]),
+        keys=["k"], order_cols=["ts"], n_buckets=None,
+        pre_commit_hook=hook)
+    assert v == 3
+    assert attempts == [0, 1]  # full retry, not rebase
+    got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
+    assert got[shared] == "WINNER" and got[mine] == "LOSER"
+    assert len(got) == 64
+
+
+def test_racing_nonmerge_commit_blocks_rebase(spark, tmp_path):
+    """A non-MERGE commit (OPTIMIZE) in the race window rewrites every
+    bucket — rebase must refuse and the loser re-merges."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, optimize_version, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    attempts = []
+
+    def hook(attempt, target):
+        attempts.append(attempt)
+        if len(attempts) == 1:
+            optimize_version(spark, p)
+
+    v = merge_upsert_bucketed(
+        spark, p, _kv(spark, [(3, 20, "upd")]),
+        keys=["k"], order_cols=["ts"], n_buckets=None,
+        pre_commit_hook=hook)
+    assert v == 3 and attempts == [0, 1]
+    got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
+    assert got[3] == "upd" and len(got) == 64

@@ -925,6 +925,160 @@ def lakehouse_r11(spark, k: int, timeout_s: int) -> dict:
     return out
 
 
+def lakehouse_r12(spark, k: int, timeout_s: int) -> dict:
+    """K x measurements for the round-12 additions: (a) predicate DML
+    (delete_where / update_where) — wall + the bytes the stats pruning
+    saved (hardlinked vs rewritten); (b) executor-side commit stats —
+    driver footer walk vs distributed collection as the file count
+    grows 10x (the commit-cost-flat claim); (c) disjoint-writer
+    contention — the loser's post-race cost with REBASE (relink)
+    versus the forced full re-merge an overlapping winner causes.
+    Requires ``amplify K``."""
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from project2_bigdata_spark.catalog import table
+    from project2_bigdata_spark.sources.ingest import (
+        _collect_file_stats, commit_version, delete_where,
+        merge_upsert_bucketed, read_version, update_where,
+    )
+
+    sf = dst_dir(k)
+    out: dict[str, object] = {"k": k, "dir": sf}
+    orders = table(spark, sf, "orders")
+    proj = orders.select("o_orderkey", "o_custkey", "o_totalprice",
+                         "o_orderpriority")
+    hi = orders.agg(F.max("o_orderkey")).first()[0]
+
+    # (a) predicate DML on a 64-file range-clustered snapshot: a 1%
+    # range delete should rewrite ~1 file and hardlink the rest
+    pd_ = f"/tmp/sparkgraft_r12_dml_{k}"
+    shutil.rmtree(pd_, ignore_errors=True)
+    with _deadline(spark, "r12-dml-commit", timeout_s):
+        assert commit_version(proj.repartitionByRange(64, "o_orderkey"),
+                              pd_, 1)
+    t0 = time.perf_counter()
+    with _deadline(spark, "r12-delete", timeout_s):
+        assert delete_where(
+            spark, pd_,
+            [("o_orderkey", "between", (0, int(hi * 0.01)))]) == 2
+    out["delete_sec"] = round(time.perf_counter() - t0, 2)
+    i1 = {os.stat(f).st_ino for f in glob.glob(f"{pd_}/v=1/*.parquet")}
+    rew = lnk = 0
+    for f in glob.glob(f"{pd_}/v=2/*.parquet"):
+        st = os.stat(f)
+        if st.st_ino in i1:
+            lnk += st.st_size
+        else:
+            rew += st.st_size
+    out["delete_rewritten_bytes"] = rew
+    out["delete_hardlinked_bytes"] = lnk
+    out["delete_hardlinked_pct"] = round(100 * lnk / max(lnk + rew, 1), 1)
+    t0 = time.perf_counter()
+    with _deadline(spark, "r12-update", timeout_s):
+        assert update_where(
+            spark, pd_,
+            [("o_orderkey", "between",
+              (int(hi * 0.50), int(hi * 0.51)))],
+            set={"o_totalprice": "o_totalprice * 2"}) == 3
+    out["update_sec"] = round(time.perf_counter() - t0, 2)
+    i2 = {os.stat(f).st_ino for f in glob.glob(f"{pd_}/v=2/*.parquet")}
+    rew = lnk = 0
+    for f in glob.glob(f"{pd_}/v=3/*.parquet"):
+        st = os.stat(f)
+        if st.st_ino in i2:
+            lnk += st.st_size
+        else:
+            rew += st.st_size
+    out["update_rewritten_bytes"] = rew
+    out["update_hardlinked_bytes"] = lnk
+    out["update_hardlinked_pct"] = round(100 * lnk / max(lnk + rew, 1), 1)
+    shutil.rmtree(pd_, ignore_errors=True)
+
+    # (b) commit-stats collection: driver walk vs distributed as the
+    # staged file count grows 10x — the distributed path must stay
+    # ~flat (one job, one narrow row per file) while the driver walk
+    # grows linearly with #files
+    for n_files in (64, 640):
+        pstat = f"/tmp/sparkgraft_r12_stats_{k}_{n_files}"
+        shutil.rmtree(pstat, ignore_errors=True)
+        with _deadline(spark, f"r12-stats-commit-{n_files}", timeout_s):
+            assert commit_version(proj.repartition(n_files), pstat, 1)
+        vdir = f"{pstat}/v=1"
+        _collect_file_stats(vdir)  # warm the page cache for both
+        t0 = time.perf_counter()
+        a = _collect_file_stats(vdir)
+        out[f"stats_driver_sec_{n_files}f"] = round(
+            time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        b = _collect_file_stats(vdir, spark=spark, distributed_min=1)
+        out[f"stats_distributed_sec_{n_files}f"] = round(
+            time.perf_counter() - t0, 3)
+        assert a == b, "collector parity"
+        shutil.rmtree(pstat, ignore_errors=True)
+
+    # (c) contention: disjoint REBASE vs overlapping full re-merge —
+    # the loser's wall time after losing the rename race
+    def state_rows(df):
+        return df.select(
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderdate").alias("ts"),
+            F.col("o_totalprice").alias("v"),
+        )
+
+    full = state_rows(orders)
+    keys, oc, n_buckets = ["k"], ["ts"], 256
+    from project2_bigdata_spark.sources.ingest import _bucket_expr
+    some = orders.select("o_orderkey").orderBy("o_orderkey") \
+        .limit(4000).withColumn("_b", _bucket_expr(["o_orderkey"],
+                                                   n_buckets))
+    keys_lo = [r[0] for r in
+               some.where(F.col("_b") < 128).limit(25).collect()]
+    keys_hi = [r[0] for r in
+               some.where(F.col("_b") >= 128).limit(25).collect()]
+    for label, winner_keys in (("rebase", keys_lo),
+                               ("remerge", keys_lo[:1] + keys_hi[:24])):
+        pc = f"/tmp/sparkgraft_r12_race_{k}_{label}"
+        shutil.rmtree(pc, ignore_errors=True)
+        with _deadline(spark, f"r12-race-bootstrap-{label}", timeout_s):
+            merge_upsert_bucketed(spark, pc, full, keys, oc,
+                                  n_buckets=n_buckets)
+        # loser always merges keys_hi[25:] … reuse keys_hi; winner is
+        # disjoint (rebase) or overlaps one bucket (remerge)
+        loser_delta = state_rows(
+            orders.where(F.col("o_orderkey").isin(keys_hi))
+        ).withColumn("v", F.col("v") + 1)
+        winner_delta = state_rows(
+            orders.where(F.col("o_orderkey").isin(winner_keys))
+        ).withColumn("v", F.col("v") + 2)
+        race_t = {}
+
+        def hook(attempt, target, _w=winner_delta, _r=race_t):
+            if attempt == 0 and not _r:
+                _r["winner"] = True
+                merge_upsert_bucketed(spark, pc, _w, keys, oc,
+                                      n_buckets=None)
+                _r["t_after_winner"] = time.perf_counter()
+
+        t0 = time.perf_counter()
+        with _deadline(spark, f"r12-race-{label}", timeout_s):
+            merge_upsert_bucketed(spark, pc, loser_delta, keys, oc,
+                                  n_buckets=None, pre_commit_hook=hook)
+        # post-race cost: from the winner's commit landing to the
+        # loser's successful publish (rebase = relink; remerge = full)
+        out[f"race_{label}_loser_post_sec"] = round(
+            time.perf_counter() - race_t["t_after_winner"], 2)
+        out[f"race_{label}_total_sec"] = round(
+            time.perf_counter() - t0, 2)
+        shutil.rmtree(pc, ignore_errors=True)
+    out["race_rebase_speedup"] = round(
+        out["race_remerge_loser_post_sec"]
+        / max(out["race_rebase_loser_post_sec"], 1e-9), 1)
+    return out
+
+
 def run(spark, k: int, names: list[str], timeout_s: int) -> dict:
     from project2_bigdata_spark.plans import REGISTRY
 
@@ -983,6 +1137,12 @@ def main() -> int:
         if rest and rest[0] == "--timeout":
             rest = rest[1:]
         print(json.dumps(lakehouse_r11(
+            spark, k, int(rest[0]) if rest else 1800)))
+    elif mode == "lakehouse_r12":
+        rest = sys.argv[3:]
+        if rest and rest[0] == "--timeout":
+            rest = rest[1:]
+        print(json.dumps(lakehouse_r12(
             spark, k, int(rest[0]) if rest else 1800)))
     elif mode == "bench10":
         # cross-query bench (VERDICT r8 item 8): the headline block

@@ -896,6 +896,74 @@ def _prune_files_by_stats(vdir: str, where) -> list[str] | None:
     return keep
 
 
+def _bucket_prune_set(spark: SparkSession, vdir: str,
+                      where) -> set[int] | None:
+    """Bucket ids a conjunctive ``where`` restricts a BUCKETED version
+    to, or None when bucket pruning does not apply (r12 — the
+    SelectedBucketsCount equivalent for the ``v=N/_bucket=K`` layout):
+    when every bucket key is pinned by ``=`` / ``in`` conjuncts, the
+    deterministic bucket function maps the candidate key tuples to
+    their buckets and the scan opens ONLY those ``_bucket=K`` dirs —
+    a point lookup against a million-file dimension reads 1/n of it,
+    on top of (and independent of) the min/max stats pruning.
+
+    The hash is computed through Spark itself on probe values CAST to
+    the version's RECORDED column types (``hash()`` is type-dependent:
+    Murmur3 over int32 bytes ≠ over int64 bytes, so an untyped Python
+    literal could silently probe the wrong bucket — admitting a
+    violation, the one thing pruning must never do). No recorded
+    schema (legacy commit), a key not covered by an equality conjunct,
+    or a candidate cross-product over 256 tuples → None (no pruning;
+    correctness never depends on this path)."""
+    import itertools
+    import json
+
+    try:
+        with open(os.path.join(vdir, "_layout.json")) as f:
+            layout = json.load(f)
+        with open(os.path.join(vdir, "_schema.json")) as f:
+            schema = T.StructType.fromJson(json.load(f))
+    except (OSError, ValueError):
+        return None
+    keys = layout.get("bucket_keys") or []
+    n = layout.get("n_buckets")
+    if not keys or not n:
+        return None
+    cand: dict[str, list[list]] = {}
+    for c, op, v in where:
+        if c not in keys:
+            continue
+        if op == "=":
+            cand.setdefault(c, []).append([v])
+        elif op == "in":
+            cand.setdefault(c, []).append(_in_values(v))
+    if set(cand) != set(keys):
+        return None  # some key unpinned: any bucket could match
+    per_key: list[list] = []
+    for k in keys:
+        vs = {repr(x): x for x in cand[k][0]}
+        for more in cand[k][1:]:
+            keep = {repr(x) for x in more}
+            vs = {r: x for r, x in vs.items() if r in keep}
+        per_key.append(list(vs.values()))
+    combos = list(itertools.islice(itertools.product(*per_key), 257))
+    if not combos:
+        return set()  # contradiction: no tuple can exist
+    if len(combos) > 256:
+        return None  # too many probes: stats pruning alone
+    fields = {f.name: f.dataType for f in schema.fields}
+    if any(k not in fields for k in keys):
+        return None
+    probe = spark.createDataFrame(
+        [tuple(str(v) if v is not None else None for v in row)
+         for row in combos],
+        T.StructType([T.StructField(k, T.StringType()) for k in keys]))
+    typed = probe.select(
+        *[F.col(k).cast(fields[k]).alias(k) for k in keys])
+    rows = typed.select(_bucket_expr(keys, n).alias("_b")).collect()
+    return {r._b for r in rows}
+
+
 def commit_version(df: DataFrame, path: str, version: int,
                    partition_by: str | None = None,
                    layout: dict | None = None,
@@ -1677,7 +1745,18 @@ def read_version(spark: SparkSession, path: str,
     parquet's row-group skipping, which still has to open every file);
     the predicate is then applied exactly, so the result equals
     ``read_version(...).filter(...)`` — stats only prune, never
-    admit. Versions without stats (pre-r11) just skip the pruning."""
+    admit. Versions without stats (pre-r11) just skip the pruning.
+
+    On a BUCKETED version, ``=``/``in`` conjuncts covering every
+    bucket key additionally prune to the exact ``_bucket=K`` dirs the
+    deterministic bucket function maps the probe tuples to (r12 — the
+    ``SelectedBucketsCount`` win for this layout): a point lookup
+    against a large dimension opens 1/n of its files even where
+    min/max stats are useless (hash-scattered key ranges). Probe
+    values are hashed CAST to the version's recorded column types, so
+    the bucket choice is exact; anything that prevents certainty (a
+    legacy commit without markers, an unpinned key, >256 candidate
+    tuples) skips this pruning rather than risking a wrong bucket."""
     if version is None:
         version = _latest_committed(path)
         if version is None:
@@ -1706,6 +1785,25 @@ def read_version(spark: SparkSession, path: str,
                     f"unsupported where op {op!r} (have "
                     f"{sorted(_WHERE_OPS)})")
         files = _prune_files_by_stats(vdir, where)
+        # bucket pruning (r12): =/in conjuncts covering every bucket
+        # key resolve to exact _bucket=K dirs through the deterministic
+        # bucket function — composes with (and works without) stats
+        bset = _bucket_prune_set(spark, vdir, where)
+        if bset is not None:
+            base = (files if files is not None else
+                    [os.path.join(vdir, rel) for rel in _data_files(vdir)])
+
+            def _bucket_of(p: str) -> int | None:
+                top = os.path.relpath(p, vdir).split(os.sep)[0]
+                if top.startswith("_bucket="):
+                    try:
+                        return int(top.split("=", 1)[1])
+                    except ValueError:
+                        return None
+                return None
+
+            files = [f for f in base
+                     if (_bucket_of(f) is None or _bucket_of(f) in bset)]
         if files is not None:
             full = (spark.read.schema(schema) if schema is not None
                     else spark.read).option("basePath", vdir)
@@ -3567,6 +3665,67 @@ def q_lakehouse_disjoint_writer_rebase(
     # ONE merge attempt: the loser rebased instead of re-merging
     assert (v, attempts) == (3, [0]), (v, attempts)
     return _scd1_out(read_version(spark, path, 3))
+
+
+#: the fixed probe set for the bucket point-lookup oracle (stable
+#: across SFs; customers absent at tiny SFs are absent on both sides)
+_POINT_LOOKUP_CUSTKEYS = [7, 19, 118, 254, 377, 500, 611, 733, 850,
+                          999, 1103, 1402]
+
+
+@register(
+    "lakehouse_bucket_point_lookup",
+    # recompute oracle: latest order per customer, filtered to the
+    # probe set — the pruned lookup must equal the plain filter
+    oracle="""
+    SELECT o_custkey,
+           o_orderkey AS last_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_orderdate,
+           CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)
+                AS DOUBLE) AS last_totalprice
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1
+      AND o_custkey IN (7, 19, 118, 254, 377, 500, 611, 733, 850,
+                        999, 1103, 1402)
+    """,
+    doc="Bucket PRUNING for point lookups (r12 — SelectedBucketsCount "
+        "for the v=N/_bucket=K layout): an in-probe on the bucket key "
+        "maps through the deterministic bucket function (hashed on "
+        "values CAST to the version's recorded column types — "
+        "type-exact, never a guessed bucket) and the scan opens ONLY "
+        "the probed _bucket dirs (asserted inline ≤ one dir per "
+        "probe), even though min/max stats are useless on a "
+        "hash-scattered key. This is how a keyed serving read against "
+        "a 100 TB dimension touches 1/n of its files. Hash parity "
+        "against the filtered recompute proves the pruned lookup "
+        "equals the plain filter",
+)
+def q_lakehouse_bucket_point_lookup(
+        spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.runner import session_spool
+
+    orders = table(spark, sf_dir, "orders")
+    path = session_spool(spark, "lh_lookup_")
+    merge_upsert_bucketed(
+        spark, path,
+        orders.select(
+            "o_custkey",
+            F.col("o_orderkey").alias("last_orderkey"),
+            F.col("o_orderdate").alias("last_orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)")
+            .alias("last_totalprice"),
+        ),
+        keys=["o_custkey"], order_cols=["last_orderdate", "last_orderkey"],
+        n_buckets=32)
+    got = read_version(spark, path, 1,
+                       where=[("o_custkey", "in", _POINT_LOOKUP_CUSTKEYS)])
+    opened = {f.split("/_bucket=")[1].split("/")[0]
+              for f in got.inputFiles()}
+    assert 1 <= len(opened) <= len(_POINT_LOOKUP_CUSTKEYS), opened
+    return _scd1_out(got)
 
 
 @register(

@@ -726,3 +726,99 @@ def test_racing_nonmerge_commit_blocks_rebase(spark, tmp_path):
     assert v == 3 and attempts == [0, 1]
     got = {r.k: r.v for r in read_version(spark, p, 3).collect()}
     assert got[3] == "upd" and len(got) == 64
+
+
+# ---------------------------------------------------------------------------
+# r12: bucket pruning for point lookups on the bucketed layout
+
+
+def test_bucket_point_lookup_opens_one_bucket(spark, tmp_path):
+    """An equality probe on the bucket key opens exactly the one
+    _bucket=K dir the deterministic bucket function maps it to —
+    SelectedBucketsCount for the v=N layout — and the result equals
+    the plain filter (the cast-to-recorded-type hash is exact)."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(256)]),
+        keys=["k"], order_cols=["ts"], n_buckets=16)
+    n_all = len(read_version(spark, p, 1).inputFiles())
+    assert n_all >= 16
+    for probe in (3, 77, 255):
+        got = read_version(spark, p, 1, where=[("k", "=", probe)])
+        rows = got.collect()
+        assert [(r.k, r.v) for r in rows] == [(probe, f"v{probe}")]
+        dirs = {f.split("/_bucket=")[1].split("/")[0]
+                for f in got.inputFiles()}
+        assert len(dirs) == 1  # exactly one bucket opened
+
+    # in-list: at most one dir per probed value
+    got = read_version(spark, p, 1, where=[("k", "in", [3, 77, 255])])
+    assert sorted(r.k for r in got.collect()) == [3, 77, 255]
+    dirs = {f.split("/_bucket=")[1].split("/")[0]
+            for f in got.inputFiles()}
+    assert 1 <= len(dirs) <= 3
+
+    # unpinned key (range op): no bucket pruning, still exact
+    got = read_version(spark, p, 1, where=[("k", "between", (10, 12))])
+    assert sorted(r.k for r in got.collect()) == [10, 11, 12]
+
+    # key + extra conjunct: bucket pruning still applies, result exact
+    got = read_version(spark, p, 1,
+                       where=[("k", "=", 77), ("ts", ">", 5)])
+    assert [(r.k,) for r in got.collect()] == [(77,)]
+    assert len({f.split("/_bucket=")[1].split("/")[0]
+                for f in got.inputFiles()}) == 1
+
+    # empty membership: empty relation, full schema
+    got = read_version(spark, p, 1, where=[("k", "in", [])])
+    assert got.count() == 0 and set(got.columns) >= {"k", "ts", "v"}
+
+
+def test_bucket_point_lookup_exhaustive_parity(spark, tmp_path):
+    """Every key of the dimension found through its pruned point
+    lookup — a wrong bucket choice anywhere (e.g. a hash computed on
+    the wrong physical type) would MISS a row here."""
+    from project2_bigdata_spark.sources.ingest import (
+        merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(64)]),
+        keys=["k"], order_cols=["ts"], n_buckets=8)
+    # one in-probe covering every key must return the full dimension
+    got = read_version(spark, p, 1,
+                       where=[("k", "in", list(range(64)))])
+    assert sorted(r.k for r in got.collect()) == list(range(64))
+    # spot equality probes across the space
+    for k in range(0, 64, 7):
+        assert [r.v for r in read_version(
+            spark, p, 1, where=[("k", "=", k)]).collect()] == [f"v{k}"]
+
+
+def test_bucket_point_lookup_string_keys_and_plain_tables(spark,
+                                                          tmp_path):
+    """String bucket keys prune exactly too, and plain (unbucketed)
+    tables skip bucket pruning without error."""
+    from project2_bigdata_spark.sources.ingest import (
+        commit_version, merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    rows = [(f"key_{i}", 10, f"v{i}") for i in range(64)]
+    df = spark.createDataFrame(rows, "k string, ts int, v string")
+    merge_upsert_bucketed(spark, p, df, keys=["k"], order_cols=["ts"],
+                          n_buckets=8)
+    got = read_version(spark, p, 1, where=[("k", "=", "key_33")])
+    assert [r.v for r in got.collect()] == ["v33"]
+    assert len({f.split("/_bucket=")[1].split("/")[0]
+                for f in got.inputFiles()}) == 1
+
+    p2 = str(tmp_path / "plain")
+    assert commit_version(_kv(spark, [(1, 10, "a"), (2, 10, "b")]), p2, 1)
+    got = read_version(spark, p2, 1, where=[("k", "=", 2)])
+    assert [r.v for r in got.collect()] == ["b"]

@@ -2093,12 +2093,28 @@ def _predicate_dml(spark: SparkSession, path: str,
                 stats = json.load(f)
         except (OSError, ValueError):
             pass
-        touched = [
-            rel for rel in all_files
-            if stats is None or all(
-                _stats_may_match(stats.get(rel, {}), c, op, v)
-                for c, op, v in where)
-        ]
+        # bucket pruning composes with stats pruning on the write side
+        # too (r12): a keyed delete/update against a bucketed dimension
+        # — the GDPR erasure shape — rewrites the ONE bucket its key
+        # hashes to, even though hash-scattered min/max stats admit
+        # nearly every file
+        bset = _bucket_prune_set(spark, vdir, where)
+
+        def _may_touch(rel: str) -> bool:
+            if stats is not None and not all(
+                    _stats_may_match(stats.get(rel, {}), c, op, v)
+                    for c, op, v in where):
+                return False
+            if bset is not None:
+                top = rel.split(os.sep)[0]
+                if top.startswith("_bucket="):
+                    try:
+                        return int(top.split("=", 1)[1]) in bset
+                    except ValueError:
+                        return True
+            return True
+
+        touched = [rel for rel in all_files if _may_touch(rel)]
         if not touched and all_files:
             return base_v  # no file can hold a matching row: no-op
         untouched = [rel for rel in all_files if rel not in set(touched)]

@@ -822,3 +822,32 @@ def test_bucket_point_lookup_string_keys_and_plain_tables(spark,
     assert commit_version(_kv(spark, [(1, 10, "a"), (2, 10, "b")]), p2, 1)
     got = read_version(spark, p2, 1, where=[("k", "=", 2)])
     assert [r.v for r in got.collect()] == ["b"]
+
+
+def test_keyed_delete_on_bucketed_rewrites_one_bucket(spark, tmp_path):
+    """The GDPR erasure shape: delete_where(key = X) against a
+    bucketed dimension rewrites exactly the ONE bucket X hashes to —
+    every other bucket's files ride as hardlinks — even though the
+    hash-scattered key ranges make min/max stats admit nearly every
+    file."""
+    from project2_bigdata_spark.sources.ingest import (
+        delete_where, merge_upsert_bucketed, read_version,
+    )
+
+    p = str(tmp_path / "t")
+    merge_upsert_bucketed(
+        spark, p, _kv(spark, [(k, 10, f"v{k}") for k in range(256)]),
+        keys=["k"], order_cols=["ts"], n_buckets=16)
+    assert delete_where(spark, p, [("k", "=", 77)]) == 2
+    got = {r.k for r in read_version(spark, p, 2).collect()}
+    assert 77 not in got and len(got) == 255
+
+    def inodes(version):
+        return {os.path.relpath(f, f"{p}/v={version}"): os.stat(f).st_ino
+                for f in glob.glob(f"{p}/v={version}/_bucket=*/*.parquet")}
+
+    i1, i2 = inodes(1), inodes(2)
+    rewritten_dirs = {os.path.dirname(f) for f in set(i2) - set(i1)}
+    linked = {f for f in i2 if f in i1 and i2[f] == i1[f]}
+    assert len(rewritten_dirs) == 1  # exactly one bucket rewritten
+    assert len({os.path.dirname(f) for f in linked}) == 15

@@ -31,16 +31,51 @@ def _dec_to_double(c: Column) -> Column:
     return c.cast("string").cast("double")
 
 
+def _cents(c: Column) -> Column:
+    """Exact 2dp value as integer cents (round-half-up, same as the
+    decimal(18,2) cast for every value this engine sums — see dsum)."""
+    return F.round(c * 100).cast("bigint")
+
+
+def _cents_sum_to_double(s: Column) -> Column:
+    """BIGINT cent sum → the same double the decimal path produced.
+
+    The cent sum is widened to decimal BEFORE the /100 so the exact
+    rational S/100 goes through the same string→double correct rounding
+    as the decimal path — ``double(S)/100.0`` would round twice and can
+    drift 1 ULP once S exceeds 2^53 (≈ 9e13 money units).
+    """
+    return _dec_to_double(s.cast("decimal(38,2)") / F.lit(100))
+
+
 def dsum(col: Column | str, alias: str | None = None) -> Column:
-    """sum(cast(col as decimal(18,2)))::double — exact & order-insensitive."""
+    """Exact order-insensitive money sum, value-identical to
+    ``sum(cast(col as decimal(18,2)))::double`` (the committed oracle
+    form, see :func:`oracle_dsum`).
+
+    Implementation sums integer CENTS in a plain BIGINT instead of a
+    decimal accumulator: decimal aggregation pays a per-row scale-check
+    + overflow-check + 128-bit add, measured ~1.5× the whole agg stage
+    on the headline queries (OPTIMIZATION_r12.md §dsum), while the long
+    sum rides whole-stage codegen at integer speed. Equivalence holds
+    because every dsum input is an exactly-2dp money value (parquet
+    money columns, CASE branches over them, or prior dsum outputs —
+    audited; enforced by the oracle hash parity of all ~200 dsum-bearing
+    queries): for such values ``round(x*100)`` and the decimal(18,2)
+    cast recover the same integer cents, and summation order cannot
+    matter in either representation. Headroom: |Σ| < 2^63 cents ≈ 9.2e16
+    money units — ~10× above a 100 TB lineitem revenue total; wider
+    accumulations (4dp/10dp moment sums) stay on the decimal path
+    (:func:`dsum_as`, :func:`dsum10`).
+    """
     c = F.col(col) if isinstance(col, str) else col
-    out = _dec_to_double(F.sum(c.cast(DEC)))
+    out = _cents_sum_to_double(F.sum(_cents(c)))
     return out.alias(alias) if alias else out
 
 
 def dsum_expr(sql_expr: str, alias: str | None = None) -> Column:
     """Same as :func:`dsum` for an arbitrary SQL expression string."""
-    out = _dec_to_double(F.sum(F.expr(sql_expr).cast(DEC)))
+    out = _cents_sum_to_double(F.sum(_cents(F.expr(sql_expr))))
     return out.alias(alias) if alias else out
 
 

@@ -59,11 +59,22 @@ def sale_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def sales_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """date × product → total_quantity, total_revenue (ref G1, the core query)."""
+    """date × product → total_quantity, total_revenue (ref G1, the core query).
+
+    Groups on the native DATE and formats the 'yyyy-MM-dd' string AFTER
+    aggregation: the hash-agg compares 4-byte date keys instead of
+    strings and the formatter runs once per group, not once per line —
+    same rows, measurably cheaper (OPTIMIZATION_r12.md §date-keys; the
+    UTC session makes cast-then-format identical to format-then-group).
+    """
     return (
         sale_lines(spark, sf_dir)
-        .groupBy(sale_date("sale_ts").alias("date"), F.col("product"))
+        .groupBy(F.col("sale_ts").cast("date").alias("d"), F.col("product"))
         .agg(dsum("quantity", "total_quantity"), dsum("revenue", "total_revenue"))
+        .select(
+            sale_date("d").alias("date"), "product",
+            "total_quantity", "total_revenue",
+        )
     )
 
 

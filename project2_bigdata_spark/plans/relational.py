@@ -117,16 +117,24 @@ def q_count_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_kpi_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
+    # cent-long partials (exact, see money.dsum): per-ticket sums stay
+    # BIGINT cents so both aggregation levels ride integer codegen; the
+    # one-row second level re-sums the exact cents and converts once.
+    # first() over the DATE (not the formatted string) — all lines of a
+    # ticket share o_orderdate, and countDistinct(date) ≡ countDistinct
+    # of its 1:1 'yyyy-MM-dd' image.
+    from ..functions.money import _cents, _cents_sum_to_double
+
     per_ticket = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("t_units"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("t_rev"),
-            F.first(sale_date("o_orderdate")).alias("date"),
+            F.sum(_cents(F.col("l_quantity"))).alias("t_units"),
+            F.sum(_cents(F.col("l_extendedprice"))).alias("t_rev"),
+            F.first(F.col("o_orderdate").cast("date")).alias("date"),
         )
     )
-    dec2dbl = lambda c: F.sum(c).cast("string").cast("double")  # noqa: E731
+    dec2dbl = lambda c: _cents_sum_to_double(F.sum(c))  # noqa: E731
     return per_ticket.agg(
         dec2dbl(F.col("t_units")).alias("total_units"),
         dec2dbl(F.col("t_rev")).alias("total_revenue"),
@@ -454,8 +462,11 @@ def q_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = sale_lines(spark, sf_dir)
     return (
-        sl.groupBy(F.date_format(week_start("sale_ts"), "yyyy-MM-dd").alias("week"), "product")
+        sl.groupBy(week_start("sale_ts").alias("w"), "product")
         .agg(dsum("quantity", "total_quantity"))
+        # group on the DATE week bucket, format once per group (1:1 image)
+        .select(F.date_format("w", "yyyy-MM-dd").alias("week"), "product",
+                "total_quantity")
     )
 
 

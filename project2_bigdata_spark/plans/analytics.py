@@ -360,29 +360,35 @@ _EWMA_SPAN = 30
         "at 30 rows.",
 )
 def q_ewma_halving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        Window.partitionBy("product")
-        .orderBy("date")
-        .rowsBetween(-(_EWMA_SPAN - 1), 0)
-    )
-    daily = _daily(spark, sf_dir).withColumn(
-        "arr", F.collect_list("total_quantity").over(w)
-    )
-    # Fold newest→oldest carrying (weighted sum, next weight); weights
-    # halve each step so everything stays exactly representable.
-    num = F.expr(
-        "aggregate(reverse(arr), struct(cast(0 as double) as s, cast(1 as double) as w), "
-        "(acc, x) -> struct(acc.s + x * acc.w, acc.w * cast(0.5 as double)), "
-        "acc -> acc.s)"
-    )
-    den = F.expr(
-        "cast(2.0 as double) - cast(1.0 as double) / cast(shiftleft(1L, size(arr) - 1) as double)"
-    )
-    return daily.select(
+    # r12: the numerator is a FLAT sum of 30 lag() terms instead of a
+    # collect_list window + aggregate() fold — the array path
+    # materialized a 30-element array and a per-step struct accumulator
+    # for every output row (4.5M element copies at sf0.1). Exactness
+    # makes the two formulations bit-identical in ANY order: quantities
+    # are integers, each weight is a power of two, so every term and
+    # every partial sum is an exact double (< 53 significant bits) —
+    # verified row-for-row against the fold on the full sf0.1 frame.
+    # Missing lags (frame shorter than SPAN) contribute exact 0.
+    wp = Window.partitionBy("product").orderBy("date")
+    wf = wp.rowsBetween(-(_EWMA_SPAN - 1), 0)
+    daily = _daily(spark, sf_dir)
+    num = F.col("total_quantity") * F.lit(1.0)
+    for i in range(1, _EWMA_SPAN):
+        num = num + (
+            F.coalesce(F.lag("total_quantity", i).over(wp), F.lit(0.0))
+            * F.lit(0.5 ** i))
+    staged = daily.select(
         "product",
         F.date_format("date", "yyyy-MM-dd").alias("date"),
-        F.size("arr").cast("int").alias("n_obs"),
-        (num / den).alias("ewma_qty"),
+        F.count("*").over(wf).cast("int").alias("n_obs"),
+        num.alias("num"),
+    )
+    return staged.select(
+        "product", "date", "n_obs",
+        F.expr(
+            "num / (cast(2.0 as double) - cast(1.0 as double) / "
+            "cast(shiftleft(1L, n_obs - 1) as double))"
+        ).alias("ewma_qty"),
     )
 
 

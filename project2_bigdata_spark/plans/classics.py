@@ -2318,13 +2318,28 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         *[F.expr(f"md5(concat('{j}:', CAST(o_orderkey AS STRING)))")
           .alias(f"h{j}") for j in range(_BOOT_DIGESTS)])
-    w_cols = []
-    for rep in range(_BOOT_B):
-        j, q = divmod(rep, 4)
-        u = f"CAST(conv(substr(h{j}, {1 + 8 * q}, 8), 16, 10) AS BIGINT)"
-        w_cols.append(
-            F.expr(_BOOT_W.replace("u ", u + " ")).alias(f"w{rep}"))
-    weighted = digests.select("cents", *w_cols)
+    # Spark-side weights compare the 8-char hex WORD against hex-literal
+    # thresholds instead of conv()-ing it to BIGINT first (r12): both
+    # sides are fixed-length lowercase hex, so unsigned lexicographic
+    # order IS numeric order and the weights are bit-identical — while
+    # conv() pays a per-evaluation radix parse that the CASE's textual
+    # substitution multiplied 4x per replicate (measured ~27% of the
+    # query). The u-words get their own projection so each substr is
+    # evaluated once; the DuckDB oracle keeps the numeric form (it
+    # computes each word once by construction).
+    thr = [f"'{t:08x}'" for t in _BOOT_T]
+    w_hex = (f"CASE WHEN u < {thr[0]} THEN 0"
+             f" WHEN u < {thr[1]} THEN 1"
+             f" WHEN u < {thr[2]} THEN 2"
+             f" WHEN u < {thr[3]} THEN 3 ELSE 4 END")
+    usub = digests.select(
+        "cents",
+        *[F.expr(f"substr(h{rep // 4}, {1 + 8 * (rep % 4)}, 8)")
+          .alias(f"u{rep}") for rep in range(_BOOT_B)])
+    weighted = usub.select(
+        "cents",
+        *[F.expr(w_hex.replace("u ", f"u{rep} ")).alias(f"w{rep}")
+          for rep in range(_BOOT_B)])
     aggs = []
     for rep in range(_BOOT_B):
         aggs.append(F.sum(f"w{rep}").cast("bigint").alias(f"n_{rep}"))

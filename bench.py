@@ -122,6 +122,25 @@ def main() -> None:
     # results (see streaming/runner.py). Correctness surfaces never set
     # this and keep the RocksDB 100 TB default.
     os.environ.setdefault("SPARK_GRAFT_STREAM_STATE_PROVIDER", "hdfs")
+    # Scan split open-cost pad, BENCH-ONLY (r13, VERDICT r12 item 2):
+    # the CODE default is Spark's scale-safe 4 MB; the bench opts into
+    # 64 KB so a small page-cached parquet file splits to the core
+    # count instead of 1-3 scan tasks. Proven ≥ neutral per query by
+    # the r13 interleaved same-session A/B (plans/r13/scanfloor_ab.json)
+    # and identical to the effective r12 bench configuration, so
+    # round-over-round comparability is preserved.
+    os.environ.setdefault("SPARK_GRAFT_OPEN_COST", str(64 * 1024))
+    # Streaming spool + temp checkpoints on tmpfs, BENCH-ONLY (r13,
+    # VERDICT r12 item 6): the bounded replays' fixed floor includes
+    # the foreachBatch parquet spool write/read-back and per-batch
+    # checkpoint commits — pure scratch I/O that a production cluster
+    # would put on fast local disks anyway. Results are byte-identical
+    # (same files, different mount). Correctness runs / pytest never
+    # set this and keep the regular tmpdir.
+    if os.path.isdir("/dev/shm") and "SPARK_GRAFT_SCRATCH_DIR" not in os.environ:
+        _scratch = "/dev/shm/p2bd_bench_scratch"
+        os.makedirs(_scratch, exist_ok=True)
+        os.environ["SPARK_GRAFT_SCRATCH_DIR"] = _scratch
     spark = get_session("p2bd-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -360,6 +379,18 @@ def main() -> None:
     }
 
     total = round(sum(timings.values()), 3)
+    # Bench-env annotation (r13, VERDICT r12 What's-wrong #3): name the
+    # bench-only env posture in the record so stream timings stay
+    # interpretable round-over-round (r11 stream numbers are RocksDB,
+    # r12+ are in-heap; r13+ scratch rides tmpfs when available).
+    bench_env = {
+        "stream_state": os.environ.get(
+            "SPARK_GRAFT_STREAM_STATE_PROVIDER", "rocksdb"),
+        "stream_shuffle": os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", ""),
+        "open_cost": os.environ.get("SPARK_GRAFT_OPEN_COST", "default"),
+        "scratch": ("shm" if os.environ.get(
+            "SPARK_GRAFT_SCRATCH_DIR", "").startswith("/dev/shm") else "tmp"),
+    }
     result = {
         "metric": "headline_total",
         "value": total,
@@ -384,6 +415,7 @@ def main() -> None:
         "contention_rerun": contended,
         "first_rep_outliers": first_rep_outliers,
         "data_fingerprint": data_fp,
+        "bench_env": bench_env,
         "sf": sf,
     }
     print(json.dumps(result))
@@ -416,6 +448,7 @@ def main() -> None:
             first_rep_outliers.items(),
             key=lambda kv: -(kv[1][0] / min(kv[1])))[:3]),
         "data_fingerprint": data_fp,
+        "bench_env": bench_env,
     }
     # Enforce the <~1.2KB budget that keeps the line inside the driver's
     # ~2KB stdout tail (ADVICE r5) with HARD truncation, not assert:
@@ -426,6 +459,9 @@ def main() -> None:
     # final fallback is a minimal {metric,value,unit} line that always
     # fits. Full detail persists in BENCH_HISTORY.jsonl regardless.
     line = json.dumps(compact)
+    if len(line) >= 1200:
+        compact.pop("bench_env", None)
+        line = json.dumps(compact)
     if len(line) >= 1200:
         compact["queries"] = {"_dropped": "oversized; see BENCH_HISTORY.jsonl"}
         line = json.dumps(compact)

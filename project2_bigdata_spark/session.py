@@ -33,20 +33,33 @@ RUNTIME_CONF = {
     # cross the Python→JVM boundary — without it, a reader that
     # implements pushFilters is rejected outright at planning time.
     "spark.sql.python.filterPushdown.enabled": "true",
-    # Per-file packing charge when composing scan splits (default 4 MB).
-    # On page-cached local parquet / fast SSD a file open costs nowhere
-    # near 4 MB of scan time, and the 4 MB pad is what keeps a small
-    # table's scan from splitting to the parallelism floor below. At
-    # object-store scale, where opens ARE expensive and tables have
-    # many small files, raise via SPARK_GRAFT_OPEN_COST (bytes).
-    "spark.sql.files.openCostInBytes": os.environ.get(
-        "SPARK_GRAFT_OPEN_COST", str(64 * 1024)),
 }
+
+
+def _dynamic_conf() -> dict[str, str]:
+    """Env-driven confs, read at session-build/tune time (not import).
+
+    ``SPARK_GRAFT_OPEN_COST``: per-file packing charge when composing
+    scan splits (``spark.sql.files.openCostInBytes``). The CODE default
+    is Spark's own 4 MB — the scale-safe value: at object-store scale
+    with many small files the pad is what prevents over-splitting into
+    file-open storms (guide §6). On page-cached local parquet a file
+    open costs nowhere near 4 MB of scan time and the pad keeps a
+    small table's scan from splitting to the parallelism floor, so
+    bench.py opts into 64 KB via this env — justified by the r13
+    interleaved same-session A/B (plans/r13/scanfloor_ab.json: floor
+    ≥ neutral on 5/6 headline queries, +16% on sales_daily, partition
+    counts 3 → 32 on the sf0.1 lineitem scan). Flipped from an
+    unconditional 64 KB default per VERDICT r12 item 2 so scale-safety
+    no longer depends on an env var.
+    """
+    oc = os.environ.get("SPARK_GRAFT_OPEN_COST")
+    return {"spark.sql.files.openCostInBytes": oc} if oc else {}
 
 
 def tune(spark: SparkSession) -> SparkSession:
     """Apply runtime confs to a session we did not build (driver-owned)."""
-    for k, v in RUNTIME_CONF.items():
+    for k, v in {**RUNTIME_CONF, **_dynamic_conf()}.items():
         try:
             spark.conf.set(k, v)
         except Exception:
@@ -169,6 +182,6 @@ def get_session(app_name: str = "project2_bigdata_spark",
         # submit time)
         .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     )
-    for k, v in RUNTIME_CONF.items():
+    for k, v in {**RUNTIME_CONF, **_dynamic_conf()}.items():
         b = b.config(k, v)
     return b.getOrCreate()

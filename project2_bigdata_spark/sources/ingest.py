@@ -1281,7 +1281,12 @@ def _dedup_delta(delta: DataFrame, keys: list[str],
         won = delta.groupBy(*keys).agg(
             F.max(F.struct(*ordered)).alias("_w"))
         return won.select(
-            *keys, *[F.col(f"_w.{c}").alias(c) for c in payload]
+            *keys,
+            # getField references the struct field by LITERAL name —
+            # F.col("_w.{c}") would parse c as a nested path and
+            # mis-resolve payload columns containing dots/backticks
+            # (ADVICE r12), which the window path handles fine.
+            *[F.col("_w").getField(c).alias(c) for c in payload]
         ).select(*delta.columns)
 
     from pyspark.sql.window import Window

@@ -233,8 +233,24 @@ def run_to_batch(
             .outputMode(mode)
             .trigger(availableNow=True)
         )
-        if checkpoint is not None:
-            writer = writer.option("checkpointLocation", checkpoint)
+        if checkpoint is None:
+            # Route the throwaway checkpoint through the scratch root
+            # (r13, VERDICT r12 item 6): Spark's implicit temporary
+            # checkpoint always lands in java.io.tmpdir; pointing it at
+            # the same root as the spool lets a deployment put ALL
+            # per-replay scratch I/O (offsets/commits/state + spool) on
+            # its fast mount via SPARK_GRAFT_SCRATCH_DIR. Semantics are
+            # identical to Spark's temp checkpoint — fresh dir per run,
+            # never resumed — and the dir is session-tied via _SPOOLS
+            # (swept when the owning session dies) instead of relying
+            # on Spark's stop-time cleanup.
+            checkpoint = tempfile.mkdtemp(
+                prefix=f"{name}_ck_", dir=_spool_root())
+            _SPOOLS.append((weakref.ref(spark), checkpoint))
+            if not _ATEXIT_REGISTERED:
+                atexit.register(sweep_spools, only_dead=False)
+                _ATEXIT_REGISTERED = True
+        writer = writer.option("checkpointLocation", checkpoint)
         q = writer.start()
         q.awaitTermination()
     finally:

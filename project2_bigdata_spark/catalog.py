@@ -24,6 +24,28 @@ TABLES = (
 #: parallelizes on its own and the helper is a no-op.
 _SMALL_INPUT_BYTES = 64 << 20
 
+#: Parquet schema cache (r13, guide §5 "the driver is a bottleneck
+#: too"): every ``table()`` call used to run schema INFERENCE (a
+#: footer-listing pass on the driver) plus a py4j schema fetch for the
+#: NTZ check — measured as a visible slice of per-query DataFrame build
+#: time (the bench re-builds each query every rep, and a real workload
+#: re-plans per query too; a metastore-backed catalog serves schemas
+#: exactly like this). Keyed on (absolute path, size, mtime) so a
+#: driver testdata regen invalidates naturally. METADATA only — no
+#: rows, no results, nothing derived from query execution is cached.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+
+
+def _parquet_schema(spark: SparkSession, path: str):
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path), st.st_size, int(st.st_mtime_ns))
+    except OSError:
+        return spark.read.parquet(path).schema  # let Spark surface the error
+    if key not in _SCHEMA_CACHE:
+        _SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SCHEMA_CACHE[key]
+
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan of one table. Column pruning + predicate pushdown
@@ -31,11 +53,15 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; have {TABLES}")
     tune(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    schema = _parquet_schema(spark, path)
+    # explicit schema: planning skips the per-call inference pass; the
+    # schema is the same one inference produced (cached above)
+    df = spark.read.schema(schema).parquet(path)
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+    if name == "events" and isinstance(schema["ts"].dataType, T.LongType):
         # older testdata stored ts as parquet TIMESTAMP(NANOS) — unreadable
         # by Spark natively; with nanosAsLong it arrives as epoch-nanos.
         # integer div: epoch-nanos > 2^53 would lose precision in double
@@ -46,7 +72,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # TIMESTAMP_LTZ the rest of the engine assumes; with the session
     # pinned to UTC the NTZ→LTZ cast is wall-clock-preserving, so
     # normalize every NTZ column at the scan boundary.
-    ntz = [f.name for f in df.schema.fields
+    ntz = [f.name for f in schema.fields
            if isinstance(f.dataType, T.TimestampNTZType)]
     if ntz:
         df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})

@@ -21,7 +21,8 @@ from pyspark.sql.window import Window
 
 from ..catalog import table
 from ..functions.money import (
-    DEC, DEC10, dsum, dsum_as, oracle_dsum, oracle_dsum_as,
+    DEC, DEC10, _cents, _cents_sum_to_double, dsum, dsum_as, oracle_dsum,
+    oracle_dsum_as,
 )
 from ..operators.rank import global_ntile
 from ..operators.salesviews import sale_lines
@@ -306,15 +307,19 @@ def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "not the fact table.",
 )
 def q_pareto_revenue_80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BIGINT-cents accumulation (r13): rev orders identically in cents,
+    # every window sum/difference is exact integer arithmetic, and the
+    # decimal(38,2)/100 widen + string round-trip reproduces the
+    # oracle's decimal digits for each final double.
     totals = (
         _daily(spark, sf_dir)
         .groupBy("product")
-        .agg(F.sum(F.col("total_revenue").cast("decimal(18,2)")).alias("rev"))
+        .agg(F.sum(_cents(F.col("total_revenue"))).alias("rev"))
     )
     ord_w = Window.orderBy(F.desc("rev"), F.asc("product"))
     cum = F.sum("rev").over(ord_w.rowsBetween(Window.unboundedPreceding, 0))
     tot = F.sum("rev").over(Window.partitionBy())
-    as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
+    as_d = _cents_sum_to_double
     return totals.select(
         "product",
         as_d(F.col("rev")).alias("total_revenue"),
@@ -953,13 +958,23 @@ def q_rolling_corr_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     as_d = lambda c: c.cast("string").cast("double")  # noqa: E731
     daily = _daily(spark, sf_dir)
+    # 2dp window sums ride BIGINT cents (r13, VERDICT r12 item 4 — the
+    # dsum device applied inside a window frame): total_quantity /
+    # total_revenue are exact-2dp dsum outputs, so round(x*100) recovers
+    # the same integer cents as the decimal(18,2) cast, the frame sum is
+    # exact in either representation, and the decimal(38,2)/100 widen +
+    # string round-trip reproduces the oracle's digits bit-for-bit. The
+    # 4dp moment sums (sxx/syy/sxy) STAY decimal — their x10^4 cents
+    # would genuinely overflow BIGINT at scale.
     m = daily.select(
         "product",
         F.date_format("date", "yyyy-MM-dd").alias("date"),
         F.count("*").over(w).cast("int").alias("n_obs"),
         F.count("*").over(w).cast("double").alias("n"),
-        as_d(F.sum(F.col("total_quantity").cast("decimal(18,2)")).over(w)).alias("sx"),
-        as_d(F.sum(F.col("total_revenue").cast("decimal(18,2)")).over(w)).alias("sy"),
+        _cents_sum_to_double(
+            F.sum(_cents(F.col("total_quantity"))).over(w)).alias("sx"),
+        _cents_sum_to_double(
+            F.sum(_cents(F.col("total_revenue"))).over(w)).alias("sy"),
         as_d(
             F.sum(
                 F.expr("total_quantity * total_quantity").cast("decimal(28,4)")
@@ -1866,10 +1881,7 @@ def q_trimmed_mean_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo = F.floor(F.col("n") * 0.1).cast("bigint")
     kept = ranked.filter((F.col("rn") > lo) & (F.col("rn") <= F.col("n") - lo))
-    dec_sum = (
-        F.sum(F.col("total_revenue").cast("decimal(18,2)"))
-        .cast("string").cast("double")
-    )
+    dec_sum = _cents_sum_to_double(F.sum(_cents(F.col("total_revenue"))))
     return kept.groupBy("product").agg(
         F.max("n").alias("n_days"),
         F.count("*").cast("bigint").alias("n_kept"),
@@ -1990,8 +2002,7 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.countDistinct("o_custkey").cast("bigint").alias("n_customers"),
         F.count("*").cast("bigint").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("string").cast("double").alias("revenue"),
+        dsum("o_totalprice", "revenue"),
     )
 
 
@@ -2107,10 +2118,7 @@ def q_supplier_region_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s_acctbal").desc(), F.col("s_suppkey").asc()
     )
     ranked = s.withColumn("rk", F.row_number().over(rw))
-    dec_sum = (
-        F.sum(F.col("s_acctbal").cast("decimal(18,2)"))
-        .cast("string").cast("double")
-    )
+    dec_sum = _cents_sum_to_double(F.sum(_cents(F.col("s_acctbal"))))
     return ranked.groupBy("region").agg(
         F.countDistinct("nation").cast("bigint").alias("n_nations"),
         F.count("*").cast("bigint").alias("n_suppliers"),
@@ -2239,13 +2247,13 @@ def q_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekly = daily.groupBy(
         "product", F.date_trunc("week", "date").cast("date").alias("week_start")
     ).agg(
-        F.sum(F.col("total_revenue").cast("decimal(18,2)")).alias("rev_dec")
+        F.sum(_cents(F.col("total_revenue"))).alias("rev_c")
     )
     pw = Window.partitionBy("product").orderBy("week_start")
     shifted = weekly.select(
         "product", "week_start",
-        F.col("rev_dec").cast("string").cast("double").alias("rev"),
-        F.lag("rev_dec").over(pw).cast("string").cast("double").alias("prev_rev"),
+        _cents_sum_to_double(F.col("rev_c")).alias("rev"),
+        _cents_sum_to_double(F.lag("rev_c").over(pw)).alias("prev_rev"),
         (F.date_sub(F.col("week_start"), 7) == F.lag("week_start").over(pw))
         .alias("contiguous"),
     )
@@ -2326,11 +2334,8 @@ def q_new_vs_returning_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.trunc("o_orderdate", "MM") == first_m).alias("is_new"),
         "o_totalprice",
     )
-    dec = lambda cond: (  # noqa: E731
-        F.sum(
-            F.when(cond, F.col("o_totalprice").cast("decimal(18,2)"))
-            .otherwise(F.lit(0).cast("decimal(18,2)"))
-        ).cast("string").cast("double")
+    dec = lambda cond: _cents_sum_to_double(  # noqa: E731
+        F.sum(F.when(cond, _cents(F.col("o_totalprice"))).otherwise(F.lit(0)))
     )
     return tagged.groupBy(F.date_format("m", "yyyy-MM").alias("month")).agg(
         F.countDistinct(F.when(F.col("is_new"), F.col("o_custkey")))

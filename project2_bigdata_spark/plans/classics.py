@@ -33,7 +33,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.money import dsum_as, oracle_dsum_as
+from ..functions.money import (
+    _cents, _cents_sum_to_double, dsum_as, oracle_dsum_as,
+)
 from ..operators.salesviews import sale_lines
 from .registry import register
 
@@ -166,11 +168,10 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").cast("bigint").alias("n_small_lines"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").cast("string").cast("double")
+            _cents_sum_to_double(F.sum(_cents(F.col("l_extendedprice"))))
             .alias("small_qty_revenue"),
-            (F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
-             .cast("decimal(38,2)").cast("string").cast("double") / 7.0)
+            (_cents_sum_to_double(F.sum(_cents(F.col("l_extendedprice"))))
+             / 7.0)
             .alias("avg_yearly"),
         )
     )
@@ -1014,13 +1015,18 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.where(F.col("c_acctbal") > 0.00)
         .agg(
             F.count("*").cast("bigint").alias("npos"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(38,2)").alias("total"),
+            # BIGINT-cents total (r13): bal*npos > total multiplied
+            # through by 100 is cents*npos > cents_total — the same
+            # exact integer inequality the decimal form encoded, with
+            # the long sum riding codegen instead of the decimal
+            # accumulator. Headroom: cents*npos ≤ ~1e6 * 1.5e10 at a
+            # true 100 TB — well inside BIGINT.
+            F.sum(_cents(F.col("c_acctbal"))).alias("total"),
         )
     )
     rich = (
         cust.crossJoin(F.broadcast(thresh))
-        .where(F.col("c_acctbal").cast("decimal(18,2)") * F.col("npos")
+        .where(_cents(F.col("c_acctbal")) * F.col("npos")
                > F.col("total"))
     )
     recent = (
@@ -2073,8 +2079,7 @@ def q_seasonal_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "product",
             F.expr("year(sale_ts) * 12 + month(sale_ts)")
             .cast("int").alias("x"))
-        .agg((F.sum(F.col("revenue").cast("decimal(18,2)")) * 100)
-             .cast("bigint").alias("rev_c"))
+        .agg(F.sum(_cents(F.col("revenue"))).alias("rev_c"))
     )
     w = Window.partitionBy("product").orderBy("x")
     w13 = w.rowsBetween(-6, 6)
@@ -2314,10 +2319,17 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     # row (each named once so it is hashed once), B CASE weights over
     # their 32-bit words, and 2·B aggregates in ONE pass — zero row
     # expansion, so the scan cost is the data's, not B× the data's.
-    digests = orders.select(
+    # Driver-side build cost (r13, VERDICT r12 item 5): the replicate
+    # columns used to be built as ~330 chained Column calls (one py4j
+    # round trip each, ~1.4 s of build time per bench rep). Each
+    # projection is now ONE selectExpr call (the string list crosses
+    # py4j once) and the 2·B aggregates are ONE spark.sql over a temp
+    # view — the parsed expressions are identical to the old Column
+    # chain, so the analyzed plan (and the oracle) is unchanged.
+    digests = orders.selectExpr(
         "cents",
-        *[F.expr(f"md5(concat('{j}:', CAST(o_orderkey AS STRING)))")
-          .alias(f"h{j}") for j in range(_BOOT_DIGESTS)])
+        *[f"md5(concat('{j}:', CAST(o_orderkey AS STRING))) AS h{j}"
+          for j in range(_BOOT_DIGESTS)])
     # Spark-side weights compare the 8-char hex WORD against hex-literal
     # thresholds instead of conv()-ing it to BIGINT first (r12): both
     # sides are fixed-length lowercase hex, so unsigned lexicographic
@@ -2332,20 +2344,20 @@ def q_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
              f" WHEN u < {thr[1]} THEN 1"
              f" WHEN u < {thr[2]} THEN 2"
              f" WHEN u < {thr[3]} THEN 3 ELSE 4 END")
-    usub = digests.select(
+    usub = digests.selectExpr(
         "cents",
-        *[F.expr(f"substr(h{rep // 4}, {1 + 8 * (rep % 4)}, 8)")
-          .alias(f"u{rep}") for rep in range(_BOOT_B)])
-    weighted = usub.select(
-        "cents",
-        *[F.expr(w_hex.replace("u ", f"u{rep} ")).alias(f"w{rep}")
+        *[f"substr(h{rep // 4}, {1 + 8 * (rep % 4)}, 8) AS u{rep}"
           for rep in range(_BOOT_B)])
-    aggs = []
-    for rep in range(_BOOT_B):
-        aggs.append(F.sum(f"w{rep}").cast("bigint").alias(f"n_{rep}"))
-        aggs.append(F.sum(F.col(f"w{rep}") * F.col("cents"))
-                    .cast("bigint").alias(f"s_{rep}"))
-    one_row = weighted.agg(*aggs)
+    weighted = usub.selectExpr(
+        "cents",
+        *[w_hex.replace("u ", f"u{rep} ") + f" AS w{rep}"
+          for rep in range(_BOOT_B)])
+    weighted.createOrReplaceTempView("_boot_weighted")
+    aggs_sql = ", ".join(
+        f"CAST(SUM(w{rep}) AS BIGINT) AS n_{rep}, "
+        f"CAST(SUM(w{rep} * cents) AS BIGINT) AS s_{rep}"
+        for rep in range(_BOOT_B))
+    one_row = spark.sql(f"SELECT {aggs_sql} FROM _boot_weighted")
     stack_args = ", ".join(
         f"{rep}, n_{rep}, s_{rep}" for rep in range(_BOOT_B))
     per_rep = one_row.selectExpr(
@@ -2459,8 +2471,7 @@ def q_ols_weekend_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = (
         table(spark, sf_dir, "orders")
         .groupBy(F.col("o_orderdate").cast("date").alias("d"))
-        .agg((F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100)
-             .cast("bigint").alias("y"))
+        .agg(F.sum(_cents(F.col("o_totalprice"))).alias("y"))
     )
     xy = daily.select(
         F.datediff(F.col("d"), F.lit(_OLS2_EPOCH).cast("date"))
@@ -2829,8 +2840,7 @@ def q_conformal_forecast_interval(spark: SparkSession, sf_dir: str) -> DataFrame
     daily = (
         sale_lines(spark, sf_dir)
         .groupBy("product", F.col("sale_ts").cast("date").alias("d"))
-        .agg((F.sum(F.col("revenue").cast("decimal(18,2)")) * 100)
-             .cast("bigint").alias("y"))
+        .agg(F.sum(_cents(F.col("revenue"))).alias("y"))
     )
     b = daily.select(
         F.col("product").alias("bp"),
@@ -3144,10 +3154,8 @@ def q_price_elasticity_loglog(spark: SparkSession, sf_dir: str) -> DataFrame:
         sale_lines(spark, sf_dir)
         .groupBy("product", F.col("sale_ts").cast("date").alias("d"))
         .agg(
-            (F.sum(F.col("revenue").cast("decimal(18,2)")) * 100)
-            .cast("bigint").alias("rev_c"),
-            (F.sum(F.col("quantity").cast("decimal(18,2)")) * 100)
-            .cast("bigint").alias("qty_c"),
+            F.sum(_cents(F.col("revenue"))).alias("rev_c"),
+            F.sum(_cents(F.col("quantity"))).alias("qty_c"),
         )
     )
     obs = daily.select(
@@ -3527,16 +3535,16 @@ _PVM_Y2 = 1998
 def q_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = sale_lines(spark, sf_dir)
     yr = F.year("sale_ts")
-    rev = F.col("revenue").cast("decimal(18,2)")
-    qty = F.col("quantity").cast("decimal(18,2)")
+    rev = _cents(F.col("revenue"))
+    qty = _cents(F.col("quantity"))
     m = sl.groupBy("product").agg(
-        (F.coalesce(F.sum(F.when(yr == _PVM_Y1, rev)), F.lit(0)) * 100)
+        F.coalesce(F.sum(F.when(yr == _PVM_Y1, rev)), F.lit(0))
         .cast("bigint").alias("rev1"),
-        (F.coalesce(F.sum(F.when(yr == _PVM_Y2, rev)), F.lit(0)) * 100)
+        F.coalesce(F.sum(F.when(yr == _PVM_Y2, rev)), F.lit(0))
         .cast("bigint").alias("rev2"),
-        (F.coalesce(F.sum(F.when(yr == _PVM_Y1, qty)), F.lit(0)) * 100)
+        F.coalesce(F.sum(F.when(yr == _PVM_Y1, qty)), F.lit(0))
         .cast("bigint").alias("qty1"),
-        (F.coalesce(F.sum(F.when(yr == _PVM_Y2, qty)), F.lit(0)) * 100)
+        F.coalesce(F.sum(F.when(yr == _PVM_Y2, qty)), F.lit(0))
         .cast("bigint").alias("qty2"),
     )
     return (
@@ -3872,27 +3880,28 @@ def q_permutation_test_arm_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
         .alias("cents"),
     )
-    rep_cols = []
-    for b in range(_PERM_B):
-        par = _perm_parity(f"{b}:", True)
-        rep_cols.append(
-            F.coalesce(
-                F.sum(F.when(F.expr(par) == 0, F.col("cents"))), F.lit(0))
-            .cast("bigint").alias(f"sa{b}"))
-        rep_cols.append(
-            F.sum(F.when(F.expr(par) == 0, F.lit(1)).otherwise(F.lit(0)))
-            .cast("bigint").alias(f"na{b}"))
+    # ONE spark.sql builds the 66-sum aggregate (r13, VERDICT r12
+    # item 5): the CASE/COALESCE/CAST strings parse to the identical
+    # expressions the old per-replicate Column chain produced (~200
+    # py4j round trips, ~1.2 s of driver build time per bench rep).
     par_obs = _perm_parity("", True)
-    agg = base.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.coalesce(
-            F.sum(F.when(F.expr(par_obs) == 0, F.col("cents"))), F.lit(0))
-        .cast("bigint").alias("sa_obs"),
-        F.sum(F.when(F.expr(par_obs) == 0, F.lit(1)).otherwise(F.lit(0)))
-        .cast("bigint").alias("na_obs"),
-        *rep_cols,
-    )
+    rep_sql = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN {_perm_parity(f'{b}:', True)} = 0 "
+        f"THEN cents END), 0) AS BIGINT) AS sa{b}, "
+        f"CAST(SUM(CASE WHEN {_perm_parity(f'{b}:', True)} = 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS na{b}"
+        for b in range(_PERM_B))
+    base.createOrReplaceTempView("_perm_base")
+    agg = spark.sql(f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(COALESCE(SUM(CASE WHEN {par_obs} = 0
+                    THEN cents END), 0) AS BIGINT) AS sa_obs,
+               CAST(SUM(CASE WHEN {par_obs} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS na_obs,
+               {rep_sql}
+        FROM _perm_base
+    """)
     t = agg.withColumn("t_obs", F.expr(_perm_t("sa_obs", "na_obs")))
     extreme = " + ".join(
         f"(CASE WHEN abs({_perm_t(f'sa{b}', f'na{b}')}) >= abs(t_obs) "
@@ -4620,27 +4629,28 @@ def q_bh_fdr_segment_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .alias("cents"))
     )
-    rep_cols = []
-    for b in range(_PERM_B):
-        par = _perm_parity(f"{b}:", True)
-        rep_cols.append(
-            F.coalesce(
-                F.sum(F.when(F.expr(par) == 0, F.col("cents"))), F.lit(0))
-            .cast("bigint").alias(f"sa{b}"))
-        rep_cols.append(
-            F.sum(F.when(F.expr(par) == 0, F.lit(1)).otherwise(F.lit(0)))
-            .cast("bigint").alias(f"na{b}"))
+    # ONE spark.sql builds the 5×66-sum aggregate (r13, VERDICT r12
+    # item 5 — same rewrite as permutation_test_arm_revenue).
     par_obs = _perm_parity("", True)
-    agg = base.groupBy("segment").agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("s"),
-        F.coalesce(
-            F.sum(F.when(F.expr(par_obs) == 0, F.col("cents"))), F.lit(0))
-        .cast("bigint").alias("sa_obs"),
-        F.sum(F.when(F.expr(par_obs) == 0, F.lit(1)).otherwise(F.lit(0)))
-        .cast("bigint").alias("na_obs"),
-        *rep_cols,
-    )
+    rep_sql = ", ".join(
+        f"CAST(COALESCE(SUM(CASE WHEN {_perm_parity(f'{b}:', True)} = 0 "
+        f"THEN cents END), 0) AS BIGINT) AS sa{b}, "
+        f"CAST(SUM(CASE WHEN {_perm_parity(f'{b}:', True)} = 0 "
+        f"THEN 1 ELSE 0 END) AS BIGINT) AS na{b}"
+        for b in range(_PERM_B))
+    base.createOrReplaceTempView("_bh_base")
+    agg = spark.sql(f"""
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(COALESCE(SUM(CASE WHEN {par_obs} = 0
+                    THEN cents END), 0) AS BIGINT) AS sa_obs,
+               CAST(SUM(CASE WHEN {par_obs} = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS na_obs,
+               {rep_sql}
+        FROM _bh_base
+        GROUP BY segment
+    """)
     extreme = " + ".join(
         f"(CASE WHEN abs({_perm_t(f'sa{b}', f'na{b}')}) >= abs(t_obs) "
         f"THEN 1 ELSE 0 END)"

@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import table, table_parallel
-from ..functions.money import dsum_expr, oracle_dsum
+from ..functions.money import (
+    _cents, _cents_sum_to_double, dsum_expr, oracle_dsum,
+)
 from ..session import truncate_lineage
 from .registry import register
 
@@ -1031,12 +1033,13 @@ def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")
-    old_dec = F.sum(
-        F.expr(
-            "CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_totalprice END"
-        ).cast("decimal(18,2)")
-    )
-    new_dec = F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+    # BIGINT-cents conditional sums (r13): null iff no matching rows
+    # (same as the decimal form) and the <> compare is the same exact
+    # inequality scaled by 100.
+    old_dec = F.sum(_cents(F.expr(
+        "CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_totalprice END"
+    )))
+    new_dec = F.sum(_cents(F.col("o_totalprice")))
     return o.groupBy("o_custkey").agg(
         dsum_expr(
             "CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN o_totalprice END",

@@ -178,11 +178,13 @@ def q_grouping_sets_explicit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import table as _t
 
     _t(spark_, sf_dir, "orders").createOrReplaceTempView("_gs_orders")
+    # SQL twin of dsum's BIGINT-cents path (r13) — see functions.money
     return spark_.sql("""
         SELECT o_orderstatus AS status, o_orderpriority AS priority,
                CAST(grouping_id(o_orderstatus, o_orderpriority) AS INT) AS gid,
                COUNT(*) AS n,
-               CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+               CAST(CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                              AS DECIMAL(38,2)) / 100 AS STRING) AS DOUBLE)
                  AS total_revenue
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))

@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.datetime_utils import sale_date
-from ..functions.money import dsum, dsum_as, oracle_dsum
+from ..functions.money import (
+    _cents, _cents_sum_to_double, dsum, dsum_as, oracle_dsum,
+)
 from .registry import register
 
 
@@ -192,8 +194,7 @@ def q_pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     piv = (
         o.groupBy(F.col("o_orderpriority").alias("priority"))
         .pivot("o_orderstatus", _STATUSES)
-        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-             .cast("string").cast("double"))
+        .agg(_cents_sum_to_double(F.sum(_cents(F.col("o_totalprice")))))
     )
     return piv.select(
         "priority", *[F.col(s).alias(f"revenue_{s}") for s in _STATUSES]
@@ -220,8 +221,11 @@ def q_distinct_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(F.col("o_orderpriority").alias("priority"))
         .agg(
             F.countDistinct("o_custkey").alias("n_customers"),
-            F.sum_distinct(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("string").cast("double").alias("sum_distinct_price"),
+            # distinct CENTS ↔ distinct 2dp decimals is a bijection for
+            # exact-2dp money, so SUM(DISTINCT) is value-identical (r13)
+            _cents_sum_to_double(
+                F.sum_distinct(_cents(F.col("o_totalprice"))))
+            .alias("sum_distinct_price"),
             F.count("*").alias("n"),
         )
     )

@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import table
-from ..functions.money import dsum, dsum10, oracle_dsum
+from ..functions.money import (
+    _cents, _cents_sum_to_double, dsum, dsum10, oracle_dsum,
+)
 from ..operators.salesviews import sales_daily
 from .registry import register
 from .relational import SALES_DAILY_SQL
@@ -167,7 +169,7 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("month"),
         ).agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("_rev_dec"),
+            F.sum(_cents(F.col("o_totalprice"))).alias("_rev_c"),
         )
 
     base = partial(orders.filter(F.col("o_orderdate") < cutoff))
@@ -177,7 +179,7 @@ def q_incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("year", "month")
         .agg(
             F.sum("n_orders").alias("n_orders"),
-            F.sum("_rev_dec").cast("string").cast("double").alias("total_revenue"),
+            _cents_sum_to_double(F.sum("_rev_c")).alias("total_revenue"),
         )
     )
 

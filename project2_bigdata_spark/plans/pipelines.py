@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 from ..catalog import table
 from ..functions.datetime_utils import sale_date
-from ..functions.money import dsum, oracle_dsum
+from ..functions.money import (
+    _cents, _cents_sum_to_double, dsum, oracle_dsum,
+)
 from ..operators.salesviews import sale_lines, tickets
 from .registry import register
 from .relational import SALE_LINES_SQL
@@ -273,11 +275,11 @@ def q_ep2_customer_drill(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_ticket = truncate_lineage(
         lines.groupBy("custkey", "o_orderkey")
         .agg(F.min("o_orderdate").alias("d"),
-             F.sum(F.col("revenue").cast("decimal(18,2)")).alias("t_rev"))
+             F.sum(_cents(F.col("revenue"))).alias("t_rev"))
     )
     kpis = per_ticket.groupBy("custkey").agg(
         F.count("*").alias("n_tickets"),
-        F.sum("t_rev").cast("string").cast("double").alias("total_spent"),
+        _cents_sum_to_double(F.sum("t_rev")).alias("total_spent"),
     )
     wday = Window.partitionBy("custkey").orderBy(F.desc("n"), "day_name")
     fav_day = (

@@ -635,9 +635,15 @@ def q_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
     lineitem = table(spark, sf_dir, "lineitem")
+    from ..functions.money import _cents, _cents_sum_to_double
+
+    # BIGINT cents through BOTH aggregation levels (r13 — the
+    # kpi_global treatment): the ticket rollup sums exact cents, the
+    # customer rollup re-sums the longs, and only the one-per-group
+    # finisher widens to decimal for the oracle's string round-trip.
     per_ticket = (
         lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("t_rev"))
+        .agg(F.sum(_cents(F.col("l_extendedprice"))).alias("t_rev"))
     )
     return (
         per_ticket
@@ -646,7 +652,7 @@ def q_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_name").alias("customer_email"))
         .agg(
             F.count("*").alias("num_purchases"),
-            F.sum("t_rev").cast("string").cast("double").alias("total_spent"),
+            _cents_sum_to_double(F.sum("t_rev")).alias("total_spent"),
         )
     )
 
@@ -677,9 +683,14 @@ def q_sql_view_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import register_views
 
     register_views(spark, sf_dir)
+    # SQL twin of dsum's BIGINT-cents path (r13): same operation
+    # sequence as functions.money — exact cents sum, decimal(38,2)/100
+    # widen, string round-trip — so the double is bit-identical to the
+    # oracle's decimal form.
     return spark.sql("""
         SELECT product,
-               CAST(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) AS STRING) AS DOUBLE)
+               CAST(CAST(CAST(SUM(CAST(ROUND(revenue * 100) AS BIGINT))
+                              AS DECIMAL(38,2)) / 100 AS STRING) AS DOUBLE)
                  AS total_revenue,
                COUNT(DISTINCT sale_id) AS n_sales
         FROM v_sale_lines
@@ -710,16 +721,18 @@ def q_sql_view_layer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs post-aggregation, never on the fact)",
 )
 def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.money import _cents, _cents_sum_to_double
+
     totals = (
         sale_lines(spark, sf_dir)
         .groupBy("product")
-        .agg(F.sum(F.col("revenue").cast("decimal(18,2)")).alias("rev_dec"))
+        .agg(F.sum(_cents(F.col("revenue"))).alias("rev_c"))
     )
     w = Window.partitionBy()
-    dbl = lambda c: c.cast("string").cast("double")  # noqa: E731
+    dbl = _cents_sum_to_double
     return totals.select(
         "product",
-        dbl(F.col("rev_dec")).alias("product_revenue"),
-        (dbl(F.col("rev_dec")) / dbl(F.sum("rev_dec").over(w)) * 100)
+        dbl(F.col("rev_c")).alias("product_revenue"),
+        (dbl(F.col("rev_c")) / dbl(F.sum("rev_c").over(w)) * 100)
         .alias("revenue_share_pct"),
     )

@@ -13,7 +13,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.datetime_utils import is_weekend, pandas_weekday
-from ..functions.money import dsum, oracle_dsum
+from ..functions.money import (
+    _cents, _cents_sum_to_double, dsum, oracle_dsum,
+)
 from ..operators.salesviews import sale_lines
 from .registry import register
 
@@ -176,8 +178,13 @@ def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "product", F.date_format("date", "yyyy-MM-dd").alias("date"),
         "total_quantity",
         (F.sum("total_quantity").over(w) / F.count("*").over(w)).alias("ma7_quantity"),
-        F.sum(F.col("total_revenue").cast("decimal(18,2)")).over(w)
-        .cast("string").cast("double").alias("sum7_revenue"),
+        # BIGINT-cents window sum (r13): total_revenue is an exact-2dp
+        # dsum output, so the frame sum in cents is exact and the
+        # decimal(38,2)/100 + string round-trip reproduces the oracle's
+        # decimal digits.
+        _cents_sum_to_double(
+            F.sum(_cents(F.col("total_revenue"))).over(w))
+        .alias("sum7_revenue"),
     )
 
 
@@ -201,8 +208,9 @@ def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return _daily(spark, sf_dir).select(
         "product", F.date_format("date", "yyyy-MM-dd").alias("date"),
-        F.sum(F.col("total_revenue").cast("decimal(18,2)")).over(w)
-        .cast("string").cast("double").alias("cum_revenue"),
+        _cents_sum_to_double(
+            F.sum(_cents(F.col("total_revenue"))).over(w))
+        .alias("cum_revenue"),
     )
 
 

@@ -58,7 +58,17 @@ def _dynamic_conf() -> dict[str, str]:
 
 
 def tune(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to a session we did not build (driver-owned)."""
+    """Apply runtime confs to a session we did not build (driver-owned).
+
+    Idempotent and cached per session object (r13): ``tune`` is called
+    from every ``catalog.table`` call — ~10 py4j round trips each — and
+    the confs cannot change between calls within one session (env is
+    read once per process, the floor is derived from the session's own
+    core count), so re-applying is pure driver overhead.
+    """
+    if getattr(spark, "_p2bd_tuned", False):
+        return spark
+    spark._p2bd_tuned = True
     for k, v in {**RUNTIME_CONF, **_dynamic_conf()}.items():
         try:
             spark.conf.set(k, v)

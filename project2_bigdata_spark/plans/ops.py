@@ -503,8 +503,16 @@ def q_theta_distinct_union_segments(spark: SparkSession, sf_dir: str) -> DataFra
     )
     # pivot the two sketches into one row, then run the set algebra on
     # kilobyte binaries (first() is deterministic here: exactly one
-    # non-null candidate per conditional)
-    alg = sk.agg(
+    # non-null candidate per conditional). coalesce(1) first (r13): the
+    # relation is 2 rows in `shuffle.partitions` slots, and Spark's
+    # theta_intersection_agg throws "no intervening intersections" when
+    # a PARTIAL agg partition is empty (the empty intersection is the
+    # infinite set) — AQE masks this by coalescing, but the result must
+    # not depend on AQE (pinned by test_results_invariant_under_aqe_
+    # toggle, which genuinely runs AQE-off since the r13 tune() cache
+    # stopped re-enabling it mid-test). Narrow coalesce, no shuffle,
+    # order-insensitive algebra — results identical.
+    alg = sk.coalesce(1).agg(
         F.first(F.when(F.col("segment") == "hot", F.col("sk")),
                 ignorenulls=True).alias("hsk"),
         F.first(F.when(F.col("segment") == "std", F.col("sk")),

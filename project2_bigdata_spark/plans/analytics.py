@@ -298,10 +298,10 @@ def q_rolling_median_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM totals
     WINDOW ord AS (ORDER BY rev DESC, product)
     """,
-    doc="Pareto concentration: products ranked by exact decimal revenue, "
+    doc="Pareto concentration: products ranked by exact cents revenue, "
         "cumulative share of total, and the 80%%-coverage flag (a product "
         "is in the head while the revenue BEFORE it covers <80%% of "
-        "total). Cumulative sums stay decimal until the final cast so "
+        "total). Cumulative sums ride exact BIGINT cents until the final cast so "
         "cum_share is bit-identical across engines/partitionings. Scale: "
         "the window runs over the product dimension (already aggregated), "
         "not the fact table.",
@@ -1862,7 +1862,7 @@ GROUP BY product
     oracle=_TRIM_ORACLE,
     doc="10% trimmed mean of daily revenue per product: rank-trim the "
         "lowest and highest floor(n/10) observations (deterministic "
-        "(value, date) tie order) and decimal-fold the survivors -- the "
+        "(value, date) tie order) and cents-fold the survivors -- the "
         "location estimate between mean (0% breakdown) and median (50%) "
         "that demand planning actually uses. Rank-based trimming beats "
         "percentile-threshold trimming for parity: the kept SET is an "
@@ -1981,7 +1981,7 @@ FROM aged GROUP BY 1, 2
         "revenue-weighted sibling of weekly_retention. Month ages come "
         "from month-truncated dates on both engines (integer month "
         "arithmetic, no day-count ambiguity); revenue is the standard "
-        "exact decimal fold. Scale: first-order rollup shuffles on "
+        "exact cents fold. Scale: first-order rollup shuffles on "
         "custkey, the age join is custkey-co-partitioned (AQE reuses "
         "the exchange), final rollup is |cohorts x ages|-bounded -- "
         "calendar^2, independent of order volume.",
@@ -2234,7 +2234,7 @@ FROM (
         "swings between CONTIGUOUS weeks per product (gap weeks "
         "excluded by checking lag(week) == week-7d, so a product "
         "returning after a dark month is not scored as a spike). "
-        "Weekly sums are exact decimals via the varchar round-trip; "
+        "Weekly sums are exact cents via the varchar round-trip; "
         "delta is a 2dp-exact difference and pct_change a 6dp-rounded "
         "ratio -- ranking on abs(delta) with (product, week) "
         "tiebreaks is deterministic. Scale: daily->weekly rollup "
@@ -2312,7 +2312,7 @@ FROM tagged GROUP BY 1
     oracle=_NVR_ORACLE,
     doc="Monthly new-vs-returning split: a customer is NEW in their "
         "first-order month and RETURNING in every later active month; "
-        "distinct headcounts and exact decimal revenue per bucket -- "
+        "distinct headcounts and exact cents revenue per bucket -- "
         "the acquisition/retention overview next to cohort_ltv. Same "
         "custkey-co-partitioned first-order join as cohort_ltv; the "
         "month rollup is calendar-bounded.",

@@ -1028,8 +1028,8 @@ def q_group_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "T2 (<1998) classified inserted/updated/unchanged. Single-pass "
         "conditional aggregation — one shuffle, no self-join of the two "
         "snapshots (the naive CDC plan scans twice and full-outer-joins; "
-        "this is the fold a 100 TB incremental pipeline wants). Decimal "
-        "sums make the changed/unchanged comparison exact",
+        "this is the fold a 100 TB incremental pipeline wants). Exact "
+        "cents sums make the changed/unchanged comparison exact",
 )
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < "1998-01-01")

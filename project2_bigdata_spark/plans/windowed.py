@@ -166,7 +166,7 @@ def q_best_month_per_product(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Frame-spec window (SURVEY.md §2.8 note): 7-row moving average of "
         "quantity + 7-row revenue sum per product. Quantity sums are "
         "integral doubles (exact in any order); revenue goes through the "
-        "decimal window sum for cross-engine exactness.",
+        "exact BIGINT-cents window sum for cross-engine exactness.",
 )
 def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
@@ -199,7 +199,7 @@ def q_moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM daily
     """,
     doc="Running total per product (frame-spec window, engine surface "
-        "beyond the reference) — decimal-exact cumulative sum",
+        "beyond the reference) — exact cents-integer cumulative sum",
 )
 def q_cumulative_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = (
